@@ -1,0 +1,178 @@
+"""Shared sub-operators for the time-series queries.
+
+Mirrors the reference's shared CTE sub-operators (SURVEY.md §2.1 "shared
+sub-operators"; reference ``_time_series_query_builder.py:66-180``): raw scan +
+time/tag/status filter, normalization to the PCDM column names, and the
+internal int64-microsecond event-time representation used for start-aligned
+window arithmetic.
+
+Everything here is a stateless ``map_batches`` transform over zero-copy Arrow
+batches — no shuffle, no materialization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+@dataclass(frozen=True)
+class SeriesSpec:
+    """Maps an arbitrary table onto the PCDM event shape.
+
+    Mirrors the reference's overridable ``tagname_column`` /
+    ``timestamp_column`` / ``status_column`` / ``value_column`` parameters
+    (reference ``_time_series_query_builder.py:514-528``). ``status_column=None``
+    synthesizes ``'Good'`` like the reference does (``:119-122``).
+    """
+
+    tag_col: str = "TagName"
+    ts_col: str = "EventTime"
+    value_col: str = "Value"
+    status_col: str | None = "Status"
+
+
+# The default mapping for the driver's `events` test table.
+EVENTS_SPEC = SeriesSpec(tag_col="event_type", ts_col="ts", value_col="value", status_col=None)
+
+
+def ts_to_us(ts: str | datetime) -> int:
+    """Parse a timestamp (ISO string or datetime, UTC-naive) to int64 us."""
+    if isinstance(ts, str):
+        ts = datetime.fromisoformat(ts)
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    epoch = datetime(1970, 1, 1)
+    return int((ts - epoch).total_seconds() * 1_000_000)
+
+
+class TS:
+    """Internal canonical columns after ``normalize``."""
+
+    TAG = "TagName"
+    TS_US = "ts_us"  # int64 microseconds since epoch (UTC-naive)
+    STATUS = "Status"
+    VALUE = "Value"
+
+
+def _normalize_batch(batch: pa.Table, spec: SeriesSpec) -> pa.Table:
+    tag = pc.cast(batch[spec.tag_col], pa.string())
+    ts = batch[spec.ts_col]
+    if pa.types.is_timestamp(ts.type):
+        ts_us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+    else:
+        ts_us = pc.cast(ts, pa.int64())
+    value = pc.cast(batch[spec.value_col], pa.float64())
+    if spec.status_col is not None and spec.status_col in batch.column_names:
+        status = pc.cast(batch[spec.status_col], pa.string())
+    else:
+        status = pa.nulls(len(batch), pa.string()).fill_null("Good")
+    return pa.table(
+        {TS.TAG: tag, TS.TS_US: ts_us, TS.STATUS: status, TS.VALUE: value}
+    )
+
+
+def normalize(
+    ds: ray.data.Dataset,
+    spec: SeriesSpec = EVENTS_SPEC,
+    *,
+    start_us: int | None = None,
+    end_us: int | None = None,
+    tags: list[str] | None = None,
+    include_bad: bool = True,
+    case_insensitive_tags: bool = False,
+) -> ray.data.Dataset:
+    """Project + filter an arbitrary table to canonical (TagName, ts_us,
+    Status, Value), applying the reference's raw-scan predicates
+    (time range BETWEEN inclusive, tag IN-list, optional ``Status <> 'Bad'``;
+    reference ``_time_series_query_builder.py:138-169``)."""
+    tagset = None
+    if tags is not None:
+        tagset = pa.array([t.upper() for t in tags] if case_insensitive_tags else list(tags))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = _normalize_batch(batch, spec)
+        mask = None
+
+        def _and(m, new):
+            return new if m is None else pc.and_kleene(m, new)
+
+        if start_us is not None:
+            mask = _and(mask, pc.greater_equal(t[TS.TS_US], start_us))
+        if end_us is not None:
+            mask = _and(mask, pc.less_equal(t[TS.TS_US], end_us))
+        if tagset is not None:
+            col = pc.utf8_upper(t[TS.TAG]) if case_insensitive_tags else t[TS.TAG]
+            mask = _and(mask, pc.is_in(col, value_set=tagset))
+        if not include_bad:
+            mask = _and(mask, pc.not_equal(t[TS.STATUS], "Bad"))
+        return t.filter(mask) if mask is not None else t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def read_events(
+    sf_dir_or_path: str,
+    spec: SeriesSpec = EVENTS_SPEC,
+    *,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Read the events table with column pruning (read only what the spec
+    needs — a 100 TB read that loads unused columns is wrong)."""
+    path = sf_dir_or_path
+    if not path.endswith(".parquet"):
+        path = f"{path}/events.parquet"
+    if columns is None:
+        columns = [spec.tag_col, spec.ts_col, spec.value_col]
+        if spec.status_col:
+            columns.append(spec.status_col)
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def us_to_timestamp_array(us: np.ndarray | pa.Array) -> pa.Array:
+    arr = pa.array(np.asarray(us, dtype=np.int64)) if isinstance(us, np.ndarray) else us
+    return pc.cast(arr, pa.timestamp("us"))
+
+
+def finalize_times(batch: pa.Table, us_cols: dict[str, str]) -> pa.Table:
+    """Convert int64-us columns to timestamp[us] output columns (renamed)."""
+    for src, dst in us_cols.items():
+        i = batch.column_names.index(src)
+        batch = batch.set_column(i, dst, pc.cast(batch[src], pa.timestamp("us")))
+    return batch
+
+
+_round_con = None
+
+
+def round4(x):
+    """Canonical float rounding applied to every aggregate output: DuckDB's
+    ``round_even(x, 4)``, invoked as a vectorized kernel on the whole array.
+
+    The driver's correctness gate hashes engine output against DuckDB oracle
+    output, so the engine's rounding must match DuckDB bit-for-bit.  No
+    numpy reformulation does (np.round, rint-on-float64 and rint-on-longdouble
+    each disagree with DuckDB on a different subset of exact-.5-product
+    boundary values), so the engine simply uses the same kernel as the oracle.
+    Cost is one in-process DuckDB call per (small, post-aggregation) array.
+    """
+    global _round_con
+    arr = np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+    if arr.size == 0:
+        return arr
+    import duckdb
+
+    if _round_con is None:
+        _round_con = duckdb.connect()
+        _round_con.execute("SET threads=1")
+    t = pa.table({"v": pa.array(arr.ravel())})
+    _round_con.register("_round4_in", t)
+    out = _round_con.execute("SELECT round_even(v, 4) AS v FROM _round4_in").fetch_arrow_table()
+    _round_con.unregister("_round4_in")
+    return out["v"].to_numpy(zero_copy_only=False).reshape(arr.shape)

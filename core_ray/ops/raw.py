@@ -1,0 +1,48 @@
+"""``raw`` query: filtered, optionally deduplicated slice of events.
+
+Reference semantics: ``_raw_query`` / ``_build_raw_query``
+(``_time_series_query_builder.py:66-180,493-588``): time-range + tag filter,
+optional ``Status <> 'Bad'``, ``SELECT DISTINCT`` dedup, ordered by
+(TagName, EventTime).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from .common import TS, SeriesSpec, EVENTS_SPEC, finalize_times, normalize, read_events, ts_to_us
+
+
+def raw(
+    source: str | ray.data.Dataset,
+    *,
+    start: str,
+    end: str,
+    tags: list[str] | None = None,
+    include_bad: bool = True,
+    deduplicate: bool = False,
+    spec: SeriesSpec = EVENTS_SPEC,
+    sort: bool = True,
+) -> ray.data.Dataset:
+    ds = read_events(source, spec) if isinstance(source, str) else source
+    ds = normalize(
+        ds, spec, start_us=ts_to_us(start), end_us=ts_to_us(end), tags=tags, include_bad=include_bad
+    )
+    if deduplicate:
+        # Exact dedup = hash-shuffle on the full row key -> per-group first.
+        # At scale this is the one shuffle in `raw`; the key includes TagName
+        # so partitioning matches every downstream per-tag stage.
+        def first_row(group: pa.Table) -> pa.Table:
+            return group.slice(0, 1)
+
+        ds = ds.groupby([TS.TAG, TS.TS_US, TS.STATUS, TS.VALUE]).map_groups(
+            first_row, batch_format="pyarrow"
+        )
+    ds = ds.map_batches(
+        lambda t: finalize_times(t, {TS.TS_US: "EventTime"}), batch_format="pyarrow"
+    )
+    if sort:
+        ds = ds.sort(["TagName", "EventTime"])
+    return ds
