@@ -1,0 +1,237 @@
+"""Streaming job driver: epoch loop, normalize/route stages, watermark barrier.
+
+Per epoch (a group of source Parquet files — the micro-batch, reference
+``pcdm_to_delta.py:336-356``):
+
+1. ``ray.data.read_parquet(files)`` → stateless normalize ``map_batches``
+   (zero-copy Arrow: derive doc_idx / event-time / Status / partition id);
+2. routing ``map_batches`` tasks slice each batch by ``hash(key) % N`` and
+   push slices to the partition actors (at-least-once; actors dedupe by
+   deterministic batch id);
+3. two-phase barrier: collect per-partition max event time → global
+   watermark = min(max_ts) - allowed_lateness → ``end_epoch(wm)`` on every
+   actor (emit closed windows, commit sink files + manifests, snapshot);
+4. driver merges the actors' closed-window partials (the final stage of the
+   salted aggregate — cardinality = #agg_keys × #closed windows, tiny) and
+   commits the per-epoch aggregate file.
+
+Resume: first uncommitted epoch across all partition manifests; actors load
+their state snapshot of the preceding epoch and replay from there.  Output
+files are deterministic, so a resumed run is byte-identical to an unbroken
+one (verified by tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..synth import event_time_us, row_status, _hash2
+from .sink import EpochSink
+from .state_actor import StreamPartitionActor
+
+T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+AGG_PARTITION_ID = 9999  # pseudo-partition for the driver-side aggregate sink
+
+
+@dataclass
+class StreamConfig:
+    input_dir: str
+    out_dir: str
+    num_partitions: int = 8
+    window_s: int = 60
+    lateness_s: int = 2
+    files_per_epoch: int = 1
+    route_seed: int = 7
+
+
+def normalize_tokens(cfg_num_partitions: int, route_seed: int):
+    """Stateless normalize: tokens row -> keyed event (Arrow, zero-copy for
+    the `tokens` payload; only small derived columns are materialized)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # doc_idx from "doc-%08d" (vectorized slice+cast, no Python loop)
+        idx = pc.cast(pc.utf8_slice_codeunits(batch["doc_id"], 4, 99), pa.int64())
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        ts = event_time_us(idx_np)
+        status = row_status(idx_np)
+        part = (_hash2(route_seed, idx_np) % np.uint64(cfg_num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "tokens": batch["tokens"],
+                "n_tok": batch["n_tok"],
+                "source": batch["source"],
+                "doc_idx": idx,
+                "ts_us": pa.array(ts),
+                "Status": pa.array(status),
+                "part": pa.array(part),
+            }
+        )
+
+    return fn
+
+
+def make_router(actors: list, epoch: int):
+    """map_batches fn: slice the batch per partition and push to actors.
+
+    Blocks on the actor acks (backpressure); returns per-batch lineage
+    counters. Batch id = min doc_idx (deterministic) so actor-side dedup
+    absorbs Ray task retries.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"routed": pa.array([], pa.int64())})
+        part = batch["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(part, kind="stable")
+        sorted_batch = batch.take(pa.array(order))
+        spart = part[order]
+        bounds = np.searchsorted(spart, np.arange(len(actors) + 1))
+        refs = []
+        for p in range(len(actors)):
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            if hi > lo:
+                sl = sorted_batch.slice(lo, hi - lo).drop_columns(["part"])
+                batch_id = int(sl["doc_idx"][0].as_py())
+                refs.append(actors[p].ingest.remote(epoch, batch_id, sl))
+        routed = sum(ray.get(refs)) if refs else 0
+        return pa.table({"routed": pa.array([routed], pa.int64())})
+
+    return fn
+
+
+def merge_closed(results: list[dict]) -> pa.Table:
+    """Final stage of the salted window aggregate: merge per-actor partials."""
+    acc: dict[tuple[str, int], list[int]] = {}
+    for r in results:
+        for key, (cnt, s) in r["closed"].items():
+            src, _, w = key.partition("\x00")
+            a = acc.setdefault((src, int(w)), [0, 0])
+            a[0] += cnt
+            a[1] += s
+    items = sorted(acc.items())
+    return pa.table(
+        {
+            "source": pa.array([k[0] for k, _ in items], pa.string()),
+            "window_start": pa.array(
+                np.array([k[1] for k, _ in items], dtype=np.int64).astype("datetime64[us]")
+            ),
+            "cnt": pa.array([v[0] for _, v in items], pa.int64()),
+            "sum_n_tok": pa.array([v[1] for _, v in items], pa.int64()),
+        }
+    )
+
+
+def merge_latest(results: list[dict]) -> pa.Table:
+    """Merge per-actor latest registers (argmax by (ts, value))."""
+    best: dict[str, dict] = {}
+    for r in results:
+        for src, reg in r.get("latest", {}).items():
+            b = best.get(src)
+            if b is None:
+                best[src] = dict(reg)
+                continue
+            if (reg["ts"], reg["value"]) > (b["ts"], b["value"]):
+                b["ts"], b["value"], b["status"] = reg["ts"], reg["value"], reg["status"]
+            if (reg["good_ts"], reg["good_value"]) > (b["good_ts"], b["good_value"]):
+                b["good_ts"], b["good_value"] = reg["good_ts"], reg["good_value"]
+    items = sorted(best.items())
+    return pa.table(
+        {
+            "source": pa.array([k for k, _ in items], pa.string()),
+            "EventTime": pa.array(
+                np.array([v["ts"] for _, v in items], dtype=np.int64).astype("datetime64[us]")
+            ),
+            "Status": pa.array([v["status"] for _, v in items], pa.string()),
+            "Value": pa.array([v["value"] for _, v in items], pa.int64()),
+            "GoodEventTime": pa.array(
+                np.array([v["good_ts"] for _, v in items], dtype=np.int64).astype(
+                    "datetime64[us]"
+                )
+            ),
+            "GoodValue": pa.array([v["good_value"] for _, v in items], pa.int64()),
+        }
+    )
+
+
+class StreamingJob:
+    def __init__(self, cfg: StreamConfig):
+        self.cfg = cfg
+        files = sorted(
+            os.path.join(cfg.input_dir, f)
+            for f in os.listdir(cfg.input_dir)
+            if f.endswith(".parquet")
+        )
+        n = cfg.files_per_epoch
+        self.epochs = [files[i : i + n] for i in range(0, len(files), n)]
+        self.agg_sink = EpochSink(cfg.out_dir, AGG_PARTITION_ID)
+
+    def run(self, resume: bool = True, stop_after_epoch: int | None = None) -> dict:
+        cfg = self.cfg
+        # num_cpus=0.5: a full CPU per actor would starve the read/normalize
+        # tasks on small clusters (actors idle during routing, busy only at
+        # the epoch barrier).
+        actors = [
+            StreamPartitionActor.options(num_cpus=0.5).remote(
+                p, cfg.out_dir, cfg.window_s * 1_000_000, cfg.lateness_s * 1_000_000, T0_US
+            )
+            for p in range(cfg.num_partitions)
+        ]
+        start_epoch = 0
+        if resume:
+            committed = [EpochSink(cfg.out_dir, p).last_committed_epoch()
+                         for p in range(cfg.num_partitions)]
+            committed.append(self.agg_sink.last_committed_epoch())
+            start_epoch = min(committed) + 1
+            if start_epoch > 0:
+                ray.get([a.load_snapshot.remote(start_epoch - 1) for a in actors])
+
+        totals = {"rows": 0, "tokens": 0, "late": 0, "dupes": 0}
+        for e in range(start_epoch, len(self.epochs)):
+            if stop_after_epoch is not None and e > stop_after_epoch:
+                return {"stopped_after": e - 1, "totals": totals}
+            ds = ray.data.read_parquet(self.epochs[e])
+            ds = ds.map_batches(
+                normalize_tokens(cfg.num_partitions, cfg.route_seed), batch_format="pyarrow"
+            )
+            ds = ds.map_batches(make_router(actors, e), batch_format="pyarrow")
+            ds.sum("routed")  # consume the epoch (streaming execution)
+
+            maxes = ray.get([a.epoch_max_ts.remote() for a in actors])
+            seen_maxes = [m for m in maxes if m >= 0]
+            wm = (min(seen_maxes) if seen_maxes else -1) - cfg.lateness_s * 1_000_000
+            results = ray.get([a.end_epoch.remote(e, wm) for a in actors])
+            agg = merge_closed(results)
+            self.agg_sink.commit_epoch(
+                e,
+                {"agg": agg},
+                {"watermark": wm, "windows_closed": len(agg)},
+            )
+            for r in results:
+                c = r["counters"]
+                totals["rows"] += c["rows_emitted"]
+                totals["tokens"] += c["tokens_emitted"]
+                totals["late"] += c["late_rows"]
+                totals["dupes"] += c["dupes_dropped"]
+
+        # end of stream: flush remaining windows + latest registers
+        final_epoch = len(self.epochs)
+        if not self.agg_sink.committed(final_epoch):
+            results = ray.get([a.flush_final.remote(final_epoch) for a in actors])
+            self.agg_sink.commit_epoch(
+                final_epoch,
+                {"agg": merge_closed(results), "latest": merge_latest(results)},
+                {"final": True},
+            )
+        for a in actors:
+            ray.kill(a)
+        return {"epochs": len(self.epochs), "totals": totals}

@@ -1,0 +1,106 @@
+"""Exactly-once Parquet sink: temp-write + atomic rename + epoch manifests.
+
+Mirrors the reference's idempotence contract (at-least-once delivery +
+idempotent keyed merges + checkpoint, ``pcdm_to_delta.py:336-376``) with an
+explicit commit protocol instead of Delta merges:
+
+- every (partition, epoch, stream) output is ONE deterministic file name;
+- data is written to ``<name>.tmp`` then ``os.replace``d (atomic on POSIX);
+- a partition's epoch commit is the manifest file
+  ``manifests/part=<p>/epoch-<e>.json`` (row/token counters inside = the
+  per-partition lineage log);
+- replaying an epoch whose manifest exists is a no-op (resume support).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class EpochSink:
+    def __init__(self, out_dir: str, partition_id: int):
+        self.out_dir = out_dir
+        self.part = partition_id
+        self.data_dir = os.path.join(out_dir, f"part={partition_id:04d}")
+        self.manifest_dir = os.path.join(out_dir, "manifests", f"part={partition_id:04d}")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- commit log ---------------------------------------------------------
+
+    def _manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.manifest_dir, f"epoch-{epoch:06d}.json")
+
+    def committed(self, epoch: int) -> bool:
+        return os.path.exists(self._manifest_path(epoch))
+
+    def last_committed_epoch(self) -> int:
+        """Highest committed epoch, or -1."""
+        best = -1
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("epoch-") and name.endswith(".json"):
+                best = max(best, int(name[6:-5]))
+        return best
+
+    def read_manifest(self, epoch: int) -> dict:
+        with open(self._manifest_path(epoch)) as f:
+            return json.load(f)
+
+    # -- data ---------------------------------------------------------------
+
+    def _write_atomic(self, table: pa.Table, path: str) -> None:
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+
+    def commit_epoch(self, epoch: int, streams: dict[str, pa.Table], counters: dict) -> dict:
+        """Write each named output stream for this epoch, then atomically
+        commit the manifest. Tables must already be deterministically sorted.
+        Idempotent: committed epochs are skipped."""
+        if self.committed(epoch):
+            return self.read_manifest(epoch)
+        files = {}
+        for name, table in streams.items():
+            if table is None or len(table) == 0:
+                continue
+            fname = f"{name}-epoch-{epoch:06d}.parquet"
+            self._write_atomic(table, os.path.join(self.data_dir, fname))
+            files[name] = {"file": fname, "rows": len(table)}
+        manifest = {
+            "partition": self.part,
+            "epoch": epoch,
+            "files": files,
+            "counters": counters,
+        }
+        mtmp = self._manifest_path(epoch) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True, default=int)  # np ints welcome
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, self._manifest_path(epoch))
+        return manifest
+
+    # -- state snapshots ----------------------------------------------------
+
+    def snapshot_path(self, epoch: int, name: str) -> str:
+        return os.path.join(self.data_dir, f"state-{name}-epoch-{epoch:06d}.parquet")
+
+    def write_snapshot(self, epoch: int, name: str, table: pa.Table) -> None:
+        self._write_atomic(table, self.snapshot_path(epoch, name))
+
+    def read_snapshot(self, epoch: int, name: str) -> pa.Table | None:
+        path = self.snapshot_path(epoch, name)
+        return pq.read_table(path) if os.path.exists(path) else None
+
+    def gc_snapshots(self, keep_epoch: int) -> None:
+        """Drop state snapshots older than ``keep_epoch`` (bounded state on
+        disk; the newest snapshot is all resume needs)."""
+        for name in os.listdir(self.data_dir):
+            if name.startswith("state-") and name.endswith(".parquet"):
+                ep = int(name[-14:-8])
+                if ep < keep_epoch:
+                    os.remove(os.path.join(self.data_dir, name))

@@ -29,16 +29,20 @@ _U64 = np.uint64
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (public-domain constant set)."""
-    x = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
-    x = ((x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)).astype(_U64)
-    x = ((x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)).astype(_U64)
-    return x ^ (x >> _U64(31))
+    """Vectorized splitmix64 finalizer (public-domain constant set).
+
+    uint64 wraparound is the intended modular arithmetic."""
+    with np.errstate(over="ignore"):
+        x = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
+        x = ((x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)).astype(_U64)
+        x = ((x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)).astype(_U64)
+        return x ^ (x >> _U64(31))
 
 
 def _hash2(seed: int, a: np.ndarray, b: np.ndarray | int = 0) -> np.ndarray:
-    h = _splitmix64(np.asarray(a, dtype=_U64) + _U64(seed) * _U64(0x9E3779B97F4A7C15))
-    return _splitmix64(h ^ (np.asarray(b, dtype=_U64) * _U64(0xD6E8FEB86659FD93)))
+    with np.errstate(over="ignore"):
+        h = _splitmix64(np.asarray(a, dtype=_U64) + _U64(seed) * _U64(0x9E3779B97F4A7C15))
+        return _splitmix64(h ^ (np.asarray(b, dtype=_U64) * _U64(0xD6E8FEB86659FD93)))
 
 
 def _uniform01(seed: int, a: np.ndarray, b: np.ndarray | int = 0) -> np.ndarray:

@@ -1,0 +1,176 @@
+"""Streaming-engine correctness: exactly-once, token-array equality vs the
+deterministic input, window-aggregate parity with a batch oracle, and
+kill-and-resume byte-identity."""
+
+import glob
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from core_ray.synth import (
+    event_time_us,
+    make_chunk,
+    row_source,
+    row_status,
+    write_tokens_table,
+)
+from core_ray.streaming import StreamConfig, StreamingJob
+from core_ray.streaming.job import T0_US
+
+N_ROWS = 12_000
+ROWS_PER_FILE = 3_000
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    in_dir = str(base / "in")
+    write_tokens_table(in_dir, N_ROWS, rows_per_file=ROWS_PER_FILE)
+    return base, in_dir
+
+
+def _run(in_dir, out_dir, **kw):
+    cfg = StreamConfig(input_dir=in_dir, out_dir=str(out_dir), num_partitions=4, window_s=60)
+    return StreamingJob(cfg).run(**kw)
+
+
+def _read_rows(out_dir) -> pa.Table:
+    files = sorted(glob.glob(f"{out_dir}/part=0*/rows-*.parquet"))
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def _dir_hashes(out_dir) -> dict[str, str]:
+    out = {}
+    for f in sorted(glob.glob(f"{out_dir}/**/*.parquet", recursive=True)):
+        rel = os.path.relpath(f, out_dir)
+        if rel.split(os.sep)[-1].startswith("state-"):
+            continue  # snapshots are GC'd at different points; not output
+        out[rel] = hashlib.sha256(open(f, "rb").read()).hexdigest()
+    return out
+
+
+def test_streaming_end_to_end(stream_dirs):
+    base, in_dir = stream_dirs
+    out_dir = base / "out_full"
+    res = _run(in_dir, out_dir)
+    assert res["totals"]["rows"] == N_ROWS
+    assert res["totals"]["dupes"] == 0
+
+    # exactly-once: every doc exactly once
+    rows = _read_rows(out_dir)
+    idx = np.sort(rows["doc_idx"].to_numpy())
+    assert len(idx) == N_ROWS
+    assert (idx == np.arange(N_ROWS)).all()
+
+    # token-array equality vs the deterministic input (regenerated)
+    rows_sorted = rows.sort_by([("doc_idx", "ascending")]).combine_chunks()
+    expected = make_chunk(0, N_ROWS)
+    assert rows_sorted["tokens"].combine_chunks().equals(
+        expected["tokens"].combine_chunks()
+    )
+    assert rows_sorted["n_tok"].to_numpy().tolist() == expected["n_tok"].to_numpy().tolist()
+
+    # windowed aggregate parity vs a batch oracle
+    i = np.arange(N_ROWS)
+    ts = event_time_us(i)
+    src = row_source(i)
+    ws = T0_US + ((ts - T0_US) // 60_000_000) * 60_000_000
+    import pandas as pd
+
+    oracle = (
+        pd.DataFrame({"source": src, "ws": ws, "n": make_chunk(0, N_ROWS)["n_tok"].to_numpy()})
+        .groupby(["source", "ws"])
+        .agg(cnt=("n", "size"), sum_n_tok=("n", "sum"))
+        .reset_index()
+        .sort_values(["source", "ws"])
+        .reset_index(drop=True)
+    )
+    agg_files = sorted(glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
+    agg = (
+        pa.concat_tables([pq.read_table(f) for f in agg_files])
+        .sort_by([("source", "ascending"), ("window_start", "ascending")])
+        .to_pandas()
+    )
+    assert len(agg) == len(oracle)
+    assert (agg["source"].values == oracle["source"].values).all()
+    assert (agg["window_start"].astype("int64").values == oracle["ws"].values).all()
+    assert (agg["cnt"].values == oracle["cnt"].values).all()
+    assert (agg["sum_n_tok"].values == oracle["sum_n_tok"].values).all()
+
+    # latest register = argmax event time per source (tie-break by n_tok)
+    latest = pq.read_table(glob.glob(f"{out_dir}/part=9999/latest-*.parquet")[0]).to_pandas()
+    df = pd.DataFrame({"source": src, "ts": ts, "v": expected["n_tok"].to_numpy(),
+                       "good": row_status(i) != "Bad"})
+    exp_latest = df.sort_values(["ts", "v"]).groupby("source").last()
+    for _, r in latest.iterrows():
+        e = exp_latest.loc[r["source"]]
+        assert r["EventTime"].value // 1000 == e["ts"]  # ns -> us
+        assert r["Value"] == e["v"]
+
+
+def test_kill_and_resume_byte_identical(stream_dirs):
+    base, in_dir = stream_dirs
+    full_dir, resumed_dir = base / "out_ref", base / "out_resume"
+    _run(in_dir, full_dir)
+
+    # first run "crashes" after epoch 1 (of 4)
+    res1 = _run(in_dir, resumed_dir, stop_after_epoch=1)
+    assert res1.get("stopped_after") == 1
+    # resume picks up at the first uncommitted epoch and finishes
+    res2 = _run(in_dir, resumed_dir, resume=True)
+    assert res2["epochs"] == 4
+
+    h_full, h_res = _dir_hashes(full_dir), _dir_hashes(resumed_dir)
+    assert h_full == h_res, (
+        "resumed output differs from unbroken run: "
+        f"{set(h_full) ^ set(h_res)} or content mismatch"
+    )
+
+
+def test_actor_late_and_duplicate_handling(stream_dirs):
+    """Unit-level: duplicates are dropped, late rows land in the late side
+    output, retried ingest batches are deduped."""
+    import ray
+
+    from core_ray.streaming.state_actor import StreamPartitionActor
+
+    base, _ = stream_dirs
+    out = str(base / "out_actor")
+    a = StreamPartitionActor.options(num_cpus=0).remote(0, out, 60_000_000, 2_000_000, T0_US)
+
+    def mk(idx):
+        idx = np.asarray(idx, dtype=np.int64)
+        t = make_chunk(0, int(idx.max()) + 1).take(pa.array(idx))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tokens": t["tokens"],
+                "n_tok": t["n_tok"],
+                "source": t["source"],
+                "doc_idx": pa.array(idx),
+                "ts_us": pa.array(event_time_us(idx)),
+                "Status": pa.array(row_status(idx)),
+            }
+        )
+
+    # epoch 0: rows 0..99 except 5; batch retried twice -> counted once
+    t = mk(np.array([i for i in range(100) if i != 5]))
+    ray.get(a.ingest.remote(0, 0, t))
+    ray.get(a.ingest.remote(0, 0, t))  # retry redelivery
+    r0 = ray.get(a.end_epoch.remote(0, event_time_us(np.array([99]))[0] - 2_000_000))
+    assert r0["counters"]["rows_emitted"] == 99
+    assert r0["counters"]["dupes_dropped"] == 0  # same batch id, not a dupe row
+
+    # epoch 1: cross-epoch dupe (50), fresh-but-late row (5), fresh rows
+    t1 = mk(np.array([50, 5, 200, 201]))
+    ray.get(a.ingest.remote(1, 1, t1))
+    r1 = ray.get(a.end_epoch.remote(1, event_time_us(np.array([201]))[0] - 2_000_000))
+    assert r1["counters"]["dupes_dropped"] == 1  # row 50
+    assert r1["counters"]["late_rows"] == 1  # row 5: fresh, below prev watermark
+    assert r1["counters"]["rows_emitted"] == 3  # 5 (late-but-kept), 200, 201
+    ray.kill(a)
