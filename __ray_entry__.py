@@ -127,6 +127,99 @@ def _q_ts_circular_std(sf):
     )
 
 
+def _q_doc_token_count(sf):
+    from core_ray.functions import token_count
+
+    return token_count(sf)
+
+
+def _q_doc_quality(sf):
+    from core_ray.functions import quality_score
+
+    return quality_score(sf)
+
+
+def _q_doc_fingerprint(sf):
+    from core_ray.functions import fingerprint
+
+    return fingerprint(sf)
+
+
+def _q_doc_dedup_exact(sf):
+    from core_ray.functions import dedup_exact
+
+    return dedup_exact(sf)
+
+
+def _q_doc_lang_id(sf):
+    from core_ray.functions import lang_id
+
+    return lang_id(sf)  # heuristic -> rows-only check (no SQL equivalent)
+
+
+def _q_doc_minhash_pairs(sf):
+    from core_ray.functions import minhash_pairs
+
+    return minhash_pairs(sf, threshold=0.5)  # rows-only check
+
+
+def _q_doc_simhash_pairs(sf):
+    from core_ray.functions import simhash_pairs
+
+    return simhash_pairs(sf, max_hamming=3)  # rows-only check
+
+
+def _query_vec(sf):
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    i = t["vec_id"].to_pylist().index(0)
+    return np.asarray(t["embedding"][i].as_py(), dtype=np.float64)
+
+
+def _q_emb_knn(sf):
+    from core_ray.functions import knn_brute_force
+
+    return knn_brute_force(sf, _query_vec(sf), k=10)
+
+
+def _q_emb_knn_ivf(sf):
+    from core_ray.functions import knn_ivf
+
+    return knn_ivf(sf, _query_vec(sf), k=10)  # approximate -> rows-only check
+
+
+def _q_rel_pricing(sf):
+    from core_ray.pipelines import pricing_summary
+
+    return pricing_summary(sf)
+
+
+def _q_rel_revenue_nation(sf):
+    from core_ray.pipelines import revenue_by_nation
+
+    return revenue_by_nation(sf)
+
+
+def _q_rel_top_customers(sf):
+    from core_ray.pipelines import top_customers
+
+    return top_customers(sf, k=10)
+
+
+def _q_ev_sessionize(sf):
+    from core_ray.pipelines import sessionize
+
+    return sessionize(sf, gap_s=1800)
+
+
+def _q_ev_sliding_count(sf):
+    from core_ray.pipelines import sliding_count
+
+    return sliding_count(sf, start=START, end=END)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "ts_raw": _q_ts_raw,
@@ -142,6 +235,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_twa_step": _q_ts_twa_step,
         "ts_circular_avg": _q_ts_circular_avg,
         "ts_circular_std": _q_ts_circular_std,
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_minhash_pairs": _q_doc_minhash_pairs,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "emb_knn": _q_emb_knn,
+        "emb_knn_ivf": _q_emb_knn_ivf,
+        "rel_pricing_summary": _q_rel_pricing,
+        "rel_revenue_by_nation": _q_rel_revenue_nation,
+        "rel_top_customers": _q_rel_top_customers,
+        "ev_sessionize": _q_ev_sessionize,
+        "ev_sliding_count": _q_ev_sliding_count,
     }
 
 
@@ -366,6 +473,105 @@ _ORACLE["ts_circular_std"] = f"""
 SELECT TagName, make_timestamp(ws) AS EventTime,
   round_even(sqrt(greatest(-2 * ln(sqrt(s * s + c * c)), 0)) / (2 * pi()) * 360.0, 4) AS Value
 FROM agg ORDER BY 1, 2
+"""
+
+
+_ORACLE["doc_token_count"] = """
+SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words
+FROM documents ORDER BY doc_id
+"""
+
+_ORACLE["doc_quality"] = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         CAST(length(regexp_extract_all(text, '\\S')) AS BIGINT) AS n_nonspace,
+         CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+  FROM documents)
+SELECT doc_id, n_chars, n_words,
+       round_even(CASE WHEN n_words > 0
+                       THEN n_nonspace / CAST(greatest(n_words, 1) AS DOUBLE)
+                       ELSE 0.0 END, 4) AS avg_word_len,
+       round_even(CASE WHEN n_chars > 0
+                       THEN n_digit / CAST(greatest(n_chars, 1) AS DOUBLE)
+                       ELSE 0.0 END, 4) AS digit_ratio,
+       round_even(CASE WHEN n_chars > 0
+                       THEN (n_chars - n_nonspace) / CAST(greatest(n_chars, 1) AS DOUBLE)
+                       ELSE 0.0 END, 4) AS space_ratio
+FROM f ORDER BY doc_id
+"""
+
+_ORACLE["doc_fingerprint"] = """
+SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id
+"""
+
+_ORACLE["doc_dedup_exact"] = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+ORDER BY doc_id
+"""
+
+_ORACLE["emb_knn"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round_even(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 4) AS sim
+FROM embeddings
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+_ORACLE["rel_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round_even(SUM(l_quantity), 4) AS sum_qty,
+       round_even(SUM(l_extendedprice), 4) AS sum_base_price,
+       round_even(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round_even(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+       round_even(SUM(l_discount) / COUNT(*), 4) AS avg_disc,
+       CAST(COUNT(*) AS DOUBLE) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_ORACLE["rel_revenue_by_nation"] = """
+SELECT n_name, round_even(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+_ORACLE["rel_top_customers"] = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         round_even(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM orders, lineitem WHERE l_orderkey = o_orderkey
+  GROUP BY 1)
+SELECT c_name, revenue
+FROM per_cust JOIN customer ON c_custkey = custkey
+ORDER BY revenue DESC, custkey LIMIT 10
+"""
+
+_ORACLE["ev_sessionize"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+s AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+g AS (SELECT *, SUM(new_s) OVER
+        (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s)
+SELECT user_id, make_timestamp(MIN(tus)) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (MAX(tus) - MIN(tus)) / 1000000.0 AS duration_s
+FROM g GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+_ORACLE["ev_sliding_count"] = f"""
+WITH f AS (SELECT event_type, epoch_us(ts) AS tus FROM events WHERE {_RANGE}),
+grid AS (SELECT unnest(generate_series({S_US}, {E_US} - 1, {HOUR_US})) AS ws)
+SELECT f.event_type, make_timestamp(g.ws) AS EventTime, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM grid g JOIN f ON f.tus >= g.ws AND f.tus < g.ws + {3 * HOUR_US}
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 

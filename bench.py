@@ -1,0 +1,189 @@
+"""Benchmark harness.
+
+Default: run the headline streaming pipeline (tokens-table stream through the
+exactly-once engine) plus every batch query over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) and print ONE JSON line:
+
+    {"metric": ..., "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "tokens_per_sec": ...}
+
+``--scaling``: run the headline job twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs plus
+scaling efficiency (the sandbox stand-in for the N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+TOKENS_CACHE = os.environ.get("GRAFT_TOKENS_CACHE", "/tmp/graft_tokens")
+
+
+def _sf_value(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _tokens_rows(sf: float) -> int:
+    # sf0.1 -> 400k rows (~100M tokens); sf0.01 -> 40k.
+    return max(20_000, int(4_000_000 * sf))
+
+
+def ensure_tokens_table(n_rows: int) -> str:
+    from core_ray.synth import write_tokens_table
+
+    d = os.path.join(TOKENS_CACHE, f"n{n_rows}")
+    write_tokens_table(d, n_rows, rows_per_file=100_000)
+    return d
+
+
+def run_streaming(input_dir: str, num_partitions: int) -> dict:
+    from core_ray.streaming import StreamConfig, StreamingJob
+
+    out = f"/tmp/graft_bench_stream_out_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = StreamConfig(
+        input_dir=input_dir, out_dir=out, num_partitions=num_partitions, window_s=60
+    )
+    t0 = time.time()
+    res = StreamingJob(cfg).run(resume=False)
+    wall = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return {"wall_s": wall, "tokens": res["totals"]["tokens"], "rows": res["totals"]["rows"]}
+
+
+def main() -> None:
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = _sf_value(SF_DIR)
+    n_rows = _tokens_rows(sf)
+    tokens_dir = ensure_tokens_table(n_rows)
+
+    # warm the page cache + Ray worker pool (untimed)
+    ray.data.read_parquet(tokens_dir).count()
+    ray.data.read_parquet(f"{SF_DIR}/events.parquet").count()
+
+    queries: dict[str, float] = {}
+
+    # headline: streaming tokens pipeline
+    stream = run_streaming(tokens_dir, num_partitions=min(16, max(4, NUM_CPUS // 2)))
+    queries["streaming_tokens"] = round(stream["wall_s"], 3)
+
+    # batch queries
+    import __ray_entry__ as entrymod
+
+    for name, fn in sorted(entrymod.queries().items()):
+        t0 = time.time()
+        ds = fn(SF_DIR)
+        # consume without materializing to the driver beyond a count
+        if hasattr(ds, "count"):
+            ds.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "streaming tokens pipeline wall seconds (headline) + per-query seconds",
+        "value": queries["streaming_tokens"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "tokens_rows": stream["rows"],
+        "tokens_total": stream["tokens"],
+        "tokens_per_sec": round(stream["tokens"] / stream["wall_s"], 1),
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def run_scaling() -> None:
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "sec_8": t8,
+                "sec_32": t32,
+                "tokens_per_sec_8": results[8]["tokens_per_sec"],
+                "tokens_per_sec_32": results[32]["tokens_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+def run_headline_only() -> None:
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    n_rows = _tokens_rows(_sf_value(SF_DIR))
+    tokens_dir = ensure_tokens_table(n_rows)
+    ray.data.read_parquet(tokens_dir).count()  # warm
+    stream = run_streaming(tokens_dir, num_partitions=min(16, max(4, NUM_CPUS // 2)))
+    out = {
+        "metric": "streaming tokens pipeline",
+        "value": round(stream["wall_s"], 3),
+        "unit": "sec",
+        "sf": _sf_value(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "tokens_per_sec": round(stream["tokens"] / stream["wall_s"], 1),
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--headline-only" in sys.argv:
+        run_headline_only()
+    else:
+        main()

@@ -1,0 +1,19 @@
+"""Training-data pipeline operations: text analysis, deduplication,
+similarity search, multimodal plumbing — first-class large-scale components
+alongside the time-series operators."""
+
+from .text import token_count, quality_score, fingerprint, lang_id
+from .dedup import dedup_exact, minhash_pairs, simhash_pairs
+from .similarity import knn_brute_force, knn_ivf
+
+__all__ = [
+    "token_count",
+    "quality_score",
+    "fingerprint",
+    "lang_id",
+    "dedup_exact",
+    "minhash_pairs",
+    "simhash_pairs",
+    "knn_brute_force",
+    "knn_ivf",
+]

@@ -1,0 +1,144 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, fingerprinting, language ID.
+
+All stages are stateless ``map_batches`` transforms; the string kernels are
+vectorized ``pyarrow.compute`` regex counts where possible (no Python loop in
+the hot path except the md5 fingerprint, whose cost is the C hash itself).
+Reference analog: the per-batch JSON/string parsers of
+``transformers/spark/*_to_pcdm.py`` (SURVEY.md §2.4) — per-record string work
+re-expressed as vectorized Arrow kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..ops.common import round4
+
+
+def _read_docs(source: str | ray.data.Dataset, columns: list[str]) -> ray.data.Dataset:
+    if isinstance(source, str):
+        path = source if source.endswith(".parquet") else f"{source}/documents.parquet"
+        return ray.data.read_parquet(path, columns=columns)
+    return source
+
+
+def token_count(source: str | ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_words): number of maximal non-whitespace runs."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], r"\S+")
+        return pa.table({"doc_id": batch["doc_id"], "n_words": pc.cast(n, pa.int64())})
+
+    return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(source: str | ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc quality features: n_chars, n_words, avg_word_len, digit_ratio,
+    space_ratio (rounded to the canonical 4 decimals)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()).to_numpy()
+        n_nonspace = pc.cast(
+            pc.count_substring_regex(text, r"\S"), pa.int64()
+        ).to_numpy()
+        n_digit = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.int64()).to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg_word_len = np.where(n_words > 0, n_nonspace / np.maximum(n_words, 1), 0.0)
+            digit_ratio = np.where(n_chars > 0, n_digit / np.maximum(n_chars, 1), 0.0)
+            space_ratio = np.where(
+                n_chars > 0, (n_chars - n_nonspace) / np.maximum(n_chars, 1), 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(n_chars),
+                "n_words": pa.array(n_words),
+                "avg_word_len": pa.array(round4(avg_word_len)),
+                "digit_ratio": pa.array(round4(digit_ratio)),
+                "space_ratio": pa.array(round4(space_ratio)),
+            }
+        )
+
+    return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprint(source: str | ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, md5): content fingerprint for exact dedup / lineage."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        return pa.table({"doc_id": batch["doc_id"], "md5": pa.array(digests, pa.string())})
+
+    return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+# --- language ID -----------------------------------------------------------
+
+# Tiny per-language stopword lists (public common function words).  The
+# documents fixture is synthetic word salad, so real-language cues are the
+# function words; CJK is detected by codepoint range.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "que", "dans", "avec"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "para", "que", "con", "en"},
+}
+
+
+class LangIdStage:
+    """Actor-pool language classifier: word tables built ONCE per actor in
+    ``__init__`` (the stateful-stage pattern — model load amortized across
+    batches), scoring per batch."""
+
+    def __init__(self):
+        import re
+
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = []
+        for text in batch["text"].to_pylist():
+            # CJK detection by codepoint range
+            cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+            if cjk > len(text[:400]) * 0.05:
+                langs.append("zh")
+                continue
+            words = self.word_re.findall(text.lower())
+            if not words:
+                langs.append("und")
+                continue
+            scores = {
+                lang: sum(1 for w in words if w in tbl) for lang, tbl in self.tables.items()
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            langs.append(best if scores[best] > 0 else "und")
+        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(langs, pa.string())})
+
+
+def pool_size(cap: int = 8) -> int:
+    """Actor-pool size that always leaves CPUs for the read/feed tasks — a
+    pool that reserves every CPU deadlocks the pipeline (ray_guide pitfall)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(cap, cpus - 2))
+
+
+def lang_id(source: str | ray.data.Dataset, concurrency: int | None = None) -> ray.data.Dataset:
+    return _read_docs(source, ["doc_id", "text"]).map_batches(
+        LangIdStage,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency or pool_size(),
+    )

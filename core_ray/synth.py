@@ -113,11 +113,17 @@ def write_tokens_table(
     n_rows: int,
     seed: int = 42,
     rows_per_file: int = 50_000,
+    rows_per_chunk: int = 5_000,
 ) -> list[str]:
     """Write the tokens table as a directory of Parquet files, one per shard.
 
     Multiple files = multiple source epochs for the streaming engine and
     natural read parallelism for Ray Data.
+
+    Generation runs in small sub-chunks (``rows_per_chunk``): this VM's
+    first-touch page faults on fresh mmap'd memory are ~100x normal cost, so
+    bounding the numpy working set lets the allocator reuse already-faulted
+    pages (measured ~6-10x speedup over monolithic chunks).
     """
     os.makedirs(out_dir, exist_ok=True)
     paths = []
@@ -125,6 +131,10 @@ def write_tokens_table(
         count = min(rows_per_file, n_rows - start)
         path = os.path.join(out_dir, f"part-{start // rows_per_file:05d}.parquet")
         if not os.path.exists(path):
-            pq.write_table(make_chunk(start, count, seed), path)
+            parts = [
+                make_chunk(s, min(rows_per_chunk, start + count - s), seed)
+                for s in range(start, start + count, rows_per_chunk)
+            ]
+            pq.write_table(pa.concat_tables(parts), path)
         paths.append(path)
     return paths

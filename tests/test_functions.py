@@ -1,0 +1,94 @@
+"""Unit tests for training-data ops with planted fixtures: near-duplicate
+detection must find planted dups, lang-id must classify real-language samples
+(the driver `documents.lang` column is random, so accuracy is only testable on
+planted text), IVF recall is bounded against brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+
+def _docs_ds(rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["lang"] = "x"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    return ray.data.from_pandas(df)
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden near the old oak tree"
+)
+
+
+def test_minhash_finds_planted_near_dup():
+    from core_ray.functions import minhash_pairs
+
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy", "sleepy")),  # near-dup of 0
+        (2, "completely different text about distributed query engines and arrow"),
+        (3, "another unrelated document discussing window aggregation semantics"),
+    ]
+    pairs = minhash_pairs(_docs_ds(rows), threshold=0.5, concurrency=1).to_pandas()
+    assert {(0, 1)} == set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (pairs["est_jaccard"] >= 0.5).all()
+
+
+def test_simhash_finds_planted_near_dup():
+    from core_ray.functions import simhash_pairs
+
+    rows = [
+        (0, BASE),
+        (1, BASE + " extra"),
+        (2, "completely different text about distributed query engines and arrow"),
+    ]
+    pairs = simhash_pairs(_docs_ds(rows), max_hamming=6, concurrency=1).to_pandas()
+    assert (0, 1) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (2 not in set(pairs["doc_a"])) and (2 not in set(pairs["doc_b"]))
+
+
+def test_lang_id_on_planted_text():
+    from core_ray.functions import lang_id
+
+    rows = [
+        (0, "the cat is in the house and it is happy with you"),
+        (1, "der Hund ist nicht in dem Haus und das ist gut für ihn"),
+        (2, "le chat est dans la maison et il est content pour vous"),
+        (3, "el gato es feliz en la casa y es un buen día para todos"),
+        (4, "今天天气很好我们一起去公园散步吧这是一个美好的日子"),
+    ]
+    out = lang_id(_docs_ds(rows), concurrency=1).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "de", "fr", "es", "zh"]
+
+
+def test_dedup_exact_keeps_min_doc_id():
+    from core_ray.functions import dedup_exact
+
+    rows = [(0, "aaa"), (1, "bbb"), (2, "aaa"), (3, "ccc"), (4, "bbb")]
+    out = dedup_exact(_docs_ds(rows)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 3]
+
+
+def test_ivf_recall_vs_brute_force(sf_dir):
+    from core_ray.functions import knn_brute_force, knn_ivf
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    bf = set(knn_brute_force(sf_dir, q, k=10).to_pandas()["vec_id"])
+    ivf = set(knn_ivf(sf_dir, q, k=10, n_probe=8).to_pandas()["vec_id"])
+    assert len(bf) == 10
+    # probing half the centroids must recover a majority of true neighbors
+    assert len(bf & ivf) / 10 >= 0.5
+
+
+def test_quality_score_empty_text():
+    from core_ray.functions import quality_score
+
+    out = quality_score(_docs_ds([(0, ""), (1, "ab cd")])).to_pandas().sort_values("doc_id")
+    assert out["n_words"].tolist() == [0, 2]
+    assert out["avg_word_len"].tolist() == [0.0, 2.0]
