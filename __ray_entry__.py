@@ -220,8 +220,78 @@ def _q_ev_sliding_count(sf):
     return sliding_count(sf, start=START, end=END)
 
 
+def _events_ds(sf):
+    from core_ray.ops.common import EVENTS_SPEC, normalize, read_events
+
+    return normalize(read_events(sf), EVENTS_SPEC)
+
+
+def _q_dq_dedup(sf):
+    from core_ray.dq import duplicate_detection
+
+    return duplicate_detection(_events_ds(sf))
+
+
+def _q_dq_ksigma(sf):
+    from core_ray.dq import k_sigma_anomaly_filter
+
+    return k_sigma_anomaly_filter(_events_ds(sf), k=2.0)
+
+
+def _q_dq_moving_avg(sf):
+    from core_ray.dq import moving_average
+
+    return moving_average(_events_ds(sf), window=5)
+
+
+def _q_dq_zscore(sf):
+    from core_ray.dq import normalize as dq_normalize
+
+    ds, _params = dq_normalize(_events_ds(sf), method="zscore")
+
+    def finalize(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from core_ray.ops.common import round4
+
+        return pa.table(
+            {
+                "TagName": batch["TagName"],
+                "EventTime": pc.cast(batch["ts_us"], pa.timestamp("us")),
+                "Value": pa.array(round4(batch["Value"].to_numpy())),
+            }
+        )
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_dq_out_of_range(sf):
+    from core_ray.dq import out_of_range_filter
+
+    return out_of_range_filter(_events_ds(sf), lo=10.0, hi=400.0)
+
+
+def _q_dq_interval_filter(sf):
+    from core_ray.dq import interval_filtering
+
+    return interval_filtering(_events_ds(sf), interval_us=3_600_000_000)  # rows-only
+
+
+def _q_dq_missing_intervals(sf):
+    from core_ray.dq import identify_missing_intervals
+
+    return identify_missing_intervals(_events_ds(sf), interval_us=7_200_000_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "dq_dedup": _q_dq_dedup,
+        "dq_ksigma": _q_dq_ksigma,
+        "dq_moving_avg": _q_dq_moving_avg,
+        "dq_zscore": _q_dq_zscore,
+        "dq_out_of_range": _q_dq_out_of_range,
+        "dq_interval_filter": _q_dq_interval_filter,
+        "dq_missing_intervals": _q_dq_missing_intervals,
         "ts_raw": _q_ts_raw,
         "ts_resample_avg": _q_ts_resample_avg,
         "ts_resample_last": _q_ts_resample_last,
@@ -572,6 +642,65 @@ grid AS (SELECT unnest(generate_series({S_US}, {E_US} - 1, {HOUR_US})) AS ws)
 SELECT f.event_type, make_timestamp(g.ws) AS EventTime, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM grid g JOIN f ON f.tus >= g.ws AND f.tus < g.ws + {3 * HOUR_US}
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_ORACLE["dq_dedup"] = """
+SELECT event_type AS TagName, ts AS EventTime, 'Good' AS Status, value AS Value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY event_type, ts ORDER BY value) = 1
+ORDER BY 1, 2
+"""
+
+_STATS_CTE = """
+  SELECT event_type, COUNT(*) AS n, SUM(value) AS s, SUM(value * value) AS sq
+  FROM events GROUP BY 1"""
+
+_ORACLE["dq_ksigma"] = f"""
+WITH m AS ({_STATS_CTE}),
+stats AS (SELECT event_type, s / n AS mean,
+                 sqrt(greatest((sq - n * (s / n) * (s / n)) / (n - 1), 0)) AS sd
+          FROM m)
+SELECT e.event_type AS TagName, e.ts AS EventTime, 'Good' AS Status, e.value AS Value
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs(e.value - s.mean) <= 2.0 * s.sd
+ORDER BY 1, 2
+"""
+
+_ORACLE["dq_moving_avg"] = """
+SELECT event_type AS TagName, ts AS EventTime,
+       round_even(AVG(value) OVER (PARTITION BY event_type ORDER BY ts, value
+                                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS Value
+FROM events ORDER BY 1, 2
+"""
+
+_ORACLE["dq_zscore"] = f"""
+WITH m AS ({_STATS_CTE}),
+stats AS (SELECT event_type, s / n AS mean,
+                 sqrt(greatest((sq - n * (s / n) * (s / n)) / (n - 1), 0)) AS sd
+          FROM m)
+SELECT e.event_type AS TagName, e.ts AS EventTime,
+       round_even((e.value - s.mean) / CASE WHEN s.sd = 0 THEN 1.0 ELSE s.sd END, 4) AS Value
+FROM events e JOIN stats s ON e.event_type = s.event_type
+ORDER BY 1, 2
+"""
+
+_ORACLE["dq_out_of_range"] = """
+SELECT event_type AS TagName, ts AS EventTime, 'Good' AS Status, value AS Value
+FROM events WHERE value BETWEEN 10.0 AND 400.0
+ORDER BY 1, 2
+"""
+
+_ORACLE["dq_missing_intervals"] = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
+g AS (SELECT event_type, lag(tus) OVER (PARTITION BY event_type ORDER BY tus) AS prev, tus
+      FROM e)
+SELECT event_type AS TagName,
+       make_timestamp(prev) AS GapStart,
+       make_timestamp(tus) AS GapEnd,
+       round_even((tus - prev) / 1000000.0, 4) AS gap_seconds
+FROM g WHERE prev IS NOT NULL AND tus - prev > 7200000000
+ORDER BY 1, 2
 """
 
 

@@ -1,0 +1,39 @@
+"""Data-quality operators (reference ``pipelines/data_quality/`` —
+SURVEY.md §2.6 manipulation + §2.7 monitoring), re-expressed Ray-Data-first.
+
+Manipulation operators return a filtered/transformed Dataset; monitoring
+operators return a Dataset of findings (log-record analog)."""
+
+from .manipulation import (
+    duplicate_detection,
+    interval_filtering,
+    k_sigma_anomaly_filter,
+    out_of_range_filter,
+    flatline_filter,
+    missing_value_imputation,
+    gaussian_smoothing,
+    normalize,
+    denormalize,
+)
+from .monitoring import (
+    check_value_ranges,
+    flatline_detection,
+    identify_missing_intervals,
+    moving_average,
+)
+
+__all__ = [
+    "duplicate_detection",
+    "interval_filtering",
+    "k_sigma_anomaly_filter",
+    "out_of_range_filter",
+    "flatline_filter",
+    "missing_value_imputation",
+    "gaussian_smoothing",
+    "normalize",
+    "denormalize",
+    "check_value_ranges",
+    "flatline_detection",
+    "identify_missing_intervals",
+    "moving_average",
+]

@@ -1,0 +1,165 @@
+"""Forecasting / ML operators (reference ``forecasting/spark/*`` —
+SURVEY.md §2.8), numpy-based (no MLlib):
+
+- ``linear_regression``: per-tag OLS on (t, value) via lstsq, extend the
+  series with ``horizon`` forecast points (reference ``LinearRegression``).
+- ``arima_forecast``: statsmodels ARIMA when importable, else an AR(1)+trend
+  fallback — the sandbox has no statsmodels, so the fallback is the tested
+  path (reference ``ArimaPrediction``; import-gated per environment rules).
+- ``data_binning``: k-means binning of Value per tag (reference
+  ``DataBinning``), centroids from a seeded numpy k-means.
+- ``knn_regressor``: predict value at requested timestamps as the mean of the
+  k nearest (by time) observations (reference ``KNearestNeighbors`` shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..ops.common import TS, round4
+
+
+def linear_regression(
+    ds: ray.data.Dataset, horizon: int = 5, step_us: int | None = None
+) -> ray.data.Dataset:
+    """Fit value ~ a + b*t per tag; append ``horizon`` forecast rows with
+    Status='Forecast' (step inferred from the median delta if not given)."""
+
+    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
+        ts = g[TS.TS_US].to_numpy().astype(np.float64)
+        v = g[TS.VALUE].to_numpy().astype(np.float64)
+        if len(ts) < 2:
+            fut = pd.DataFrame(columns=["TagName", "EventTime", "Status", "Value"])
+        else:
+            t0, scale = ts[0], max(ts[-1] - ts[0], 1.0)
+            x = (ts - t0) / scale
+            A = np.stack([np.ones_like(x), x], axis=1)
+            coef, *_ = np.linalg.lstsq(A, v, rcond=None)
+            step = step_us or int(np.median(np.diff(ts)))
+            fut_ts = ts[-1] + step * np.arange(1, horizon + 1)
+            fut_x = (fut_ts - t0) / scale
+            fut_v = coef[0] + coef[1] * fut_x
+            fut = pd.DataFrame(
+                {
+                    "TagName": g[TS.TAG].iloc[0],
+                    "EventTime": fut_ts.astype(np.int64).astype("datetime64[us]"),
+                    "Status": "Forecast",
+                    "Value": round4(fut_v),
+                }
+            )
+        hist = pd.DataFrame(
+            {
+                "TagName": g[TS.TAG],
+                "EventTime": g[TS.TS_US].astype("datetime64[us]"),
+                "Status": g[TS.STATUS],
+                "Value": g[TS.VALUE],
+            }
+        )
+        return pd.concat([hist, fut], ignore_index=True)
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], per_tag)
+
+
+def arima_forecast(ds: ray.data.Dataset, horizon: int = 5) -> ray.data.Dataset:
+    """ARIMA per tag when statsmodels exists; otherwise a deterministic
+    AR(1)-with-drift fallback. Only forecast rows are returned."""
+
+    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
+        v = g[TS.VALUE].to_numpy().astype(np.float64)
+        ts = g[TS.TS_US].to_numpy()
+        if len(v) < 3:
+            return pd.DataFrame(columns=["TagName", "EventTime", "Value"])
+        step = int(np.median(np.diff(ts)))
+        try:
+            from statsmodels.tsa.arima.model import ARIMA
+
+            fit = ARIMA(v, order=(1, 0, 0)).fit()
+            preds = np.asarray(fit.forecast(horizon))
+        except Exception:
+            # AR(1) with drift: v_t - mu = phi (v_{t-1} - mu)
+            mu = v.mean()
+            c = v - mu
+            denom = float(c[:-1] @ c[:-1])
+            phi = float(c[1:] @ c[:-1]) / denom if denom > 0 else 0.0
+            phi = float(np.clip(phi, -0.999, 0.999))
+            preds, last = [], v[-1]
+            for _ in range(horizon):
+                last = mu + phi * (last - mu)
+                preds.append(last)
+            preds = np.array(preds)
+        fut_ts = ts[-1] + step * np.arange(1, horizon + 1)
+        return pd.DataFrame(
+            {
+                "TagName": g[TS.TAG].iloc[0],
+                "EventTime": fut_ts.astype(np.int64).astype("datetime64[us]"),
+                "Value": round4(preds),
+            }
+        )
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], per_tag)
+
+
+def data_binning(ds: ray.data.Dataset, n_bins: int = 4, iters: int = 10) -> ray.data.Dataset:
+    """Assign each row a k-means bin of its Value per tag (seeded, 1-D)."""
+
+    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[TS.VALUE].to_numpy().astype(np.float64)
+        # deterministic init: quantile seeds
+        cents = np.quantile(v, np.linspace(0, 1, min(n_bins, len(v))))
+        for _ in range(iters):
+            assign = np.abs(v[:, None] - cents[None, :]).argmin(axis=1)
+            for c in range(len(cents)):
+                m = v[assign == c]
+                if len(m):
+                    cents[c] = m.mean()
+        assign = np.abs(v[:, None] - cents[None, :]).argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "TagName": g[TS.TAG],
+                "EventTime": g[TS.TS_US].astype("datetime64[us]"),
+                "Value": g[TS.VALUE],
+                "bin": assign.astype(np.int64),
+            }
+        )
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], per_tag)
+
+
+def knn_regressor(
+    ds: ray.data.Dataset, timestamps_us: list[int], k: int = 5
+) -> ray.data.Dataset:
+    """Predict Value at requested timestamps as the mean of the k
+    time-nearest observations per tag."""
+    req = np.asarray(sorted(timestamps_us), dtype=np.int64)
+
+    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort")
+        ts = g[TS.TS_US].to_numpy()
+        v = g[TS.VALUE].to_numpy()
+        preds = []
+        for t in req.tolist():
+            d = np.abs(ts - t)
+            nn = np.argpartition(d, min(k, len(d)) - 1)[:k]
+            preds.append(v[nn].mean())
+        return pd.DataFrame(
+            {
+                "TagName": g[TS.TAG].iloc[0],
+                "EventTime": req.astype("datetime64[us]"),
+                "Value": round4(np.array(preds)),
+            }
+        )
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], per_tag)

@@ -1,0 +1,373 @@
+"""Data-manipulation operators (reference
+``data_quality/data_manipulation/spark/*`` — SURVEY.md §2.6).
+
+All operate on the canonical normalized shape (TagName, ts_us, Status, Value)
+produced by ``core_ray.ops.common.normalize``.
+
+Scale patterns:
+- stats-then-filter operators (k-sigma, normalization) are TWO-PASS: partial
+  moments per batch → tiny merged stats table → broadcast via ``ray.put`` →
+  vectorized filter/transform ``map_batches`` (reference computes the same
+  stats with a Spark aggregate);
+- ordered per-tag operators (interval filtering, flatline, imputation,
+  smoothing) are ``groupby(TagName).map_groups`` over time-sorted groups —
+  the reference's ``IntervalFiltering`` even does a driver-side collect()
+  (``interval_filtering.py:89``); here the scan is distributed per key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..ops.common import TS, round4
+
+CANON = [TS.TAG, TS.TS_US, TS.STATUS, TS.VALUE]
+
+
+def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df[CANON].copy()
+    out["EventTime"] = out[TS.TS_US].astype("datetime64[us]")
+    return out[[TS.TAG, "EventTime", TS.STATUS, TS.VALUE]]
+
+
+def duplicate_detection(ds: ray.data.Dataset, keys: list[str] | None = None) -> ray.data.Dataset:
+    """Drop duplicate rows by key columns (reference ``DuplicateDetection`` =
+    ``dropDuplicates``): hash-shuffle on the key, keep the first row (ties by
+    full row sort for determinism)."""
+    keys = keys or [TS.TAG, TS.TS_US]
+    from ..ops.common import bucketed_distinct
+
+    out = bucketed_distinct(ds, keys, CANON)
+    return out.map_batches(_finalize, batch_format="pandas")
+
+
+def interval_filtering(ds: ray.data.Dataset, interval_us: int) -> ray.data.Dataset:
+    """Keep rows >= interval apart per tag (greedy forward scan, reference
+    ``IntervalFiltering``). Inherently sequential per key — the last-emitted
+    timestamp is carried through the scan."""
+
+    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort")
+        ts = g[TS.TS_US].to_numpy()
+        keep = np.zeros(len(ts), dtype=bool)
+        last = None
+        for i, t in enumerate(ts.tolist()):
+            if last is None or t - last >= interval_us:
+                keep[i] = True
+                last = t
+        return _finalize(g[keep])
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], per_tag)
+
+
+def _tag_stats(ds: ray.data.Dataset) -> dict:
+    """Per-tag (count, mean, sample std) via per-batch moment partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    TS.TAG: pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "sq": pa.array([], pa.float64()),
+                }
+            )
+        t = batch.append_column("v2", pa.array(np.square(batch[TS.VALUE].to_numpy())))
+        out = t.group_by([TS.TAG], use_threads=False).aggregate(
+            [("Value", "count"), ("Value", "sum"), ("v2", "sum")]
+        )
+        return out.rename_columns([TS.TAG, "cnt", "s", "sq"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(TS.TAG).agg(cnt=("cnt", "sum"), s=("s", "sum"), sq=("sq", "sum"))
+    stats = {}
+    for tag, r in agg.iterrows():
+        n, s, sq = int(r["cnt"]), float(r["s"]), float(r["sq"])
+        mean = s / n
+        var = max((sq - n * mean * mean) / (n - 1), 0.0) if n > 1 else 0.0
+        stats[tag] = {"n": n, "mean": mean, "std": float(np.sqrt(var))}
+    return stats
+
+
+def k_sigma_anomaly_filter(ds: ray.data.Dataset, k: float = 3.0) -> ray.data.Dataset:
+    """Keep rows within k sample-standard-deviations of the per-tag mean
+    (reference ``KSigmaAnomalyDetection``)."""
+    stats_ref = ray.put(_tag_stats(ds))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        stats = ray.get(stats_ref)
+        tags = batch[TS.TAG].to_numpy(zero_copy_only=False)
+        v = batch[TS.VALUE].to_numpy()
+        mean = np.array([stats[t]["mean"] for t in tags.tolist()])
+        std = np.array([stats[t]["std"] for t in tags.tolist()])
+        keep = np.abs(v - mean) <= k * std
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                TS.TAG: out[TS.TAG],
+                "EventTime": pc.cast(out[TS.TS_US], pa.timestamp("us")),
+                TS.STATUS: out[TS.STATUS],
+                TS.VALUE: out[TS.VALUE],
+            }
+        )
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def out_of_range_filter(
+    ds: ray.data.Dataset,
+    lo: float,
+    hi: float,
+    tag_ranges: dict[str, tuple[float, float]] | None = None,
+) -> ray.data.Dataset:
+    """Delete rows outside [lo, hi] (per-tag override via ``tag_ranges``;
+    reference ``OutOfRangeValueFilter``)."""
+    ranges_ref = ray.put(tag_ranges or {})
+
+    def filt(batch: pa.Table) -> pa.Table:
+        rngs = ray.get(ranges_ref)
+        v = batch[TS.VALUE].to_numpy()
+        lo_a = np.full(len(v), lo)
+        hi_a = np.full(len(v), hi)
+        if rngs:
+            tags = batch[TS.TAG].to_numpy(zero_copy_only=False)
+            for i, t in enumerate(tags.tolist()):
+                if t in rngs:
+                    lo_a[i], hi_a[i] = rngs[t]
+        out = batch.filter(pa.array((v >= lo_a) & (v <= hi_a)))
+        return pa.table(
+            {
+                TS.TAG: out[TS.TAG],
+                "EventTime": pc.cast(out[TS.TS_US], pa.timestamp("us")),
+                TS.STATUS: out[TS.STATUS],
+                TS.VALUE: out[TS.VALUE],
+            }
+        )
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def _runs(mask: np.ndarray):
+    """(start_idx, end_idx_exclusive) of each True run."""
+    if len(mask) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    d = np.diff(mask.astype(np.int8))
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0] + 1
+    if mask[0]:
+        starts = np.concatenate([[0], starts])
+    if mask[-1]:
+        ends = np.concatenate([ends, [len(mask)]])
+    return starts.astype(np.int64), ends.astype(np.int64)
+
+
+def flatline_filter(ds: ray.data.Dataset, tolerance: int = 3) -> ray.data.Dataset:
+    """Remove runs of null-or-zero values longer than ``tolerance`` per tag
+    (reference ``FlatlineFilter``)."""
+
+    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
+        v = g[TS.VALUE].to_numpy()
+        flat = np.isnan(v) | (v == 0)
+        drop = np.zeros(len(g), dtype=bool)
+        starts, ends = _runs(flat)
+        for s, e in zip(starts, ends):
+            if e - s > tolerance:
+                drop[s:e] = True
+        return _finalize(g[~drop])
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], per_tag)
+
+
+def missing_value_imputation(
+    ds: ray.data.Dataset, tolerance_pct: float = 25.0
+) -> ray.data.Dataset:
+    """Per tag: infer the dominant sampling interval (mode of consecutive
+    deltas), insert timestamps into gaps that exceed it by more than
+    ``tolerance_pct``, and impute values (scipy ``UnivariateSpline`` when
+    available, else linear interpolation — reference
+    ``MissingValueImputation``, scipy spline at ``:109-124``). Imputed rows
+    get Status='Imputed'."""
+
+    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
+        ts = g[TS.TS_US].to_numpy()
+        if len(ts) < 3:
+            return _finalize(g)
+        deltas = np.diff(ts)
+        # mode of rounded-to-second deltas
+        vals, counts = np.unique((deltas // 1_000_000) * 1_000_000, return_counts=True)
+        step = int(vals[counts.argmax()])
+        if step <= 0:
+            return _finalize(g)
+        new_ts = []
+        limit = step * (1 + tolerance_pct / 100.0)
+        for a, b in zip(ts[:-1].tolist(), ts[1:].tolist()):
+            gap = b - a
+            if gap > limit:
+                k = int(round(gap / step)) - 1
+                if k > 0:
+                    actual = gap / (k + 1)
+                    new_ts.extend(int(a + actual * (i + 1)) for i in range(k))
+        if not new_ts:
+            return _finalize(g)
+        new_ts = np.array(sorted(new_ts), dtype=np.int64)
+        try:
+            from scipy.interpolate import UnivariateSpline
+
+            spl = UnivariateSpline(ts.astype(float), g[TS.VALUE].to_numpy(), s=0, k=3)
+            new_v = spl(new_ts.astype(float))
+        except Exception:
+            new_v = np.interp(new_ts, ts, g[TS.VALUE].to_numpy())
+        add = pd.DataFrame(
+            {
+                TS.TAG: g[TS.TAG].iloc[0],
+                TS.TS_US: new_ts,
+                TS.STATUS: "Imputed",
+                TS.VALUE: round4(new_v),
+            }
+        )
+        return _finalize(
+            pd.concat([g[CANON], add], ignore_index=True).sort_values(
+                [TS.TS_US], kind="mergesort"
+            )
+        )
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], per_tag)
+
+
+def gaussian_smoothing(ds: ray.data.Dataset, sigma: float = 2.0) -> ray.data.Dataset:
+    """Per-tag temporal gaussian smoothing (reference ``GaussianSmoothing``,
+    scipy ``gaussian_filter1d``): numpy convolution with reflect padding."""
+    radius = max(1, int(4.0 * sigma + 0.5))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    kernel = np.exp(-0.5 * (x / sigma) ** 2)
+    kernel /= kernel.sum()
+
+    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
+        v = g[TS.VALUE].to_numpy(dtype=np.float64)
+        if len(v) == 0:
+            return _finalize(g)
+        padded = np.concatenate([v[radius:0:-1], v, v[-2 : -radius - 2 : -1]])
+        if len(padded) < len(v) + 2 * radius:  # series shorter than radius
+            padded = np.pad(v, radius, mode="reflect") if len(v) > 1 else v.repeat(
+                2 * radius + 1
+            )
+        sm = np.convolve(padded, kernel, mode="valid")
+        g = g.copy()
+        g[TS.VALUE] = round4(sm[: len(v)])
+        return _finalize(g)
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], per_tag)
+
+
+# --- normalization ---------------------------------------------------------
+
+
+def normalize(ds: ray.data.Dataset, method: str = "zscore"):
+    """Normalize Value per tag; returns (dataset, params) where ``params``
+    allows exact reversal via :func:`denormalize` (reference
+    ``NormalizationBaseClass`` stores the same parameters)."""
+    if method not in ("zscore", "minmax", "mean"):
+        raise ValueError("method must be zscore | minmax | mean")
+    stats = _tag_stats(ds)
+    if method in ("minmax", "mean"):
+        # need min/max too
+        def mm_partial(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        TS.TAG: pa.array([], pa.string()),
+                        "mn": pa.array([], pa.float64()),
+                        "mx": pa.array([], pa.float64()),
+                    }
+                )
+            out = batch.group_by([TS.TAG], use_threads=False).aggregate(
+                [("Value", "min"), ("Value", "max")]
+            )
+            return out.rename_columns([TS.TAG, "mn", "mx"])
+
+        mm = (
+            ds.map_batches(mm_partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(TS.TAG)
+            .agg(mn=("mn", "min"), mx=("mx", "max"))
+        )
+        for tag in stats:
+            stats[tag]["min"] = float(mm.loc[tag, "mn"])
+            stats[tag]["max"] = float(mm.loc[tag, "mx"])
+    params = {"method": method, "stats": stats}
+    params_ref = ray.put(params)
+
+    def transform(batch: pa.Table) -> pa.Table:
+        p = ray.get(params_ref)
+        st = p["stats"]
+        tags = batch[TS.TAG].to_numpy(zero_copy_only=False)
+        v = batch[TS.VALUE].to_numpy().astype(np.float64)
+        if p["method"] == "zscore":
+            mean = np.array([st[t]["mean"] for t in tags.tolist()])
+            std = np.array([st[t]["std"] or 1.0 for t in tags.tolist()])
+            nv = (v - mean) / std
+        elif p["method"] == "minmax":
+            mn = np.array([st[t]["min"] for t in tags.tolist()])
+            mx = np.array([st[t]["max"] for t in tags.tolist()])
+            rng = np.where(mx > mn, mx - mn, 1.0)
+            nv = (v - mn) / rng
+        else:  # mean
+            mean = np.array([st[t]["mean"] for t in tags.tolist()])
+            mn = np.array([st[t]["min"] for t in tags.tolist()])
+            mx = np.array([st[t]["max"] for t in tags.tolist()])
+            rng = np.where(mx > mn, mx - mn, 1.0)
+            nv = (v - mean) / rng
+        return batch.set_column(
+            batch.column_names.index(TS.VALUE), TS.VALUE, pa.array(nv)
+        )
+
+    return ds.map_batches(transform, batch_format="pyarrow"), params
+
+
+def denormalize(ds: ray.data.Dataset, params: dict) -> ray.data.Dataset:
+    """Exact reversal of :func:`normalize` given its params."""
+    params_ref = ray.put(params)
+
+    def transform(batch: pa.Table) -> pa.Table:
+        p = ray.get(params_ref)
+        st = p["stats"]
+        tags = batch[TS.TAG].to_numpy(zero_copy_only=False)
+        v = batch[TS.VALUE].to_numpy().astype(np.float64)
+        if p["method"] == "zscore":
+            mean = np.array([st[t]["mean"] for t in tags.tolist()])
+            std = np.array([st[t]["std"] or 1.0 for t in tags.tolist()])
+            nv = v * std + mean
+        elif p["method"] == "minmax":
+            mn = np.array([st[t]["min"] for t in tags.tolist()])
+            mx = np.array([st[t]["max"] for t in tags.tolist()])
+            rng = np.where(mx > mn, mx - mn, 1.0)
+            nv = v * rng + mn
+        else:
+            mean = np.array([st[t]["mean"] for t in tags.tolist()])
+            mn = np.array([st[t]["min"] for t in tags.tolist()])
+            mx = np.array([st[t]["max"] for t in tags.tolist()])
+            rng = np.where(mx > mn, mx - mn, 1.0)
+            nv = v * rng + mean
+        return batch.set_column(
+            batch.column_names.index(TS.VALUE), TS.VALUE, pa.array(nv)
+        )
+
+    return ds.map_batches(transform, batch_format="pyarrow")

@@ -133,14 +133,11 @@ def minhash_pairs(
         batch_size=2048,
         concurrency=concurrency or pool_size(),
     )
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs(threshold), batch_format="pandas"
-    )
-    # same pair can surface from several bands -> keep one
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    from ..ops.common import bucketed_distinct, grouped_map
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    pairs = grouped_map(bands, ["band", "band_hash"], _bucket_pairs(threshold))
+    # same pair can surface from several bands -> keep one
+    return bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b", "est_jaccard"])
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -220,12 +217,10 @@ def simhash_pairs(
             {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
         )
 
-    pairs = exploded.groupby(["band", "key"]).map_groups(bucket, batch_format="pandas")
+    from ..ops.common import bucketed_distinct, grouped_map
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    pairs = grouped_map(exploded, ["band", "key"], bucket)
+    return bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b", "hamming"])
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -243,11 +238,11 @@ def dedup_exact(source: str | ray.data.Dataset) -> ray.data.Dataset:
         dig = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
         return batch.append_column("digest", pa.array(dig, pa.string()))
 
-    def survivor(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1).drop(columns=["digest"])
+    from ..ops.common import bucketed_distinct
 
-    return (
-        ds.map_batches(add_digest, batch_format="pyarrow")
-        .groupby("digest")
-        .map_groups(survivor, batch_format="pandas")
+    out = bucketed_distinct(
+        ds.map_batches(add_digest, batch_format="pyarrow"), ["digest"], ["digest", "doc_id"]
+    )
+    return out.map_batches(
+        lambda df: df.drop(columns=["digest"]), batch_format="pandas"
     )

@@ -111,9 +111,9 @@ def _circular(kind: str):
         partials = ds.map_batches(
             _partials(start_us, ival, lower_bound, upper_bound), batch_format="pyarrow"
         )
-        return partials.groupby(TS.TAG).map_groups(
-            _finalize(kind, lower_bound, upper_bound), batch_format="pandas"
-        )
+        from .common import grouped_map
+
+        return grouped_map(partials, [TS.TAG], _finalize(kind, lower_bound, upper_bound))
 
     return op
 

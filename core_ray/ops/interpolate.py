@@ -108,9 +108,9 @@ def interpolate(
     ds = read_events(source, spec) if isinstance(source, str) else source
     ds = normalize(ds, spec, start_us=start_us, end_us=end_us, tags=tags, include_bad=include_bad)
     partials = ds.map_batches(partial_window_aggregates(start_us, ival), batch_format="pyarrow")
-    return partials.groupby(TS.TAG).map_groups(
-        _interp_group(start_us, end_us, ival), batch_format="pandas"
-    )
+    from .common import grouped_map
+
+    return grouped_map(partials, [TS.TAG], _interp_group(start_us, end_us, ival))
 
 
 def _dedup_partials(batch: pa.Table) -> pa.Table:
@@ -173,4 +173,6 @@ def interpolation_at_time(
     ds = read_events(source, spec) if isinstance(source, str) else source
     ds = normalize(ds, spec, tags=tags, include_bad=include_bad)
     partials = ds.map_batches(_dedup_partials, batch_format="pyarrow")
-    return partials.groupby(TS.TAG).map_groups(_at_time_group(req_us), batch_format="pandas")
+    from .common import grouped_map
+
+    return grouped_map(partials, [TS.TAG], _at_time_group(req_us))

@@ -92,4 +92,6 @@ def latest(
     ds = read_events(source, spec) if isinstance(source, str) else source
     ds = normalize(ds, spec, tags=tags)
     partials = ds.map_batches(_partials, batch_format="pyarrow")
-    return partials.groupby(TS.TAG).map_groups(_merge, batch_format="pandas")
+    from .common import grouped_map
+
+    return grouped_map(partials, [TS.TAG], _merge)

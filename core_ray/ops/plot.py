@@ -85,4 +85,6 @@ def plot(
     ds = read_events(source, spec) if isinstance(source, str) else source
     ds = normalize(ds, spec, start_us=start_us, end_us=end_us, tags=tags)
     partials = ds.map_batches(_partials(start_us, ival), batch_format="pyarrow")
-    return partials.groupby(TS.TAG).map_groups(_finalize, batch_format="pandas")
+    from .common import grouped_map
+
+    return grouped_map(partials, [TS.TAG], _finalize)

@@ -31,15 +31,13 @@ def raw(
         ds, spec, start_us=ts_to_us(start), end_us=ts_to_us(end), tags=tags, include_bad=include_bad
     )
     if deduplicate:
-        # Exact dedup = hash-shuffle on the full row key -> per-group first.
-        # At scale this is the one shuffle in `raw`; the key includes TagName
-        # so partitioning matches every downstream per-tag stage.
-        def first_row(group: pa.Table) -> pa.Table:
-            return group.slice(0, 1)
+        # Exact dedup = bucketed hash-shuffle on the full row key -> one
+        # vectorized drop_duplicates per bucket (see common.bucketed_distinct;
+        # per-group map_groups pays ~0.2 ms per distinct row at scale).
+        from .common import bucketed_distinct
 
-        ds = ds.groupby([TS.TAG, TS.TS_US, TS.STATUS, TS.VALUE]).map_groups(
-            first_row, batch_format="pyarrow"
-        )
+        keys = [TS.TAG, TS.TS_US, TS.STATUS, TS.VALUE]
+        ds = bucketed_distinct(ds, keys, keys)
     ds = ds.map_batches(
         lambda t: finalize_times(t, {TS.TS_US: "EventTime"}), batch_format="pyarrow"
     )

@@ -158,6 +158,6 @@ def resample(
     ds = read_events(source, spec) if isinstance(source, str) else source
     ds = normalize(ds, spec, start_us=start_us, end_us=end_us, tags=tags, include_bad=include_bad)
     partials = ds.map_batches(partial_window_aggregates(start_us, ival), batch_format="pyarrow")
-    return partials.groupby(TS.TAG).map_groups(
-        _finalize(agg, start_us, end_us, ival, fill), batch_format="pandas"
-    )
+    from .common import grouped_map
+
+    return grouped_map(partials, [TS.TAG], _finalize(agg, start_us, end_us, ival, fill))

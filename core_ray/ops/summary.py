@@ -76,4 +76,6 @@ def summary(
         ds, spec, start_us=ts_to_us(start), end_us=ts_to_us(end), tags=tags, include_bad=include_bad
     )
     partials = ds.map_batches(_partials, batch_format="pyarrow")
-    return partials.groupby(TS.TAG).map_groups(_merge, batch_format="pandas")
+    from .common import grouped_map
+
+    return grouped_map(partials, [TS.TAG], _merge)

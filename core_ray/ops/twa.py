@@ -153,6 +153,6 @@ def time_weighted_average(
         end_us=end_us + lookback_intervals * ival,
         tags=tags,
     )
-    return ds.groupby(TS.TAG).map_groups(
-        _twa_group(start_us, end_us, ival, step), batch_format="pandas"
-    )
+    from .common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], _twa_group(start_us, end_us, ival, step))

@@ -96,10 +96,13 @@ def pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-02") -> ray.data.Da
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .map_groups(merge, batch_format="pandas")
+    from ..ops.common import grouped_map
+
+    return grouped_map(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        merge,
+        num_buckets=8,
     )
 
 
@@ -164,7 +167,9 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
             {"n_name": [g["n_name"].iloc[0]], "revenue": round4(g["rev"].sum())}
         )
 
-    return partials.groupby("n_name").map_groups(merge, batch_format="pandas")
+    from ..ops.common import grouped_map
+
+    return grouped_map(partials, ["n_name"], merge, num_buckets=8)
 
 
 def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
@@ -181,7 +186,9 @@ def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
             {"custkey": [g["custkey"].iloc[0]], "revenue": round4(g["rev"].sum())}
         )
 
-    per_cust = partials.groupby("custkey").map_groups(merge, batch_format="pandas")
+    from ..ops.common import grouped_map
+
+    per_cust = grouped_map(partials, ["custkey"], merge)
     top = per_cust.sort(["revenue", "custkey"], descending=[True, False]).limit(k)
 
     def add_name(batch: pa.Table) -> pa.Table:
@@ -219,7 +226,9 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, ["user_id"], per_user)
 
 
 # --- sliding windows -------------------------------------------------------
@@ -259,4 +268,6 @@ def sliding_count(
             }
         )
 
-    return partials.groupby("event_type").map_groups(merge, batch_format="pandas")
+    from ..ops.common import grouped_map
+
+    return grouped_map(partials, ["event_type"], merge, num_buckets=8)

@@ -196,6 +196,7 @@ class StreamingJob:
                 ray.get([a.load_snapshot.remote(start_epoch - 1) for a in actors])
 
         totals = {"rows": 0, "tokens": 0, "late": 0, "dupes": 0}
+        phase_s = {}  # summed across actors/epochs: where barrier time goes
         for e in range(start_epoch, len(self.epochs)):
             if stop_after_epoch is not None and e > stop_after_epoch:
                 return {"stopped_after": e - 1, "totals": totals}
@@ -222,6 +223,8 @@ class StreamingJob:
                 totals["tokens"] += c["tokens_emitted"]
                 totals["late"] += c["late_rows"]
                 totals["dupes"] += c["dupes_dropped"]
+                for k, v in r.get("timings", {}).items():
+                    phase_s[k] = phase_s.get(k, 0.0) + v
 
         # end of stream: flush remaining windows + latest registers
         final_epoch = len(self.epochs)
@@ -234,4 +237,8 @@ class StreamingJob:
             )
         for a in actors:
             ray.kill(a)
-        return {"epochs": len(self.epochs), "totals": totals}
+        return {
+            "epochs": len(self.epochs),
+            "totals": totals,
+            "actor_phase_seconds": {k: round(v, 2) for k, v in phase_s.items()},
+        }

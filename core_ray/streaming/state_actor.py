@@ -170,43 +170,60 @@ class StreamPartitionActor:
     def end_epoch(self, epoch: int, watermark_us: int) -> dict:
         """Apply this epoch's rows to state, emit sink rows, return closed
         window partials for the driver-side salted merge."""
+        import time
+
+        t_start = time.monotonic()
         rows = (
             pa.concat_tables(self._epoch_rows) if self._epoch_rows else _empty_rows_table()
         )
         self._epoch_rows = []
+        timings = {"concat": time.monotonic() - t_start}
+        t_mark = time.monotonic()
         prev_watermark = self.watermark
         self.watermark = max(self.watermark, watermark_us)
 
+        # Control-plane columns only — the `tokens` payload stays untouched
+        # (zero-copy in the object store) until the single `take` at the sink.
+        # Every extra filter/sort of the payload costs a full copy, which this
+        # VM's page-fault behavior makes ~10x the compute cost (measured).
         idx = rows["doc_idx"].to_numpy()
         ts = rows["ts_us"].to_numpy()
+        n_tok = rows["n_tok"].to_numpy()
+        sources = rows["source"].to_numpy(zero_copy_only=False)
+        status = rows["Status"].to_numpy(zero_copy_only=False)
 
         # --- dedup (exactly-once row emission across epochs/retries)
         if len(idx):
-            fresh_mask = np.fromiter(
+            fresh = np.fromiter(
                 (i not in self.seen for i in idx.tolist()), bool, count=len(idx)
             )
-            # late = below the PREVIOUS watermark (its window may have closed)
-            late_mask = ts < prev_watermark
-            self._dupes += int((~fresh_mask).sum())
-            self._late += int((fresh_mask & late_mask).sum())
-            keep = fresh_mask
-            self.seen.update(zip(idx[keep].tolist(), ts[keep].tolist()))
-            rows = rows.filter(pa.array(keep))
-            on_time = rows.filter(pa.array(~late_mask[keep]))
-            late_rows = rows.filter(pa.array(late_mask[keep]))
+            late = ts < prev_watermark  # window may already be closed
+            self._dupes += int((~fresh).sum())
+            self._late += int((fresh & late).sum())
+            self.seen.update(zip(idx[fresh].tolist(), ts[fresh].tolist()))
         else:
-            on_time = rows
-            late_rows = rows.slice(0, 0)
+            fresh = np.zeros(0, dtype=bool)
+            late = fresh
+        on_time = fresh & ~late
+        n_late = int((fresh & late).sum())
+
+        timings["dedup"] = time.monotonic() - t_mark
+        t_mark = time.monotonic()
 
         # --- window partials (on-time rows only; late go to the side output)
-        if len(on_time):
+        if on_time.any():
             ws = self.t0_us + (
-                (on_time["ts_us"].to_numpy() - self.t0_us) // self.window_us
+                (ts[on_time] - self.t0_us) // self.window_us
             ) * self.window_us
-            g = (
-                on_time.append_column("ws", pa.array(ws))
-                .group_by(["source", "ws"], use_threads=False)
-                .aggregate([("n_tok", "count"), ("n_tok", "sum")])
+            small = pa.table(
+                {
+                    "source": pa.array(sources[on_time]),
+                    "ws": pa.array(ws),
+                    "n_tok": pa.array(n_tok[on_time]),
+                }
+            )
+            g = small.group_by(["source", "ws"], use_threads=False).aggregate(
+                [("n_tok", "count"), ("n_tok", "sum")]
             )
             for src, w, cnt, s in zip(
                 g["source"].to_pylist(),
@@ -219,7 +236,12 @@ class StreamPartitionActor:
                 acc[1] += s
 
             # --- latest registers (argmax by (ts, value); Good variant)
-            self._update_latest(on_time)
+            self._update_latest(
+                sources[on_time], ts[on_time], n_tok[on_time], status[on_time]
+            )
+
+        timings["window"] = time.monotonic() - t_mark
+        t_mark = time.monotonic()
 
         # --- emit closed windows (ws + window <= watermark)
         closed = {
@@ -228,23 +250,24 @@ class StreamPartitionActor:
         for k in closed:
             del self.partials[k]
 
-        # --- sink: deterministic order, idempotent commit
-        # combine_chunks: chunk layout depends on routing slice sizes (varies
-        # with parallelism); one contiguous table -> byte-identical parquet.
-        out_rows = (
-            rows.sort_by([("doc_idx", "ascending")])
-            .select(["doc_id", "tokens", "n_tok", "source", "doc_idx", "ts_us", "Status"])
-            .combine_chunks()
-        )
+        # --- sink: deterministic order, idempotent commit.  ONE `take` pulls
+        # the kept rows in doc_idx order — the only copy of the token payload.
+        kept_pos = np.nonzero(fresh)[0]
+        order = np.argsort(idx[fresh], kind="stable")
+        out_rows = rows.take(pa.array(kept_pos[order])).combine_chunks()
         counters = {
             "rows_in": len(idx),
             "rows_emitted": len(out_rows),
-            "tokens_emitted": int(pc.sum(out_rows["n_tok"]).as_py() or 0),
-            "late_rows": int(len(late_rows)),
+            "tokens_emitted": int(n_tok[fresh].sum()),
+            "late_rows": n_late,
             "dupes_dropped": self._dupes,
             "watermark": self.watermark,
         }
+        timings["sort"] = time.monotonic() - t_mark
+        t_mark = time.monotonic()
         self.sink.commit_epoch(epoch, {"rows": out_rows}, counters)
+        timings["sink"] = time.monotonic() - t_mark
+        t_mark = time.monotonic()
 
         # --- evict dedup state below the lateness horizon (bounded state)
         horizon = self.watermark - self.lateness_us
@@ -254,21 +277,22 @@ class StreamPartitionActor:
         # --- snapshot for resume (state as of END of this epoch)
         self.sink.write_snapshot(epoch, "state", self._snapshot_table())
         self.sink.gc_snapshots(epoch - 1)
+        timings["snapshot"] = time.monotonic() - t_mark
+        timings["total"] = time.monotonic() - t_start
 
         return {
             "partition": self.part,
             "closed": {f"{src}\x00{w}": v for (src, w), v in closed.items()},
             "counters": counters,
+            "timings": timings,
         }
 
-    def _update_latest(self, rows: pa.Table) -> None:
-        t = rows.sort_by(
-            [("ts_us", "descending"), ("n_tok", "descending")]
-        )
-        srcs = t["source"].to_pylist()
-        tss = t["ts_us"].to_pylist()
-        vals = t["n_tok"].to_pylist()
-        stats = t["Status"].to_pylist()
+    def _update_latest(self, sources, tss, vals, status) -> None:
+        order = np.lexsort((vals, tss))[::-1]  # descending (ts, value)
+        srcs = sources[order].tolist()
+        tss = tss[order].tolist()
+        vals = vals[order].tolist()
+        stats = status[order].tolist()
         seen_src: set[str] = set()
         seen_good: set[str] = set()
         for src, tsv, val, st in zip(srcs, tss, vals, stats):

@@ -1,0 +1,130 @@
+"""Data-quality and forecasting operators on planted PCDM fixtures
+(FIXTURES.md F2 style: explicit expected outputs, mirroring the reference's
+component-test strategy in SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+US = 1_000_000
+T0 = 1_704_067_200_000_000
+
+
+def _ds(rows):
+    df = pd.DataFrame(rows, columns=["TagName", "ts_us", "Status", "Value"])
+    df["ts_us"] = df["ts_us"].astype("int64")
+    df["Value"] = df["Value"].astype("float64")
+    return ray.data.from_pandas(df)
+
+
+def test_interval_filtering_greedy():
+    from core_ray.dq import interval_filtering
+
+    rows = [("A", T0 + i * 10 * US, "Good", float(i)) for i in range(10)]
+    out = interval_filtering(_ds(rows), interval_us=25 * US).to_pandas()
+    # greedy: keep t=0, then 30, 60, 90 (first >= last+25s)
+    kept = sorted((out["EventTime"].astype("int64") - T0) // US // 10)
+    assert kept == [0, 3, 6, 9]
+
+
+def test_flatline_filter_and_detection():
+    from core_ray.dq import flatline_detection, flatline_filter
+
+    vals = [1.0, 0.0, 0.0, 0.0, 0.0, 2.0, 0.0, 3.0]
+    rows = [("A", T0 + i * US, "Good", v) for i, v in enumerate(vals)]
+    out = flatline_filter(_ds(rows), tolerance=3).to_pandas()
+    # the 4-zero run is dropped; the single zero stays
+    assert sorted(out["Value"].tolist()) == [0.0, 1.0, 2.0, 3.0]
+    det = flatline_detection(_ds(rows), tolerance=3).to_pandas()
+    assert len(det) == 1 and det["run_length"].iloc[0] == 4
+
+
+def test_missing_value_imputation_fills_gap():
+    from core_ray.dq import missing_value_imputation
+
+    # 10s cadence with one missing point at t=40s
+    ts = [0, 10, 20, 30, 50, 60, 70]
+    rows = [("A", T0 + t * US, "Good", float(t)) for t in ts]
+    out = missing_value_imputation(_ds(rows), tolerance_pct=25.0).to_pandas()
+    assert len(out) == 8
+    imputed = out[out["Status"] == "Imputed"]
+    assert len(imputed) == 1
+    t_imp = (imputed["EventTime"].astype("int64").iloc[0] - T0) // US
+    assert t_imp == 40
+    assert abs(imputed["Value"].iloc[0] - 40.0) < 1.0  # linear-ish series
+
+
+def test_gaussian_smoothing_preserves_constant():
+    from core_ray.dq import gaussian_smoothing
+
+    rows = [("A", T0 + i * US, "Good", 5.0) for i in range(20)]
+    out = gaussian_smoothing(_ds(rows), sigma=2.0).to_pandas()
+    assert np.allclose(out["Value"], 5.0)
+
+
+def test_normalize_denormalize_roundtrip():
+    from core_ray.dq import denormalize, normalize
+
+    rng = np.random.default_rng(3)
+    rows = [("A", T0 + i * US, "Good", float(v)) for i, v in enumerate(rng.uniform(10, 99, 50))]
+    rows += [("B", T0 + i * US, "Good", float(v)) for i, v in enumerate(rng.uniform(-5, 5, 50))]
+    for method in ("zscore", "minmax", "mean"):
+        nds, params = normalize(_ds(rows), method=method)
+        back = denormalize(nds, params).to_pandas().sort_values(["TagName", "ts_us"])
+        orig = pd.DataFrame(rows, columns=["TagName", "ts_us", "Status", "Value"]).sort_values(
+            ["TagName", "ts_us"]
+        )
+        assert np.allclose(back["Value"].to_numpy(), orig["Value"].to_numpy(), atol=1e-9)
+
+
+def test_k_sigma_filters_planted_outlier():
+    from core_ray.dq import k_sigma_anomaly_filter
+
+    vals = [10.0] * 20 + [10.5] * 20 + [500.0]  # one wild outlier
+    rows = [("A", T0 + i * US, "Good", v) for i, v in enumerate(vals)]
+    out = k_sigma_anomaly_filter(_ds(rows), k=3.0).to_pandas()
+    assert 500.0 not in out["Value"].tolist()
+    assert len(out) == 40
+
+
+def test_linear_regression_forecast():
+    from core_ray.dq.forecasting import linear_regression
+
+    rows = [("A", T0 + i * US, "Good", 2.0 * i + 1.0) for i in range(20)]
+    out = linear_regression(_ds(rows), horizon=3).to_pandas()
+    fut = out[out["Status"] == "Forecast"].sort_values("EventTime")
+    assert len(fut) == 3
+    assert np.allclose(fut["Value"], [41.0, 43.0, 45.0], atol=0.01)
+
+
+def test_arima_fallback_converges_to_mean():
+    from core_ray.dq.forecasting import arima_forecast
+
+    rng = np.random.default_rng(5)
+    vals = 50 + rng.normal(0, 1, 100)
+    rows = [("A", T0 + i * US, "Good", float(v)) for i, v in enumerate(vals)]
+    out = arima_forecast(_ds(rows), horizon=5).to_pandas()
+    assert len(out) == 5
+    assert abs(out["Value"].mean() - 50) < 5
+
+
+def test_data_binning_separates_clusters():
+    from core_ray.dq.forecasting import data_binning
+
+    vals = [1.0, 1.1, 0.9, 100.0, 101.0, 99.5]
+    rows = [("A", T0 + i * US, "Good", v) for i, v in enumerate(vals)]
+    out = data_binning(_ds(rows), n_bins=2).to_pandas()
+    low_bins = set(out[out["Value"] < 50]["bin"])
+    high_bins = set(out[out["Value"] > 50]["bin"])
+    assert len(low_bins) == 1 and len(high_bins) == 1 and low_bins != high_bins
+
+
+def test_knn_regressor():
+    from core_ray.dq.forecasting import knn_regressor
+
+    rows = [("A", T0 + i * US, "Good", float(i)) for i in range(10)]
+    out = knn_regressor(_ds(rows), [T0 + 5 * US], k=3).to_pandas()
+    # neighbors of t=5 are {4,5,6} -> mean 5
+    assert out["Value"].iloc[0] == 5.0
