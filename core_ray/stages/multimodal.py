@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The image/audio codec libraries are NOT in this container, so the decode
+kernel is a clearly-marked stub: with ``fake=True`` (default here) it produces
+a DETERMINISTIC fake feature vector from the bytes (hash-derived), keeping the
+Ray-side plumbing — schema, batch sizing, actor signature, output layout —
+real and testable; with ``fake=False`` it raises ``NotImplementedError`` where
+a real codec (PIL / torchvision / ffmpeg) would be called.
+
+Scale notes: large binary payloads need SMALL batch sizes so
+batch x concurrency fits worker heaps; the decode stage is a callable CLASS so
+codec setup happens once per actor, not per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..synth import _hash2
+
+
+class BinaryDecodeStage:
+    """Actor-pool stage: binary payload -> fixed-size feature vector.
+
+    ``__init__`` is where a real implementation loads the codec/model (once
+    per actor). ``feature_dim`` fixes the output schema either way.
+    """
+
+    def __init__(self, feature_dim: int = 16, fake: bool = True):
+        self.feature_dim = feature_dim
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "real image/audio decode requires codec libraries not present "
+                "in this environment (PIL/ffmpeg); run with fake=True"
+            )
+
+    def _fake_decode(self, payload: bytes) -> np.ndarray:
+        # deterministic: features = hash-chain over the byte content
+        arr = np.frombuffer(payload[: 8 * self.feature_dim].ljust(8 * self.feature_dim, b"\0"), dtype=np.uint64).copy()
+        h = _hash2(11, arr[: self.feature_dim])
+        return (h % np.uint64(10_000)).astype(np.float64) / 10_000.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        feats = np.stack(
+            [self._fake_decode(p or b"") for p in payloads]
+        ) if payloads else np.zeros((0, self.feature_dim))
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.ravel(), pa.float64()), self.feature_dim
+        )
+        out = batch.drop_columns(["payload"])
+        return out.append_column("features", vec)
+
+
+def decode_binary_column(
+    ds: ray.data.Dataset,
+    feature_dim: int = 16,
+    concurrency: int | None = None,
+    batch_size: int = 64,  # small: payloads are large
+) -> ray.data.Dataset:
+    from ..functions.text import pool_size
+
+    return ds.map_batches(
+        BinaryDecodeStage,
+        fn_constructor_kwargs={"feature_dim": feature_dim, "fake": True},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or pool_size(),
+    )
+
+
+def frame_sample(
+    ds: ray.data.Dataset, every_n: int = 10
+) -> ray.data.Dataset:
+    """Video frame-sampling analog: keep every Nth row per media id —
+    deterministic row decimation of a (media_id, frame_idx, payload) table."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        idx = batch["frame_idx"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx % every_n == 0))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

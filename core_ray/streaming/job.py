@@ -49,6 +49,11 @@ class StreamConfig:
     lateness_s: int = 2
     files_per_epoch: int = 1
     route_seed: int = 7
+    # window semantics: "tumbling" (reference-aligned), "sliding" (size =
+    # window_s, slide = slide_s), or "session" (gap = gap_s per agg key)
+    window_kind: str = "tumbling"
+    slide_s: int = 30
+    gap_s: int = 300
 
 
 def normalize_tokens(cfg_num_partitions: int, route_seed: int):
@@ -107,6 +112,79 @@ def make_router(actors: list, epoch: int):
         return pa.table({"routed": pa.array([routed], pa.int64())})
 
     return fn
+
+
+def merge_fragments(state: dict, fragments: list, gap_us: int) -> None:
+    """Gap-merge new per-actor session fragments into the driver's global
+    open-session state {source: [(start, end, cnt, sum), ...]} in place."""
+    for src, s, e, c, v in fragments:
+        state.setdefault(src, []).append((s, e, c, v))
+    for src, frags in state.items():
+        frags.sort()
+        merged = []
+        for f in frags:
+            if merged and f[0] <= merged[-1][1] + gap_us:
+                last = merged[-1]
+                merged[-1] = (
+                    last[0],
+                    max(last[1], f[1]),
+                    last[2] + f[2],
+                    last[3] + f[3],
+                )
+            else:
+                merged.append(f)
+        state[src] = merged
+
+
+def close_sessions(state: dict, watermark_us: int, gap_us: int) -> pa.Table:
+    """Extract sessions no future event can extend (end + gap <= watermark)."""
+    rows = []
+    for src in sorted(state):
+        keep = []
+        for f in state[src]:
+            if f[1] + gap_us <= watermark_us:
+                rows.append((src, *f))
+            else:
+                keep.append(f)
+        state[src] = keep
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "session_start": pa.array(
+                np.array([r[1] for r in rows], dtype=np.int64).astype("datetime64[us]")
+            ),
+            "session_end": pa.array(
+                np.array([r[2] for r in rows], dtype=np.int64).astype("datetime64[us]")
+            ),
+            "cnt": pa.array([r[3] for r in rows], pa.int64()),
+            "sum_n_tok": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sessions_snapshot_table(state: dict) -> pa.Table:
+    rows = [(src, *f) for src in sorted(state) for f in state[src]]
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "s": pa.array([r[1] for r in rows], pa.int64()),
+            "e": pa.array([r[2] for r in rows], pa.int64()),
+            "c": pa.array([r[3] for r in rows], pa.int64()),
+            "v": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sessions_from_snapshot(t: pa.Table | None) -> dict:
+    state: dict = {}
+    if t is None:
+        return state
+    for src, s, e, c, v in zip(
+        t["source"].to_pylist(), t["s"].to_pylist(), t["e"].to_pylist(),
+        t["c"].to_pylist(), t["v"].to_pylist(),
+    ):
+        state.setdefault(src, []).append((s, e, c, v))
+    return state
 
 
 def merge_closed(results: list[dict]) -> pa.Table:
@@ -177,16 +255,25 @@ class StreamingJob:
 
     def run(self, resume: bool = True, stop_after_epoch: int | None = None) -> dict:
         cfg = self.cfg
-        # num_cpus=0.5: a full CPU per actor would starve the read/normalize
-        # tasks on small clusters (actors idle during routing, busy only at
-        # the epoch barrier).
+        # num_cpus=0.25: the partition count is FIXED per job (key routing
+        # must be stable), so on a small cluster the pool must not reserve
+        # every CPU or the read/normalize tasks starve; actors are busy only
+        # at the epoch barrier.
         actors = [
-            StreamPartitionActor.options(num_cpus=0.5).remote(
-                p, cfg.out_dir, cfg.window_s * 1_000_000, cfg.lateness_s * 1_000_000, T0_US
+            StreamPartitionActor.options(num_cpus=0.25).remote(
+                p,
+                cfg.out_dir,
+                cfg.window_s * 1_000_000,
+                cfg.lateness_s * 1_000_000,
+                T0_US,
+                window_kind=cfg.window_kind,
+                slide_us=cfg.slide_s * 1_000_000,
+                gap_us=cfg.gap_s * 1_000_000,
             )
             for p in range(cfg.num_partitions)
         ]
         start_epoch = 0
+        sessions: dict = {}
         if resume:
             committed = [EpochSink(cfg.out_dir, p).last_committed_epoch()
                          for p in range(cfg.num_partitions)]
@@ -194,29 +281,62 @@ class StreamingJob:
             start_epoch = min(committed) + 1
             if start_epoch > 0:
                 ray.get([a.load_snapshot.remote(start_epoch - 1) for a in actors])
+                sessions = _sessions_from_snapshot(
+                    self.agg_sink.read_snapshot(start_epoch - 1, "sessions")
+                )
 
         totals = {"rows": 0, "tokens": 0, "late": 0, "dupes": 0}
         phase_s = {}  # summed across actors/epochs: where barrier time goes
-        for e in range(start_epoch, len(self.epochs)):
-            if stop_after_epoch is not None and e > stop_after_epoch:
-                return {"stopped_after": e - 1, "totals": totals}
+
+        def consume(e: int):
+            """Read/normalize/route one epoch into the actors (blocking)."""
             ds = ray.data.read_parquet(self.epochs[e])
             ds = ds.map_batches(
                 normalize_tokens(cfg.num_partitions, cfg.route_seed), batch_format="pyarrow"
             )
             ds = ds.map_batches(make_router(actors, e), batch_format="pyarrow")
-            ds.sum("routed")  # consume the epoch (streaming execution)
+            return ds.sum("routed")
 
-            maxes = ray.get([a.epoch_max_ts.remote() for a in actors])
+        # 1-deep epoch prefetch: epoch e+1's read/normalize/route overlaps
+        # epoch e's end-of-epoch barrier.  Safe because actor ingest buffers
+        # are keyed by epoch and the watermark only counts epochs <= e.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        n_epochs = len(self.epochs)
+        last = stop_after_epoch if stop_after_epoch is not None else n_epochs - 1
+        last = min(last, n_epochs - 1)
+        import time as _time
+
+        timeline = []
+        fut = pool.submit(consume, start_epoch) if start_epoch <= last else None
+        for e in range(start_epoch, last + 1):
+            t0 = _time.monotonic()
+            fut.result()
+            t_wait = _time.monotonic() - t0
+            fut = pool.submit(consume, e + 1) if e + 1 <= last else None
+
+            t0 = _time.monotonic()
+            maxes = ray.get([a.epoch_max_ts.remote(e) for a in actors])
             seen_maxes = [m for m in maxes if m >= 0]
             wm = (min(seen_maxes) if seen_maxes else -1) - cfg.lateness_s * 1_000_000
             results = ray.get([a.end_epoch.remote(e, wm) for a in actors])
-            agg = merge_closed(results)
+            t_barrier = _time.monotonic() - t0
+            timeline.append({"epoch": e, "consume_wait_s": round(t_wait, 2),
+                             "barrier_s": round(t_barrier, 2)})
+            streams = {"agg": merge_closed(results)}
+            if cfg.window_kind == "session":
+                for r in results:
+                    merge_fragments(sessions, r.get("fragments", []), cfg.gap_s * 1_000_000)
+                streams["sessions"] = close_sessions(sessions, wm, cfg.gap_s * 1_000_000)
             self.agg_sink.commit_epoch(
                 e,
-                {"agg": agg},
-                {"watermark": wm, "windows_closed": len(agg)},
+                streams,
+                {"watermark": wm, "windows_closed": len(streams["agg"])},
             )
+            if cfg.window_kind == "session":
+                self.agg_sink.write_snapshot(e, "sessions", _sessions_snapshot_table(sessions))
+                self.agg_sink.gc_snapshots(e - 1)
             for r in results:
                 c = r["counters"]
                 totals["rows"] += c["rows_emitted"]
@@ -226,19 +346,27 @@ class StreamingJob:
                 for k, v in r.get("timings", {}).items():
                     phase_s[k] = phase_s.get(k, 0.0) + v
 
-        # end of stream: flush remaining windows + latest registers
+        pool.shutdown(wait=True)
+        if stop_after_epoch is not None and last < n_epochs - 1:
+            for a in actors:
+                ray.kill(a)
+            return {"stopped_after": last, "totals": totals}
+
+        # end of stream: flush remaining windows + sessions + latest registers
         final_epoch = len(self.epochs)
         if not self.agg_sink.committed(final_epoch):
             results = ray.get([a.flush_final.remote(final_epoch) for a in actors])
-            self.agg_sink.commit_epoch(
-                final_epoch,
-                {"agg": merge_closed(results), "latest": merge_latest(results)},
-                {"final": True},
-            )
+            streams = {"agg": merge_closed(results), "latest": merge_latest(results)}
+            if cfg.window_kind == "session":
+                streams["sessions"] = close_sessions(
+                    sessions, 1 << 62, cfg.gap_s * 1_000_000
+                )
+            self.agg_sink.commit_epoch(final_epoch, streams, {"final": True})
         for a in actors:
             ray.kill(a)
         return {
             "epochs": len(self.epochs),
             "totals": totals,
             "actor_phase_seconds": {k: round(v, 2) for k, v in phase_s.items()},
+            "timeline": timeline,
         }

@@ -62,12 +62,18 @@ class StreamPartitionActor:
         window_us: int,
         lateness_us: int,
         t0_us: int,
+        window_kind: str = "tumbling",
+        slide_us: int | None = None,
+        gap_us: int | None = None,
     ):
         self.part = partition_id
         self.sink = EpochSink(out_dir, partition_id)
         self.window_us = window_us
         self.lateness_us = lateness_us
         self.t0_us = t0_us
+        self.window_kind = window_kind
+        self.slide_us = slide_us or window_us
+        self.gap_us = gap_us or 300_000_000
 
         # window partials: (source, ws) -> [cnt, sum_n_tok]
         self.partials: dict[tuple[str, int], list[int]] = {}
@@ -75,11 +81,12 @@ class StreamPartitionActor:
         self.latest: dict[str, dict] = {}
         # dedup horizon state: doc_idx -> ts_us
         self.seen: dict[int, int] = {}
-        self.max_ts = -1
-        # per-epoch transient state
-        self._epoch_rows: list[pa.Table] = []
-        self._epoch_batch_ids: set[int] = set()
-        self._epoch = -1
+        self.max_ts = -1  # from restored snapshots (epochs before resume)
+        # per-epoch transient state, keyed by epoch so a prefetching driver
+        # may ingest epoch e+1 while epoch e's barrier is still running
+        self._epoch_rows: dict[int, list[pa.Table]] = {}
+        self._epoch_batch_ids: dict[int, set[int]] = {}
+        self._epoch_max: dict[int, int] = {}
         self._late = 0
         self._dupes = 0
         self.watermark = -(1 << 62)
@@ -146,24 +153,23 @@ class StreamPartitionActor:
 
     def ingest(self, epoch: int, batch_id: int, table: pa.Table) -> int:
         """Idempotent per-epoch ingest of a routed slice (Arrow, zero-copy)."""
-        if epoch != self._epoch:
-            self._epoch = epoch
-            self._epoch_rows = []
-            self._epoch_batch_ids = set()
-            self._late = 0
-            self._dupes = 0
-        if batch_id in self._epoch_batch_ids:  # Ray task retry redelivery
+        ids = self._epoch_batch_ids.setdefault(epoch, set())
+        if batch_id in ids:  # Ray task retry redelivery
             return 0
-        self._epoch_batch_ids.add(batch_id)
-        self._epoch_rows.append(table)
+        ids.add(batch_id)
+        self._epoch_rows.setdefault(epoch, []).append(table)
 
         ts = table["ts_us"].to_numpy()
         if len(ts):
-            self.max_ts = max(self.max_ts, int(ts.max()))
+            self._epoch_max[epoch] = max(self._epoch_max.get(epoch, -1), int(ts.max()))
         return len(table)
 
-    def epoch_max_ts(self) -> int:
-        return self.max_ts
+    def epoch_max_ts(self, upto_epoch: int) -> int:
+        """Max event time over epochs <= upto_epoch only — rows already
+        buffered for LATER epochs must not advance the watermark, or windows
+        would close before those rows are applied."""
+        vals = [v for k, v in self._epoch_max.items() if k <= upto_epoch]
+        return max([self.max_ts] + vals)
 
     # -- epoch barrier ------------------------------------------------------
 
@@ -173,10 +179,11 @@ class StreamPartitionActor:
         import time
 
         t_start = time.monotonic()
-        rows = (
-            pa.concat_tables(self._epoch_rows) if self._epoch_rows else _empty_rows_table()
-        )
-        self._epoch_rows = []
+        buffered = self._epoch_rows.pop(epoch, [])
+        self._epoch_batch_ids.pop(epoch, None)
+        if epoch in self._epoch_max:
+            self.max_ts = max(self.max_ts, self._epoch_max.pop(epoch))
+        rows = pa.concat_tables(buffered) if buffered else _empty_rows_table()
         timings = {"concat": time.monotonic() - t_start}
         t_mark = time.monotonic()
         prev_watermark = self.watermark
@@ -198,42 +205,58 @@ class StreamPartitionActor:
                 (i not in self.seen for i in idx.tolist()), bool, count=len(idx)
             )
             late = ts < prev_watermark  # window may already be closed
-            self._dupes += int((~fresh).sum())
-            self._late += int((fresh & late).sum())
             self.seen.update(zip(idx[fresh].tolist(), ts[fresh].tolist()))
         else:
             fresh = np.zeros(0, dtype=bool)
             late = fresh
         on_time = fresh & ~late
         n_late = int((fresh & late).sum())
+        n_dupes = int((~fresh).sum())
 
         timings["dedup"] = time.monotonic() - t_mark
         t_mark = time.monotonic()
 
         # --- window partials (on-time rows only; late go to the side output)
+        fragments: list = []
         if on_time.any():
-            ws = self.t0_us + (
-                (ts[on_time] - self.t0_us) // self.window_us
-            ) * self.window_us
-            small = pa.table(
-                {
-                    "source": pa.array(sources[on_time]),
-                    "ws": pa.array(ws),
-                    "n_tok": pa.array(n_tok[on_time]),
-                }
-            )
-            g = small.group_by(["source", "ws"], use_threads=False).aggregate(
-                [("n_tok", "count"), ("n_tok", "sum")]
-            )
-            for src, w, cnt, s in zip(
-                g["source"].to_pylist(),
-                g["ws"].to_pylist(),
-                g["n_tok_count"].to_pylist(),
-                g["n_tok_sum"].to_pylist(),
-            ):
-                acc = self.partials.setdefault((src, w), [0, 0])
-                acc[0] += cnt
-                acc[1] += s
+            if self.window_kind == "session":
+                fragments = self._session_fragments(
+                    sources[on_time], ts[on_time], n_tok[on_time]
+                )
+            else:
+                if self.window_kind == "sliding":
+                    from ..windows import sliding_window_starts
+
+                    ridx, ws = sliding_window_starts(
+                        ts[on_time], self.t0_us, self.window_us, self.slide_us
+                    )
+                    srcs_w = sources[on_time][ridx]
+                    ntok_w = n_tok[on_time][ridx]
+                else:  # tumbling
+                    ws = self.t0_us + (
+                        (ts[on_time] - self.t0_us) // self.window_us
+                    ) * self.window_us
+                    srcs_w = sources[on_time]
+                    ntok_w = n_tok[on_time]
+                small = pa.table(
+                    {
+                        "source": pa.array(srcs_w),
+                        "ws": pa.array(ws),
+                        "n_tok": pa.array(ntok_w),
+                    }
+                )
+                g = small.group_by(["source", "ws"], use_threads=False).aggregate(
+                    [("n_tok", "count"), ("n_tok", "sum")]
+                )
+                for src, w, cnt, s in zip(
+                    g["source"].to_pylist(),
+                    g["ws"].to_pylist(),
+                    g["n_tok_count"].to_pylist(),
+                    g["n_tok_sum"].to_pylist(),
+                ):
+                    acc = self.partials.setdefault((src, w), [0, 0])
+                    acc[0] += cnt
+                    acc[1] += s
 
             # --- latest registers (argmax by (ts, value); Good variant)
             self._update_latest(
@@ -260,7 +283,7 @@ class StreamPartitionActor:
             "rows_emitted": len(out_rows),
             "tokens_emitted": int(n_tok[fresh].sum()),
             "late_rows": n_late,
-            "dupes_dropped": self._dupes,
+            "dupes_dropped": n_dupes,
             "watermark": self.watermark,
         }
         timings["sort"] = time.monotonic() - t_mark
@@ -283,9 +306,42 @@ class StreamPartitionActor:
         return {
             "partition": self.part,
             "closed": {f"{src}\x00{w}": v for (src, w), v in closed.items()},
+            "fragments": fragments,
             "counters": counters,
             "timings": timings,
         }
+
+    def _session_fragments(self, sources, tss, vals) -> list:
+        """Actor-local session fragments per agg key from this epoch's rows.
+
+        A fragment over a SUBSET of a key's events is always a sub-session of
+        the true session (connectivity in the subset implies connectivity in
+        the full set), so the driver's global gap-merge of all actors'
+        fragments reconstructs exact sessionization."""
+        from ..windows import session_ids
+
+        out = []
+        order = np.lexsort((tss,))
+        srcs = sources[order]
+        ts_s = tss[order]
+        v_s = vals[order]
+        for src in np.unique(srcs):
+            m = srcs == src
+            t = ts_s[m]
+            v = v_s[m]
+            sid = session_ids(t, self.gap_us)
+            for s in np.unique(sid):
+                sm = sid == s
+                out.append(
+                    (
+                        str(src),
+                        int(t[sm].min()),
+                        int(t[sm].max()),
+                        int(sm.sum()),
+                        int(v[sm].sum()),
+                    )
+                )
+        return out
 
     def _update_latest(self, sources, tss, vals, status) -> None:
         order = np.lexsort((vals, tss))[::-1]  # descending (ts, value)

@@ -1,0 +1,259 @@
+"""Pipeline framework, transformer stages, PCDM merge sink (F4-style CDC
+fixture covering every merge arm), ML prep, multimodal plumbing."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+
+# --- pipeline framework ----------------------------------------------------
+
+
+def test_pipeline_job_topo_and_threading(tmp_path):
+    from core_ray.pipelines.framework import (
+        DestinationComponent,
+        PipelineJob,
+        PipelineJobExecute,
+        PipelineStep,
+        SourceComponent,
+        TransformerComponent,
+    )
+
+    class Src(SourceComponent):
+        def read_batch(self):
+            return ray.data.range(10)
+
+    class Double(TransformerComponent):
+        def transform(self, ds):
+            return ds.map_batches(
+                lambda df: df.assign(id=df["id"] * 2), batch_format="pandas"
+            )
+
+    class Sink(DestinationComponent):
+        def write_batch(self, ds):
+            return ds.sum("id")
+
+    job = PipelineJob(
+        name="t",
+        steps=[
+            PipelineStep("sink", Sink(), depends_on=["double"]),
+            PipelineStep("double", Double(), depends_on=["src"]),
+            PipelineStep("src", Src()),
+        ],
+    )
+    res = PipelineJobExecute(job).run()
+    assert res["sink"] == sum(2 * i for i in range(10))
+
+
+def test_pipeline_cycle_detection():
+    from core_ray.pipelines.framework import (
+        PipelineJob,
+        PipelineJobExecute,
+        PipelineStep,
+        TransformerComponent,
+    )
+
+    t = TransformerComponent()
+    job = PipelineJob(
+        "c", [PipelineStep("a", t, ["b"]), PipelineStep("b", t, ["a"])]
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        PipelineJobExecute(job).run()
+
+
+def test_run_batch_fanout(sf_dir):
+    from core_ray.pipelines.framework import run_batch
+
+    out = run_batch(
+        {
+            "a": lambda: 1 + 1,
+            "b": lambda: ray.data.range(5).count(),
+        }
+    )
+    assert out == {"a": 2, "b": 5}
+
+
+# --- transformers ----------------------------------------------------------
+
+
+def test_json_to_pcdm_parser():
+    from core_ray.stages import JsonToPcdmConfig, json_to_pcdm
+
+    msgs = [
+        json.dumps(
+            {
+                "Messages": [
+                    {"NodeId": "tag-a", "SourceTimestamp": "2024-01-01T00:00:01.500",
+                     "Value": {"Value": "42"}},
+                    {"NodeId": "tag-b", "SourceTimestamp": "2024-01-01 00:00:02",
+                     "Value": {"Value": 3.5}, "StatusCode": "Bad"},
+                    {"NodeId": "tag-c", "SourceTimestamp": 1704067203.25,
+                     "Value": {"Value": "hello"}},
+                ]
+            }
+        ),
+        "not json {{{",  # dropped
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"body": msgs}))
+    cfg = JsonToPcdmConfig(
+        json_column="body",
+        explode_path="Messages",
+        tag_path="NodeId",
+        time_path="SourceTimestamp",
+        value_path="Value.Value",
+        status_path="StatusCode",
+    )
+    out = json_to_pcdm(ds, cfg).to_pandas().sort_values("TagName").reset_index(drop=True)
+    assert out["TagName"].tolist() == ["tag-a", "tag-b", "tag-c"]
+    assert out["ValueType"].tolist() == ["integer", "float", "string"]
+    assert out["Status"].tolist() == ["Good", "Bad", "Good"]
+    assert out["ChangeType"].unique().tolist() == ["upsert"]
+    assert out["EventTime"].iloc[0] == pd.Timestamp("2024-01-01 00:00:01.500")
+    assert out["EventTime"].iloc[2] == pd.Timestamp("2024-01-01 00:00:03.250")
+
+
+def test_binary_to_string_and_wide_to_mdm():
+    from core_ray.stages import binary_to_string, wide_to_mdm
+
+    df = pd.DataFrame({"b": [b"abc", b"def"]})
+    out = binary_to_string(ray.data.from_pandas(df), "b").to_pandas()
+    assert out["b"].tolist() == ["abc", "def"]
+
+    wide = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+            "load_a": [1.0, 2.0],
+            "load_b": [3.0, 4.0],
+        }
+    )
+    long = wide_to_mdm(
+        ray.data.from_pandas(wide), ["load_a", "load_b"], "ts", series_prefix="iso_"
+    ).to_pandas()
+    assert len(long) == 4
+    assert sorted(long["SeriesId"].unique()) == ["iso_load_a", "iso_load_b"]
+    assert long[long["SeriesId"] == "iso_load_b"]["Value"].tolist() == [3.0, 4.0]
+
+
+def test_ml_prep():
+    from core_ray.stages import columns_to_vector, one_hot_encoding, polynomial_features
+
+    df = pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0], "c": ["a", "b"]})
+    ds = ray.data.from_pandas(df)
+    v = columns_to_vector(ds, ["x", "y"]).to_pandas()
+    assert list(v["features"].iloc[0]) == [1.0, 3.0]
+    o = one_hot_encoding(ds, "c", categories=["a", "b"]).to_pandas()
+    assert o["c_a"].tolist() == [1, 0] and o["c_b"].tolist() == [0, 1]
+    p = polynomial_features(ds, ["x", "y"]).to_pandas()
+    assert p["x_x_y"].tolist() == [3.0, 8.0]
+
+
+def test_multimodal_decode_stub():
+    from core_ray.stages import BinaryDecodeStage, decode_binary_column, frame_sample
+
+    with pytest.raises(NotImplementedError):
+        BinaryDecodeStage(fake=False)
+
+    df = pd.DataFrame(
+        {"media_id": [0, 0, 1], "frame_idx": [0, 10, 20], "payload": [b"aa", b"bb", b"cc"]}
+    )
+    out = decode_binary_column(ray.data.from_pandas(df), feature_dim=8, concurrency=1).to_pandas()
+    assert len(out) == 3
+    assert len(out["features"].iloc[0]) == 8
+    # deterministic: same payload -> same features
+    again = decode_binary_column(ray.data.from_pandas(df), feature_dim=8, concurrency=1).to_pandas()
+    assert np.allclose(np.stack(out["features"]), np.stack(again["features"]))
+    fs = frame_sample(ray.data.from_pandas(df), every_n=20).to_pandas()
+    assert fs["frame_idx"].tolist() == [0, 20]
+
+
+# --- PCDM merge sink (F4 CDC fixture: every merge arm) ---------------------
+
+
+def _cdc(rows):
+    df = pd.DataFrame(
+        rows, columns=["TagName", "EventTime", "Status", "Value", "ValueType", "ChangeType"]
+    )
+    df["EventTime"] = pd.to_datetime(df["EventTime"])
+    return ray.data.from_pandas(df)
+
+
+def test_pcdm_merge_sink_arms(tmp_path):
+    from core_ray.state import PCDMMergeSink
+
+    sink = PCDMMergeSink(str(tmp_path / "pcdm"))
+    t1, t2 = "2024-01-01 00:00:00", "2024-01-01 00:00:10"
+
+    # batch 1: inserts (normalized to upsert) across two value types
+    r = sink.apply(
+        _cdc(
+            [
+                ("A", t1, "Good", "1.5", "float", "insert"),
+                ("A", t2, "Bad", "2.5", "float", "insert"),
+                ("B", t1, "Good", "7", "integer", "update"),
+                ("C", t1, "Good", "hi", "string", "upsert"),
+            ]
+        )
+    )
+    assert r["upserts"] == 4 and r["deletes"] == 0
+    f = sink.read_events("float")
+    assert len(f) == 2 and f["Value"].tolist() == [1.5, 2.5]
+
+    # batch 2: update-if-changed (A@t1 -> 9.9), delete (A@t2), new insert (A@t3)
+    t3 = "2024-01-02 00:00:00"  # different EventDate partition
+    sink.apply(
+        _cdc(
+            [
+                ("A", t1, "Good", "9.9", "float", "upsert"),
+                ("A", t2, "Good", "0", "float", "delete"),
+                ("A", t3, "Good", "3.5", "float", "insert"),
+            ]
+        )
+    )
+    f = sink.read_events("float").sort_values("EventTime")
+    assert f["Value"].tolist() == [9.9, 3.5]  # updated, deleted, inserted
+
+    # idempotent replay: applying batch 2 again converges to the same state
+    sink.apply(
+        _cdc(
+            [
+                ("A", t1, "Good", "9.9", "float", "upsert"),
+                ("A", t2, "Good", "0", "float", "delete"),
+                ("A", t3, "Good", "3.5", "float", "insert"),
+            ]
+        )
+    )
+    f2 = sink.read_events("float").sort_values("EventTime")
+    assert f2["Value"].tolist() == [9.9, 3.5]
+
+    # latest table: A's latest is t3 (Good); Good register tracks it too
+    latest = sink.read_latest().set_index("TagName")
+    assert latest.loc["A", "EventTime"] == pd.Timestamp(t3)
+    assert latest.loc["A", "GoodEventTime"] == pd.Timestamp(t3)
+
+    # out-of-order: an OLDER Good event must not regress the registers
+    sink.apply(_cdc([("A", t1, "Good", "1.0", "float", "upsert")]))
+    latest = sink.read_latest().set_index("TagName")
+    assert latest.loc["A", "EventTime"] == pd.Timestamp(t3)
+
+    # Bad latest vs Good register: newer Bad updates EventTime but not Good*
+    t4 = "2024-01-03 00:00:00"
+    sink.apply(_cdc([("A", t4, "Bad", "8.8", "float", "upsert")]))
+    latest = sink.read_latest().set_index("TagName")
+    assert latest.loc["A", "EventTime"] == pd.Timestamp(t4)
+    assert latest.loc["A", "Status"] == "Bad"
+    assert latest.loc["A", "GoodEventTime"] == pd.Timestamp(t3)
+
+
+# --- output sub-operators --------------------------------------------------
+
+
+def test_unpivot_drops_nulls():
+    from core_ray.ops import unpivot
+
+    df = pd.DataFrame({"k": [1, 2], "Min": [1.0, None], "Max": [5.0, 6.0]})
+    out = unpivot(ray.data.from_pandas(df), ["Min", "Max"], ["k"]).to_pandas()
+    assert len(out) == 3  # the NULL Min cell is dropped

@@ -8,6 +8,7 @@ import os
 import shutil
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -174,3 +175,90 @@ def test_actor_late_and_duplicate_handling(stream_dirs):
     assert r1["counters"]["late_rows"] == 1  # row 5: fresh, below prev watermark
     assert r1["counters"]["rows_emitted"] == 3  # 5 (late-but-kept), 200, 201
     ray.kill(a)
+
+
+def _expected_sessions(n_rows, gap_us):
+    i = np.arange(n_rows)
+    ts = event_time_us(i)
+    src = row_source(i)
+    ntok = make_chunk(0, n_rows)["n_tok"].to_numpy()
+    out = {}
+    for s in np.unique(src):
+        m = src == s
+        t = ts[m]
+        v = ntok[m]
+        order = np.argsort(t)
+        t, v = t[order], v[order]
+        from core_ray.windows import session_ids
+
+        sid = session_ids(t, gap_us)
+        sess = []
+        for k in np.unique(sid):
+            sm = sid == k
+            sess.append((int(t[sm].min()), int(t[sm].max()), int(sm.sum()), int(v[sm].sum())))
+        out[str(s)] = sess
+    return out
+
+
+def test_streaming_session_windows(stream_dirs):
+    from core_ray.streaming import StreamConfig, StreamingJob
+
+    base, in_dir = stream_dirs
+    out_dir = base / "out_sessions"
+    cfg = StreamConfig(
+        input_dir=in_dir, out_dir=str(out_dir), num_partitions=4,
+        window_kind="session", gap_s=1,
+    )
+    StreamingJob(cfg).run(resume=False)
+    files = sorted(glob.glob(f"{out_dir}/part=9999/sessions-*.parquet"))
+    got = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+    got = got.sort_values(["source", "session_start"]).reset_index(drop=True)
+
+    exp = _expected_sessions(N_ROWS, 1_000_000)
+    exp_rows = [
+        (src, s, e, c, v) for src, frags in exp.items() for (s, e, c, v) in frags
+    ]
+    exp_df = (
+        pd.DataFrame(exp_rows, columns=["source", "s", "e", "cnt", "sum_n_tok"])
+        .sort_values(["source", "s"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp_df)
+    assert (got["cnt"].values == exp_df["cnt"].values).all()
+    assert (got["sum_n_tok"].values == exp_df["sum_n_tok"].values).all()
+    assert (got["session_start"].astype("int64").values == exp_df["s"].values).all()
+    assert (got["session_end"].astype("int64").values == exp_df["e"].values).all()
+
+
+def test_streaming_sliding_windows(stream_dirs):
+    from core_ray.streaming import StreamConfig, StreamingJob
+    from core_ray.streaming.job import T0_US
+    from core_ray.windows import sliding_window_starts
+
+    base, in_dir = stream_dirs
+    out_dir = base / "out_sliding"
+    cfg = StreamConfig(
+        input_dir=in_dir, out_dir=str(out_dir), num_partitions=4,
+        window_kind="sliding", window_s=60, slide_s=30,
+    )
+    StreamingJob(cfg).run(resume=False)
+    files = sorted(glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
+    got = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+    got = got.sort_values(["source", "window_start"]).reset_index(drop=True)
+
+    i = np.arange(N_ROWS)
+    ts = event_time_us(i)
+    src = row_source(i)
+    ntok = make_chunk(0, N_ROWS)["n_tok"].to_numpy()
+    ridx, ws = sliding_window_starts(ts, T0_US, 60_000_000, 30_000_000)
+    exp = (
+        pd.DataFrame({"source": src[ridx], "ws": ws, "n": ntok[ridx]})
+        .groupby(["source", "ws"])
+        .agg(cnt=("n", "size"), sum_n_tok=("n", "sum"))
+        .reset_index()
+        .sort_values(["source", "ws"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["cnt"].values == exp["cnt"].values).all()
+    assert (got["window_start"].astype("int64").values == exp["ws"].values).all()
