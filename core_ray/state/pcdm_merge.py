@@ -100,15 +100,12 @@ class PCDMMergeSink:
             dels = g[g["ChangeType"] == "delete"][["TagName", "EventTime"]]
 
             path = os.path.join(root, vtype, f"dt={date}", "data.parquet")
-            existing = (
-                pq.read_table(path).to_pandas() if os.path.exists(path) else
-                pd.DataFrame(columns=EVENT_COLS)
-            )
+            existing = pq.read_table(path).to_pandas() if os.path.exists(path) else None
             key = ["TagName", "EventTime"]
+            frames = [f for f in (existing, ups) if f is not None and len(f)]
             merged = (
-                pd.concat([existing, ups], ignore_index=True)
-                .drop_duplicates(key, keep="last")  # upsert: new value wins
-            )
+                pd.concat(frames, ignore_index=True) if frames else ups
+            ).drop_duplicates(key, keep="last")  # upsert: new value wins
             if len(dels):
                 mask = merged.set_index(key).index.isin(dels.set_index(key).index)
                 merged = merged[~mask]

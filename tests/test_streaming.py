@@ -167,13 +167,22 @@ def test_actor_late_and_duplicate_handling(stream_dirs):
     assert r0["counters"]["rows_emitted"] == 99
     assert r0["counters"]["dupes_dropped"] == 0  # same batch id, not a dupe row
 
-    # epoch 1: cross-epoch dupe (50), fresh-but-late row (5), fresh rows
-    t1 = mk(np.array([50, 5, 200, 201]))
+    # epoch 1: cross-epoch dupe within the lateness horizon (98),
+    # fresh-but-late row (5, older than the horizon so the dedup register has
+    # forgotten it - the documented bounded-state contract), fresh rows
+    t1 = mk(np.array([98, 5, 200, 201]))
     ray.get(a.ingest.remote(1, 1, t1))
     r1 = ray.get(a.end_epoch.remote(1, event_time_us(np.array([201]))[0] - 2_000_000))
-    assert r1["counters"]["dupes_dropped"] == 1  # row 50
+    assert r1["counters"]["dupes_dropped"] == 1  # row 98
     assert r1["counters"]["late_rows"] == 1  # row 5: fresh, below prev watermark
     assert r1["counters"]["rows_emitted"] == 3  # 5 (late-but-kept), 200, 201
+
+    # epoch 2: INTRA-epoch duplicate across two distinct batches -> one row
+    ray.get(a.ingest.remote(2, 21, mk(np.array([300, 301]))))
+    ray.get(a.ingest.remote(2, 22, mk(np.array([301, 302]))))
+    r2 = ray.get(a.end_epoch.remote(2, event_time_us(np.array([302]))[0] - 2_000_000))
+    assert r2["counters"]["dupes_dropped"] == 1  # second 301
+    assert r2["counters"]["rows_emitted"] == 3  # 300, 301, 302
     ray.kill(a)
 
 
