@@ -208,6 +208,12 @@ def _q_rel_top_customers(sf):
     return top_customers(sf, k=10)
 
 
+def _q_rel_order_priority(sf):
+    from core_ray.pipelines import order_priority_revenue
+
+    return order_priority_revenue(sf)
+
+
 def _q_ev_sessionize(sf):
     from core_ray.pipelines import sessionize
 
@@ -353,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": _q_rel_pricing,
         "rel_revenue_by_nation": _q_rel_revenue_nation,
         "rel_top_customers": _q_rel_top_customers,
+        "rel_order_priority": _q_rel_order_priority,
         "ev_sessionize": _q_ev_sessionize,
         "ev_sliding_count": _q_ev_sliding_count,
     }
@@ -656,6 +663,12 @@ WITH per_cust AS (
 SELECT c_name, revenue
 FROM per_cust JOIN customer ON c_custkey = custkey
 ORDER BY revenue DESC, custkey LIMIT 10
+"""
+
+_ORACLE["rel_order_priority"] = """
+SELECT o_orderpriority, round_even(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM orders, lineitem WHERE l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
 """
 
 _ORACLE["ev_sessionize"] = """

@@ -15,6 +15,7 @@ from .manipulation import (
     normalize,
     denormalize,
 )
+from .reduction import dimensionality_reduction, identify_missing_data_pattern
 from .monitoring import (
     check_value_ranges,
     flatline_detection,
@@ -36,4 +37,6 @@ __all__ = [
     "flatline_detection",
     "identify_missing_intervals",
     "moving_average",
+    "dimensionality_reduction",
+    "identify_missing_data_pattern",
 ]

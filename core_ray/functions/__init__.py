@@ -5,6 +5,7 @@ alongside the time-series operators."""
 from .text import token_count, quality_score, fingerprint, lang_id
 from .dedup import dedup_exact, minhash_pairs, simhash_pairs
 from .similarity import knn_brute_force, knn_ivf
+from .join import hash_join
 
 __all__ = [
     "token_count",
@@ -16,4 +17,5 @@ __all__ = [
     "simhash_pairs",
     "knn_brute_force",
     "knn_ivf",
+    "hash_join",
 ]

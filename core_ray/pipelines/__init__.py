@@ -1,4 +1,5 @@
 from .relational import (
+    order_priority_revenue,
     pricing_summary,
     revenue_by_nation,
     top_customers,
@@ -7,6 +8,7 @@ from .relational import (
 )
 
 __all__ = [
+    "order_priority_revenue",
     "pricing_summary",
     "revenue_by_nation",
     "top_customers",

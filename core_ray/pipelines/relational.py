@@ -204,6 +204,47 @@ def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     return top.map_batches(add_name, batch_format="pyarrow")
 
 
+def order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue per order priority via the PARTITIONED HASH JOIN (large x
+    large: lineitem joined to orders by bucket co-grouping, no broadcast —
+    the non-broadcast join path of functions/join.py)."""
+    from ..functions.join import hash_join
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy())
+        return pa.table({"o_orderkey": batch["l_orderkey"], "rev": pa.array(r)})
+
+    line_rev = line.map_batches(rev, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_join(line_rev, orders, on="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("o_orderpriority", sort=True)["rev"].sum().reset_index()
+        )
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "revenue": round4(g["rev"].sum()),
+            }
+        )
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(partials, ["o_orderpriority"], merge, num_buckets=8)
+
+
 # --- session windows -------------------------------------------------------
 
 

@@ -128,3 +128,48 @@ def test_knn_regressor():
     out = knn_regressor(_ds(rows), [T0 + 5 * US], k=3).to_pandas()
     # neighbors of t=5 are {4,5,6} -> mean 5
     assert out["Value"].iloc[0] == 5.0
+
+
+def test_dimensionality_reduction_drops_correlated():
+    from core_ray.dq import dimensionality_reduction
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1, 200)
+    df = pd.DataFrame({"a": x, "b": x * 2 + 0.001, "c": rng.uniform(0, 1, 200)})
+    reduced, dropped = dimensionality_reduction(
+        ray.data.from_pandas(df), ["a", "b", "c"], threshold=0.95
+    )
+    assert [(k, d) for k, d, _ in dropped] == [("a", "b")]
+    assert sorted(reduced.schema().names) == ["a", "c"]
+
+
+def test_identify_missing_data_pattern():
+    from core_ray.dq import identify_missing_data_pattern
+
+    # expect events at :00 and :30 of every minute; drop one
+    ts = []
+    for minute in range(5):
+        ts.append(T0 + minute * 60 * US)
+        if minute != 2:
+            ts.append(T0 + minute * 60 * US + 30 * US)
+    rows = [("A", t, "Good", 1.0) for t in ts]
+    out = identify_missing_data_pattern(
+        _ds(rows), pattern_us=[0, 30 * US], period_us=60 * US, tolerance_us=2 * US
+    ).to_pandas()
+    assert len(out) == 1
+    assert (out["ExpectedTime"].astype("int64").iloc[0] - T0) // US == 2 * 60 + 30
+
+
+def test_hash_join_matches_pandas():
+    from core_ray.functions import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+    right = pd.DataFrame({"k": [2, 3, 3, 4], "rv": [10, 20, 30, 40]})
+    got = (
+        hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k").sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert got.astype(str).equals(exp.astype(str))
