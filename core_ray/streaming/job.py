@@ -201,20 +201,29 @@ def merge_closed(results: list[dict]) -> pa.Table:
     """Final stage of the salted window aggregate: merge per-actor partials."""
     acc: dict[tuple[str, int], list[int]] = {}
     for r in results:
-        for key, (cnt, s) in r["closed"].items():
+        for key, (cnt, s, mn, mx) in r["closed"].items():
             src, _, w = key.partition("\x00")
-            a = acc.setdefault((src, int(w)), [0, 0])
+            a = acc.setdefault((src, int(w)), [0, 0, 1 << 62, -(1 << 62)])
             a[0] += cnt
             a[1] += s
+            a[2] = min(a[2], mn)
+            a[3] = max(a[3], mx)
     items = sorted(acc.items())
+    cnts = np.array([v[0] for _, v in items], dtype=np.int64)
+    sums = np.array([v[1] for _, v in items], dtype=np.int64)
+    with np.errstate(invalid="ignore"):
+        avg = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
     return pa.table(
         {
             "source": pa.array([k[0] for k, _ in items], pa.string()),
             "window_start": pa.array(
                 np.array([k[1] for k, _ in items], dtype=np.int64).astype("datetime64[us]")
             ),
-            "cnt": pa.array([v[0] for _, v in items], pa.int64()),
-            "sum_n_tok": pa.array([v[1] for _, v in items], pa.int64()),
+            "cnt": pa.array(cnts),
+            "sum_n_tok": pa.array(sums),
+            "avg_n_tok": pa.array(avg),
+            "min_n_tok": pa.array([v[2] for _, v in items], pa.int64()),
+            "max_n_tok": pa.array([v[3] for _, v in items], pa.int64()),
         }
     )
 

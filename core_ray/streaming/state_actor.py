@@ -112,7 +112,12 @@ class StreamPartitionActor:
             k = kind[i]
             if k == "partial":
                 key = (t["skey"][i].as_py(), t["ws"][i].as_py())
-                self.partials[key] = [t["cnt"][i].as_py(), t["sum_n_tok"][i].as_py()]
+                self.partials[key] = [
+                    t["cnt"][i].as_py(),
+                    t["sum_n_tok"][i].as_py(),
+                    int(t["status"][i].as_py()),
+                    t["good_value"][i].as_py(),
+                ]
             elif k == "seen":
                 self.seen[t["ws"][i].as_py()] = t["cnt"][i].as_py()
             elif k == "latest":
@@ -130,9 +135,10 @@ class StreamPartitionActor:
         # horizon (evicted every epoch) — bulk-convert it without a Python
         # loop anyway, in case lateness is configured large.
         kinds, skeys, wss, cnts, sums, statuses, goodv = [], [], [], [], [], [], []
-        for (src, ws), (cnt, s) in self.partials.items():
+        for (src, ws), (cnt, s, mn, mx) in self.partials.items():
             kinds.append("partial"); skeys.append(src); wss.append(ws)
-            cnts.append(cnt); sums.append(s); statuses.append(None); goodv.append(None)
+            # min/max packed into the status/good_value slots of the generic row
+            cnts.append(cnt); sums.append(s); statuses.append(str(mn)); goodv.append(mx)
         n_seen = len(self.seen)
         if n_seen:
             kinds.extend(["seen"] * n_seen)
@@ -271,17 +277,23 @@ class StreamPartitionActor:
                     }
                 )
                 g = small.group_by(["source", "ws"], use_threads=False).aggregate(
-                    [("n_tok", "count"), ("n_tok", "sum")]
+                    [("n_tok", "count"), ("n_tok", "sum"), ("n_tok", "min"), ("n_tok", "max")]
                 )
-                for src, w, cnt, s in zip(
+                for src, w, cnt, s, mn, mx in zip(
                     g["source"].to_pylist(),
                     g["ws"].to_pylist(),
                     g["n_tok_count"].to_pylist(),
                     g["n_tok_sum"].to_pylist(),
+                    g["n_tok_min"].to_pylist(),
+                    g["n_tok_max"].to_pylist(),
                 ):
-                    acc = self.partials.setdefault((src, w), [0, 0])
+                    acc = self.partials.setdefault(
+                        (src, w), [0, 0, 1 << 62, -(1 << 62)]
+                    )
                     acc[0] += cnt
                     acc[1] += s
+                    acc[2] = min(acc[2], mn)
+                    acc[3] = max(acc[3], mx)
 
             # --- latest registers (argmax by (ts, value); Good variant)
             self._update_latest(

@@ -271,3 +271,42 @@ def test_streaming_sliding_windows(stream_dirs):
     assert len(got) == len(exp)
     assert (got["cnt"].values == exp["cnt"].values).all()
     assert (got["window_start"].astype("int64").values == exp["ws"].values).all()
+
+
+def test_streaming_agg_minmax_and_skew_spread(stream_dirs):
+    """The emitted window aggregate carries avg/min/max; the hot 'web' source
+    (55% of rows) must spread across ALL partition actors (salted routing)."""
+    import json
+
+    from core_ray.streaming import StreamConfig, StreamingJob
+
+    base, in_dir = stream_dirs
+    out_dir = base / "out_minmax"
+    cfg = StreamConfig(input_dir=in_dir, out_dir=str(out_dir), num_partitions=4, window_s=60)
+    StreamingJob(cfg).run(resume=False)
+
+    files = sorted(glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
+    agg = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+    i = np.arange(N_ROWS)
+    ts = event_time_us(i)
+    src = row_source(i)
+    ntok = make_chunk(0, N_ROWS)["n_tok"].to_numpy()
+    ws = T0_US + ((ts - T0_US) // 60_000_000) * 60_000_000
+    exp = (
+        pd.DataFrame({"source": src, "ws": ws, "n": ntok})
+        .groupby(["source", "ws"])
+        .agg(mn=("n", "min"), mx=("n", "max"), avg=("n", "mean"))
+        .reset_index()
+    )
+    m = agg.merge(exp, left_on=["source", agg["window_start"].astype("int64")],
+                  right_on=["source", "ws"])
+    assert (m["min_n_tok"] == m["mn"]).all()
+    assert (m["max_n_tok"] == m["mx"]).all()
+    assert np.allclose(m["avg_n_tok"], m["avg"])
+
+    # skew: per-partition rows_in within 2x of each other despite 55% hot key
+    rows_in = []
+    for p in range(4):
+        mans = sorted(glob.glob(f"{out_dir}/manifests/part=000{p}/epoch-*.json"))
+        rows_in.append(sum(json.load(open(f))["counters"]["rows_in"] for f in mans))
+    assert min(rows_in) > 0 and max(rows_in) / min(rows_in) < 1.5, rows_in
