@@ -186,8 +186,11 @@ def run_headline_only() -> None:
     # scaling legs measure the aggregation/compute path: in this sandbox the
     # payload-preserving sink is capped by the host's page-fault rate (a
     # fixed ~30-60 MB/s that no CPU count changes); see BASELINE.md.
-    payload = not os.environ.get("GRAFT_SCALING_CHILD")
-    stream = run_streaming(tokens_dir, num_partitions=16, payload=payload)
+    scaling_child = bool(os.environ.get("GRAFT_SCALING_CHILD"))
+    payload = not scaling_child
+    # scaling legs: 8 partitions — actor spawn is a fixed cost that would
+    # otherwise dominate the faster leg
+    stream = run_streaming(tokens_dir, num_partitions=8 if scaling_child else 16, payload=payload)
     out = {
         "metric": "streaming tokens pipeline",
         "value": round(stream["wall_s"], 3),
