@@ -12,6 +12,7 @@ from .interpolate import interpolate, interpolation_at_time
 from .twa import time_weighted_average
 from .circular import circular_average, circular_stddev
 from .output import pivot, unpivot, uom_join, to_json_rows, paginate
+from .write import write_partitioned_resumable
 
 __all__ = [
     "TS",
@@ -33,4 +34,5 @@ __all__ = [
     "uom_join",
     "to_json_rows",
     "paginate",
+    "write_partitioned_resumable",
 ]

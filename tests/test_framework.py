@@ -257,3 +257,35 @@ def test_unpivot_drops_nulls():
     df = pd.DataFrame({"k": [1, 2], "Min": [1.0, None], "Max": [5.0, 6.0]})
     out = unpivot(ray.data.from_pandas(df), ["Min", "Max"], ["k"]).to_pandas()
     assert len(out) == 3  # the NULL Min cell is dropped
+
+
+def test_write_partitioned_resumable(tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from core_ray.ops import write_partitioned_resumable
+
+    df = pd.DataFrame(
+        {"k": ["a"] * 5 + ["b"] * 3 + ["c"] * 2, "v": range(10)}
+    )
+    out = str(tmp_path / "parts")
+    r1 = write_partitioned_resumable(ray.data.from_pandas(df), out, "k", sort_cols=["v"])
+    assert r1 == {"written": 3, "skipped": 0}
+    files1 = {f: open(f, "rb").read() for f in glob.glob(f"{out}/part=*/data.parquet")}
+    assert len(files1) == 3
+    # rerun: every partition skipped, bytes untouched
+    r2 = write_partitioned_resumable(ray.data.from_pandas(df), out, "k", sort_cols=["v"])
+    assert r2 == {"written": 0, "skipped": 3}
+    files2 = {f: open(f, "rb").read() for f in glob.glob(f"{out}/part=*/data.parquet")}
+    assert files1 == files2
+    # simulate partial failure: remove one partition from the manifest
+    import json as _json
+
+    man = _json.load(open(f"{out}/_manifest.json"))
+    man.pop("b")
+    _json.dump(man, open(f"{out}/_manifest.json", "w"))
+    r3 = write_partitioned_resumable(ray.data.from_pandas(df), out, "k", sort_cols=["v"])
+    assert r3 == {"written": 1, "skipped": 2}
+    total = sum(pq.read_metadata(f).num_rows for f in glob.glob(f"{out}/part=*/data.parquet"))
+    assert total == 10
