@@ -51,6 +51,14 @@ def _q_ts_raw(sf):
     return raw(sf, start=START, end=END, tags=TAGS2, deduplicate=False)
 
 
+def _q_ts_raw_ci(sf):
+    from core_ray.ops import raw
+
+    # case-insensitive tag matching (reference UPPER() path)
+    return raw(sf, start=START, end=END, tags=["CLICK", "Purchase"],
+               case_insensitive=True, sort=False)
+
+
 def _q_ts_resample_avg(sf):
     from core_ray.ops import resample
 
@@ -335,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_interval_filter": _q_dq_interval_filter,
         "dq_missing_intervals": _q_dq_missing_intervals,
         "ts_raw": _q_ts_raw,
+        "ts_raw_ci": _q_ts_raw_ci,
         "ts_resample_avg": _q_ts_resample_avg,
         "ts_resample_last": _q_ts_resample_last,
         "ts_resample_count_fill": _q_ts_resample_count_fill,
@@ -386,6 +395,13 @@ _ORACLE["ts_raw"] = f"""
 SELECT event_type AS TagName, ts AS EventTime, 'Good' AS Status, value AS Value
 FROM events
 WHERE {_RANGE} AND event_type IN ('click', 'purchase')
+ORDER BY 1, 2
+"""
+
+_ORACLE["ts_raw_ci"] = f"""
+SELECT event_type AS TagName, ts AS EventTime, 'Good' AS Status, value AS Value
+FROM events
+WHERE {_RANGE} AND UPPER(event_type) IN ('CLICK', 'PURCHASE')
 ORDER BY 1, 2
 """
 

@@ -23,12 +23,19 @@ def raw(
     tags: list[str] | None = None,
     include_bad: bool = True,
     deduplicate: bool = False,
+    case_insensitive: bool = False,
     spec: SeriesSpec = EVENTS_SPEC,
     sort: bool = True,
 ) -> ray.data.Dataset:
     ds = read_events(source, spec) if isinstance(source, str) else source
     ds = normalize(
-        ds, spec, start_us=ts_to_us(start), end_us=ts_to_us(end), tags=tags, include_bad=include_bad
+        ds,
+        spec,
+        start_us=ts_to_us(start),
+        end_us=ts_to_us(end),
+        tags=tags,
+        include_bad=include_bad,
+        case_insensitive_tags=case_insensitive,
     )
     if deduplicate:
         # Exact dedup = bucketed hash-shuffle on the full row key -> one
