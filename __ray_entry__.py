@@ -198,6 +198,12 @@ def _q_emb_knn_ivf(sf):
     return knn_ivf(sf, _query_vec(sf), k=10)  # approximate -> rows-only check
 
 
+def _q_emb_cosine_dups(sf):
+    from core_ray.functions import cosine_dup_pairs
+
+    return cosine_dup_pairs(sf, threshold=0.35)  # rows-only check
+
+
 def _q_rel_pricing(sf):
     from core_ray.pipelines import pricing_summary
 
@@ -365,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "emb_knn": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
+        "emb_cosine_dups": _q_emb_cosine_dups,
         "rel_pricing_summary": _q_rel_pricing,
         "rel_revenue_by_nation": _q_rel_revenue_nation,
         "rel_top_customers": _q_rel_top_customers,

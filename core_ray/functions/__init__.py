@@ -4,7 +4,7 @@ alongside the time-series operators."""
 
 from .text import token_count, quality_score, fingerprint, lang_id
 from .dedup import dedup_exact, minhash_pairs, simhash_pairs
-from .similarity import knn_brute_force, knn_ivf
+from .similarity import knn_brute_force, knn_ivf, cosine_dup_pairs
 from .join import hash_join
 
 __all__ = [
@@ -17,5 +17,6 @@ __all__ = [
     "simhash_pairs",
     "knn_brute_force",
     "knn_ivf",
+    "cosine_dup_pairs",
     "hash_join",
 ]

@@ -127,3 +127,91 @@ def knn_ivf(
 
     partials = ds.map_batches(score, batch_format="pyarrow")
     return partials.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def cosine_dup_pairs(
+    source: str | ray.data.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 32,
+    bands: int = 4,
+    seed: int = 23,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH blocking
+    (sign signature over ``n_planes`` seeded gaussian planes, split into
+    ``bands`` exact-match bands) followed by EXACT cosine verification inside
+    each bucket.  Only (vec_id, signature, embedding) rows shuffle.
+
+    Recall note: a pair at cosine c collides on one band with probability
+    1-(1-p^r)^b for p = 1 - arccos(c)/pi; at c>=0.95 and 4x8-bit bands this
+    is >0.99."""
+    import pandas as pd
+
+    from ..ops.common import bucketed_distinct, grouped_map
+
+    rng = np.random.default_rng(seed)
+    ds = _read_emb(source)
+    sample = ds.limit(1).to_pandas()
+    dim = len(sample["embedding"].iloc[0])
+    planes = rng.normal(size=(dim, n_planes))
+    planes_ref = ray.put(planes)
+    bits_per_band = n_planes // bands
+
+    def sig(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.uint64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], batch.schema.field("embedding").type),
+                }
+            )
+        p = ray.get(planes_ref)
+        mat = _batch_matrix(batch)
+        bits = (mat @ p) > 0  # (n, n_planes)
+        out_band, out_key, out_id, out_emb = [], [], [], []
+        ids = batch["vec_id"]
+        for b in range(bands):
+            seg = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+            key = (seg * (1 << np.arange(bits_per_band, dtype=np.uint64))).sum(axis=1)
+            out_band.append(np.full(len(mat), b, dtype=np.int32))
+            out_key.append(key.astype(np.uint64))
+            out_id.append(ids)
+            out_emb.append(batch["embedding"])
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_band)),
+                "key": pa.array(np.concatenate(out_key), pa.uint64()),
+                "vec_id": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_id]
+                ),
+                "embedding": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_emb]
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(sig, batch_format="pyarrow")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        cos = unit @ unit.T
+        rows = []
+        for i in range(len(ids)):
+            for j in np.nonzero(cos[i, i + 1 :] >= threshold)[0]:
+                rows.append((int(ids[i]), int(ids[i + 1 + j]), float(round4(cos[i, i + 1 + j])[()])))
+        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"]).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+
+    pairs = grouped_map(exploded, ["band", "key"], bucket)
+    return bucketed_distinct(pairs, ["vec_a", "vec_b"], ["vec_a", "vec_b", "cosine"])

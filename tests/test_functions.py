@@ -92,3 +92,19 @@ def test_quality_score_empty_text():
     out = quality_score(_docs_ds([(0, ""), (1, "ab cd")])).to_pandas().sort_values("doc_id")
     assert out["n_words"].tolist() == [0, 2]
     assert out["avg_word_len"].tolist() == [0.0, 2.0]
+
+
+def test_cosine_dup_pairs_planted():
+    from core_ray.functions import cosine_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    near = base + rng.normal(scale=0.02, size=16)  # cosine ~0.999
+    others = rng.normal(size=(6, 16))
+    vecs = [base, near] + [o for o in others]
+    df = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    pairs = cosine_dup_pairs(ray.data.from_pandas(df), threshold=0.95).to_pandas()
+    assert (0, 1) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert (pairs["cosine"] >= 0.95).all()
