@@ -19,11 +19,10 @@ order-insensitive.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -35,20 +34,117 @@ NUM_PERM = 64
 BANDS = 16
 ROWS_PER_BAND = NUM_PERM // BANDS
 
+# polynomial base for the byte-level word hash; powers precomputed lazily up
+# to the longest word seen (wraparound uint64 arithmetic = mod 2^64)
+_POLY_P = _U64(1099511628211)
+_pow_table = np.array([1], dtype=np.uint64)
 
-def _word_crcs(text: str) -> np.ndarray:
-    words = text.lower().split()
-    return np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
+# 16-bit popcount lookup table (numpy < 2.0 has no bitwise_count)
+_POPCNT16 = np.array(
+    [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+)
 
 
-def _shingle_hashes(crcs: np.ndarray) -> np.ndarray:
-    """3-gram shingle hashes from word crcs (vectorized combine)."""
-    if len(crcs) < 3:
-        return _hash2(99, crcs) if len(crcs) else crcs
-    a, b, c = crcs[:-2], crcs[1:-1], crcs[2:]
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via a 16-bit LUT."""
+    x = x.astype(np.uint64, copy=False)
+    d = _POPCNT16[(x & _U64(0xFFFF)).astype(np.int64)].astype(np.int64)
+    for s in (16, 32, 48):
+        d += _POPCNT16[((x >> _U64(s)) & _U64(0xFFFF)).astype(np.int64)]
+    return d
+
+
+def _ragged_range(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """[starts[0]..starts[0]+counts[0]) ++ [starts[1]..) ... — vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    excl = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.repeat(starts, counts) + (np.arange(total) - np.repeat(excl, counts))
+
+
+def _word_hashes_batch(texts: pa.ChunkedArray | pa.Array):
+    """Vectorized per-word 64-bit hashes for a whole batch of documents.
+
+    Lowercase + whitespace-split in Arrow, then one polynomial hash over the
+    flat word byte buffer (no Python loop over words — this replaced a
+    per-word ``zlib.crc32`` loop that dominated the minhash query's wall).
+
+    Returns ``(flat_hashes, doc_word_counts)``: uint64 hashes of every word in
+    document order, and words-per-document.
+    """
+    global _pow_table
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    words = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    flat = words.flatten()
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    # offsets/data of the flat word array (account for the slice offset)
+    offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        flat.offset : flat.offset + len(flat) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    starts, lens = offs[:-1], np.diff(offs)
+    # Arrow keeps empty words for leading/trailing/solo whitespace where
+    # Python's str.split() drops them — filter to match.
+    keep = lens > 0
+    starts, lens, parent = starts[keep], lens[keep], parent[keep]
+    counts = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    if len(starts) == 0:
+        return np.zeros(0, dtype=np.uint64), counts
+    max_len = int(lens.max())
+    if max_len >= len(_pow_table):
+        _pow_table = np.empty(max_len + 1, dtype=np.uint64)
+        _pow_table[0] = 1
+        with np.errstate(over="ignore"):
+            for i in range(1, max_len + 1):
+                _pow_table[i] = _pow_table[i - 1] * _POLY_P
+    byte_idx = _ragged_range(starts, lens)
+    pos_in_word = np.arange(len(byte_idx)) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+    )
+    exp = np.repeat(lens, lens) - 1 - pos_in_word
     with np.errstate(over="ignore"):
-        mixed = a * _U64(0x9E3779B97F4A7C15) ^ b * _U64(0xC2B2AE3D27D4EB4F) ^ c
-    return _hash2(99, mixed)
+        terms = data[byte_idx].astype(np.uint64) * _pow_table[exp]
+    seg_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    sums = np.add.reduceat(terms, seg_starts)
+    return _hash2(42, sums + lens.astype(np.uint64)), counts
+
+
+def _batch_shingles(texts) -> tuple[np.ndarray, np.ndarray]:
+    """3-gram word-shingle hashes for a batch: (flat_shingles, per_doc_counts).
+
+    Docs with >= 3 words produce word-trigram hashes; shorter non-empty docs
+    fall back to per-word hashes (so near-identical short docs still collide).
+    Fully vectorized: trigram mixing runs once over the flat word-hash buffer
+    and per-doc slices are gathered with ragged-range index arithmetic.
+    """
+    hashes, wc = _word_hashes_batch(texts)
+    word_starts = np.concatenate(([0], np.cumsum(wc)[:-1]))
+    sh_counts = np.where(wc >= 3, wc - 2, wc)
+    total = int(sh_counts.sum())
+    out = np.empty(total, dtype=np.uint64)
+    sh_starts = np.concatenate(([0], np.cumsum(sh_counts)[:-1]))
+    if len(hashes) >= 3:
+        a, b, c = hashes[:-2], hashes[1:-1], hashes[2:]
+        with np.errstate(over="ignore"):
+            tri = _hash2(
+                99, a * _U64(0x9E3779B97F4A7C15) ^ b * _U64(0xC2B2AE3D27D4EB4F) ^ c
+            )
+    else:
+        tri = np.zeros(0, dtype=np.uint64)
+    big = wc >= 3
+    if big.any():
+        src = _ragged_range(word_starts[big], sh_counts[big])
+        dst = _ragged_range(sh_starts[big], sh_counts[big])
+        out[dst] = tri[src]
+    small = (~big) & (wc > 0)
+    if small.any():
+        src = _ragged_range(word_starts[small], wc[small])
+        dst = _ragged_range(sh_starts[small], wc[small])
+        out[dst] = _hash2(99, hashes)[src]
+    return out, sh_counts
 
 
 class MinHashStage:
@@ -60,19 +156,11 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        all_shingles, offsets = [], [0]
-        for t in texts:
-            sh = _shingle_hashes(_word_crcs(t))
-            all_shingles.append(sh)
-            offsets.append(offsets[-1] + len(sh))
-        flat = (
-            np.concatenate(all_shingles) if all_shingles else np.array([], dtype=np.uint64)
-        )
-        starts = np.array(offsets[:-1])
+        flat, sh_counts = _batch_shingles(batch["text"])
+        starts = np.concatenate(([0], np.cumsum(sh_counts)[:-1]))
         n_docs = len(doc_ids)
         sigs = np.full((n_docs, NUM_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
-        nonempty = np.diff(offsets) > 0
+        nonempty = sh_counts > 0
         ne_starts = starts[nonempty]
         for j, seed in enumerate(self.perm_seeds):
             hashed = _hash2(seed, flat)
@@ -146,20 +234,21 @@ def minhash_pairs(
 class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
-        fps = np.empty(len(doc_ids), dtype=np.uint64)
-        for i, t in enumerate(batch["text"].to_pylist()):
-            crcs = _hash2(7, _word_crcs(t))
-            if len(crcs) == 0:
-                fps[i] = 0
-                continue
-            bits = ((crcs[:, None] >> np.arange(64, dtype=np.uint64)) & _U64(1)).astype(
-                np.int32
-            )
-            votes = (2 * bits - 1).sum(axis=0)
+        n_docs = len(doc_ids)
+        hashes, wc = _word_hashes_batch(batch["text"])
+        crcs = _hash2(7, hashes)
+        # one (n_words, 64) int8 bit matrix for the whole batch, summed per
+        # doc with reduceat — no per-document Python loop
+        shifts = np.arange(64, dtype=np.uint64)
+        fps = np.zeros(n_docs, dtype=np.uint64)
+        nonempty = wc > 0
+        if nonempty.any():
+            bits = ((crcs[:, None] >> shifts) & _U64(1)).astype(np.int8)
+            starts = np.concatenate(([0], np.cumsum(wc)[:-1]))
+            sums = np.add.reduceat(bits, starts[nonempty], axis=0).astype(np.int64)
+            votes = 2 * sums - wc[nonempty, None]
             with np.errstate(over="ignore"):
-                fps[i] = np.sum(
-                    (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-                )
+                fps[nonempty] = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1)
         return pa.table(
             {"doc_id": pa.array(doc_ids), "simhash": pa.array(fps, pa.uint64())}
         )
@@ -209,8 +298,7 @@ def simhash_pairs(
         fp = g["simhash"].to_numpy().astype(np.uint64)
         rows = []
         for i in range(len(ids)):
-            x = fp[i + 1 :] ^ fp[i]
-            d = np.array([bin(v).count("1") for v in x])
+            d = popcount64(fp[i + 1 :] ^ fp[i])
             for j in np.nonzero(d <= max_hamming)[0]:
                 rows.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j])))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(

@@ -3,11 +3,13 @@
 Per epoch (a group of source Parquet files — the micro-batch, reference
 ``pcdm_to_delta.py:336-356``):
 
-1. ``ray.data.read_parquet(files)`` → stateless normalize ``map_batches``
-   (zero-copy Arrow: derive doc_idx / event-time / Status / partition id);
-2. routing ``map_batches`` tasks slice each batch by ``hash(key) % N`` and
-   push slices to the partition actors (at-least-once; actors dedupe by
-   deterministic batch id);
+1. one raw ``_consume_block`` task per contiguous file group reads the
+   Parquet block, applies the stateless normalize (zero-copy Arrow: derive
+   doc_idx / event-time / Status / partition id) and routes (see
+   ``_consume_block`` for why this innermost stage is tasks, not a Dataset);
+2. routing slices each batch by ``hash(key) % N`` and pushes compact slices
+   to the partition actors (at-least-once; actors dedupe by deterministic
+   batch id);
 3. two-phase barrier: collect per-partition max event time → global
    watermark = min(max_ts) - allowed_lateness → ``end_epoch(wm)`` on every
    actor (emit closed windows, commit sink files + manifests, snapshot);
@@ -54,6 +56,17 @@ class StreamConfig:
     window_kind: str = "tumbling"
     slide_s: int = 30
     gap_s: int = 300
+    # epochs of read/normalize/route to run ahead of the barrier (0 = none)
+    prefetch: int = 1
+    # consume tasks per epoch (None -> 2x cluster CPUs).  Part of the JOB
+    # shape: fix it when comparing cluster sizes, like num_partitions.
+    epoch_blocks: int | None = None
+    # True = windowed aggregates over token CONTENT: every token is read and
+    # reduced per row in the normalize stage (sum of token values), then the
+    # payload is dropped — the window aggregate additionally reports
+    # sum_tok_values.  The data-parallel work is then proportional to token
+    # bytes, which is what the scaling legs measure.
+    token_stats: bool = False
     # False = aggregation-only job: the token payload is read and aggregated
     # but not re-materialized at the sink (the data-reduction path).  In this
     # sandbox every NEW byte through the object store page-faults at a fixed
@@ -62,11 +75,18 @@ class StreamConfig:
     sink_payload_rows: bool = True
 
 
-def normalize_tokens(cfg_num_partitions: int, route_seed: int, with_payload: bool = True):
+def normalize_tokens(
+    cfg_num_partitions: int,
+    route_seed: int,
+    with_payload: bool = True,
+    token_stats: bool = False,
+):
     """Stateless normalize: tokens row -> keyed event (Arrow, zero-copy for
     the `tokens` payload; only small derived columns are materialized).
     ``with_payload=False`` is the aggregation-only path — the tokens column
-    never enters the pipeline (pruned at the read)."""
+    never enters the pipeline (pruned at the read).  ``token_stats=True``
+    reads and REDUCES the payload here (per-row sum of token values, one
+    vectorized reduceat over the flat value buffer) and then drops it."""
 
     def fn(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -75,9 +95,17 @@ def normalize_tokens(cfg_num_partitions: int, route_seed: int, with_payload: boo
         idx = pc.cast(pc.utf8_slice_codeunits(batch["doc_id"], 4, 99), pa.int64())
         idx_np = idx.to_numpy(zero_copy_only=False)
         ts = event_time_us(idx_np)
-        status = row_status(idx_np)
+        bad = (idx_np % 97) == 0  # row_status semantics, flag form
         part = (_hash2(route_seed, idx_np) % np.uint64(cfg_num_partitions)).astype(np.int32)
-        cols = {"doc_id": batch["doc_id"]}
+        # Status as a dictionary array: 6M rows cost two int8 buffers, not
+        # 6M Python/numpy strings (row_status kept for the batch-query path)
+        status = pa.DictionaryArray.from_arrays(
+            pa.array(bad.astype(np.int8)), pa.array(["Good", "Bad"])
+        )
+        # agg mode drops doc_id after deriving doc_idx — the string column
+        # would otherwise be ~40% of the routed bytes and is only needed when
+        # payload rows reach the sink
+        cols = {"doc_id": batch["doc_id"]} if with_payload else {}
         if with_payload:
             cols["tokens"] = batch["tokens"]
         cols.update(
@@ -86,13 +114,52 @@ def normalize_tokens(cfg_num_partitions: int, route_seed: int, with_payload: boo
                 "source": batch["source"],
                 "doc_idx": idx,
                 "ts_us": pa.array(ts),
-                "Status": pa.array(status),
+                "Status": status,
                 "part": pa.array(part),
             }
         )
+        if token_stats:
+            tok = batch["tokens"].combine_chunks()
+            offs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            # zero-copy int32 view; reduceat accumulates straight into int64
+            # (no 8-byte cast temp of the whole flat token buffer)
+            vals = tok.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
+            sums = np.zeros(len(batch), dtype=np.int64)
+            ne = np.diff(offs) > 0
+            if ne.any():
+                sums[ne] = np.add.reduceat(vals, offs[:-1][ne] - offs[0], dtype=np.int64)
+            cols["tok_sum"] = pa.array(sums)
         return pa.table(cols)
 
     return fn
+
+
+@ray.remote
+def _consume_block(files: list, cols, normalize_fn, router_fn) -> int:
+    """Read one block of the epoch's files, normalize, route to the actors.
+
+    A raw Ray task, not a Dataset op: each micro-batch epoch would otherwise
+    pay ray.data's per-execution driver overhead (~0.5-1.5s measured), which
+    is a fixed serial term that caps scaling efficiency.  The Dataset API has
+    no way to express \"N short executions against a shared actor barrier\"
+    without that per-execution cost, so the innermost consume stage drops to
+    tasks; every batch query in this repo still uses ray.data end-to-end.
+    """
+    import pyarrow.parquet as pq
+
+    # this task owns ONE cpu slot: a default Arrow pool of hardware-size
+    # threads per task (32 tasks x 32 threads) thrashes the whole node
+    pa.set_cpu_count(1)
+    # Read+normalize PER FILE, concat the (numeric, payload-free in agg mode)
+    # outputs, route once.  Normalizing one concatenated multi-file batch
+    # allocates file-count-times-larger transients; with 32 such tasks in
+    # flight the allocator churn collapsed throughput ~13x (measured) — small
+    # per-file working sets stay in the allocator's reuse path.
+    outs = [
+        normalize_fn(pq.read_table(f, columns=cols, use_threads=False)) for f in files
+    ]
+    out = router_fn(pa.concat_tables(outs))
+    return int(out["routed"][0].as_py()) if len(out) else 0
 
 
 def make_router(actors: list, epoch: int):
@@ -108,14 +175,19 @@ def make_router(actors: list, epoch: int):
             return pa.table({"routed": pa.array([], pa.int64())})
         part = batch["part"].to_numpy(zero_copy_only=False)
         order = np.argsort(part, kind="stable")
-        sorted_batch = batch.take(pa.array(order))
         spart = part[order]
         bounds = np.searchsorted(spart, np.arange(len(actors) + 1))
+        payload = batch.drop_columns(["part"])
         refs = []
         for p in range(len(actors)):
             lo, hi = int(bounds[p]), int(bounds[p + 1])
             if hi > lo:
-                sl = sorted_batch.slice(lo, hi - lo).drop_columns(["part"])
+                # per-partition take — NOT slice-of-sorted-batch: pickling an
+                # Arrow slice ships the slice's FULL parent buffers (measured
+                # 2.6MB for a 2900-row slice of a 93k-row batch), turning the
+                # route into num_partitions full-batch copies; take() emits a
+                # compact table, so exactly one payload copy leaves this task.
+                sl = payload.take(pa.array(order[lo:hi]))
                 batch_id = int(sl["doc_idx"][0].as_py())
                 refs.append(actors[p].ingest.remote(epoch, batch_id, sl))
         routed = sum(ray.get(refs)) if refs else 0
@@ -197,34 +269,58 @@ def _sessions_from_snapshot(t: pa.Table | None) -> dict:
     return state
 
 
-def merge_closed(results: list[dict]) -> pa.Table:
-    """Final stage of the salted window aggregate: merge per-actor partials."""
-    acc: dict[tuple[str, int], list[int]] = {}
-    for r in results:
-        for key, (cnt, s, mn, mx) in r["closed"].items():
-            src, _, w = key.partition("\x00")
-            a = acc.setdefault((src, int(w)), [0, 0, 1 << 62, -(1 << 62)])
-            a[0] += cnt
-            a[1] += s
-            a[2] = min(a[2], mn)
-            a[3] = max(a[3], mx)
-    items = sorted(acc.items())
-    cnts = np.array([v[0] for _, v in items], dtype=np.int64)
-    sums = np.array([v[1] for _, v in items], dtype=np.int64)
+def merge_closed(results: list[dict], token_stats: bool = False) -> pa.Table:
+    """Final stage of the salted window aggregate: merge per-actor partials.
+
+    Vectorized: per-actor closed frames arrive as column arrays; one pandas
+    groupby merges them (every actor reports every closed window, so this is
+    O(#windows x #actors) rows and a Python-dict merge measurably dominated
+    the driver at high partition counts)."""
+    import pandas as pd
+
+    frames = [
+        pd.DataFrame(r["closed"]) for r in results if len(r["closed"].get("ws", ()))
+    ]
+    if frames:
+        m = pd.concat(frames, ignore_index=True)
+        g = (
+            m.groupby(["source", "ws"], sort=True, as_index=False)
+            .agg(cnt=("cnt", "sum"), s=("s", "sum"), mn=("mn", "min"),
+                 mx=("mx", "max"), st=("st", "sum"))
+        )
+    else:
+        g = pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "ws": pd.Series([], dtype=np.int64),
+                "cnt": pd.Series([], dtype=np.int64),
+                "s": pd.Series([], dtype=np.int64),
+                "mn": pd.Series([], dtype=np.int64),
+                "mx": pd.Series([], dtype=np.int64),
+                "st": pd.Series([], dtype=np.int64),
+            }
+        )
+    cnts = g["cnt"].to_numpy(dtype=np.int64)
+    sums = g["s"].to_numpy(dtype=np.int64)
     with np.errstate(invalid="ignore"):
         avg = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
     return pa.table(
         {
-            "source": pa.array([k[0] for k, _ in items], pa.string()),
+            "source": pa.array(g["source"].tolist(), pa.string()),
             "window_start": pa.array(
-                np.array([k[1] for k, _ in items], dtype=np.int64).astype("datetime64[us]")
+                g["ws"].to_numpy(dtype=np.int64).astype("datetime64[us]")
             ),
             "cnt": pa.array(cnts),
             "sum_n_tok": pa.array(sums),
             "avg_n_tok": pa.array(avg),
-            "min_n_tok": pa.array([v[2] for _, v in items], pa.int64()),
-            "max_n_tok": pa.array([v[3] for _, v in items], pa.int64()),
+            "min_n_tok": pa.array(g["mn"].to_numpy(dtype=np.int64)),
+            "max_n_tok": pa.array(g["mx"].to_numpy(dtype=np.int64)),
         }
+        | (
+            {"sum_tok_values": pa.array(g["st"].to_numpy(dtype=np.int64))}
+            if token_stats
+            else {}
+        )
     )
 
 
@@ -260,9 +356,29 @@ def merge_latest(results: list[dict]) -> pa.Table:
     )
 
 
+def spawn_actors(cfg: StreamConfig) -> list:
+    """Spawn the fixed partition-actor pool for ``cfg`` (reusable across
+    runs via ``StreamingJob(cfg, actors=...)`` + actor-side ``reset``)."""
+    return [
+        StreamPartitionActor.options(num_cpus=0).remote(
+            p,
+            cfg.out_dir,
+            cfg.window_s * 1_000_000,
+            cfg.lateness_s * 1_000_000,
+            T0_US,
+            window_kind=cfg.window_kind,
+            slide_us=cfg.slide_s * 1_000_000,
+            gap_us=cfg.gap_s * 1_000_000,
+            sink_payload_rows=cfg.sink_payload_rows,
+        )
+        for p in range(cfg.num_partitions)
+    ]
+
+
 class StreamingJob:
-    def __init__(self, cfg: StreamConfig):
+    def __init__(self, cfg: StreamConfig, actors: list | None = None):
         self.cfg = cfg
+        self.external_actors = actors
         files = sorted(
             os.path.join(cfg.input_dir, f)
             for f in os.listdir(cfg.input_dir)
@@ -274,24 +390,16 @@ class StreamingJob:
 
     def run(self, resume: bool = True, stop_after_epoch: int | None = None) -> dict:
         cfg = self.cfg
-        # num_cpus=0.25: the partition count is FIXED per job (key routing
-        # must be stable), so on a small cluster the pool must not reserve
-        # every CPU or the read/normalize tasks starve; actors are busy only
-        # at the epoch barrier.
-        actors = [
-            StreamPartitionActor.options(num_cpus=0.25).remote(
-                p,
-                cfg.out_dir,
-                cfg.window_s * 1_000_000,
-                cfg.lateness_s * 1_000_000,
-                T0_US,
-                window_kind=cfg.window_kind,
-                slide_us=cfg.slide_s * 1_000_000,
-                gap_us=cfg.gap_s * 1_000_000,
-                sink_payload_rows=cfg.sink_payload_rows,
-            )
-            for p in range(cfg.num_partitions)
-        ]
+        # num_cpus=0: the partition count is FIXED per job (key routing must
+        # be stable across cluster sizes), so it is sized to the LARGEST
+        # cluster the job will run on; reserving CPU per actor would starve
+        # the read/normalize tasks on smaller clusters (actors only compute
+        # at the epoch barrier, where the OS timeshares them fine).
+        if self.external_actors is not None:
+            actors = self.external_actors
+            ray.get([a.reset.remote() for a in actors])
+        else:
+            actors = spawn_actors(cfg)
         start_epoch = 0
         sessions: dict = {}
         if resume:
@@ -313,40 +421,54 @@ class StreamingJob:
         # routing is row-deterministic, so block layout never affects output).
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
 
-        def consume(e: int):
-            """Read/normalize/route one epoch into the actors (blocking)."""
-            cols = None if cfg.sink_payload_rows else ["doc_id", "n_tok", "source"]
-            blocks = max(1, min(len(self.epochs[e]), n_cpus * 2))
-            ds = ray.data.read_parquet(
-                self.epochs[e], columns=cols, override_num_blocks=blocks
-            )
-            ds = ds.map_batches(
-                normalize_tokens(
-                    cfg.num_partitions, cfg.route_seed, with_payload=cfg.sink_payload_rows
-                ),
-                batch_format="pyarrow",
-            )
-            ds = ds.map_batches(make_router(actors, e), batch_format="pyarrow")
-            return ds.sum("routed")
+        norm_fn = normalize_tokens(
+            cfg.num_partitions,
+            cfg.route_seed,
+            with_payload=cfg.sink_payload_rows,
+            token_stats=cfg.token_stats,
+        )
+        cols = (
+            None
+            if (cfg.sink_payload_rows or cfg.token_stats)
+            else ["doc_id", "n_tok", "source"]
+        )
+        block_target = cfg.epoch_blocks or int(
+            os.environ.get("GRAFT_EPOCH_BLOCKS", str(n_cpus * 2))
+        )
 
-        # 1-deep epoch prefetch: epoch e+1's read/normalize/route overlaps
-        # epoch e's end-of-epoch barrier.  Safe because actor ingest buffers
-        # are keyed by epoch and the watermark only counts epochs <= e.
-        from concurrent.futures import ThreadPoolExecutor
+        def submit_epoch(e: int) -> list:
+            """Launch one raw _consume_block task per contiguous file group
+            (contiguous → each routed slice covers a doc_idx range, keeping
+            the sink's zero-copy ordered fast path)."""
+            files = self.epochs[e]
+            blocks = max(1, min(len(files), block_target))
+            sz = (len(files) + blocks - 1) // blocks
+            groups = [files[i : i + sz] for i in range(0, len(files), sz)]
+            router = make_router(actors, e)
+            return [_consume_block.remote(g, cols, norm_fn, router) for g in groups]
 
-        pool = ThreadPoolExecutor(max_workers=1)
+        # Epoch prefetch: epochs <= e+prefetch have their consume tasks in
+        # flight while epoch e's barrier runs.  Safe because actor ingest
+        # buffers are keyed by epoch and the watermark only counts epochs <= e.
         n_epochs = len(self.epochs)
         last = stop_after_epoch if stop_after_epoch is not None else n_epochs - 1
         last = min(last, n_epochs - 1)
         import time as _time
 
         timeline = []
-        fut = pool.submit(consume, start_epoch) if start_epoch <= last else None
+        prefetch = max(0, cfg.prefetch)
+        pending: dict[int, list] = {}
+        if start_epoch <= last:
+            pending[start_epoch] = submit_epoch(start_epoch)
         for e in range(start_epoch, last + 1):
+            if e not in pending:  # prefetch=0
+                pending[e] = submit_epoch(e)
+            for k in range(1, prefetch + 1):
+                if e + k <= last and e + k not in pending:
+                    pending[e + k] = submit_epoch(e + k)
             t0 = _time.monotonic()
-            fut.result()
+            ray.get(pending.pop(e))
             t_wait = _time.monotonic() - t0
-            fut = pool.submit(consume, e + 1) if e + 1 <= last else None
 
             t0 = _time.monotonic()
             maxes = ray.get([a.epoch_max_ts.remote(e) for a in actors])
@@ -354,9 +476,8 @@ class StreamingJob:
             wm = (min(seen_maxes) if seen_maxes else -1) - cfg.lateness_s * 1_000_000
             results = ray.get([a.end_epoch.remote(e, wm) for a in actors])
             t_barrier = _time.monotonic() - t0
-            timeline.append({"epoch": e, "consume_wait_s": round(t_wait, 2),
-                             "barrier_s": round(t_barrier, 2)})
-            streams = {"agg": merge_closed(results)}
+            t0 = _time.monotonic()
+            streams = {"agg": merge_closed(results, cfg.token_stats)}
             if cfg.window_kind == "session":
                 for r in results:
                     merge_fragments(sessions, r.get("fragments", []), cfg.gap_s * 1_000_000)
@@ -377,25 +498,34 @@ class StreamingJob:
                 totals["dupes"] += c["dupes_dropped"]
                 for k, v in r.get("timings", {}).items():
                     phase_s[k] = phase_s.get(k, 0.0) + v
+            timeline.append({"epoch": e, "consume_wait_s": round(t_wait, 2),
+                             "barrier_s": round(t_barrier, 2),
+                             "post_s": round(_time.monotonic() - t0, 2)})
 
-        pool.shutdown(wait=True)
+        for refs in pending.values():  # stop_after_epoch may leave prefetches
+            ray.get(refs)
         if stop_after_epoch is not None and last < n_epochs - 1:
-            for a in actors:
-                ray.kill(a)
+            if self.external_actors is None:
+                for a in actors:
+                    ray.kill(a)
             return {"stopped_after": last, "totals": totals}
 
         # end of stream: flush remaining windows + sessions + latest registers
         final_epoch = len(self.epochs)
         if not self.agg_sink.committed(final_epoch):
             results = ray.get([a.flush_final.remote(final_epoch) for a in actors])
-            streams = {"agg": merge_closed(results), "latest": merge_latest(results)}
+            streams = {
+                "agg": merge_closed(results, cfg.token_stats),
+                "latest": merge_latest(results),
+            }
             if cfg.window_kind == "session":
                 streams["sessions"] = close_sessions(
                     sessions, 1 << 62, cfg.gap_s * 1_000_000
                 )
             self.agg_sink.commit_epoch(final_epoch, streams, {"final": True})
-        for a in actors:
-            ray.kill(a)
+        if self.external_actors is None:
+            for a in actors:
+                ray.kill(a)
         return {
             "epochs": len(self.epochs),
             "totals": totals,

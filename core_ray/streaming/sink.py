@@ -54,7 +54,13 @@ class EpochSink:
 
     def _write_atomic(self, table: pa.Table, path: str) -> None:
         tmp = path + ".tmp"
-        pq.write_table(table, tmp)
+        # use_dictionary=False: dictionary-encoding high-cardinality token
+        # ints is ~39x slower to encode for zero size win (measured 12.9s vs
+        # 0.33s on a 70MB list<int32> table); zstd-1 keeps storage bandwidth
+        # reasonable at scale without the snappy+dict encode cliff.
+        pq.write_table(
+            table, tmp, compression="zstd", compression_level=1, use_dictionary=False
+        )
         os.replace(tmp, path)
 
     def commit_epoch(self, epoch: int, streams: dict[str, pa.Table], counters: dict) -> dict:

@@ -29,12 +29,42 @@ Exactly-once guards:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 
 from .sink import EpochSink
+
+
+def _empty_partials() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "c": pd.Series([], dtype=np.int64),
+            "ws": pd.Series([], dtype=np.int64),
+            "cnt": pd.Series([], dtype=np.int64),
+            "s": pd.Series([], dtype=np.int64),
+            "mn": pd.Series([], dtype=np.int64),
+            "mx": pd.Series([], dtype=np.int64),
+            "st": pd.Series([], dtype=np.int64),
+        }
+    )
+
+
+def _merge_partials(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    """Vectorized combine of window-partial frames keyed by the actor's
+    PERSISTENT source code (int) + window start — int-keyed groupby stays on
+    the pandas C path (string keys measurably dominated the barrier at high
+    partition counts, since every actor holds every open window)."""
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return _empty_partials()
+    m = pd.concat(frames, ignore_index=True)
+    return m.groupby(["c", "ws"], sort=False, as_index=False).agg(
+        cnt=("cnt", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"),
+        st=("st", "sum"),
+    )
 
 TOKENS_COLS = ["doc_id", "tokens", "n_tok", "source", "doc_idx", "ts_us", "Status"]
 
@@ -67,8 +97,9 @@ class StreamPartitionActor:
         gap_us: int | None = None,
         sink_payload_rows: bool = True,
     ):
+        pa.set_cpu_count(1)  # one logical slot per partition actor
         self.part = partition_id
-        self.sink = EpochSink(out_dir, partition_id)
+        self.out_dir = out_dir
         self.window_us = window_us
         self.lateness_us = lateness_us
         self.t0_us = t0_us
@@ -76,13 +107,29 @@ class StreamPartitionActor:
         self.slide_us = slide_us or window_us
         self.gap_us = gap_us or 300_000_000
         self.sink_payload_rows = sink_payload_rows
+        self.reset()
 
-        # window partials: (source, ws) -> [cnt, sum_n_tok]
-        self.partials: dict[tuple[str, int], list[int]] = {}
+    def reset(self) -> bool:
+        """(Re)initialize all mutable state — lets a warm actor pool be
+        reused across job runs (process spawn + imports are a fixed cost
+        that would otherwise land inside every run)."""
+        self.sink = EpochSink(self.out_dir, self.part)
+
+        # window partials: a columnar frame (source, ws, cnt, s, mn, mx) —
+        # every actor holds a partial for EVERY open window (rows route by
+        # the high-cardinality key), so this state is O(#windows) and must be
+        # merged vectorized, never via a per-key Python dict (measured 5x
+        # aggregate-actor-time blowup at 32 partitions with a dict).
+        self.partials: pd.DataFrame = _empty_partials()
+        # persistent source-string <-> code registry for partials keys
+        self.src_ids: dict[str, int] = {}
+        self.src_names: list[str] = []
         # latest registers: source -> dict(ts, status, value, good_ts, good_value)
         self.latest: dict[str, dict] = {}
-        # dedup horizon state: doc_idx -> ts_us
-        self.seen: dict[int, int] = {}
+        # dedup horizon state: per-epoch bands of (doc_idx, ts_us) arrays —
+        # appending an epoch is O(1), membership is a vectorized np.isin over
+        # the (overlap-only) candidates, eviction drops/filters whole bands
+        self.seen_bands: list[tuple[np.ndarray, np.ndarray]] = []
         self.max_ts = -1  # from restored snapshots (epochs before resume)
         # per-epoch transient state, keyed by epoch so a prefetching driver
         # may ingest epoch e+1 while epoch e's barrier is still running
@@ -92,6 +139,7 @@ class StreamPartitionActor:
         self._late = 0
         self._dupes = 0
         self.watermark = -(1 << 62)
+        return True
 
     # -- resume -------------------------------------------------------------
 
@@ -104,22 +152,41 @@ class StreamPartitionActor:
         meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
         self.max_ts = int(meta.get("max_ts", -1))
         self.watermark = int(meta.get("watermark", -(1 << 62)))
-        self.partials = {}
         self.latest = {}
-        self.seen = {}
+        seen_mask = pc.equal(t["kind"], "seen")
+        seen_rows = t.filter(seen_mask)
+        self.seen_bands = (
+            [(seen_rows["ws"].to_numpy(), seen_rows["cnt"].to_numpy())]
+            if len(seen_rows)
+            else []
+        )
+        part_rows = t.filter(pc.equal(t["kind"], "partial"))
+        if len(part_rows):
+            skeys = part_rows["skey"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(skeys, return_inverse=True)
+            codes = self._persist_codes(uniq)[inv]
+            mn = pd.to_numeric(
+                pd.Series(part_rows["status"].to_numpy(zero_copy_only=False))
+            ).to_numpy(dtype=np.int64)
+        else:
+            codes = np.zeros(0, dtype=np.int64)
+            mn = np.zeros(0, dtype=np.int64)
+        self.partials = pd.DataFrame(
+            {
+                "c": codes,
+                "ws": part_rows["ws"].to_numpy(),
+                "cnt": part_rows["cnt"].to_numpy(),
+                "s": part_rows["sum_n_tok"].to_numpy(),
+                "mn": mn,
+                "mx": part_rows["good_value"].to_numpy(),
+                "st": part_rows["st"].to_numpy(),
+            }
+        )
         kind = t["kind"].to_pylist()
         for i in range(len(t)):
             k = kind[i]
-            if k == "partial":
-                key = (t["skey"][i].as_py(), t["ws"][i].as_py())
-                self.partials[key] = [
-                    t["cnt"][i].as_py(),
-                    t["sum_n_tok"][i].as_py(),
-                    int(t["status"][i].as_py()),
-                    t["good_value"][i].as_py(),
-                ]
-            elif k == "seen":
-                self.seen[t["ws"][i].as_py()] = t["cnt"][i].as_py()
+            if k in ("partial", "seen"):
+                pass  # handled vectorized above
             elif k == "latest":
                 self.latest[t["skey"][i].as_py()] = {
                     "ts": t["ws"][i].as_py(),
@@ -130,28 +197,53 @@ class StreamPartitionActor:
                 }
         return True
 
+    def _persist_codes(self, cats: np.ndarray) -> np.ndarray:
+        """Map this epoch's dictionary categories to the actor's persistent
+        source codes (Python work is O(#distinct sources))."""
+        out = np.empty(len(cats), dtype=np.int64)
+        for i, name in enumerate(cats):
+            code = self.src_ids.get(name)
+            if code is None:
+                code = len(self.src_names)
+                self.src_ids[name] = code
+                self.src_names.append(name)
+            out[i] = code
+        return out
+
     def _snapshot_table(self) -> pa.Table:
         # partials and latest are small; `seen` is bounded by the lateness
         # horizon (evicted every epoch) — bulk-convert it without a Python
         # loop anyway, in case lateness is configured large.
-        kinds, skeys, wss, cnts, sums, statuses, goodv = [], [], [], [], [], [], []
-        for (src, ws), (cnt, s, mn, mx) in self.partials.items():
-            kinds.append("partial"); skeys.append(src); wss.append(ws)
-            # min/max packed into the status/good_value slots of the generic row
-            cnts.append(cnt); sums.append(s); statuses.append(str(mn)); goodv.append(mx)
-        n_seen = len(self.seen)
-        if n_seen:
+        p = self.partials
+        names = np.asarray(self.src_names, dtype=object)
+        # min packed into the status slot, max into good_value (generic row)
+        kinds = ["partial"] * len(p)
+        skeys = (
+            names[p["c"].to_numpy(dtype=np.int64)].tolist() if len(p) else []
+        )
+        wss = p["ws"].tolist()
+        cnts = p["cnt"].tolist()
+        sums = p["s"].tolist()
+        statuses = [str(v) for v in p["mn"].tolist()]
+        goodv = p["mx"].tolist()
+        sts = p["st"].tolist()
+        if self.seen_bands:
+            seen_idx = np.concatenate([b[0] for b in self.seen_bands])
+            seen_ts = np.concatenate([b[1] for b in self.seen_bands])
+            n_seen = len(seen_idx)
             kinds.extend(["seen"] * n_seen)
             skeys.extend([None] * n_seen)
-            wss.extend(self.seen.keys())
-            cnts.extend(self.seen.values())
+            wss.extend(seen_idx.tolist())
+            cnts.extend(seen_ts.tolist())
             sums.extend([None] * n_seen)
             statuses.extend([None] * n_seen)
             goodv.extend([None] * n_seen)
+            sts.extend([None] * n_seen)
         for src, reg in self.latest.items():
             kinds.append("latest"); skeys.append(src); wss.append(reg["ts"])
             cnts.append(reg["value"]); sums.append(reg["good_ts"])
             statuses.append(reg["status"]); goodv.append(reg["good_value"])
+            sts.append(None)
         return pa.table(
             {
                 "kind": pa.array(kinds, pa.string()),
@@ -161,6 +253,7 @@ class StreamPartitionActor:
                 "sum_n_tok": pa.array(sums, pa.int64()),
                 "status": pa.array(statuses, pa.string()),
                 "good_value": pa.array(goodv, pa.int64()),
+                "st": pa.array(sts, pa.int64()),
             }
         ).replace_schema_metadata(
             {"max_ts": str(self.max_ts), "watermark": str(self.watermark)}
@@ -174,7 +267,7 @@ class StreamPartitionActor:
         if batch_id in ids:  # Ray task retry redelivery
             return 0
         ids.add(batch_id)
-        self._epoch_rows.setdefault(epoch, []).append(table)
+        self._epoch_rows.setdefault(epoch, []).append((batch_id, table))
 
         ts = table["ts_us"].to_numpy()
         if len(ts):
@@ -201,7 +294,14 @@ class StreamPartitionActor:
         frontier = self.max_ts  # max event time seen BEFORE this epoch
         if epoch in self._epoch_max:
             self.max_ts = max(self.max_ts, self._epoch_max.pop(epoch))
-        rows = pa.concat_tables(buffered) if buffered else _empty_rows_table()
+        # Deterministic base order: slices sorted by batch id (arrival order
+        # is Ray-task-completion order, i.e. nondeterministic — sorting here
+        # both fixes tie-breaking for duplicate keys and lets the sink skip
+        # the payload gather entirely when the key is already nondecreasing).
+        buffered.sort(key=lambda bt: bt[0])
+        rows = (
+            pa.concat_tables([t for _, t in buffered]) if buffered else _empty_rows_table()
+        )
         timings = {"concat": time.monotonic() - t_start}
         t_mark = time.monotonic()
         prev_watermark = self.watermark
@@ -214,8 +314,31 @@ class StreamPartitionActor:
         idx = rows["doc_idx"].to_numpy()
         ts = rows["ts_us"].to_numpy()
         n_tok = rows["n_tok"].to_numpy()
-        sources = rows["source"].to_numpy(zero_copy_only=False)
-        status = rows["Status"].to_numpy(zero_copy_only=False)
+        tok_sum = (
+            rows["tok_sum"].to_numpy()
+            if "tok_sum" in rows.column_names
+            else np.zeros(len(rows), dtype=np.int64)
+        )
+        # No per-row Python objects: source is dictionary-encoded in C (codes
+        # + a tiny category array), Status compared in Arrow; status STRINGS
+        # are only fetched per latest-register winner (O(#sources) rows).
+        if len(rows):
+            enc = pc.dictionary_encode(rows["source"].combine_chunks())
+            epoch_cats = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            # remap epoch dictionary codes onto the actor's persistent codes
+            src_codes = self._persist_codes(epoch_cats)[
+                enc.indices.to_numpy().astype(np.int64)
+            ]
+            bad = pc.equal(rows["Status"], "Bad").combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            src_codes = np.zeros(0, dtype=np.int64)
+            bad = np.zeros(0, dtype=bool)
+        src_cats = np.asarray(self.src_names, dtype=object)
+        status_col = rows["Status"]
+        timings["conv"] = time.monotonic() - t_mark
+        t_mark = time.monotonic()
 
         # --- dedup (exactly-once row emission across epochs/retries).
         # Vectorized: rows beyond the pre-epoch event-time frontier cannot be
@@ -226,17 +349,17 @@ class StreamPartitionActor:
             fresh = np.ones(len(idx), dtype=bool)
             cand = np.nonzero(ts <= frontier)[0]
             if len(cand):
-                fresh[cand] = np.fromiter(
-                    (i not in self.seen for i in idx[cand].tolist()),
-                    bool,
-                    count=len(cand),
-                )
+                known = np.zeros(len(cand), dtype=bool)
+                for band_idx, _ in self.seen_bands:
+                    known |= np.isin(idx[cand], band_idx)
+                fresh[cand] = ~known
             _, first_pos = np.unique(idx, return_index=True)
             intra_first = np.zeros(len(idx), dtype=bool)
             intra_first[first_pos] = True
             fresh &= intra_first
             late = ts < prev_watermark  # window may already be closed
-            self.seen.update(zip(idx[fresh].tolist(), ts[fresh].tolist()))
+            if fresh.any():
+                self.seen_bands.append((idx[fresh], ts[fresh]))
         else:
             fresh = np.zeros(0, dtype=bool)
             late = fresh
@@ -250,76 +373,90 @@ class StreamPartitionActor:
         # --- window partials (on-time rows only; late go to the side output)
         fragments: list = []
         if on_time.any():
+            codes_t = src_codes[on_time]
+            ts_t = ts[on_time]
+            ntok_t = n_tok[on_time]
+            tsum_t = tok_sum[on_time]
             if self.window_kind == "session":
-                fragments = self._session_fragments(
-                    sources[on_time], ts[on_time], n_tok[on_time]
-                )
+                fragments = self._session_fragments(codes_t, src_cats, ts_t, ntok_t)
             else:
                 if self.window_kind == "sliding":
                     from ..windows import sliding_window_starts
 
                     ridx, ws = sliding_window_starts(
-                        ts[on_time], self.t0_us, self.window_us, self.slide_us
+                        ts_t, self.t0_us, self.window_us, self.slide_us
                     )
-                    srcs_w = sources[on_time][ridx]
-                    ntok_w = n_tok[on_time][ridx]
+                    codes_w = codes_t[ridx]
+                    ntok_w = ntok_t[ridx]
+                    tsum_w = tsum_t[ridx]
                 else:  # tumbling
                     ws = self.t0_us + (
-                        (ts[on_time] - self.t0_us) // self.window_us
+                        (ts_t - self.t0_us) // self.window_us
                     ) * self.window_us
-                    srcs_w = sources[on_time]
-                    ntok_w = n_tok[on_time]
-                small = pa.table(
+                    codes_w = codes_t
+                    ntok_w = ntok_t
+                    tsum_w = tsum_t
+                # int-keyed groupby (pandas C path) on (source code, ws)
+                df = pd.DataFrame(
+                    {"c": codes_w, "ws": ws, "n": ntok_w, "t": tsum_w}
+                )
+                g = df.groupby(["c", "ws"], sort=False, as_index=False).agg(
+                    cnt=("n", "size"), s=("n", "sum"), mn=("n", "min"),
+                    mx=("n", "max"), st=("t", "sum"),
+                )
+                new = pd.DataFrame(
                     {
-                        "source": pa.array(srcs_w),
-                        "ws": pa.array(ws),
-                        "n_tok": pa.array(ntok_w),
+                        "c": g["c"].to_numpy(dtype=np.int64),
+                        "ws": g["ws"].to_numpy(),
+                        "cnt": g["cnt"].to_numpy(dtype=np.int64),
+                        "s": g["s"].to_numpy(dtype=np.int64),
+                        "mn": g["mn"].to_numpy(dtype=np.int64),
+                        "mx": g["mx"].to_numpy(dtype=np.int64),
+                        "st": g["st"].to_numpy(dtype=np.int64),
                     }
                 )
-                g = small.group_by(["source", "ws"], use_threads=False).aggregate(
-                    [("n_tok", "count"), ("n_tok", "sum"), ("n_tok", "min"), ("n_tok", "max")]
-                )
-                for src, w, cnt, s, mn, mx in zip(
-                    g["source"].to_pylist(),
-                    g["ws"].to_pylist(),
-                    g["n_tok_count"].to_pylist(),
-                    g["n_tok_sum"].to_pylist(),
-                    g["n_tok_min"].to_pylist(),
-                    g["n_tok_max"].to_pylist(),
-                ):
-                    acc = self.partials.setdefault(
-                        (src, w), [0, 0, 1 << 62, -(1 << 62)]
-                    )
-                    acc[0] += cnt
-                    acc[1] += s
-                    acc[2] = min(acc[2], mn)
-                    acc[3] = max(acc[3], mx)
+                self.partials = _merge_partials([self.partials, new])
 
-            # --- latest registers (argmax by (ts, value); Good variant)
+            timings["window_partials"] = time.monotonic() - t_mark
+            t_lat = time.monotonic()
+            # --- latest registers (argmax by (ts, value); Good variant).
+            # positions map on-time row order back to original rows so status
+            # strings are fetched only for the handful of winners.
+            positions = np.nonzero(on_time)[0]
             self._update_latest(
-                sources[on_time], ts[on_time], n_tok[on_time], status[on_time]
+                codes_t,
+                src_cats,
+                ts_t,
+                ntok_t,
+                bad[on_time],
+                lambda i: status_col[int(positions[i])].as_py(),
             )
+            timings["window_latest"] = time.monotonic() - t_lat
 
         timings["window"] = time.monotonic() - t_mark
         t_mark = time.monotonic()
 
         # --- emit closed windows (ws + window <= watermark)
-        closed = {
-            k: v for k, v in self.partials.items() if k[1] + self.window_us <= self.watermark
-        }
-        for k in closed:
-            del self.partials[k]
+        closed_mask = (self.partials["ws"].to_numpy() + self.window_us) <= self.watermark
+        closed = self.partials[closed_mask]
+        self.partials = self.partials[~closed_mask].reset_index(drop=True)
 
-        # --- sink: deterministic order, idempotent commit.  combine_chunks
-        # FIRST: the epoch buffer is hundreds of small ingested slices, and
-        # Arrow's take on a many-chunk list column is superlinear (measured
-        # 90x at 160 chunks); one linear combine + one contiguous gather is
-        # the only copy of the token payload.
-        kept_pos = np.nonzero(fresh)[0]
+        # --- sink: deterministic order, idempotent commit.  Fast path: the
+        # base order is deterministic (slices sorted by batch id above), so
+        # when the kept keys are already nondecreasing — always true for a
+        # key-ordered source like the tokens table — the payload is emitted
+        # with ZERO copies (or one `filter` pass when rows were dropped).
+        # Fallback for unordered keys: combine_chunks FIRST, then one gather
+        # (Arrow's take on a many-chunk list column is superlinear — measured
+        # 90x at 160 chunks); that single gather is the only payload copy.
         if self.sink_payload_rows:
-            order = np.argsort(idx[fresh], kind="stable")
-            rows = rows.combine_chunks()
-            out_rows = rows.take(pa.array(kept_pos[order]))
+            kept_idx = idx[fresh]
+            if len(kept_idx) < 2 or bool((np.diff(kept_idx) >= 0).all()):
+                out_rows = rows if fresh.all() else rows.filter(pa.array(fresh))
+            else:
+                order = np.argsort(kept_idx, kind="stable")
+                rows = rows.combine_chunks()
+                out_rows = rows.take(pa.array(np.nonzero(fresh)[0][order]))
         else:
             out_rows = rows.slice(0, 0)
         counters = {
@@ -341,8 +478,17 @@ class StreamPartitionActor:
         # not the stream length — an unevicted dict made snapshot cost grow
         # superlinearly with stream position (measured at 8M rows).
         horizon = self.watermark - self.lateness_us
-        if self.seen:
-            self.seen = {k: v for k, v in self.seen.items() if v >= horizon}
+        if self.seen_bands:
+            kept_bands = []
+            for band_idx, band_ts in self.seen_bands:
+                if len(band_ts) == 0 or band_ts.max() < horizon:
+                    continue  # whole band below horizon
+                if band_ts.min() >= horizon:
+                    kept_bands.append((band_idx, band_ts))
+                else:
+                    m = band_ts >= horizon
+                    kept_bands.append((band_idx[m], band_ts[m]))
+            self.seen_bands = kept_bands
 
         # --- snapshot for resume (state as of END of this epoch)
         self.sink.write_snapshot(epoch, "state", self._snapshot_table())
@@ -352,13 +498,28 @@ class StreamPartitionActor:
 
         return {
             "partition": self.part,
-            "closed": {f"{src}\x00{w}": v for (src, w), v in closed.items()},
+            "closed": self._closed_payload(closed),
             "fragments": fragments,
             "counters": counters,
             "timings": timings,
         }
 
-    def _session_fragments(self, sources, tss, vals) -> list:
+    def _closed_payload(self, closed: pd.DataFrame) -> dict:
+        """Closed-window partials for the driver merge (source names, arrays)."""
+        names = np.asarray(self.src_names, dtype=object)
+        return {
+            "source": names[closed["c"].to_numpy(dtype=np.int64)]
+            if len(closed)
+            else np.zeros(0, dtype=object),
+            "ws": closed["ws"].to_numpy(dtype=np.int64),
+            "cnt": closed["cnt"].to_numpy(dtype=np.int64),
+            "s": closed["s"].to_numpy(dtype=np.int64),
+            "mn": closed["mn"].to_numpy(dtype=np.int64),
+            "mx": closed["mx"].to_numpy(dtype=np.int64),
+            "st": closed["st"].to_numpy(dtype=np.int64),
+        }
+
+    def _session_fragments(self, codes, cats, tss, vals) -> list:
         """Actor-local session fragments per agg key from this epoch's rows.
 
         A fragment over a SUBSET of a key's events is always a sub-session of
@@ -369,11 +530,11 @@ class StreamPartitionActor:
 
         out = []
         order = np.lexsort((tss,))
-        srcs = sources[order]
+        sc = codes[order]
         ts_s = tss[order]
         v_s = vals[order]
-        for src in np.unique(srcs):
-            m = srcs == src
+        for c in np.unique(sc):
+            m = sc == c
             t = ts_s[m]
             v = v_s[m]
             sid = session_ids(t, self.gap_us)
@@ -381,7 +542,7 @@ class StreamPartitionActor:
                 sm = sid == s
                 out.append(
                     (
-                        str(src),
+                        str(cats[c]),
                         int(t[sm].min()),
                         int(t[sm].max()),
                         int(sm.sum()),
@@ -390,40 +551,44 @@ class StreamPartitionActor:
                 )
         return out
 
-    def _update_latest(self, sources, tss, vals, status) -> None:
+    def _update_latest(self, codes, cats, tss, vals, bad, get_status) -> None:
+        # Vectorized per-source argmax by (ts, value): lexsort descending,
+        # take each source code's first occurrence.  The only Python work is
+        # per DISTINCT source (a handful), including the status fetch.
         order = np.lexsort((vals, tss))[::-1]  # descending (ts, value)
-        srcs = sources[order].tolist()
-        tss = tss[order].tolist()
-        vals = vals[order].tolist()
-        stats = status[order].tolist()
-        seen_src: set[str] = set()
-        seen_good: set[str] = set()
-        for src, tsv, val, st in zip(srcs, tss, vals, stats):
-            if src not in seen_src:
-                seen_src.add(src)
-                reg = self.latest.setdefault(
-                    src,
-                    {"ts": -1, "value": 0, "status": "", "good_ts": -1, "good_value": 0},
-                )
-                if (tsv, val) > (reg["ts"], reg["value"]):
-                    reg["ts"], reg["value"], reg["status"] = tsv, val, st
-            if st != "Bad" and src not in seen_good:
-                seen_good.add(src)
-                reg = self.latest[src]
-                if (tsv, val) > (reg["good_ts"], reg["good_value"]):
-                    reg["good_ts"], reg["good_value"] = tsv, val
+        sc = codes[order]
+        ucodes, first = np.unique(sc, return_index=True)
+        good_positions = np.nonzero(~bad[order])[0]
+        gu, gfirst = np.unique(sc[good_positions], return_index=True)
+        good_best = {int(c): int(good_positions[i]) for c, i in zip(gu, gfirst)}
+        for c, pos in zip(ucodes, first):
+            src = cats[c]
+            i = int(order[pos])
+            reg = self.latest.setdefault(
+                src,
+                {"ts": -1, "value": 0, "status": "", "good_ts": -1, "good_value": 0},
+            )
+            tsv, val = int(tss[i]), int(vals[i])
+            if (tsv, val) > (reg["ts"], reg["value"]):
+                reg["ts"], reg["value"], reg["status"] = tsv, val, str(get_status(i))
+            gp = good_best.get(int(c))
+            if gp is not None:
+                gi = int(order[gp])
+                gtsv, gval = int(tss[gi]), int(vals[gi])
+                if (gtsv, gval) > (reg["good_ts"], reg["good_value"]):
+                    reg["good_ts"], reg["good_value"] = gtsv, gval
 
     # -- end of stream ------------------------------------------------------
 
     def flush_final(self, epoch: int) -> dict:
         """Emit all remaining open windows and the latest registers."""
-        closed = dict(self.partials)
-        self.partials = {}
+        closed = self.partials
+        self.partials = _empty_partials()
         latest = {
             src: dict(reg) for src, reg in self.latest.items()
         }
         return {
             "partition": self.part,
-            "closed": {f"{src}\x00{w}": v for (src, w), v in closed.items()},
+            "closed": self._closed_payload(closed),
             "latest": latest,
         }

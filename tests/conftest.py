@@ -8,6 +8,9 @@ SF_DIR = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
+    from core_ray.hostmem import disable_thp
+
+    disable_thp()  # 115x first-touch fix on THP=[always] VMs; workers inherit
     ray.init(
         address="local",
         num_cpus=4,
