@@ -123,7 +123,8 @@ def _q_ts_circular_avg(sf):
     from core_ray.ops import circular_average
 
     return circular_average(
-        sf, start=START, end=END, rate=1, unit="day", lower_bound=0.0, upper_bound=360.0
+        sf, start=START, end=END, rate=1, unit="day",
+        lower_bound=0.0, upper_bound=360.0, tags=["click", "purchase"]
     )
 
 
@@ -131,7 +132,8 @@ def _q_ts_circular_std(sf):
     from core_ray.ops import circular_stddev
 
     return circular_stddev(
-        sf, start=START, end=END, rate=1, unit="day", lower_bound=0.0, upper_bound=360.0
+        sf, start=START, end=END, rate=1, unit="day",
+        lower_bound=0.0, upper_bound=360.0, tags=["click", "purchase"]
     )
 
 
@@ -588,27 +590,78 @@ ORDER BY 1, 2
 _ORACLE["ts_twa"] = _twa_sql(step=False)
 _ORACLE["ts_twa_step"] = _twa_sql(step=True)
 
-_DAY_US = 86_400_000_000
+_CIRC_TAGS = "'click', 'purchase'"
 _CIRC_BASE = f"""
-WITH f AS (SELECT event_type AS TagName,
-                  {S_US} + ((epoch_us(ts) - {S_US}) // {_DAY_US}) * {_DAY_US} AS ws,
-                  value / 360.0 * 2 * pi() AS theta
-           FROM events WHERE {_RANGE}),
-agg AS (SELECT TagName, ws, AVG(sin(theta)) s, AVG(cos(theta)) c FROM f GROUP BY 1, 2)
+WITH raw_events AS (
+  SELECT DISTINCT date_trunc('millisecond', ts) AS EventTime,
+         event_type AS TagName, value AS Value
+  FROM events
+  WHERE {_RANGE} AND event_type IN ({_CIRC_TAGS})
+),
+date_array AS (
+  SELECT unnest(generate_series(TIMESTAMP '{START}', TIMESTAMP '{END}',
+                                INTERVAL 1 DAY)) AS EventTime,
+         t.TagName
+  FROM (SELECT unnest([{_CIRC_TAGS}]) AS TagName) t
+),
+window_events AS (
+  SELECT COALESCE(a.TagName, b.TagName) AS TagName,
+         COALESCE(a.EventTime, b.EventTime) AS EventTime,
+         to_timestamp(floor(epoch(COALESCE(a.EventTime, b.EventTime)) / 86400)
+                      * 86400)::TIMESTAMP AS WindowEventTime,
+         b.Value
+  FROM date_array a
+  FULL OUTER JOIN raw_events b
+    ON CAST(floor(epoch(a.EventTime)) AS BIGINT)
+         = CAST(floor(epoch(b.EventTime)) AS BIGINT)
+   AND a.TagName = b.TagName
+),
+setup1 AS (
+  SELECT TagName, EventTime, WindowEventTime, Value,
+         fmod(Value - 0.0, 360.0) * (2 * pi() / 360.0) AS VRad,
+         lag(EventTime) OVER w AS PrevTime
+  FROM window_events
+  WINDOW w AS (PARTITION BY TagName ORDER BY EventTime, Value)
+),
+setup2 AS (
+  SELECT TagName, EventTime, WindowEventTime, Value,
+         (epoch_ms(EventTime) - epoch_ms(PrevTime)) / 86400000.0 AS TD,
+         cos(VRad) AS CosV, sin(VRad) AS SinV
+  FROM setup1
+),
+pairavg AS (
+  SELECT TagName, EventTime, WindowEventTime, TD,
+         AVG(CosV) OVER w AS AC, AVG(SinV) OVER w AS ASn
+  FROM setup2
+  WINDOW w AS (PARTITION BY TagName ORDER BY EventTime, Value
+               ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+),
+weighted AS (
+  SELECT TagName, WindowEventTime, TD,
+         TD * (AC / sqrt(AC * AC + ASn * ASn)) AS DCA,
+         TD * (ASn / sqrt(AC * AC + ASn * ASn)) AS DSA
+  FROM pairavg
+),
+gr AS (
+  SELECT TagName, WindowEventTime AS EventTime,
+         sum(DCA) / sum(TD) AS CT, sum(DSA) / sum(TD) AS ST
+  FROM weighted GROUP BY 1, 2
+)
 """
 
 _ORACLE["ts_circular_avg"] = f"""
 {_CIRC_BASE}
-SELECT TagName, make_timestamp(ws) AS EventTime,
-  round_even((atan2(s, c) / (2 * pi()) - floor(atan2(s, c) / (2 * pi()))) * 360.0, 4) AS Value
-FROM agg ORDER BY 1, 2
+SELECT TagName, EventTime,
+  round_even(fmod(2 * pi() + atan2(ST, CT), 2 * pi()) * 360.0 / (2 * pi()), 4) AS Value
+FROM gr ORDER BY 1, 2
 """
 
 _ORACLE["ts_circular_std"] = f"""
 {_CIRC_BASE}
-SELECT TagName, make_timestamp(ws) AS EventTime,
-  round_even(sqrt(greatest(-2 * ln(sqrt(s * s + c * c)), 0)) / (2 * pi()) * 360.0, 4) AS Value
-FROM agg ORDER BY 1, 2
+SELECT TagName, EventTime,
+  round_even(sqrt(greatest(-2 * ln(CAST(list_min([1.0, sqrt(CT*CT + ST*ST)]) AS DOUBLE)), 0))
+             * 360.0 / (2 * pi()), 4) AS Value
+FROM gr ORDER BY 1, 2
 """
 
 
@@ -776,6 +829,7 @@ ORDER BY 1, 2
 """
 
 
+_DAY_US = 86_400_000_000
 _DAY_WS = f"({S_US} + ((epoch_us(ts) - {S_US}) // {_DAY_US}) * {_DAY_US})"
 _ORACLE["ts_pivot"] = f"""
 WITH f AS ({_resample_base(_DAY_WS)}),
