@@ -59,6 +59,21 @@ def _q_ts_raw_ci(sf):
                case_insensitive=True, sort=False)
 
 
+def _q_ts_raw_tz(sf):
+    from core_ray.ops import raw
+
+    # display-timezone output: filter on absolute instants, display shifted
+    # +02:00 with ms truncation (reference from_utc_timestamp stage)
+    return raw(
+        sf,
+        start="2024-01-01T00:00:00+02:00",
+        end="2024-01-31T00:00:00+02:00",
+        tags=["click", "purchase"],
+        display_tz="infer",
+        sort=False,
+    )
+
+
 def _q_ts_resample_avg(sf):
     from core_ray.ops import resample
 
@@ -170,7 +185,10 @@ def _q_doc_lang_id(sf):
 def _q_doc_minhash_pairs(sf):
     from core_ray.functions import minhash_pairs
 
-    return minhash_pairs(sf, threshold=0.5)  # rows-only check
+    # LSH candidates + exact shingle-Jaccard verification: output is the
+    # exact-Jaccard pair set (planted pairs have J >= 0.9; recall bound
+    # 1-(1-J^4)^16 > 1-4e-8 there, background pairs are at J <= 0.07)
+    return minhash_pairs(sf, threshold=0.5)
 
 
 def _q_doc_simhash_pairs(sf):
@@ -203,7 +221,11 @@ def _q_emb_knn_ivf(sf):
 def _q_emb_cosine_dups(sf):
     from core_ray.functions import cosine_dup_pairs
 
-    return cosine_dup_pairs(sf, threshold=0.35)  # rows-only check
+    # threshold-adaptive banding: 32 bands x 2 bits over 64 planes gives
+    # collision prob 1-(1-p^2)^32 > 1 - 3e-8 at cosine >= 0.45
+    # (p = 1 - arccos(0.45)/pi = 0.648), so recall vs the exact-all-pairs
+    # oracle is certain and the exact in-bucket verify gives precision 1.
+    return cosine_dup_pairs(sf, threshold=0.45, n_planes=64, bands=32)
 
 
 def _q_rel_pricing(sf):
@@ -296,7 +318,7 @@ def _q_dq_out_of_range(sf):
 def _q_dq_interval_filter(sf):
     from core_ray.dq import interval_filtering
 
-    return interval_filtering(_events_ds(sf), interval_us=3_600_000_000)  # rows-only
+    return interval_filtering(_events_ds(sf), interval_us=3_600_000_000)
 
 
 def _q_dq_missing_intervals(sf):
@@ -352,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_missing_intervals": _q_dq_missing_intervals,
         "ts_raw": _q_ts_raw,
         "ts_raw_ci": _q_ts_raw_ci,
+        "ts_raw_tz": _q_ts_raw_tz,
         "ts_resample_avg": _q_ts_resample_avg,
         "ts_resample_last": _q_ts_resample_last,
         "ts_resample_count_fill": _q_ts_resample_count_fill,
@@ -404,6 +427,16 @@ _ORACLE["ts_raw"] = f"""
 SELECT event_type AS TagName, ts AS EventTime, 'Good' AS Status, value AS Value
 FROM events
 WHERE {_RANGE} AND event_type IN ('click', 'purchase')
+ORDER BY 1, 2
+"""
+
+_ORACLE["ts_raw_tz"] = """
+SELECT event_type AS TagName,
+       date_trunc('millisecond', ts) + INTERVAL 2 HOUR AS EventTime,
+       'Good' AS Status, value AS Value
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2023-12-31 22:00:00' AND TIMESTAMP '2024-01-30 22:00:00'
+  AND event_type IN ('click', 'purchase')
 ORDER BY 1, 2
 """
 
@@ -664,6 +697,60 @@ SELECT TagName, EventTime,
 FROM gr ORDER BY 1, 2
 """
 
+
+_ORACLE["emb_cosine_dups"] = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round_even(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+ORDER BY 1, 2
+"""
+
+# greedy per-tag interval filter as a recursive CTE: the working table holds
+# each tag's last kept row; the step picks the earliest row >= last + 1h
+_ORACLE["dq_interval_filter"] = """
+WITH RECURSIVE numbered AS (
+  SELECT event_type AS TagName, epoch_us(ts) AS tus, value AS Value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, value) AS rn
+  FROM events
+),
+keep AS (
+  SELECT TagName, rn, tus FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.TagName, min(n.rn) AS rn, min_by(n.tus, n.rn) AS tus
+  FROM keep k JOIN numbered n
+    ON n.TagName = k.TagName AND n.tus >= k.tus + 3600000000
+  GROUP BY n.TagName
+)
+SELECT k.TagName, make_timestamp(k.tus) AS EventTime, 'Good' AS Status, n.Value
+FROM keep k JOIN numbered n ON n.TagName = k.TagName AND n.rn = k.rn
+ORDER BY 1, 2
+"""
+
+_ORACLE["doc_minhash_pairs"] = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2] AS g
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+cnts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round_even(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+FROM inter JOIN cnts na ON na.doc_id = inter.doc_a
+           JOIN cnts nb ON nb.doc_id = inter.doc_b
+WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+ORDER BY 1, 2
+"""
 
 _ORACLE["doc_token_count"] = """
 SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words

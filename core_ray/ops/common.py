@@ -141,6 +141,33 @@ def us_to_timestamp_array(us: np.ndarray | pa.Array) -> pa.Array:
     return pc.cast(arr, pa.timestamp("us"))
 
 
+def parse_tz_offset_us(ts: str) -> int:
+    """UTC offset (us) carried by an ISO timestamp string, 0 when naive.
+
+    Mirrors the reference's display-timezone inference: the query's time zone
+    is the ``%z`` offset of the parsed start date, defaulting to +00:00
+    (``queries/_utilities_query_builder.py:40-77``)."""
+    from datetime import datetime
+
+    off = datetime.fromisoformat(ts).utcoffset()
+    return 0 if off is None else int(off.total_seconds() * 1_000_000)
+
+
+def display_tz_shift(batch: pa.Table, us_cols: list[str], offset_us: int) -> pa.Table:
+    """ms-truncate + shift int64-us columns into the display timezone.
+
+    Reference output stage: ``from_utc_timestamp(date_trunc('millisecond',
+    ts), tz)`` (``_time_series_query_builder.py:96-101``) — storage stays
+    UTC; only the displayed timestamps move."""
+    for name in us_cols:
+        i = batch.column_names.index(name)
+        shifted = pc.add(
+            pc.multiply(pc.divide(batch[name], 1000), 1000), offset_us
+        )
+        batch = batch.set_column(i, name, shifted)
+    return batch
+
+
 def finalize_times(batch: pa.Table, us_cols: dict[str, str]) -> pa.Table:
     """Convert int64-us columns to timestamp[us] output columns (renamed)."""
     for src, dst in us_cols.items():

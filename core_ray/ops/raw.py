@@ -26,7 +26,12 @@ def raw(
     case_insensitive: bool = False,
     spec: SeriesSpec = EVENTS_SPEC,
     sort: bool = True,
+    display_tz: str | None = None,
 ) -> ray.data.Dataset:
+    """``display_tz``: ``"infer"`` applies the reference's display-timezone
+    stage (``from_utc_timestamp(date_trunc('millisecond', ts), tz)`` with tz
+    = the start date's UTC offset); an explicit ``"+HH:MM"`` offset string
+    overrides.  Filtering always happens on absolute instants."""
     ds = read_events(source, spec) if isinstance(source, str) else source
     ds = normalize(
         ds,
@@ -45,6 +50,18 @@ def raw(
 
         keys = [TS.TAG, TS.TS_US, TS.STATUS, TS.VALUE]
         ds = bucketed_distinct(ds, keys, keys)
+    if display_tz is not None:
+        from .common import display_tz_shift, parse_tz_offset_us
+
+        offset = (
+            parse_tz_offset_us(start)
+            if display_tz == "infer"
+            else parse_tz_offset_us(f"2000-01-01T00:00:00{display_tz}")
+        )
+        ds = ds.map_batches(
+            lambda t, off=offset: display_tz_shift(t, [TS.TS_US], off),
+            batch_format="pyarrow",
+        )
     ds = ds.map_batches(
         lambda t: finalize_times(t, {TS.TS_US: "EventTime"}), batch_format="pyarrow"
     )

@@ -35,7 +35,13 @@ def test_minhash_finds_planted_near_dup():
     ]
     pairs = minhash_pairs(_docs_ds(rows), threshold=0.5, concurrency=1).to_pandas()
     assert {(0, 1)} == set(zip(pairs["doc_a"], pairs["doc_b"]))
-    assert (pairs["est_jaccard"] >= 0.5).all()
+    assert (pairs["jaccard"] >= 0.5).all()  # exact-verified Jaccard
+
+    est = minhash_pairs(
+        _docs_ds(rows), threshold=0.5, concurrency=1, exact_verify=False
+    ).to_pandas()
+    assert {(0, 1)} == set(zip(est["doc_a"], est["doc_b"]))
+    assert (est["est_jaccard"] >= 0.5).all()
 
 
 def test_simhash_finds_planted_near_dup():
