@@ -152,6 +152,21 @@ def _q_ts_circular_std(sf):
     )
 
 
+def _q_ts_metadata(sf):
+    from core_ray.ops import metadata_table
+
+    return metadata_table(TAG_META)
+
+
+def _q_ts_twa_meta(sf):
+    from core_ray.ops import time_weighted_average
+
+    # per-tag step/linear routing from the metadata Step flag
+    return time_weighted_average(
+        sf, start=START, end=END, rate=1, unit="hour", step="metadata", metadata=TAG_META
+    )
+
+
 def _q_doc_token_count(sf):
     from core_ray.functions import token_count
 
@@ -329,6 +344,15 @@ def _q_dq_missing_intervals(sf):
 
 ALL_TAGS = ["click", "error", "purchase", "signup", "view"]
 UOM_META = {"click": "degC", "error": "bar", "purchase": "kWh", "signup": "m3", "view": None}
+# first-class metadata registry (UoM + Step flag + description); Step drives
+# per-tag TWA routing like the reference metadata join
+TAG_META = {
+    "click": {"UoM": "degC", "Step": True, "Description": "click events"},
+    "error": {"UoM": "bar", "Step": True, "Description": "error events"},
+    "purchase": {"UoM": "kWh", "Step": False, "Description": "purchase events"},
+    "signup": {"UoM": "m3", "Step": False, "Description": "signup events"},
+    "view": {"UoM": None, "Step": True, "Description": "view events"},
+}
 
 
 def _q_ts_pivot(sf):
@@ -385,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_interp_at_time": _q_ts_interp_at_time,
         "ts_twa": _q_ts_twa,
         "ts_twa_step": _q_ts_twa_step,
+        "ts_twa_meta": _q_ts_twa_meta,
+        "ts_metadata": _q_ts_metadata,
         "ts_circular_avg": _q_ts_circular_avg,
         "ts_circular_std": _q_ts_circular_std,
         "doc_token_count": _q_doc_token_count,
@@ -570,28 +596,39 @@ FROM w WHERE is_req = 1 ORDER BY 1, 2
 """
 
 
-def _twa_sql(step: bool) -> str:
-    contrib = "v2 * mins" if step else "(v2 + n_v2) / 2 * mins"
-    bval = (
-        "pv"
-        if step
-        else (
-            "CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN "
-            "  CASE WHEN pt = tus THEN pv ELSE pv + (nv - pv) * (tus - pt) / (nt - pt) END "
-            "WHEN pv IS NOT NULL THEN pv END"
-        )
+def _twa_sql(step: bool | None) -> str:
+    """TWA oracle; ``step=None`` = per-tag routing by the metadata Step flag
+    (CASE on the joined ``steps`` relation, mirroring the reference's
+    metadata-driven arm selection)."""
+    linear_contrib = "(v2 + n_v2) / 2 * mins"
+    linear_bval = (
+        "CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN "
+        "  CASE WHEN pt = tus THEN pv ELSE pv + (nv - pv) * (tus - pt) / (nt - pt) END "
+        "WHEN pv IS NOT NULL THEN pv END"
+    )
+    if step is None:
+        contrib = f"CASE WHEN stp THEN v2 * mins ELSE {linear_contrib} END"
+        bval = f"CASE WHEN stp THEN pv ELSE {linear_bval} END"
+    else:
+        contrib = "v2 * mins" if step else linear_contrib
+        bval = "pv" if step else linear_bval
+    steps_rel = (
+        "(VALUES ('click', true), ('error', true), ('purchase', false), "
+        "('signup', false), ('view', true)) st(TagName, stp)"
     )
     return f"""
-WITH ev AS (SELECT event_type AS TagName, epoch_us(ts) AS tus, value AS v
+WITH ev0 AS (SELECT event_type AS TagName, epoch_us(ts) AS tus, value AS v
             FROM events
             WHERE ts BETWEEN TIMESTAMP '{START}' - INTERVAL 1 HOUR
                          AND TIMESTAMP '{END}' + INTERVAL 1 HOUR),
-tags AS (SELECT DISTINCT TagName FROM ev),
+ev AS (SELECT ev0.*, COALESCE(st.stp, false) AS stp
+       FROM ev0 LEFT JOIN {steps_rel} ON st.TagName = ev0.TagName),
+tags AS (SELECT DISTINCT TagName, stp FROM ev),
 grid AS (SELECT unnest(generate_series({S_US}, {E_US}, {HOUR_US})) AS tus),
-pts AS (SELECT TagName, tus, v, 0 AS is_b FROM ev
+pts AS (SELECT TagName, stp, tus, v, 0 AS is_b FROM ev
         UNION ALL
-        SELECT t.TagName, g.tus, NULL, 1 FROM tags t CROSS JOIN grid g),
-w AS (SELECT TagName, tus, v, is_b,
+        SELECT t.TagName, t.stp, g.tus, NULL, 1 FROM tags t CROSS JOIN grid g),
+w AS (SELECT TagName, stp, tus, v, is_b,
   last_value(v IGNORE NULLS) OVER
     (PARTITION BY TagName ORDER BY tus, is_b, v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
   last_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS) OVER
@@ -601,14 +638,14 @@ w AS (SELECT TagName, tus, v, is_b,
   first_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS) OVER
     (PARTITION BY TagName ORDER BY tus, is_b, v ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nt
   FROM pts),
-filled AS (SELECT TagName, tus, is_b,
+filled AS (SELECT TagName, stp, tus, is_b,
   CASE WHEN is_b = 0 THEN v ELSE {bval} END AS v2
   FROM w),
-seg AS (SELECT TagName, tus, v2,
+seg AS (SELECT TagName, stp, tus, v2,
   lead(tus) OVER (PARTITION BY TagName ORDER BY tus, is_b) AS n_tus,
   lead(v2) OVER (PARTITION BY TagName ORDER BY tus, is_b) AS n_v2
   FROM filled),
-c AS (SELECT TagName,
+c AS (SELECT TagName, stp,
   {S_US} + CAST(floor((tus - {S_US}) / {HOUR_US}.0) AS BIGINT) * {HOUR_US} AS ws,
   (n_tus - tus) / 60000000.0 AS mins, v2, n_v2
   FROM seg
@@ -622,6 +659,18 @@ ORDER BY 1, 2
 
 _ORACLE["ts_twa"] = _twa_sql(step=False)
 _ORACLE["ts_twa_step"] = _twa_sql(step=True)
+_ORACLE["ts_twa_meta"] = _twa_sql(step=None)
+
+_ORACLE["ts_metadata"] = """
+SELECT * FROM (VALUES
+  ('click', 'degC', true, 'click events'),
+  ('error', 'bar', true, 'error events'),
+  ('purchase', 'kWh', false, 'purchase events'),
+  ('signup', 'm3', false, 'signup events'),
+  ('view', CAST(NULL AS VARCHAR), true, 'view events')
+) m(TagName, UoM, Step, Description)
+ORDER BY TagName
+"""
 
 _CIRC_TAGS = "'click', 'purchase'"
 _CIRC_BASE = f"""

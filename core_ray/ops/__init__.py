@@ -11,7 +11,7 @@ from .plot import plot
 from .interpolate import interpolate, interpolation_at_time
 from .twa import time_weighted_average
 from .circular import circular_average, circular_stddev
-from .output import pivot, unpivot, uom_join, to_json_rows, paginate
+from .output import pivot, unpivot, uom_join, to_json_rows, paginate, metadata_table
 from .write import write_partitioned_resumable
 
 __all__ = [
@@ -32,6 +32,7 @@ __all__ = [
     "pivot",
     "unpivot",
     "uom_join",
+    "metadata_table",
     "to_json_rows",
     "paginate",
     "write_partitioned_resumable",

@@ -66,6 +66,25 @@ def uom_join(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def metadata_table(
+    meta: dict[str, dict], tags: list[str] | None = None
+) -> ray.data.Dataset:
+    """Standalone metadata query (reference ``queries/metadata.py``:
+    ``SELECT * FROM ..._metadata [WHERE TagName IN (...)]``): the metadata
+    registry as a first-class Dataset with TagName/UoM/Step/Description."""
+    names = sorted(meta) if tags is None else [t for t in sorted(meta) if t in set(tags)]
+    rows = [meta[t] for t in names]
+    t = pa.table(
+        {
+            "TagName": pa.array(names, pa.string()),
+            "UoM": pa.array([r.get("UoM") for r in rows], pa.string()),
+            "Step": pa.array([bool(r.get("Step", False)) for r in rows], pa.bool_()),
+            "Description": pa.array([r.get("Description") for r in rows], pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
 def to_json_rows(ds: ray.data.Dataset) -> ray.data.Dataset:
     """One compact JSON string per PCDM row with fixed formatting
     (timestamps ``%Y-%m-%dT%H:%M:%S.%f``, values ``%.2f`` — stable across

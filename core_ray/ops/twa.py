@@ -108,9 +108,13 @@ def twa_kernel(
     return uw[nz], sum_con[nz] / sum_min[nz]
 
 
-def _twa_group(start_us: int, end_us: int, ival: int, step: bool):
+def _twa_group(start_us: int, end_us: int, ival: int, step, step_map: dict | None):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort")
+        tag = g[TS.TAG].iloc[0]
+        # reference routes step/linear PER TAG from the metadata Step flag
+        # (``_time_series_query_builder.py:1455-1472``)
+        tag_step = bool(step_map.get(tag, False)) if step_map is not None else bool(step)
         ws, val = twa_kernel(
             g[TS.TS_US].to_numpy(dtype=np.int64),
             g[TS.VALUE].to_numpy(dtype=np.float64),
@@ -118,7 +122,7 @@ def _twa_group(start_us: int, end_us: int, ival: int, step: bool):
             start_us,
             end_us,
             ival,
-            step,
+            tag_step,
         )
         return pd.DataFrame(
             {
@@ -138,7 +142,8 @@ def time_weighted_average(
     end: str,
     rate: int | float,
     unit: str = "minute",
-    step: bool = False,
+    step: bool | str = False,
+    metadata: dict | None = None,
     lookback_intervals: int = 1,
     tags: list[str] | None = None,
     spec: SeriesSpec = EVENTS_SPEC,
@@ -155,4 +160,12 @@ def time_weighted_average(
     )
     from .common import grouped_map
 
-    return grouped_map(ds, [TS.TAG], _twa_group(start_us, end_us, ival, step))
+    # step="metadata": per-tag routing from the metadata Step flag; the
+    # metadata side is broadcast (tiny), never shuffled
+    step_map = None
+    if step == "metadata":
+        step_map = {
+            k: bool(v["Step"] if isinstance(v, dict) else v)
+            for k, v in (metadata or {}).items()
+        }
+    return grouped_map(ds, [TS.TAG], _twa_group(start_us, end_us, ival, step, step_map))
