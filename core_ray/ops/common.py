@@ -198,16 +198,7 @@ def grouped_map(
     stable across runs and parallelism levels.
     """
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            df = df.copy()
-            df["_bucket"] = pd.Series([], dtype="int64")
-            return df
-        h = pd.util.hash_pandas_object(df[key_cols], index=False)
-        df = df.copy()
-        df["_bucket"] = (h % num_buckets).astype("int64")
-        return df
-
+    add_bucket = _arrow_add_bucket(key_cols, num_buckets)
     keys = key_cols if len(key_cols) > 1 else key_cols[0]
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -224,10 +215,28 @@ def grouped_map(
         return g.iloc[0:0][[]]
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def _arrow_add_bucket(key_cols: list[str], num_buckets: int):
+    """Bucket-id stage that keeps payload columns zero-copy Arrow: only the
+    KEY columns are converted for hashing; the batch itself never round-trips
+    through pandas (a payload-bearing row — full text, token lists — was
+    measurably double-converted by the old pandas add_bucket)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("_bucket", pa.array([], pa.int64()))
+        kdf = t.select(key_cols).to_pandas()
+        h = pd.util.hash_pandas_object(kdf, index=False) % num_buckets
+        return t.append_column(
+            "_bucket", pa.array(h.to_numpy().astype(np.int64))
+        )
+
+    return fn
 
 
 def bucketed_distinct(
@@ -237,29 +246,20 @@ def bucketed_distinct(
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Exact dedup at scale: hash-bucket shuffle on the key, then one
-    vectorized ``sort + drop_duplicates`` per bucket (deterministic survivor =
-    first row in ``sort_cols`` order). No per-group Python."""
+    vectorized sort + first-per-key filter per bucket (deterministic survivor
+    = first row in ``sort_cols`` order).  Arrow end-to-end: payload columns
+    are never converted to pandas; the duplicate mask is computed on the key
+    columns alone."""
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            df = df.copy()
-            df["_bucket"] = pd.Series([], dtype="int64")
-            return df
-        h = pd.util.hash_pandas_object(df[key_cols], index=False)
-        df = df.copy()
-        df["_bucket"] = (h % num_buckets).astype("int64")
-        return df
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["_bucket"])
-        return g.sort_values(sort_cols, kind="mergesort").drop_duplicates(
-            key_cols, keep="first"
-        )
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_bucket"]).sort_by([(c, "ascending") for c in sort_cols])
+        dup = t.select(key_cols).to_pandas().duplicated(keep="first").to_numpy()
+        return t.filter(pa.array(~dup))
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(_arrow_add_bucket(key_cols, num_buckets), batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 

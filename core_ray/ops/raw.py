@@ -4,6 +4,10 @@ Reference semantics: ``_raw_query`` / ``_build_raw_query``
 (``_time_series_query_builder.py:66-180,493-588``): time-range + tag filter,
 optional ``Status <> 'Bad'``, ``SELECT DISTINCT`` dedup, ordered by
 (TagName, EventTime).
+
+``sort`` defaults to False: a full-range global sort of the raw slice is the
+most expensive stage of the cheapest query at scale, and most consumers
+(aggregations, order-insensitive sinks) don't need it — opt in for display.
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ def raw(
     deduplicate: bool = False,
     case_insensitive: bool = False,
     spec: SeriesSpec = EVENTS_SPEC,
-    sort: bool = True,
+    sort: bool = False,
     display_tz: str | None = None,
 ) -> ray.data.Dataset:
     """``display_tz``: ``"infer"`` applies the reference's display-timezone

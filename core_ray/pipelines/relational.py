@@ -109,99 +109,107 @@ def pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-02") -> ray.data.Da
 # --- broadcast-join revenue rollups ----------------------------------------
 
 
-def _lookup_arrays(sf_dir: str):
-    """Driver-side dimension maps, broadcast once via ray.put.
+def _per_cust_revenue_partials(sf_dir: str) -> ray.data.Dataset:
+    """(o_custkey, rev) partial rows: per-batch order-level revenue partials
+    hash-joined with the orders fact table.
 
-    Sorted-key numpy pairs -> vectorized searchsorted lookups in tasks."""
-    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_name"]
+    Orders is NOT a dimension — it scales with the fact data — so it is never
+    read onto the driver or broadcast: both sides co-group by key-hash bucket
+    (functions/join.py) and only pre-aggregated (orderkey, rev) partials
+    shuffle from the lineitem side."""
+    from ..functions.join import hash_join
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    ok = orders["o_orderkey"].to_numpy()
-    order_sort = np.argsort(ok)
-    ck = cust["c_custkey"].to_numpy()
-    cust_sort = np.argsort(ck)
-    return {
-        "o_key": ok[order_sort],
-        "o_cust": orders["o_custkey"].to_numpy()[order_sort],
-        "c_key": ck[cust_sort],
-        "c_nation": cust["c_nationkey"].to_numpy()[cust_sort],
-        "c_name": np.asarray(cust["c_name"].to_pylist(), dtype=object)[cust_sort],
-        "n_key": nation["n_nationkey"].to_numpy(),
-        "n_name": np.asarray(nation["n_name"].to_pylist(), dtype=object),
-    }
 
-
-def _revenue_partials(lk_ref, key: str):
-    def fn(batch: pa.Table) -> pa.Table:
-        lk = ray.get(lk_ref)
+    def order_partial(batch: pa.Table) -> pa.Table:
         rev = batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy())
-        okey = batch["l_orderkey"].to_numpy()
-        cust = lk["o_cust"][np.searchsorted(lk["o_key"], okey)]
-        if key == "nation":
-            nat = lk["c_nation"][np.searchsorted(lk["c_key"], cust)]
-            names = lk["n_name"][np.searchsorted(lk["n_key"], nat)]
-            group = pa.array(names.astype(str))
-            out_col = "n_name"
-        else:
-            group = pa.array(cust)
-            out_col = "custkey"
-        t = pa.table({out_col: group, "rev": pa.array(rev)})
-        out = t.group_by([out_col], use_threads=False).aggregate([("rev", "sum")])
-        return out.rename_columns([out_col, "rev"])
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev": pa.array(rev)})
+        out = t.group_by(["o_orderkey"], use_threads=False).aggregate([("rev", "sum")])
+        return out.rename_columns(["o_orderkey", "rev"])
 
-    return fn
+    line_rev = line.map_batches(order_partial, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = hash_join(line_rev, orders, on="o_orderkey")
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_custkey", sort=False)["rev"].sum().reset_index()
+        return out.rename(columns={"o_custkey": "c_custkey"})
+
+    return joined.map_batches(cust_partial, batch_format="pandas")
 
 
 def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
-    lk_ref = ray.put(_lookup_arrays(sf_dir))
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    """Revenue per nation: lineitem ⋈ orders (partitioned hash join) ⋈
+    customer (partitioned hash join of per-customer partials) → nation name
+    via broadcast of the 25-row nation table (a true dimension)."""
+    from ..functions.join import hash_join
+    from ..ops.common import grouped_map
+
+    per_cust = _per_cust_revenue_partials(sf_dir)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    partials = ds.map_batches(_revenue_partials(lk_ref, "nation"), batch_format="pyarrow")
+    joined = hash_join(per_cust, cust, on="c_custkey")
+
+    def nat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_nationkey", sort=False)["rev"].sum().reset_index()
+
+    partials = joined.map_batches(nat_partial, batch_format="pandas")
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    n_names = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"n_name": [g["n_name"].iloc[0]], "revenue": round4(g["rev"].sum())}
-        )
-
-    from ..ops.common import grouped_map
-
-    return grouped_map(partials, ["n_name"], merge, num_buckets=8)
-
-
-def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
-    lk = _lookup_arrays(sf_dir)
-    lk_ref = ray.put(lk)
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
-    )
-    partials = ds.map_batches(_revenue_partials(lk_ref, "cust"), batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"custkey": [g["custkey"].iloc[0]], "revenue": round4(g["rev"].sum())}
-        )
-
-    from ..ops.common import grouped_map
-
-    per_cust = grouped_map(partials, ["custkey"], merge)
-    top = per_cust.sort(["revenue", "custkey"], descending=[True, False]).limit(k)
-
-    def add_name(batch: pa.Table) -> pa.Table:
-        keys = batch["custkey"].to_numpy()
-        names = lk["c_name"][np.searchsorted(lk["c_key"], keys)]
-        return pa.table(
             {
-                "c_name": pa.array(names.astype(str)),
-                "revenue": batch["revenue"],
+                "n_name": [n_names[int(g["c_nationkey"].iloc[0])]],
+                "revenue": round4(g["rev"].sum()),
             }
         )
 
-    return top.map_batches(add_name, batch_format="pyarrow")
+    return grouped_map(partials, ["c_nationkey"], merge, num_buckets=8)
+
+
+def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Top-k customers by revenue: per-customer totals from the partitioned
+    hash joins, tiny global sort+limit, then names fetched with a pushed-down
+    parquet filter on just the k winning keys."""
+    from ..ops.common import grouped_map
+
+    per_cust = _per_cust_revenue_partials(sf_dir)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": [int(g["c_custkey"].iloc[0])], "revenue": round4(g["rev"].sum())}
+        )
+
+    totals = grouped_map(per_cust, ["c_custkey"], merge)
+    top = (
+        totals.sort(["revenue", "custkey"], descending=[True, False]).limit(k).to_pandas()
+    )
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    names = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filters=pads.field("c_custkey").isin(top["custkey"].tolist()),
+    )
+    name_of = dict(zip(names["c_custkey"].to_pylist(), names["c_name"].to_pylist()))
+    out = pa.table(
+        {
+            "c_name": pa.array([name_of[int(c)] for c in top["custkey"]], pa.string()),
+            "revenue": pa.array(top["revenue"].to_numpy()),
+        }
+    )
+    return ray.data.from_arrow(out)
 
 
 def order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
