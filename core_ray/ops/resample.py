@@ -40,6 +40,7 @@ AGG_METHODS = ("avg", "min", "max", "first", "last", "count", "sum")
 _PARTIAL_AGGS = [
     ("Value", "count"),
     ("Value", "sum"),
+    ("cents", "sum"),
     ("Value", "min"),
     ("Value", "max"),
     ("Value", "first"),
@@ -49,20 +50,32 @@ _PARTIAL_AGGS = [
 ]
 
 
-def partial_window_aggregates(start_us: int, ival_us: int):
-    """map_batches fn: one partial-aggregate row per (TagName, ws) per batch."""
+def partial_window_aggregates(start_us: int, ival_us: int, scale: int | None = None):
+    """map_batches fn: one partial-aggregate row per (TagName, ws) per batch.
+
+    ``scale``: exact-decimal accumulation — values are also summed as
+    ``rint(value * scale)`` int64, so the cross-batch merge is EXACT integer
+    arithmetic (order-insensitive), used by avg to avoid float-summation-order
+    nondeterminism at rounding boundaries."""
 
     def fn(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return _empty_partials()
         ws = tumbling_window_start(batch[TS.TS_US].to_numpy(), start_us, ival_us)
         batch = batch.append_column("ws", pa.array(ws))
+        cents = (
+            np.rint(batch[TS.VALUE].to_numpy() * scale).astype(np.int64)
+            if scale
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        batch = batch.append_column("cents", pa.array(cents))
         # Sort so Arrow's order-sensitive first/last hash kernels see
         # (ts, value)-ascending rows; use_threads=False keeps them stable.
         batch = batch.sort_by([(TS.TS_US, "ascending"), (TS.VALUE, "ascending")])
         out = batch.group_by([TS.TAG, "ws"], use_threads=False).aggregate(_PARTIAL_AGGS)
         return out.rename_columns(
-            [TS.TAG, "ws", "cnt", "vsum", "vmin", "vmax", "vfirst", "vlast", "ts_min", "ts_max"]
+            [TS.TAG, "ws", "cnt", "vsum", "vsumc", "vmin", "vmax", "vfirst", "vlast",
+             "ts_min", "ts_max"]
         )
 
     return fn
@@ -75,6 +88,7 @@ def _empty_partials() -> pa.Table:
             "ws": pa.array([], pa.int64()),
             "cnt": pa.array([], pa.int64()),
             "vsum": pa.array([], pa.float64()),
+            "vsumc": pa.array([], pa.int64()),
             "vmin": pa.array([], pa.float64()),
             "vmax": pa.array([], pa.float64()),
             "vfirst": pa.array([], pa.float64()),
@@ -91,6 +105,7 @@ def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
     out = gb.agg(
         cnt=("cnt", "sum"),
         vsum=("vsum", "sum"),
+        vsumc=("vsumc", "sum"),
         vmin=("vmin", "min"),
         vmax=("vmax", "max"),
     )
@@ -105,7 +120,8 @@ def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def _finalize(agg: str, start_us: int, end_us: int, ival_us: int, fill: bool):
+def _finalize(agg: str, start_us: int, end_us: int, ival_us: int, fill: bool,
+              scale: int | None = None):
     col = {
         "avg": None,
         "min": "vmin",
@@ -118,7 +134,12 @@ def _finalize(agg: str, start_us: int, end_us: int, ival_us: int, fill: bool):
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         m = merge_partials(g)
-        if agg == "avg":
+        if agg == "avg" and scale:
+            # exact int sum -> /scale -> /count: the same two IEEE divisions
+            # as the oracle's DECIMAL formulation, deterministic at any
+            # parallelism or row order
+            val = (m["vsumc"] / float(scale)) / m["cnt"]
+        elif agg == "avg":
             val = m["vsum"] / m["cnt"]
         else:
             val = m[col].astype(np.float64)
@@ -149,15 +170,33 @@ def resample(
     fill: bool = False,
     tags: list[str] | None = None,
     include_bad: bool = True,
+    exact_decimals: int | None = None,
     spec: SeriesSpec = EVENTS_SPEC,
 ) -> ray.data.Dataset:
+    """``exact_decimals``: treat values as fixed-point with that many decimal
+    places and accumulate avg sums as exact integers — deterministic under
+    any shuffle/summation order (float sums can flip a 4-decimal rounding
+    boundary depending on order)."""
     if agg not in AGG_METHODS:
         raise ValueError(f"agg must be one of {AGG_METHODS}")
     start_us, end_us = ts_to_us(start), ts_to_us(end)
     ival = interval_us(rate, unit)
     ds = read_events(source, spec) if isinstance(source, str) else source
     ds = normalize(ds, spec, start_us=start_us, end_us=end_us, tags=tags, include_bad=include_bad)
-    partials = ds.map_batches(partial_window_aggregates(start_us, ival), batch_format="pyarrow")
+    if agg == "avg":
+        # reference applies SELECT DISTINCT to the raw slice whenever the
+        # aggregate is avg (``_time_series_query_builder.py:92-93``) so
+        # duplicated samples don't bias the mean
+        from .common import bucketed_distinct
+
+        keys = [TS.TAG, TS.TS_US, TS.STATUS, TS.VALUE]
+        ds = bucketed_distinct(ds, keys, keys)
+    scale = 10 ** exact_decimals if exact_decimals is not None else None
+    partials = ds.map_batches(
+        partial_window_aggregates(start_us, ival, scale), batch_format="pyarrow"
+    )
     from .common import grouped_map
 
-    return grouped_map(partials, [TS.TAG], _finalize(agg, start_us, end_us, ival, fill))
+    return grouped_map(
+        partials, [TS.TAG], _finalize(agg, start_us, end_us, ival, fill, scale)
+    )

@@ -54,6 +54,13 @@ def _normalize_cdc(batch: pa.Table) -> pa.Table:
     ct = pc.if_else(pc.is_in(ct, value_set=pa.array(["insert", "update"])), "upsert", ct)
     i = batch.column_names.index("ChangeType")
     batch = batch.set_column(i, "ChangeType", ct)
+    # normalize ValueType HERE so the shuffle key equals the physical path
+    # key — an unknown vtype coerced inside the merge task would let two
+    # groups (unknown + 'string') race on the same string/dt=<date> file
+    vt = batch["ValueType"]
+    vt = pc.if_else(pc.is_in(vt, value_set=pa.array(sorted(VTYPES))), vt, "string")
+    i = batch.column_names.index("ValueType")
+    batch = batch.set_column(i, "ValueType", vt)
     date = pc.strftime(pc.cast(batch["EventTime"], pa.timestamp("us")), "%Y-%m-%d")
     return batch.append_column("EventDate", date)
 
@@ -89,10 +96,16 @@ class PCDMMergeSink:
 
         def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
             vtype, date = g["ValueType"].iloc[0], g["EventDate"].iloc[0]
-            if vtype not in VTYPES:
-                vtype = "string"
-            # dedup (TagName, EventTime, ChangeType): LAST occurrence wins
-            g = g.drop_duplicates(["TagName", "EventTime", "ChangeType"], keep="last")
+            # dedup (TagName, EventTime, ChangeType): deterministic winner.
+            # Ray does not preserve row order across the blocks feeding this
+            # shuffle, so "last occurrence" is ill-defined — sort by the full
+            # row first so the surviving duplicate is the same at any
+            # parallelism (exact-duplicate rows are interchangeable anyway;
+            # sources that need arrival order must carry a sequence column).
+            g = g.sort_values(
+                ["TagName", "EventTime", "ChangeType", "Value"],
+                kind="mergesort", key=lambda c: c.astype(str) if c.name == "Value" else c,
+            ).drop_duplicates(["TagName", "EventTime", "ChangeType"], keep="last")
             # within equal (TagName, EventTime): a delete and an upsert in the
             # same batch -> apply upserts then deletes (delete wins), matching
             # a sequential merge of distinct ChangeType rows

@@ -472,8 +472,16 @@ class StreamingJob:
 
             t0 = _time.monotonic()
             maxes = ray.get([a.epoch_max_ts.remote(e) for a in actors])
-            seen_maxes = [m for m in maxes if m >= 0]
-            wm = (min(seen_maxes) if seen_maxes else -1) - cfg.lateness_s * 1_000_000
+            # Watermark = min over ALL partitions. A partition that has never
+            # received data holds the watermark at -inf (no windows close)
+            # rather than being skipped — skipping would let its eventual
+            # older rows be classified late. Conservative-only: emission is
+            # delayed until every partition has been reached (with key-hash
+            # routing that is the first epoch), never incorrect.
+            if all(m >= 0 for m in maxes):
+                wm = min(maxes) - cfg.lateness_s * 1_000_000
+            else:
+                wm = -(1 << 62)
             results = ray.get([a.end_epoch.remote(e, wm) for a in actors])
             t_barrier = _time.monotonic() - t0
             t0 = _time.monotonic()

@@ -7,7 +7,12 @@ One actor owns ``hash(row_key) % num_partitions`` of the key space and holds
   seen-key register so each (TagName, EventTime) is emitted exactly once
   across epochs and retried tasks; keys older than the watermark minus
   allowed lateness are evicted, so state is bounded by the lateness horizon,
-  not the stream length;
+  not the stream length.  BOUNDED-DEDUP CONTRACT: the exactly-once guarantee
+  is exactly-once-within-lateness — a duplicate redelivered with an event
+  time older than (watermark - lateness) arrives after its register was
+  evicted and WILL re-emit.  Retries/replays always land inside the horizon
+  (they replay the current epoch), so the bound only matters for sources
+  that re-send arbitrarily old rows; widen ``lateness_s`` for those;
 - **latest-value registers per source** (reference
   ``pcdm_latest_to_delta.py:177-240``): the (EventTime, Status, Value)-max row
   and the Good-row variant, maintained monotonically — merge across actors is
