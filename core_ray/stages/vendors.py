@@ -1,0 +1,309 @@
+"""Per-vendor JSON → PCDM preset transformers.
+
+Each function mirrors one reference transformer's field semantics (cited per
+function) as a Ray Data ``map_batches`` stage over a string payload column,
+emitting the 6-column PCDM CDC shape (TagName, EventTime, Status,
+Value:string, ValueType, ChangeType).
+
+Parsing is per-message Python (each message is one independent JSON document
+— the same grain the reference's ``from_json`` works at); all downstream
+stages stay vectorized Arrow.  For very large messages, run these as an
+actor-pool stage (``concurrency=N``) so JSON buffers are reused per actor.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+PCDM_COLS = ["TagName", "EventTime", "Status", "Value", "ValueType", "ChangeType"]
+
+
+def _to_utc_naive_us(val) -> np.datetime64 | None:
+    """Parse ISO strings (with or without offset) / epoch numbers to UTC-naive us."""
+    if val is None:
+        return None
+    if isinstance(val, (int, float)):
+        v = float(val)
+        if v > 1e12:  # ms epoch
+            return np.datetime64(int(v * 1000), "us")
+        return np.datetime64(int(v * 1_000_000), "us")
+    s = str(val).replace("Z", "+00:00")
+    try:
+        dt = datetime.fromisoformat(s)
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return np.datetime64(dt, "us")
+
+
+def _float_value_type(v) -> str:
+    """Spark's ``cast('float') IS NOT NULL`` heuristic: float-castable ->
+    'float' else 'string' (OPC-UA/Fledge/AIO rule)."""
+    try:
+        float(v)
+        return "float"
+    except (TypeError, ValueError):
+        return "string"
+
+
+def _pcdm_table(rows: list[tuple]) -> pa.Table:
+    cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
+    times = [t if t is not None else None for t in cols[1]]
+    return pa.table(
+        {
+            "TagName": pa.array(cols[0], pa.string()),
+            "EventTime": pa.array(times, pa.timestamp("us")),
+            "Status": pa.array(cols[2], pa.string()),
+            "Value": pa.array([None if v is None else str(v) for v in cols[3]], pa.string()),
+            "ValueType": pa.array(cols[4], pa.string()),
+            "ChangeType": pa.array(cols[5], pa.string()),
+        }
+    )
+
+
+def _vendor_stage(parse_message, source_column: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        rows: list[tuple] = []
+        for body in batch[source_column].to_pylist():
+            if body is None:
+                continue
+            rows.extend(parse_message(body))
+        return _pcdm_table(rows)
+
+    return fn
+
+
+# --- Fledge (reference fledge_opcua_json_to_pcdm.py) -----------------------
+
+
+def fledge_opcua_to_pcdm(
+    ds: ray.data.Dataset,
+    source_column: str = "body",
+    status_null_value: str = "Good",
+    change_type: str = "insert",
+) -> ray.data.Dataset:
+    """Fledge south-service JSON: array of {asset, readings{tag: value},
+    timestamp} — one PCDM row per reading key; ValueType by float-castability."""
+
+    def parse(body: str):
+        out = []
+        for msg in json.loads(body):
+            t = _to_utc_naive_us(msg.get("timestamp"))
+            for tag, val in (msg.get("readings") or {}).items():
+                out.append(
+                    (tag, t, status_null_value, val, _float_value_type(val), change_type)
+                )
+        return out
+
+    return ds.map_batches(_vendor_stage(parse, source_column), batch_format="pyarrow")
+
+
+# --- OPC Publisher OPC-UA (reference opc_publisher_opcua_json_to_pcdm.py) --
+
+
+def opc_publisher_opcua_to_pcdm(
+    ds: ray.data.Dataset,
+    source_column: str = "body",
+    multiple_rows_per_message: bool = True,
+    tagname_field: str = "DisplayName",
+    status_null_value: str = "Good",
+    change_type: str = "insert",
+    filter_fn=None,
+) -> ray.data.Dataset:
+    """Azure OPC Publisher telemetry: [{NodeId, DisplayName, Value:{Value,
+    SourceTimestamp, StatusCode:{Symbol}}}] — Status from StatusCode.Symbol
+    when present, else the configured null value."""
+
+    def parse(body: str):
+        msgs = json.loads(body)
+        if not multiple_rows_per_message:
+            msgs = [msgs]
+        out = []
+        for m in msgs:
+            if filter_fn is not None and not filter_fn(m):
+                continue
+            v = m.get("Value") or {}
+            symbol = ((v.get("StatusCode") or {}).get("Symbol"))
+            out.append(
+                (
+                    m.get(tagname_field),
+                    _to_utc_naive_us(v.get("SourceTimestamp")),
+                    symbol if symbol is not None else status_null_value,
+                    v.get("Value"),
+                    _float_value_type(v.get("Value")),
+                    change_type,
+                )
+            )
+        return out
+
+    return ds.map_batches(_vendor_stage(parse, source_column), batch_format="pyarrow")
+
+
+# --- EdgeX (reference edgex_opcua_json_to_pcdm.py) -------------------------
+
+_EDGEX_VTYPES = {
+    **{t: "integer" for t in ("Int8", "Int16", "Int32", "Int64",
+                               "Uint8", "Uint16", "Uint32", "Uint64")},
+    "Float32": "float",
+    "Float64": "float",
+    "Bool": "bool",
+}
+
+
+def edgex_to_pcdm(
+    ds: ray.data.Dataset,
+    source_column: str = "body",
+    tagname_field: str = "resourceName",
+    status_null_value: str = "Good",
+    change_type: str = "insert",
+) -> ray.data.Dataset:
+    """EdgeX events: {readings: [{resourceName, origin(ns epoch), value,
+    valueType}]} — EventTime = origin/1e9; vendor valueType mapped onto PCDM
+    integer/float/bool/string."""
+
+    def parse(body: str):
+        msg = json.loads(body)
+        out = []
+        for r in msg.get("readings") or []:
+            origin = r.get("origin")
+            t = (
+                np.datetime64(int(origin / 1000), "us")  # ns -> us
+                if origin is not None
+                else None
+            )
+            out.append(
+                (
+                    r.get(tagname_field),
+                    t,
+                    status_null_value,
+                    r.get("value"),
+                    _EDGEX_VTYPES.get(r.get("valueType"), "string"),
+                    change_type,
+                )
+            )
+        return out
+
+    return ds.map_batches(_vendor_stage(parse, source_column), batch_format="pyarrow")
+
+
+# --- AIO (reference aio_json_to_pcdm.py) -----------------------------------
+
+
+def aio_to_pcdm(
+    ds: ray.data.Dataset,
+    source_column: str = "body",
+    status_null_value: str = "Good",
+    change_type: str = "insert",
+) -> ray.data.Dataset:
+    """Azure IoT Operations: outer JSON carries a nested ``Payload`` JSON
+    mapping tag -> {SourceTimestamp, Value}; one PCDM row per tag."""
+
+    def parse(body: str):
+        outer = json.loads(body)
+        payload = outer.get("Payload")
+        if isinstance(payload, str):
+            payload = json.loads(payload)
+        out = []
+        for tag, entry in (payload or {}).items():
+            out.append(
+                (
+                    tag,
+                    _to_utc_naive_us((entry or {}).get("SourceTimestamp")),
+                    status_null_value,
+                    (entry or {}).get("Value"),
+                    _float_value_type((entry or {}).get("Value")),
+                    change_type,
+                )
+            )
+        return out
+
+    return ds.map_batches(_vendor_stage(parse, source_column), batch_format="pyarrow")
+
+
+# --- SEM (reference sem_json_to_pcdm.py) -----------------------------------
+
+
+def sem_to_pcdm(
+    ds: ray.data.Dataset,
+    field_mappings: dict[int, dict[str, str]],
+    source_column: str = "body",
+    status_null_value: str = "Good",
+    change_type: str = "insert",
+) -> ray.data.Dataset:
+    """SEM OBC messages: readings melt to {dID, d: "[v0,v1,...]", t:
+    "<epoch-digits>"}; the epoch string is split after 10 digits into seconds
+    (reference regexp ``(\\d{10})(\\d+)`` -> ``$1.$2``), ``d`` posexplodes and
+    each position maps through the configured OBC field mapping to
+    (TagName suffix, ValueType); TagName = "{dID}:{suffix}"."""
+
+    def parse(body: str):
+        msg = json.loads(body)
+        readings = msg.get("readings") or {}
+        names = readings.get("resourceName") or []
+        values = readings.get("value") or []
+        rec = dict(zip(names, values))
+        d_id, d, t = rec.get("dID"), rec.get("d"), rec.get("t")
+        ts = None
+        if t is not None:
+            digits = str(t)
+            ts = _to_utc_naive_us(float(digits[:10] + "." + digits[10:]))
+        out = []
+        if not d:
+            return out
+        parts = str(d)[1:-1].split(",")  # strip [ ] then posexplode
+        for pos, val in enumerate(parts):
+            m = field_mappings.get(pos)
+            if m is None:
+                continue
+            out.append(
+                (
+                    f"{d_id}:{m['TagName']}",
+                    ts,
+                    status_null_value,
+                    val,
+                    m["ValueType"],
+                    change_type,
+                )
+            )
+        return out
+
+    return ds.map_batches(_vendor_stage(parse, source_column), batch_format="pyarrow")
+
+
+# --- Honeywell APM (reference honeywell_apm_to_pcdm.py) --------------------
+
+
+def honeywell_apm_to_pcdm(
+    ds: ray.data.Dataset,
+    source_column: str = "body",
+    status_null_value: str = "Good",
+    change_type: str = "insert",
+) -> ray.data.Dataset:
+    """Honeywell APM: {SystemTimeSeries: {Samples: [{ItemName, Time, Value}]}}
+    — one PCDM row per sample, ValueType by float-castability."""
+
+    def parse(body: str):
+        msg = json.loads(body)
+        data = ((msg.get("SystemTimeSeries") or {}).get("Samples")) or []
+        out = []
+        for item in data:
+            out.append(
+                (
+                    item.get("ItemName"),
+                    _to_utc_naive_us(item.get("Time")),
+                    status_null_value,
+                    item.get("Value"),
+                    _float_value_type(item.get("Value")),
+                    change_type,
+                )
+            )
+        return out
+
+    return ds.map_batches(_vendor_stage(parse, source_column), batch_format="pyarrow")

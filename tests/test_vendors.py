@@ -1,0 +1,128 @@
+"""Per-vendor JSON -> PCDM preset transformers, mirroring the reference's
+vendor fixture tests (tests/.../transformers/spark/test_*_json_to_pcdm.py):
+one small payload per vendor, asserted row by row."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def _ds(payload: str) -> ray.data.Dataset:
+    return ray.data.from_items([{"body": payload}])
+
+
+PCDM_COLS = ["TagName", "EventTime", "Status", "Value", "ValueType", "ChangeType"]
+
+
+def test_fledge_to_pcdm():
+    from core_ray.stages.vendors import fledge_opcua_to_pcdm
+
+    body = (
+        '[{"asset":"a1","readings":{"tagA":-0.913545458},'
+        '"timestamp":"2024-05-03 08:45:42.509118+00:00"},'
+        '{"asset":"a2","readings":{"tagB":"textval"},'
+        '"timestamp":"2024-05-04 08:45:42.509118+00:00"}]'
+    )
+    df = fledge_opcua_to_pcdm(_ds(body)).to_pandas().sort_values("TagName")
+    assert list(df.columns) == PCDM_COLS
+    assert df["TagName"].tolist() == ["tagA", "tagB"]
+    assert df["Value"].tolist() == ["-0.913545458", "textval"]
+    assert df["ValueType"].tolist() == ["float", "string"]
+    assert df["ChangeType"].unique().tolist() == ["insert"]
+    assert df["EventTime"].iloc[0] == pd.Timestamp("2024-05-03 08:45:42.509118")
+
+
+def test_opc_publisher_to_pcdm():
+    from core_ray.stages.vendors import opc_publisher_opcua_to_pcdm
+
+    body = (
+        '[{"NodeId":"ns=2;s=T1","DisplayName":"T1",'
+        '"Value":{"Value":1.0,"SourceTimestamp":"2024-04-19T16:41:55.002Z"}},'
+        '{"NodeId":"ns=2;s=T2","DisplayName":"T2",'
+        '"Value":{"Value":2.0,"StatusCode":{"Symbol":"BadCommunicationError","Code":3},'
+        '"SourceTimestamp":"2024-04-19T16:41:55.056Z"}}]'
+    )
+    df = opc_publisher_opcua_to_pcdm(_ds(body)).to_pandas().sort_values("TagName")
+    assert df["TagName"].tolist() == ["T1", "T2"]
+    assert df["Status"].tolist() == ["Good", "BadCommunicationError"]
+    assert df["ValueType"].unique().tolist() == ["float"]
+    assert df["EventTime"].iloc[1] == pd.Timestamp("2024-04-19 16:41:55.056000")
+
+
+def test_edgex_to_pcdm():
+    from core_ray.stages.vendors import edgex_to_pcdm
+
+    body = (
+        '{"apiVersion":"v2","readings":['
+        '{"resourceName":"temp","origin":1700000000000000000,'
+        '"valueType":"Float32","value":"21.5"},'
+        '{"resourceName":"count","origin":1700000001000000000,'
+        '"valueType":"Int64","value":"3"},'
+        '{"resourceName":"ok","origin":1700000002000000000,'
+        '"valueType":"Bool","value":"true"}]}'
+    )
+    df = edgex_to_pcdm(_ds(body)).to_pandas().sort_values("TagName")
+    assert df["TagName"].tolist() == ["count", "ok", "temp"]
+    assert df["ValueType"].tolist() == ["integer", "bool", "float"]
+    assert df["EventTime"].tolist()[2] == pd.Timestamp(1700000000000000000 // 1000, unit="us")
+
+
+def test_aio_to_pcdm():
+    from core_ray.stages.vendors import aio_to_pcdm
+
+    inner = (
+        '{"tag1":{"SourceTimestamp":"2024-02-01T00:00:01Z","Value":42},'
+        '"tag2":{"SourceTimestamp":"2024-02-01T00:00:02Z","Value":"hello"}}'
+    )
+    body = '{"Payload": ' + inner + "}"
+    df = aio_to_pcdm(_ds(body)).to_pandas().sort_values("TagName")
+    assert df["TagName"].tolist() == ["tag1", "tag2"]
+    assert df["ValueType"].tolist() == ["float", "string"]
+    assert df["Value"].tolist() == ["42", "hello"]
+
+
+def test_sem_to_pcdm():
+    from core_ray.stages.vendors import sem_to_pcdm
+
+    mappings = {
+        0: {"TagName": "VOLT", "ValueType": "float"},
+        1: {"TagName": "AMP", "ValueType": "float"},
+    }
+    body = (
+        '{"readings":{"resourceName":["dID","d","t"],'
+        '"value":["dev7","[230.1,4.5]","1700000000123456"]}}'
+    )
+    df = sem_to_pcdm(_ds(body), mappings).to_pandas().sort_values("TagName")
+    assert df["TagName"].tolist() == ["dev7:AMP", "dev7:VOLT"]
+    assert df["Value"].tolist() == ["4.5", "230.1"]
+    assert df["ValueType"].unique().tolist() == ["float"]
+    # epoch digits split after 10 chars: 1700000000.123456 s
+    assert df["EventTime"].iloc[0] == pd.Timestamp(1700000000123456, unit="us")
+
+
+def test_honeywell_apm_to_pcdm():
+    from core_ray.stages.vendors import honeywell_apm_to_pcdm
+
+    body = (
+        '{"SystemTimeSeries":{"Id":"x","Samples":['
+        '{"ItemName":"it1","Time":"2024-07-31T06:53:00+00:00","Value":"5.0"},'
+        '{"ItemName":"it2","Time":"2024-07-31T06:53:00.205+00:00","Value":"strv"}]}}'
+    )
+    df = honeywell_apm_to_pcdm(_ds(body)).to_pandas().sort_values("TagName")
+    assert df["TagName"].tolist() == ["it1", "it2"]
+    assert df["ValueType"].tolist() == ["float", "string"]
+
+
+def test_vendor_pcdm_feeds_merge_sink(tmp_path):
+    """Vendor output plugs straight into the PCDM merge sink."""
+    from core_ray.stages.vendors import fledge_opcua_to_pcdm
+    from core_ray.state.pcdm_merge import PCDMMergeSink
+
+    body = (
+        '[{"asset":"a","readings":{"t1":1.5,"t2":"x"},'
+        '"timestamp":"2024-05-03 08:45:42+00:00"}]'
+    )
+    pcdm = fledge_opcua_to_pcdm(_ds(body))
+    sink = PCDMMergeSink(str(tmp_path / "pcdm"))
+    stats = sink.apply(pcdm)
+    assert stats["upserts"] == 2
