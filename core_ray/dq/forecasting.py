@@ -108,6 +108,87 @@ def arima_forecast(ds: ray.data.Dataset, horizon: int = 5) -> ray.data.Dataset:
     return grouped_map(ds, [TS.TAG], per_tag)
 
 
+def arima_auto_forecast(
+    ds: ray.data.Dataset,
+    horizon: int = 5,
+    max_p: int = 3,
+    max_q: int = 2,
+    seasonal: bool = False,
+) -> ray.data.Dataset:
+    """Auto-order ARIMA per tag (reference ``forecasting/spark/auto_arima.py:23``:
+    try (p, q) combinations, keep the minimal-AIC model).
+
+    With statsmodels present the (p, d<=1, q) grid is fit exactly; otherwise
+    the deterministic fallback searches AR(p) least-squares fits for p in
+    0..max_p and scores them with AIC = n*ln(rss/n) + 2(p+1) — a real order
+    search, not a fixed order."""
+
+    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
+        v = g[TS.VALUE].to_numpy().astype(np.float64)
+        ts = g[TS.TS_US].to_numpy()
+        if len(v) < max_p + 3:
+            return pd.DataFrame(columns=["TagName", "EventTime", "Value", "order"])
+        step = int(np.median(np.diff(ts)))
+        best = None
+        try:
+            from statsmodels.tsa.arima.model import ARIMA
+
+            for p in range(max_p + 1):
+                for d in (0, 1):
+                    for q in range(max_q + 1):
+                        if p == 0 and q == 0:
+                            continue
+                        try:
+                            fit = ARIMA(v, order=(p, d, q)).fit()
+                            if best is None or fit.aic < best[0]:
+                                best = (fit.aic, (p, d, q), np.asarray(fit.forecast(horizon)))
+                        except Exception:
+                            continue
+        except ImportError:
+            for p in range(max_p + 1):
+                n = len(v) - p
+                if p == 0:
+                    resid = v - v.mean()
+                    coefs = np.array([v.mean()])
+                else:
+                    X = np.column_stack(
+                        [np.ones(n)] + [v[p - i - 1 : len(v) - i - 1] for i in range(p)]
+                    )
+                    y = v[p:]
+                    coefs, *_ = np.linalg.lstsq(X, y, rcond=None)
+                    resid = y - X @ coefs
+                rss = float(resid @ resid)
+                aic = n * np.log(max(rss / n, 1e-300)) + 2 * (p + 1)
+                if best is None or aic < best[0]:
+                    # recursive forecast with the fitted AR(p)
+                    hist = list(v)
+                    preds = []
+                    for _ in range(horizon):
+                        if p == 0:
+                            nxt = coefs[0]
+                        else:
+                            lags = np.array(hist[-p:][::-1])
+                            nxt = coefs[0] + float(lags @ coefs[1:])
+                        preds.append(nxt)
+                        hist.append(nxt)
+                    best = (aic, (p, 0, 0), np.array(preds))
+        aic, order, preds = best
+        fut_ts = ts[-1] + step * np.arange(1, horizon + 1)
+        return pd.DataFrame(
+            {
+                "TagName": g[TS.TAG].iloc[0],
+                "EventTime": fut_ts.astype(np.int64).astype("datetime64[us]"),
+                "Value": round4(preds),
+                "order": [f"{order[0]},{order[1]},{order[2]}"] * horizon,
+            }
+        )
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], per_tag)
+
+
 def data_binning(ds: ray.data.Dataset, n_bins: int = 4, iters: int = 10) -> ray.data.Dataset:
     """Assign each row a k-means bin of its Value per tag (seeded, 1-D)."""
 

@@ -133,3 +133,23 @@ def run_batch(queries: dict[str, Any], max_workers: int = 4) -> dict[str, Any]:
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         futures = {name: pool.submit(fn) for name, fn in queries.items()}
         return {name: f.result() for name, f in futures.items()}
+
+
+def lookup_before_get(query_fn, tag_table_mapping: dict[str, list[str]], **params):
+    """Lookup-table fan-out (reference ``api/v1/common.py:264``): a mapping
+    endpoint assigns each requested tag to its owning table; the same query
+    runs once per table with that table's tag subset and the results are
+    unioned.  The per-table queries are lazy Datasets, so one Ray execution
+    runs them concurrently — the ``threadpool_max_workers`` knob of the
+    reference becomes ordinary Ray parallelism."""
+    parts = [
+        query_fn(source=table, tags=sorted(tags), **params)
+        for table, tags in sorted(tag_table_mapping.items())
+        if tags
+    ]
+    if not parts:
+        raise ValueError("tag_table_mapping resolved to no tables")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -47,6 +47,137 @@ class BaseISOSource(SourceComponent):
         return ray.data.from_pandas(self._get_data())
 
 
+class CAISODailyLoadISOSource(BaseISOSource):
+    """CAISO SLD_FCST daily load (reference ``caiso_daily_load_iso.py:27``):
+    GMT interval columns parsed to naive datetimes, OASIS column names mapped
+    to the model, rows filtered to the requested load types."""
+
+    required_columns = ["StartTime", "EndTime", "LoadType", "Load"]
+    _RENAMES = {
+        "INTERVALSTARTTIME_GMT": "StartTime",
+        "INTERVALENDTIME_GMT": "EndTime",
+        "LOAD_TYPE": "LoadType",
+        "OPR_DT": "OprDt",
+        "OPR_HR": "OprHr",
+        "OPR_INTERVAL": "OprInterval",
+        "MARKET_RUN_ID": "MarketRunId",
+        "TAC_AREA_NAME": "TacAreaName",
+        "LABEL": "Label",
+        "XML_DATA_ITEM": "XmlDataItem",
+        "POS": "Pos",
+        "MW": "Load",
+        "EXECUTION_TYPE": "ExecutionType",
+        "GROUP": "Group",
+    }
+
+    def __init__(self, payload: bytes, load_types: list[str] | None = None):
+        self.payload = payload
+        self.load_types = load_types or ["Demand Forecast 7-Day Ahead"]
+
+    def _fetch(self) -> bytes:
+        return self.payload
+
+    def _prepare_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("INTERVALSTARTTIME_GMT", "INTERVALENDTIME_GMT"):
+            df[c] = pd.to_datetime(df[c].astype(str).str.slice(0, 19))
+        return df.rename(columns=self._RENAMES)
+
+    def _sanitize_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["Label"].isin(self.load_types)]
+        return super()._sanitize_data(df)
+
+
+class MISODailyLoadISOSource(BaseISOSource):
+    """MISO daily MTLF (reference ``miso_daily_load_iso.py``): drops repeated
+    header/NaN rows, derives date_time from Market Day + HourEnding-1, casts
+    the remaining columns to float."""
+
+    required_columns = ["date_time"]
+
+    def __init__(self, payload: bytes):
+        self.payload = payload
+
+    def _fetch(self) -> bytes:
+        return self.payload
+
+    def _prepare_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(
+            df.index[(df["HourEnding"] == "HourEnding") | df["MISO MTLF (MWh)"].isna()]
+        )
+        df = df.rename(columns={"Market Day": "date"})
+        df["date_time"] = pd.to_datetime(df["date"]) + pd.to_timedelta(
+            df["HourEnding"].astype(int) - 1, "h"
+        )
+        df = df.drop(["HourEnding", "date"], axis=1)
+        data_cols = df.columns[df.columns != "date_time"]
+        df[data_cols] = df[data_cols].astype(float)
+        return df.reset_index(drop=True)
+
+
+class ERCOTDailyLoadISOSource(BaseISOSource):
+    """ERCOT daily load (reference ``ercot_daily_load_iso.py``): zone columns
+    renamed to model names; Date parsed from OperDay/DeliveryDate depending on
+    actual vs forecast."""
+
+    required_columns = ["Date"]
+    _ACTUAL_RENAMES = {
+        "COAST": "Coast", "EAST": "East", "FAR_WEST": "FarWest", "NORTH": "North",
+        "NORTH_C": "NorthCentral", "SOUTH_C": "SouthCentral", "SOUTHERN": "Southern",
+        "WEST": "West", "TOTAL": "SystemTotal", "DSTFlag": "DstFlag",
+    }
+
+    def __init__(self, payload: bytes, load_type: str = "actual"):
+        self.payload = payload
+        self.load_type = load_type
+
+    def _fetch(self) -> bytes:
+        return self.payload
+
+    def _prepare_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.load_type == "actual":
+            df["Date"] = pd.to_datetime(df["OperDay"], format="%m/%d/%Y")
+            df = df.rename(columns=self._ACTUAL_RENAMES)
+        else:
+            df = df.rename(columns={"DSTFlag": "DstFlag"})
+            df["Date"] = pd.to_datetime(df["DeliveryDate"], format="%m/%d/%Y")
+        return df
+
+
+class PJMDailyLoadISOSource(BaseISOSource):
+    """PJM daily load (reference ``pjm_daily_load_iso.py:27``): forecast vs
+    actual column sets mapped onto (start_time, end_time, zone, load)."""
+
+    required_columns = ["start_time", "zone", "load"]
+
+    def __init__(self, payload: bytes, load_type: str = "forecast"):
+        self.payload = payload
+        self.load_type = load_type
+
+    def _fetch(self) -> bytes:
+        return self.payload
+
+    def _prepare_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.load_type == "forecast":
+            renames = {
+                "forecast_datetime_beginning_utc": "start_time",
+                "forecast_area": "zone",
+                "forecast_datetime_ending_utc": "end_time",
+                "forecast_load_mw": "load",
+            }
+        else:
+            renames = {
+                "datetime_beginning_utc": "start_time",
+                "area": "zone",
+                "datetime_ending_utc": "end_time",
+                "actual_load": "load",
+            }
+        df = df.rename(columns=renames)
+        for c in ("start_time", "end_time"):
+            if c in df.columns:
+                df[c] = pd.to_datetime(df[c])
+        return df
+
+
 class FixtureISOSource(BaseISOSource):
     """Deterministic ISO source over a CSV fixture (file path or bytes)."""
 
