@@ -255,13 +255,13 @@ def minhash_pairs(
         batch_size=2048,
         concurrency=concurrency or pool_size(),
     )
-    from ..ops.common import bucketed_distinct, grouped_map
+    from ..ops.common import bucketed_distinct, collision_grouped_map
 
     if not exact_verify:
-        pairs = grouped_map(bands, ["band", "band_hash"], _bucket_pairs(threshold))
+        pairs = collision_grouped_map(bands, ["band", "band_hash"], _bucket_pairs(threshold))
         return bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b", "est_jaccard"])
 
-    pairs = grouped_map(bands, ["band", "band_hash"], _bucket_pairs(None))
+    pairs = collision_grouped_map(bands, ["band", "band_hash"], _bucket_pairs(None))
     cand = bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b"]).to_pandas()
     ids = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
     idset = pa.array(ids, pa.int64())
@@ -371,9 +371,9 @@ def simhash_pairs(
             {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
         )
 
-    from ..ops.common import bucketed_distinct, grouped_map
+    from ..ops.common import bucketed_distinct, collision_grouped_map
 
-    pairs = grouped_map(exploded, ["band", "key"], bucket)
+    pairs = collision_grouped_map(exploded, ["band", "key"], bucket)
     return bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b", "hamming"])
 
 

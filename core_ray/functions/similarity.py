@@ -156,7 +156,7 @@ def cosine_dup_pairs(
     is >0.99."""
     import pandas as pd
 
-    from ..ops.common import bucketed_distinct, grouped_map
+    from ..ops.common import bucketed_distinct, collision_grouped_map
 
     rng = np.random.default_rng(seed)
     ds = _read_emb(source)
@@ -223,5 +223,5 @@ def cosine_dup_pairs(
             {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
         )
 
-    pairs = grouped_map(exploded, ["band", "key"], bucket)
+    pairs = collision_grouped_map(exploded, ["band", "key"], bucket)
     return bucketed_distinct(pairs, ["vec_a", "vec_b"], ["vec_a", "vec_b", "cosine"])

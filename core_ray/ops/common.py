@@ -221,6 +221,36 @@ def grouped_map(
     )
 
 
+def collision_grouped_map(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    fn,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """``grouped_map`` for candidate-pair generation: inside each bucket,
+    key groups of size 1 are dropped VECTORIZED before the per-group Python
+    loop.  In LSH-style workloads almost every (band, hash) key is a
+    singleton — invoking ``fn`` per singleton costs ~0.4 ms each (measured
+    30s for 79k singleton groups), while collisions are rare."""
+
+    keys = key_cols if len(key_cols) > 1 else key_cols[0]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"])
+        g = g[g.duplicated(key_cols, keep=False)]
+        outs = [fn(sub) for _, sub in g.groupby(keys, sort=True)]
+        kept = [o for o in outs if o is not None and len(o)]
+        if kept:
+            return pd.concat(kept, ignore_index=True)
+        return fn(g.iloc[0:0])  # typed empty frame from the fn itself
+
+    return (
+        ds.map_batches(_arrow_add_bucket(key_cols, num_buckets), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def _arrow_add_bucket(key_cols: list[str], num_buckets: int):
     """Bucket-id stage that keeps payload columns zero-copy Arrow: only the
     KEY columns are converted for hashing; the batch itself never round-trips
