@@ -1,0 +1,29 @@
+
+
+def test_arima_auto_order_search(events_like_ds=None):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from core_ray.dq.forecasting import arima_auto_forecast
+    from core_ray.ops.common import TS
+
+    # AR(2)-ish series: the order search should pick p>=1 over p=0
+    rng = np.random.default_rng(3)
+    n = 120
+    v = np.zeros(n)
+    for i in range(2, n):
+        v[i] = 0.6 * v[i - 1] - 0.3 * v[i - 2] + rng.normal(0, 0.1)
+    df = pd.DataFrame(
+        {
+            TS.TAG: "a",
+            TS.TS_US: np.arange(n) * 1_000_000,
+            TS.STATUS: "Good",
+            TS.VALUE: v + 10.0,
+        }
+    )
+    out = arima_auto_forecast(ray.data.from_pandas(df), horizon=4).to_pandas()
+    assert len(out) == 4
+    order = out["order"].iloc[0]
+    assert order.split(",")[0] != "0"  # searched past the trivial order
+    assert out["Value"].notna().all()
