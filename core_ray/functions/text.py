@@ -101,29 +101,47 @@ class LangIdStage:
     batches), scoring per batch."""
 
     def __init__(self):
-        import re
-
-        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
-        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.langs = sorted(_STOPWORDS)
+        self.tables = [
+            pa.array(sorted(_STOPWORDS[lang]), pa.string()) for lang in self.langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs = []
-        for text in batch["text"].to_pylist():
-            # CJK detection by codepoint range
-            cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
-            if cjk > len(text[:400]) * 0.05:
-                langs.append("zh")
-                continue
-            words = self.word_re.findall(text.lower())
-            if not words:
-                langs.append("und")
-                continue
-            scores = {
-                lang: sum(1 for w in words if w in tbl) for lang, tbl in self.tables.items()
-            }
-            best = max(sorted(scores), key=lambda k: scores[k])
-            langs.append(best if scores[best] > 0 else "und")
-        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(langs, pa.string())})
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {"doc_id": batch["doc_id"], "lang_pred": pa.array([], pa.string())}
+            )
+        texts = batch["text"].combine_chunks()
+        # CJK detection by codepoint ratio over the first 400 chars (Arrow)
+        head = pc.utf8_slice_codeunits(texts, 0, 400)
+        cjk = pc.count_substring_regex(head, "[一-鿿]").to_numpy(
+            zero_copy_only=False
+        )
+        head_len = pc.utf8_length(head).to_numpy(zero_copy_only=False)
+        is_zh = cjk > head_len * 0.05
+        # tokenize: strip non-letters, split — one Arrow pass for the batch
+        words = pc.utf8_split_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(texts), r"[\W\d_]+", " ")
+        )
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        # stopword membership per language: one is_in over the flat words,
+        # one bincount per language — no per-document Python
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, tbl in enumerate(self.tables):
+            hit = pc.is_in(flat, value_set=tbl).to_numpy(zero_copy_only=False)
+            hit &= nonempty
+            scores[:, j] = np.bincount(parent[hit], minlength=n)
+        best_j = scores.argmax(axis=1)  # ties -> first in sorted lang order
+        best_score = scores[np.arange(n), best_j]
+        lang_arr = np.asarray(self.langs, dtype=object)[best_j]
+        lang_arr = np.where(best_score > 0, lang_arr, "und")
+        lang_arr = np.where(is_zh, "zh", lang_arr)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang_pred": pa.array(lang_arr, pa.string())}
+        )
 
 
 def pool_size(cap: int = 8) -> int:

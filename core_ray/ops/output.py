@@ -22,14 +22,27 @@ def pivot(
     value per (EventTime, tag) like the reference's ``PIVOT (FIRST(Value))``.
     The tag list is known up front (reference requires it too)."""
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        row = {"EventTime": [g["EventTime"].iloc[0]]}
-        for t in tags:
-            sub = g[g["TagName"] == t]
-            row[t] = [sub[value_col].iloc[0] if len(sub) else None]
-        return pd.DataFrame(row)
+    from .common import _arrow_add_bucket
 
-    return grouped_map(ds, ["EventTime"], fn)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pivot_table per BUCKET of EventTimes — a per-group
+        # Python row builder pays ~0.4ms per timestamp at high cardinality
+        g = g.drop(columns=["_bucket"]).sort_values(
+            ["EventTime", "TagName", value_col], kind="mergesort"
+        )
+        w = g.pivot_table(
+            index="EventTime", columns="TagName", values=value_col, aggfunc="first"
+        ).reset_index()
+        for t in tags:
+            if t not in w.columns:
+                w[t] = None
+        return w[["EventTime"] + list(tags)]
+
+    return (
+        ds.map_batches(_arrow_add_bucket(["EventTime"], 64), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def unpivot(
