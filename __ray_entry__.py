@@ -250,6 +250,56 @@ def _q_emb_cosine_dups(sf):
     return cosine_dup_pairs(sf, threshold=0.45, n_planes=64, bands=32)
 
 
+VENDOR_FLEDGE_PAYLOAD = (
+    '[{"asset":"a1","readings":{"temp":21.5,"state":"running"},'
+    '"timestamp":"2024-05-03 08:45:42.509118+00:00"},'
+    '{"asset":"a2","readings":{"pressure":-0.913545458},'
+    '"timestamp":"2024-05-04 08:45:42+00:00"}]'
+)
+
+
+def _q_vendor_fledge_pcdm(sf):
+    import ray.data
+
+    from core_ray.stages.vendors import fledge_opcua_to_pcdm
+
+    # deterministic vendor payload -> PCDM rows (driver-gated via a VALUES
+    # oracle; the payload is the vendor-format fixture, not sf data)
+    return fledge_opcua_to_pcdm(ray.data.from_items([{"body": VENDOR_FLEDGE_PAYLOAD}]))
+
+
+def _ssip_file_bytes() -> bytes:
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    t = pa.table(
+        {
+            "TagName": pa.array(["PI.T1", "PI.T2"]),
+            "EventTime": pa.array(
+                [datetime(2024, 3, 1, 10, 0), datetime(2024, 3, 2, 11, 30)],
+                pa.timestamp("us"),
+            ),
+            "Status": pa.array(["Good", "Good"]),
+            "Value": pa.array([17, 23], pa.int32()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    return buf.getvalue()
+
+
+def _q_ssip_pi_binary_pcdm(sf):
+    import ray.data
+
+    from core_ray.stages.binary_sources import ssip_pi_binary_file_to_pcdm
+
+    rows = [{"path": "f1.parquet", "content": _ssip_file_bytes()}]
+    return ssip_pi_binary_file_to_pcdm(ray.data.from_items(rows))
+
+
 def _q_rel_pricing(sf):
     from core_ray.pipelines import pricing_summary
 
@@ -418,6 +468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_twa_step": _q_ts_twa_step,
         "ts_twa_meta": _q_ts_twa_meta,
         "ts_metadata": _q_ts_metadata,
+        "vendor_fledge_pcdm": _q_vendor_fledge_pcdm,
+        "ssip_pi_binary_pcdm": _q_ssip_pi_binary_pcdm,
         "ts_circular_avg": _q_ts_circular_avg,
         "ts_circular_std": _q_ts_circular_std,
         "doc_token_count": _q_doc_token_count,
@@ -810,6 +862,23 @@ FROM inter JOIN cnts na ON na.doc_id = inter.doc_a
            JOIN cnts nb ON nb.doc_id = inter.doc_b
 WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
 ORDER BY 1, 2
+"""
+
+_ORACLE["vendor_fledge_pcdm"] = """
+SELECT * FROM (VALUES
+  ('temp', TIMESTAMP '2024-05-03 08:45:42.509118', 'Good', '21.5', 'float', 'insert'),
+  ('state', TIMESTAMP '2024-05-03 08:45:42.509118', 'Good', 'running', 'string', 'insert'),
+  ('pressure', TIMESTAMP '2024-05-04 08:45:42', 'Good', '-0.913545458', 'float', 'insert')
+) v(TagName, EventTime, Status, Value, ValueType, ChangeType)
+ORDER BY TagName
+"""
+
+_ORACLE["ssip_pi_binary_pcdm"] = """
+SELECT * FROM (VALUES
+  (DATE '2024-03-01', 'PI.T1', TIMESTAMP '2024-03-01 10:00:00', 'Good', '17', 'integer', 'insert'),
+  (DATE '2024-03-02', 'PI.T2', TIMESTAMP '2024-03-02 11:30:00', 'Good', '23', 'integer', 'insert')
+) v(EventDate, TagName, EventTime, Status, Value, ValueType, ChangeType)
+ORDER BY TagName
 """
 
 _ORACLE["doc_token_count"] = """
