@@ -300,6 +300,45 @@ def _q_ssip_pi_binary_pcdm(sf):
     return ssip_pi_binary_file_to_pcdm(ray.data.from_items(rows))
 
 
+def _q_mm_decode_features(sf):
+    """Multimodal plumbing under the gate: a deterministic binary media table
+    -> frame sampling (every 2nd frame) -> actor-pool fake decode (hash-chain
+    features; real codecs are absent in-container, see stages/multimodal.py)
+    -> flattened feature columns. Oracle = precomputed goldens (the fake
+    decode is deterministic by design)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from core_ray.stages.multimodal import decode_binary_column, frame_sample
+
+    rows = [
+        {
+            "media_id": m,
+            "frame_idx": f,
+            "payload": bytes(f"media-{m}-frame-{f}", "ascii") * 8,
+        }
+        for m in (1, 2)
+        for f in (0, 1, 2, 3)
+    ]
+    ds = frame_sample(ray.data.from_items(rows), every_n=2)
+    ds = decode_binary_column(ds, feature_dim=4, concurrency=1, batch_size=4)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        feats = np.stack([np.asarray(v) for v in batch["features"].to_pylist()])
+        cols = {
+            "media_id": batch["media_id"],
+            "frame_idx": batch["frame_idx"],
+        }
+        for j in range(4):
+            cols[f"f{j}"] = pa.array(feats[:, j])
+        return pa.table(cols)
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
 def _q_rel_pricing(sf):
     from core_ray.pipelines import pricing_summary
 
@@ -470,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_metadata": _q_ts_metadata,
         "vendor_fledge_pcdm": _q_vendor_fledge_pcdm,
         "ssip_pi_binary_pcdm": _q_ssip_pi_binary_pcdm,
+        "mm_decode_features": _q_mm_decode_features,
         "ts_circular_avg": _q_ts_circular_avg,
         "ts_circular_std": _q_ts_circular_std,
         "doc_token_count": _q_doc_token_count,
@@ -879,6 +919,16 @@ SELECT * FROM (VALUES
   (DATE '2024-03-02', 'PI.T2', TIMESTAMP '2024-03-02 11:30:00', 'Good', '23', 'integer', 'insert')
 ) v(EventDate, TagName, EventTime, Status, Value, ValueType, ChangeType)
 ORDER BY TagName
+"""
+
+_ORACLE["mm_decode_features"] = """
+SELECT * FROM (VALUES
+  (1, 0, 0.6295, 0.9432, 0.8792, 0.9843),
+  (1, 2, 0.6295, 0.1964, 0.8792, 0.0422),
+  (2, 0, 0.6042, 0.9432, 0.5286, 0.9843),
+  (2, 2, 0.6042, 0.1964, 0.5286, 0.0422)
+) v(media_id, frame_idx, f0, f1, f2, f3)
+ORDER BY media_id, frame_idx
 """
 
 _ORACLE["doc_token_count"] = """
