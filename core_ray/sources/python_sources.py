@@ -1,0 +1,86 @@
+"""Python (non-Spark) sources: Polars scan + MFFBAS consumption profiles.
+
+Reference ``sources/python/delta.py`` reads Delta into a Polars LazyFrame;
+here :class:`PolarsSource` scans Parquet with Polars (``scan_delta`` is
+import-gated — delta-rs is not in this container) and bridges lazily into a
+Ray Dataset via Arrow.  Reference ``sources/python/mffbas.py`` pulls the
+Standaard Jaar Verbruiksprofielen API; :class:`MFFBASSource` implements its
+``_prepare_data`` transformation 1:1 over an injectable payload (the API is
+unreachable in-sandbox): explode PointList, map direction E17/E18 → A/I,
+join the profile key, derive the 15-minute timestamp from pos, keep pos<96,
+pivot to one column per profile.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+
+from ..pipelines.framework import SourceComponent
+
+
+class PolarsSource(SourceComponent):
+    """Polars lazy scan → Ray Dataset (Arrow hand-off, no pandas copy)."""
+
+    def __init__(self, path: str, fmt: str = "parquet"):
+        self.path = path
+        self.fmt = fmt
+
+    def _lazyframe(self):
+        import polars as pl
+
+        if self.fmt == "parquet":
+            return pl.scan_parquet(self.path)
+        if self.fmt == "delta":  # pragma: no cover - delta-rs absent here
+            return pl.scan_delta(self.path)
+        raise ValueError(f"unsupported format: {self.fmt}")
+
+    def read_batch(self) -> ray.data.Dataset:
+        return ray.data.from_arrow(self._lazyframe().collect().to_arrow())
+
+
+class MFFBASSource(SourceComponent):
+    """Standard Consumption Profiles source over an injectable payload."""
+
+    def __init__(self, payload: dict):
+        self.payload = payload
+
+    def _pull_data(self) -> dict:
+        return self.payload
+
+    def _prepare_data(self) -> pd.DataFrame:
+        data = self._pull_data()
+        df = pd.DataFrame.from_dict(data["Detail_SeriesList"])
+        df = df.rename(columns={"calendar_date": "Versienr"})
+        df = df.explode("PointList")
+        df = pd.concat(
+            [df.drop(["PointList"], axis=1), df["PointList"].apply(pd.Series)], axis=1
+        )
+        df["direction"] = df["direction"].map({"E17": "A", "E18": "I"})
+        df["profiles"] = df[
+            ["profileCategory", "determinedConsumption", "direction"]
+        ].agg(lambda x: "_".join(x.dropna()), axis=1)
+        df["Versienr"] = pd.to_datetime(df["Versienr"]) + pd.to_timedelta(
+            df["pos"] * 15, unit="min"
+        )
+        df = df[df["pos"] < 96]
+        df = df.drop(
+            columns=[
+                "direction",
+                "pFdate_version",
+                "profileCategory",
+                "determinedConsumption",
+                "pos",
+                "resolution",
+                "profileStatus_quality",
+            ]
+        )
+        result = df.pivot(index="Versienr", columns="profiles", values="qnt")
+        result["year_created"] = result.index.strftime("%Y-%m-%d")
+        return result
+
+    def read_batch(self) -> ray.data.Dataset:
+        out = self._prepare_data().reset_index()
+        out.columns = [str(c) for c in out.columns]
+        return ray.data.from_pandas(out)

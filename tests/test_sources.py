@@ -53,3 +53,52 @@ def test_weather_point_and_box():
 
     latest = weather_latest(_weather_ds()).to_pandas().sort_values("lat")
     assert latest["temp"].tolist() == [2.0, 4.0]  # max forecast_time per cell
+
+
+def test_polars_source_bridges_parquet(sf_dir):
+    from core_ray.sources.python_sources import PolarsSource
+
+    ds = PolarsSource(f"{sf_dir}/nation.parquet").read_batch()
+    assert ds.count() == 25
+    assert "n_name" in ds.schema().names
+
+
+def test_mffbas_prepare_profiles():
+    from core_ray.sources.python_sources import MFFBASSource
+
+    payload = {
+        "Detail_SeriesList": [
+            {
+                "calendar_date": "2024-01-01",
+                "pFdate_version": "v1",
+                "profileCategory": "E1A",
+                "determinedConsumption": "SJV",
+                "direction": "E17",
+                "resolution": "PT15M",
+                "profileStatus_quality": "D",
+                "PointList": [
+                    {"pos": 0, "qnt": 0.5},
+                    {"pos": 1, "qnt": 0.7},
+                    {"pos": 96, "qnt": 9.9},  # pos >= 96 dropped
+                ],
+            },
+            {
+                "calendar_date": "2024-01-01",
+                "pFdate_version": "v1",
+                "profileCategory": "E1B",
+                "determinedConsumption": "SJV",
+                "direction": "E18",
+                "resolution": "PT15M",
+                "profileStatus_quality": "D",
+                "PointList": [{"pos": 0, "qnt": 1.5}],
+            },
+        ]
+    }
+    df = MFFBASSource(payload).read_batch().to_pandas()
+    assert "E1A_SJV_A" in df.columns and "E1B_SJV_I" in df.columns
+    import pandas as pd
+
+    assert df.loc[df["Versienr"] == pd.Timestamp("2024-01-01 00:00"), "E1A_SJV_A"].iloc[0] == 0.5
+    assert df.loc[df["Versienr"] == pd.Timestamp("2024-01-01 00:15"), "E1A_SJV_A"].iloc[0] == 0.7
+    assert len(df) == 2  # pos 96 dropped
+    assert df["year_created"].iloc[0] == "2024-01-01"
