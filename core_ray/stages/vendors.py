@@ -277,6 +277,90 @@ def sem_to_pcdm(
     return ds.map_batches(_vendor_stage(parse, source_column), batch_format="pyarrow")
 
 
+# --- Mirico (reference mirico_json_to_pcdm.py / mirico_json_to_metadata.py)
+
+_MIRICO_META_KEYS = {"timeStamp", "siteName", "retroName", "gasType"}
+
+
+def _mirico_tag(site, retro, key, gas, tagname_field: str | None) -> str:
+    k = key.upper()
+    if k == "GASPPM" and gas is not None:
+        k = f"{k}_{str(gas).upper()}"
+    base = "_".join(
+        p for p in ((site or "").upper(), (retro or "").upper(), k) if p
+    )
+    return f"{tagname_field.upper()}:{base}" if tagname_field else base
+
+
+def mirico_to_pcdm(
+    ds: ray.data.Dataset,
+    field_value_types: dict[str, str] | None = None,
+    source_column: str = "body",
+    tagname_field: str | None = None,
+    change_type: str = "insert",
+) -> ray.data.Dataset:
+    """Mirico gas-sensor messages: a flat JSON map; metadata keys (timeStamp,
+    siteName, retroName, gasType) shape the TagName
+    (SITE_RETRO_KEY[, _GASTYPE for GASPPM][, prefixed TAGNAME_FIELD:]); every
+    remaining key becomes one PCDM row.  ``field_value_types`` maps keys to
+    ValueType (default: float-castability)."""
+    vt_map = field_value_types or {}
+
+    def parse(body: str):
+        msg = json.loads(body)
+        site, retro, gas = msg.get("siteName"), msg.get("retroName"), msg.get("gasType")
+        t = _to_utc_naive_us(msg.get("timeStamp"))
+        out = []
+        for key, val in msg.items():
+            if key in _MIRICO_META_KEYS:
+                continue
+            out.append(
+                (
+                    _mirico_tag(site, retro, key, gas, tagname_field),
+                    t,
+                    "Good",
+                    val,
+                    vt_map.get(key, _float_value_type(val)),
+                    change_type,
+                )
+            )
+        return out
+
+    return ds.map_batches(_vendor_stage(parse, source_column), batch_format="pyarrow")
+
+
+def mirico_to_metadata(
+    ds: ray.data.Dataset, source_column: str = "body"
+) -> ray.data.Dataset:
+    """Mirico metadata rows (reference mirico_json_to_metadata.py): one row
+    per message with the site/retro identity and lat/long description."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = []
+        for body in batch[source_column].to_pylist():
+            if body is None:
+                continue
+            m = json.loads(body)
+            site, retro = m.get("siteName"), m.get("retroName")
+            rows.append(
+                (
+                    "_".join(p for p in ((site or "").upper(), (retro or "").upper()) if p),
+                    f"lat: {m.get('retroLatitude')}, long: {m.get('retroLongitude')}",
+                    str(m.get("retroAltitude")) if m.get("retroAltitude") is not None else None,
+                )
+            )
+        cols = list(zip(*rows)) if rows else [[], [], []]
+        return pa.table(
+            {
+                "TagName": pa.array(cols[0], pa.string()),
+                "Description": pa.array(cols[1], pa.string()),
+                "UoM": pa.array(cols[2], pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # --- Honeywell APM (reference honeywell_apm_to_pcdm.py) --------------------
 
 

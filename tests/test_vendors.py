@@ -126,3 +126,32 @@ def test_vendor_pcdm_feeds_merge_sink(tmp_path):
     sink = PCDMMergeSink(str(tmp_path / "pcdm"))
     stats = sink.apply(pcdm)
     assert stats["upserts"] == 2
+
+
+def test_mirico_to_pcdm_tagnames():
+    from core_ray.stages.vendors import mirico_to_pcdm
+
+    body = (
+        '{"timeStamp": "2024-11-03T16:21:16", "siteName": "siteA",'
+        ' "retroName": "retro1", "gasType": "CH4",'
+        ' "gasPpm": 1.91, "quality": 10}'
+    )
+    df = mirico_to_pcdm(_ds(body)).to_pandas().sort_values("TagName")
+    assert df["TagName"].tolist() == ["SITEA_RETRO1_GASPPM_CH4", "SITEA_RETRO1_QUALITY"]
+    assert df["ValueType"].unique().tolist() == ["float"]
+    assert df["EventTime"].iloc[0] == pd.Timestamp("2024-11-03 16:21:16")
+
+    pref = mirico_to_pcdm(_ds(body), tagname_field="mirico").to_pandas()
+    assert pref["TagName"].str.startswith("MIRICO:").all()
+
+
+def test_mirico_to_metadata():
+    from core_ray.stages.vendors import mirico_to_metadata
+
+    body = (
+        '{"siteName": "siteA", "retroName": "retro1",'
+        ' "retroLatitude": 51.2, "retroLongitude": 4.1, "retroAltitude": 12.0}'
+    )
+    df = mirico_to_metadata(_ds(body)).to_pandas()
+    assert df["TagName"].tolist() == ["SITEA_RETRO1"]
+    assert df["Description"].iloc[0] == "lat: 51.2, long: 4.1"
