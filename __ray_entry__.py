@@ -240,6 +240,15 @@ def _q_emb_knn_ivf(sf):
     return knn_ivf(sf, _query_vec(sf), k=10)  # approximate -> rows-only check
 
 
+def _q_emb_knn_ivf_full(sf):
+    from core_ray.functions import knn_ivf
+
+    # n_probe == n_centroids probes EVERY inverted list, so the IVF machinery
+    # (quantizer, assignment, bucket filtering, partial top-k) must reproduce
+    # brute force EXACTLY — a true oracle for the IVF path
+    return knn_ivf(sf, _query_vec(sf), k=10, n_centroids=16, n_probe=16)
+
+
 def _q_emb_cosine_dups(sf):
     from core_ray.functions import cosine_dup_pairs
 
@@ -521,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "emb_knn": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
+        "emb_knn_ivf_full": _q_emb_knn_ivf_full,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "rel_pricing_summary": _q_rel_pricing,
         "rel_revenue_by_nation": _q_rel_revenue_nation,
@@ -969,6 +979,15 @@ ORDER BY doc_id
 """
 
 _ORACLE["emb_knn"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round_even(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 4) AS sim
+FROM embeddings
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+_ORACLE["emb_knn_ivf_full"] = """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
        round_even(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 4) AS sim

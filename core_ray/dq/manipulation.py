@@ -139,10 +139,15 @@ def out_of_range_filter(
         lo_a = np.full(len(v), lo)
         hi_a = np.full(len(v), hi)
         if rngs:
-            tags = batch[TS.TAG].to_numpy(zero_copy_only=False)
-            for i, t in enumerate(tags.tolist()):
-                if t in rngs:
-                    lo_a[i], hi_a[i] = rngs[t]
+            # dictionary-encode the tag column and take per-CODE bounds — the
+            # only Python loop is over distinct tags, not rows
+            enc = pc.dictionary_encode(batch[TS.TAG].combine_chunks())
+            codes = enc.indices.to_numpy().astype(np.int64)
+            cats = enc.dictionary.to_pylist()
+            lo_by_code = np.array([rngs.get(t, (lo, hi))[0] for t in cats])
+            hi_by_code = np.array([rngs.get(t, (lo, hi))[1] for t in cats])
+            lo_a = lo_by_code[codes]
+            hi_a = hi_by_code[codes]
         out = batch.filter(pa.array((v >= lo_a) & (v <= hi_a)))
         return pa.table(
             {

@@ -129,10 +129,10 @@ def knn_ivf(
             )
         sub = mat[mask]
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)[mask]
-        sim = _cosine(sub, q)
+        sim = round4(_cosine(sub, q))  # round BEFORE the cut (oracle ordering)
         order = np.lexsort((ids, -sim))[:k]
         return pa.table(
-            {"vec_id": pa.array(ids[order]), "sim": pa.array(round4(sim[order]))}
+            {"vec_id": pa.array(ids[order]), "sim": pa.array(sim[order])}
         )
 
     partials = ds.map_batches(score, batch_format="pyarrow")
