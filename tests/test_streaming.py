@@ -310,3 +310,56 @@ def test_streaming_agg_minmax_and_skew_spread(stream_dirs):
         mans = sorted(glob.glob(f"{out_dir}/manifests/part=000{p}/epoch-*.json"))
         rows_in.append(sum(json.load(open(f))["counters"]["rows_in"] for f in mans))
     assert min(rows_in) > 0 and max(rows_in) / min(rows_in) < 1.5, rows_in
+
+
+def test_token_stats_mode_sums_every_token(stream_dirs):
+    """token_stats=True (the scaling-leg mode): per-window sum_tok_values
+    must equal a direct batch computation over the SAME input."""
+    import numpy as np
+    import pandas as pd
+
+    from core_ray.streaming.job import T0_US
+    from core_ray.synth import event_time_us, make_chunk
+
+    base, in_dir = stream_dirs
+    out_dir = base / "out_token_stats"
+    cfg = StreamConfig(
+        input_dir=in_dir,
+        out_dir=str(out_dir),
+        num_partitions=4,
+        window_s=60,
+        files_per_epoch=2,
+        sink_payload_rows=False,
+        token_stats=True,
+    )
+    StreamingJob(cfg).run(resume=False)
+
+    files = sorted(glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
+    agg = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+    assert "sum_tok_values" in agg.columns
+
+    # batch truth from the deterministic generator
+    chunk = make_chunk(0, N_ROWS).to_pandas()
+    idx = np.arange(N_ROWS)
+    ts = event_time_us(idx)
+    ws = T0_US + ((ts - T0_US) // 60_000_000) * 60_000_000
+    tok_sums = np.array([np.asarray(t, dtype=np.int64).sum() for t in chunk["tokens"]])
+    truth = (
+        pd.DataFrame({"source": chunk["source"], "ws": ws, "tok": tok_sums,
+                      "n_tok": chunk["n_tok"].astype(np.int64)})
+        .groupby(["source", "ws"], as_index=False)
+        .agg(sum_tok_values=("tok", "sum"), sum_n_tok=("n_tok", "sum"), cnt=("tok", "size"))
+    )
+    got = agg.copy()
+    got["ws"] = got["window_start"].astype("datetime64[us]").astype(np.int64)
+    merged = truth.merge(
+        got[["source", "ws", "sum_tok_values", "sum_n_tok", "cnt"]],
+        on=["source", "ws"],
+        suffixes=("_true", "_got"),
+        how="outer",
+        indicator=True,
+    )
+    assert (merged["_merge"] == "both").all()
+    assert (merged["sum_tok_values_true"] == merged["sum_tok_values_got"]).all()
+    assert (merged["sum_n_tok_true"] == merged["sum_n_tok_got"]).all()
+    assert (merged["cnt_true"] == merged["cnt_got"]).all()
