@@ -27,17 +27,38 @@ def hash_join(
     on: str,
     how: str = "inner",
     num_buckets: int = 32,
+    broadcast_threshold_bytes: int = 64 << 20,
 ) -> ray.data.Dataset:
-    """Join two Datasets on one key column via bucket co-grouping.
+    """Join two Datasets on one key column.
 
-    Both sides are tagged with a side marker and a deterministic key-hash
-    bucket, unioned (ONE shuffle co-locates both sides), and merged per
-    bucket with a pandas join."""
+    When the build (right) side is provably small — its metadata size is
+    under ``broadcast_threshold_bytes`` — it is broadcast once via
+    ``ray.put`` and merged inside ``map_batches`` with NO shuffle (the
+    autoBroadcastJoinThreshold rule every SQL engine applies; driver memory
+    stays bounded by the threshold).  Otherwise both sides are tagged with a
+    side marker and a deterministic key-hash bucket, unioned (ONE shuffle
+    co-locates both sides), and merged per bucket with a pandas join."""
     lschema, rschema = left.schema(), right.schema()
     lcols, rcols = list(lschema.names), list(rschema.names)
     overlap = (set(lcols) & set(rcols)) - {on}
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    if how in ("inner", "left"):
+        try:
+            rsize = right.size_bytes()
+        except Exception:
+            rsize = None
+        if rsize is not None and 0 < rsize <= broadcast_threshold_bytes:
+            rt = right.to_pandas()
+
+            import ray as _ray
+
+            ref = _ray.put(rt)
+
+            def bj(df: pd.DataFrame) -> pd.DataFrame:
+                return df.merge(_ray.get(ref), on=on, how=how)
+
+            return left.map_batches(bj, batch_format="pandas")
 
     def _arrow_types(schema) -> dict:
         base = getattr(schema, "base_schema", None)
