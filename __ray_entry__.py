@@ -209,6 +209,14 @@ def _q_doc_minhash_pairs(sf):
     return minhash_pairs(sf, threshold=0.5)
 
 
+def _q_doc_jaccard_pairs(sf):
+    from core_ray.functions import jaccard_pairs
+
+    # EXACT n-gram Jaccard over a distributed shingle inverted index —
+    # recall 1 (no LSH), same pair definition as the minhash verify stage
+    return jaccard_pairs(sf, threshold=0.5)
+
+
 def _q_doc_simhash_pairs(sf):
     from core_ray.functions import simhash_pairs
 
@@ -527,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_lang_id": _q_doc_lang_id,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
+        "doc_jaccard_pairs": _q_doc_jaccard_pairs,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "emb_knn": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
@@ -913,6 +922,11 @@ FROM inter JOIN cnts na ON na.doc_id = inter.doc_a
 WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
 ORDER BY 1, 2
 """
+
+# exact inverted-index Jaccard: same exact-Jaccard SQL as the minhash oracle
+# (the two queries compute the same pair set by different distributed plans —
+# LSH candidates + verify vs. exhaustive shingle co-occurrence counting)
+_ORACLE["doc_jaccard_pairs"] = _ORACLE["doc_minhash_pairs"]
 
 _ORACLE["vendor_fledge_pcdm"] = """
 SELECT * FROM (VALUES

@@ -3,7 +3,7 @@ similarity search, multimodal plumbing — first-class large-scale components
 alongside the time-series operators."""
 
 from .text import token_count, quality_score, fingerprint, lang_id
-from .dedup import dedup_exact, minhash_pairs, simhash_pairs
+from .dedup import dedup_exact, exact_jaccard, jaccard_pairs, minhash_pairs, simhash_pairs
 from .similarity import knn_brute_force, knn_ivf, cosine_dup_pairs
 from .join import hash_join
 
@@ -13,6 +13,8 @@ __all__ = [
     "fingerprint",
     "lang_id",
     "dedup_exact",
+    "exact_jaccard",
+    "jaccard_pairs",
     "minhash_pairs",
     "simhash_pairs",
     "knn_brute_force",

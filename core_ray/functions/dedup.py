@@ -294,6 +294,105 @@ def minhash_pairs(
     return ray.data.from_pandas(cand).map_batches(verify, batch_format="pandas")
 
 
+def jaccard_pairs(
+    source: str | ray.data.Dataset,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard near-duplicate pairs via a distributed shingle
+    inverted index — recall 1 by construction (every pair with a nonzero
+    intersection is counted), unlike the probabilistic MinHash-LSH candidates.
+
+    Shape (all-Ray-Data, no driver materialization):
+
+    1. ``map_batches``: per-doc DISTINCT word-3-gram shingle hashes plus the
+       doc's shingle-set size → explode to (shingle, doc_id, set_size) rows.
+       Only 64-bit hashes and two ints shuffle — never text.
+    2. Inverted index: hash-bucket shuffle on ``shingle``; singleton shingles
+       (the vast majority) are dropped vectorized before pair generation;
+       each colliding shingle group emits its doc pairs with both set sizes
+       attached (so no sizes broadcast is ever needed).
+    3. Hash-bucket shuffle on (doc_a, doc_b); one vectorized pandas groupby
+       per bucket counts co-occurrences = |A∩B|, then
+       J = c / (|A| + |B| - c), filtered on the unrounded value.
+
+    Scale knob: a shingle shared by k docs emits k·(k-1)/2 pair rows, so a
+    stop-shingle is quadratic.  ``max_doc_freq`` skips shingle groups larger
+    than that many docs — at threshold t a pair needs an intersection fraction
+    >= t/(1+t) of its union, so dropping a few hyper-frequent shingles only
+    perturbs pairs already near the threshold; with the default ``None`` the
+    result is exact.  (Prefix filtering would tighten this further.)
+    """
+    ds = _read_docs(source, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, counts = _batch_shingles(batch["text"])
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        # distinct shingles per doc: sort (doc, shingle), drop adjacent repeats
+        order = np.lexsort((flat, doc_idx))
+        d, s = doc_idx[order], flat[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        d, s = d[keep], s[keep]
+        sizes = np.bincount(d, minlength=len(ids)).astype(np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(s, pa.uint64()),
+                "doc_id": pa.array(ids[d], pa.int64()),
+                "set_size": pa.array(sizes[d], pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(
+        explode,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency or pool_size(),
+    )
+
+    def pair_fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "size_a": [], "size_b": []}
+        ).astype("int64")
+        if len(g) < 2 or (max_doc_freq is not None and len(g) > max_doc_freq):
+            return empty
+        order = np.argsort(g["doc_id"].to_numpy())
+        ids = g["doc_id"].to_numpy()[order]
+        sz = g["set_size"].to_numpy()[order]
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"doc_a": ids[i], "doc_b": ids[j], "size_a": sz[i], "size_b": sz[j]}
+        ).astype("int64")
+
+    from ..ops.common import _arrow_add_bucket, collision_grouped_map, round4
+
+    pairs = collision_grouped_map(exploded, ["shingle"], pair_fn)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"])
+        agg = (
+            g.groupby(["doc_a", "doc_b"], sort=True)
+            .agg(c=("size_a", "size"), size_a=("size_a", "first"), size_b=("size_b", "first"))
+            .reset_index()
+        )
+        j = agg["c"].to_numpy() / (
+            agg["size_a"].to_numpy() + agg["size_b"].to_numpy() - agg["c"].to_numpy()
+        )
+        out = agg.loc[j >= threshold, ["doc_a", "doc_b"]].copy()
+        out["jaccard"] = round4(j[j >= threshold])
+        return out
+
+    return (
+        pairs.map_batches(
+            _arrow_add_bucket(["doc_a", "doc_b"], 64), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

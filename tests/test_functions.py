@@ -44,6 +44,36 @@ def test_minhash_finds_planted_near_dup():
     assert (est["est_jaccard"] >= 0.5).all()
 
 
+def test_jaccard_pairs_exact_values_and_recall():
+    from core_ray.functions import exact_jaccard, jaccard_pairs
+
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy", "sleepy")),  # near-dup of 0
+        (2, "completely different text about distributed query engines and arrow"),
+        (3, BASE.replace("garden", "meadow").replace("birds", "crows")),  # 2nd near-dup
+    ]
+    pairs = jaccard_pairs(_docs_ds(rows), threshold=0.5, concurrency=1).to_pandas()
+    got = {(a, b): j for a, b, j in zip(pairs["doc_a"], pairs["doc_b"], pairs["jaccard"])}
+    # inverted index has recall 1: every pair whose exact Jaccard clears the
+    # threshold must appear, with the exact (4dp) value
+    expect = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            ej = exact_jaccard(rows[i][1], rows[j][1])
+            if ej >= 0.5:
+                expect[(i, j)] = round(ej, 4)
+    assert set(got) == set(expect) == {(0, 1), (0, 3), (1, 3)}
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 5e-5
+
+    # stop-shingle guard: max_doc_freq=1 drops every shared shingle group
+    none = jaccard_pairs(
+        _docs_ds(rows), threshold=0.5, max_doc_freq=1, concurrency=1
+    ).to_pandas()
+    assert len(none) == 0
+
+
 def test_simhash_finds_planted_near_dup():
     from core_ray.functions import simhash_pairs
 
