@@ -40,6 +40,54 @@ class PolarsSource(SourceComponent):
         return ray.data.from_arrow(self._lazyframe().collect().to_arrow())
 
 
+class EntsoeSource(SourceComponent):
+    """Day-ahead power prices from the ENTSO-E transparency platform
+    (reference ``sources/python/entsoe.py:23``): query prices for a country
+    code between two UTC timestamps at a given resolution and return
+    ``(EventTime, Price, Name)`` rows with ``Name = "APX"``.
+
+    The ``entsoe-py`` client needs the network, which is absent in-sandbox,
+    so the client is injectable: any callable ``(country_code, start, end,
+    resolution) -> pd.Series`` (prices indexed by timestamp).  The default
+    import-gates the real client.
+    """
+
+    def __init__(
+        self,
+        api_key: str,
+        start: str,
+        end: str,
+        country_code: str,
+        resolution: str = "60T",
+        client=None,
+    ):
+        self.api_key = api_key
+        self.start = pd.Timestamp(start, tz="UTC")
+        self.end = pd.Timestamp(end, tz="UTC")
+        self.country_code = country_code
+        self.resolution = resolution
+        self.client = client
+
+    def _query(self) -> pd.Series:
+        if self.client is not None:
+            return self.client(self.country_code, self.start, self.end, self.resolution)
+        from entsoe import EntsoePandasClient  # pragma: no cover - not installed
+
+        return EntsoePandasClient(api_key=self.api_key).query_day_ahead_prices(
+            self.country_code, start=self.start, end=self.end
+        )
+
+    def read_batch(self) -> ray.data.Dataset:
+        prices = self._query()
+        df = pd.DataFrame({"Price": prices.astype(float)})
+        df["Name"] = "APX"
+        df = df.rename_axis("EventTime").reset_index()
+        df["EventTime"] = pd.to_datetime(df["EventTime"], utc=True).dt.tz_convert(
+            None
+        )
+        return ray.data.from_pandas(df)
+
+
 class MFFBASSource(SourceComponent):
     """Standard Consumption Profiles source over an injectable payload."""
 

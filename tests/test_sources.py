@@ -102,3 +102,69 @@ def test_mffbas_prepare_profiles():
     assert df.loc[df["Versienr"] == pd.Timestamp("2024-01-01 00:15"), "E1A_SJV_A"].iloc[0] == 0.7
     assert len(df) == 2  # pos 96 dropped
     assert df["year_created"].iloc[0] == "2024-01-01"
+
+
+def test_entsoe_source_with_injected_client():
+    import pandas as pd
+
+    from core_ray.sources.python_sources import EntsoeSource
+
+    def client(country, start, end, resolution):
+        idx = pd.date_range(start, periods=3, freq="1h", tz="UTC")
+        return pd.Series([50.0, 51.5, 49.25], index=idx)
+
+    df = (
+        EntsoeSource("k", "20240101", "20240102", "NL", client=client)
+        .read_batch()
+        .to_pandas()
+        .sort_values("EventTime")
+    )
+    assert list(df.columns) == ["EventTime", "Price", "Name"]
+    assert df["Price"].tolist() == [50.0, 51.5, 49.25]
+    assert (df["Name"] == "APX").all()
+    assert str(df["EventTime"].dtype).startswith("datetime64")
+
+
+def test_ecmwf_extract_point_and_grid():
+    import numpy as np
+
+    from core_ray.stages.ecmwf import (
+        ecmwf_extract_grid,
+        ecmwf_extract_point,
+        fake_grid_loader,
+    )
+
+    kw = dict(
+        load_path="/tmp/nowhere",
+        date_start="2024-01-01 00:00:00",
+        date_end="2024-01-01 23:00:00",
+        run_interval="12",
+        run_frequency="H",
+        variables=["10u", "2t"],
+        tag_prefix="fc_",
+        loader=fake_grid_loader(),
+        concurrency=1,
+    )
+    pt = ecmwf_extract_point(lat=41.0, lon=-2.0, **kw).to_pandas()
+    # 2 runs (00 and 12) x 4 forecast hours x 2 variables, one point
+    assert len(pt) == 2 * 4 * 2
+    # the 10u wind component is extracted under its stored name u10
+    assert set(pt["TagName"].str.rsplit("_", n=1).str[-1]) == {"u10", "2t"}
+    assert pt["TagName"].str.startswith("fc_41.0_-2.0_ECMWF_MARS_").all()
+    assert (pt["Status"] == "Good").all() and pt["Latest"].all()
+    assert (pt["EnqueuedTime"] <= pt["EventTime"]).all()
+
+    # determinism across executions
+    pt2 = ecmwf_extract_point(lat=41.0, lon=-2.0, **kw).to_pandas()
+    cols = ["TagName", "EventTime"]
+    assert (
+        pt.sort_values(cols).reset_index(drop=True)["Value"]
+        == pt2.sort_values(cols).reset_index(drop=True)["Value"]
+    ).all()
+
+    gr = ecmwf_extract_grid(
+        lat_min=40.0, lat_max=44.0, lon_min=-4.0, lon_max=0.0, grid_step=2.0, **kw
+    ).to_pandas()
+    # 3x3 request grid snapped to the 5x5 fake grid
+    assert len(gr) == 2 * 4 * 2 * 3 * 3
+    assert set(np.unique(gr["Latitude"])) == {40.0, 42.0, 44.0}
