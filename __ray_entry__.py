@@ -197,7 +197,7 @@ def _q_doc_dedup_exact(sf):
 def _q_doc_lang_id(sf):
     from core_ray.functions import lang_id
 
-    return lang_id(sf)  # heuristic -> rows-only check (no SQL equivalent)
+    return lang_id(sf)  # exact-oracled: the heuristic is SQL-expressible
 
 
 def _q_doc_minhash_pairs(sf):
@@ -922,6 +922,52 @@ FROM inter JOIN cnts na ON na.doc_id = inter.doc_a
 WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
 ORDER BY 1, 2
 """
+
+# the lang-id heuristic is fully SQL-expressible (both sides tokenize with
+# RE2 '[\W\d_]+' and score ASCII stopword membership; the CASE arms encode
+# the engine's argmax tie order de<en<es<fr, the 0-score 'und' arm and the
+# CJK-ratio 'zh' override) — the IN-lists come from the engine's own tables
+def _lang_inlist(lang):
+    from core_ray.functions.text import _STOPWORDS
+
+    return ", ".join("'" + w + "'" for w in sorted(_STOPWORDS[lang]))
+
+
+_ORACLE["doc_lang_id"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(
+           regexp_replace(lower(text), '[\W\d_]+', ' ', 'g'), '\s+'),
+           x -> x <> '')) AS word
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+    count(*) FILTER (word IN ({de})) AS s_de,
+    count(*) FILTER (word IN ({en})) AS s_en,
+    count(*) FILTER (word IN ({es})) AS s_es,
+    count(*) FILTER (word IN ({fr})) AS s_fr
+  FROM w GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, substr(d.text, 1, 400) AS head,
+         coalesce(s_de, 0) AS s_de, coalesce(s_en, 0) AS s_en,
+         coalesce(s_es, 0) AS s_es, coalesce(s_fr, 0) AS s_fr
+  FROM documents d LEFT JOIN sc USING (doc_id)
+)
+SELECT doc_id,
+  CASE
+    WHEN length(regexp_extract_all(head, '[一-鿿]')) > length(head) * 0.05 THEN 'zh'
+    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred
+FROM base ORDER BY doc_id
+""".replace("{de}", _lang_inlist("de")).replace("{en}", _lang_inlist("en")).replace(
+    "{es}", _lang_inlist("es")
+).replace("{fr}", _lang_inlist("fr"))
 
 # exact inverted-index Jaccard: same exact-Jaccard SQL as the minhash oracle
 # (the two queries compute the same pair set by different distributed plans —
