@@ -147,12 +147,92 @@ def _batch_shingles(texts) -> tuple[np.ndarray, np.ndarray]:
     return out, sh_counts
 
 
+def _pairs_within_groups(
+    df: pd.DataFrame,
+    key_cols: list[str],
+    carry: list[str],
+    max_group: int | None = None,
+) -> pd.DataFrame:
+    """All unordered (doc_a < doc_b) pairs inside every key group — FULLY
+    vectorized via successor-index arithmetic (each row pairs with every later
+    row of its group), replacing a per-group Python callback that cost ~0.4 ms
+    per group (27k colliding groups = ~11 s of pure overhead, measured).
+    ``carry`` columns are emitted as ``<col>_a`` / ``<col>_b``."""
+    cols = {"doc_a": np.int64, "doc_b": np.int64}
+    for c in carry:
+        cols[c + "_a"] = df[c].dtype if c in df else np.float64
+        cols[c + "_b"] = df[c].dtype if c in df else np.float64
+    if len(df) < 2:
+        return pd.DataFrame({k: pd.Series([], dtype=d) for k, d in cols.items()})
+    keys = [df[c].to_numpy() for c in key_cols]
+    ids = df["doc_id"].to_numpy()
+    order = np.lexsort([ids] + keys[::-1])
+    keys = [k[order] for k in keys]
+    ids = ids[order]
+    n = len(ids)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    starts = np.nonzero(change)[0]
+    counts = np.diff(np.append(starts, n))
+    k_per_row = np.repeat(counts, counts)
+    if max_group is not None:
+        keep = k_per_row <= max_group
+        ids, k_per_row = ids[keep], k_per_row[keep]
+        order = order[keep]
+        counts = counts[counts <= max_group]
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame({k: pd.Series([], dtype=d) for k, d in cols.items()})
+    pos = np.arange(n) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+    )
+    succ = k_per_row - 1 - pos
+    a_idx = np.repeat(np.arange(n), succ)
+    b_idx = _ragged_range(np.arange(n) + 1, succ)
+    out = {"doc_a": ids[a_idx].astype(np.int64), "doc_b": ids[b_idx].astype(np.int64)}
+    for c in carry:
+        vals = df[c].to_numpy()[order]
+        out[c + "_a"] = vals[a_idx]
+        out[c + "_b"] = vals[b_idx]
+    return pd.DataFrame(out)
+
+
+def bucketed_group_pairs(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    carry: tuple[str, ...] = (),
+    max_group: int | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Candidate-pair generation at scale: hash-bucket shuffle on the group
+    key, then one vectorized all-pairs emit per bucket (singleton groups are
+    dropped vectorized first; no per-group Python call anywhere)."""
+    from ..ops.common import _arrow_add_bucket
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"])
+        g = g[g.duplicated(key_cols, keep=False)]
+        return _pairs_within_groups(g, key_cols, list(carry), max_group)
+
+    return (
+        ds.map_batches(_arrow_add_bucket(key_cols, num_buckets), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 class MinHashStage:
     """Actor-pool stage: per-doc 64-permutation MinHash signature, exploded to
-    LSH band rows. Permutation seeds precomputed once per actor."""
+    LSH band rows. Permutation seeds precomputed once per actor.  With
+    ``include_sig=False`` the (wide: 64×u64 per band row) signature column is
+    omitted — the exact-verify path only needs candidate doc ids, so shipping
+    signatures through the shuffle would be pure waste."""
 
-    def __init__(self):
+    def __init__(self, include_sig: bool = True):
         self.perm_seeds = list(range(1, NUM_PERM + 1))
+        self.include_sig = include_sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
@@ -177,17 +257,16 @@ class MinHashStage:
                 for r in range(2, ROWS_PER_BAND):
                     h = _hash2(1000 + b, h ^ seg[:, r])
             band_hashes[b * n_docs : (b + 1) * n_docs] = h
-        sig_list = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.tile(sigs, (BANDS, 1)).ravel(), pa.uint64()), NUM_PERM
-        )
-        return pa.table(
-            {
-                "band": pa.array(band_ids),
-                "band_hash": pa.array(band_hashes, pa.uint64()),
-                "doc_id": pa.array(out_doc),
-                "sig": sig_list,
-            }
-        )
+        cols = {
+            "band": pa.array(band_ids),
+            "band_hash": pa.array(band_hashes, pa.uint64()),
+            "doc_id": pa.array(out_doc),
+        }
+        if self.include_sig:
+            cols["sig"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(np.tile(sigs, (BANDS, 1)).ravel(), pa.uint64()), NUM_PERM
+            )
+        return pa.table(cols)
 
 
 def _bucket_pairs(threshold: float | None):
@@ -251,6 +330,7 @@ def minhash_pairs(
     ds = _read_docs(source, ["doc_id", "text"])
     bands = ds.map_batches(
         MinHashStage,
+        fn_constructor_kwargs={"include_sig": not exact_verify},
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=concurrency or pool_size(),
@@ -261,7 +341,7 @@ def minhash_pairs(
         pairs = collision_grouped_map(bands, ["band", "band_hash"], _bucket_pairs(threshold))
         return bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b", "est_jaccard"])
 
-    pairs = collision_grouped_map(bands, ["band", "band_hash"], _bucket_pairs(None))
+    pairs = bucketed_group_pairs(bands, ["band", "band_hash"])
     cand = bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b"]).to_pandas()
     ids = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
     idset = pa.array(ids, pa.int64())
@@ -352,29 +432,21 @@ def jaccard_pairs(
         concurrency=concurrency or pool_size(),
     )
 
-    def pair_fn(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"doc_a": [], "doc_b": [], "size_a": [], "size_b": []}
-        ).astype("int64")
-        if len(g) < 2 or (max_doc_freq is not None and len(g) > max_doc_freq):
-            return empty
-        order = np.argsort(g["doc_id"].to_numpy())
-        ids = g["doc_id"].to_numpy()[order]
-        sz = g["set_size"].to_numpy()[order]
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"doc_a": ids[i], "doc_b": ids[j], "size_a": sz[i], "size_b": sz[j]}
-        ).astype("int64")
+    from ..ops.common import _arrow_add_bucket, round4
 
-    from ..ops.common import _arrow_add_bucket, collision_grouped_map, round4
-
-    pairs = collision_grouped_map(exploded, ["shingle"], pair_fn)
+    pairs = bucketed_group_pairs(
+        exploded, ["shingle"], carry=("set_size",), max_group=max_doc_freq
+    )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_bucket"])
         agg = (
             g.groupby(["doc_a", "doc_b"], sort=True)
-            .agg(c=("size_a", "size"), size_a=("size_a", "first"), size_b=("size_b", "first"))
+            .agg(
+                c=("set_size_a", "size"),
+                size_a=("set_size_a", "first"),
+                size_b=("set_size_b", "first"),
+            )
             .reset_index()
         )
         j = agg["c"].to_numpy() / (
@@ -453,26 +525,20 @@ def simhash_pairs(
 
     exploded = fps.map_batches(explode, batch_format="pyarrow")
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
-            )
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        fp = g["simhash"].to_numpy().astype(np.uint64)
-        rows = []
-        for i in range(len(ids)):
-            d = popcount64(fp[i + 1 :] ^ fp[i])
-            for j in np.nonzero(d <= max_hamming)[0]:
-                rows.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j])))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
-        )
+    from ..ops.common import bucketed_distinct
 
-    from ..ops.common import bucketed_distinct, collision_grouped_map
+    pairs = bucketed_group_pairs(exploded, ["band", "key"], carry=("simhash",))
 
-    pairs = collision_grouped_map(exploded, ["band", "key"], bucket)
+    def hamming_filter(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["simhash_a"].to_numpy().astype(np.uint64)
+        b = g["simhash_b"].to_numpy().astype(np.uint64)
+        d = popcount64(a ^ b)
+        keep = d <= max_hamming
+        out = g.loc[keep, ["doc_a", "doc_b"]].copy()
+        out["hamming"] = d[keep].astype(np.int64)
+        return out
+
+    pairs = pairs.map_batches(hamming_filter, batch_format="pandas")
     return bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b", "hamming"])
 
 
