@@ -391,3 +391,196 @@ def honeywell_apm_to_pcdm(
         return out
 
     return ds.map_batches(_vendor_stage(parse, source_column), batch_format="pyarrow")
+
+
+# --- plain OPC-UA (reference opcua_json_to_pcdm.py) ------------------------
+
+
+def opcua_to_pcdm(
+    ds: ray.data.Dataset,
+    source_column: str = "body",
+    status_null_value: str = "Good",
+    change_type: str = "insert",
+) -> ray.data.Dataset:
+    """Plain OPC-UA telemetry: {Messages: [{Timestamp, Payload: {tag:
+    {Value}}}]} — one PCDM row per payload key (reference
+    ``opcua_json_to_pcdm.py:61-86``: inline Messages, explode Payload,
+    ValueType by float-castability)."""
+
+    def parse(body: str):
+        msg = json.loads(body)
+        out = []
+        for m in msg.get("Messages") or []:
+            t = _to_utc_naive_us(m.get("Timestamp"))
+            for tag, payload in (m.get("Payload") or {}).items():
+                val = (payload or {}).get("Value")
+                out.append(
+                    (tag, t, status_null_value, val, _float_value_type(val), change_type)
+                )
+        return out
+
+    return ds.map_batches(_vendor_stage(parse, source_column), batch_format="pyarrow")
+
+
+# --- SSIP PI JSON stream (reference ssip_pi_binary_json_to_pcdm.py) --------
+
+_SSIP_POINT_TYPES = {
+    "Digital": "string",
+    "String": "string",
+    "Float16": "float",
+    "Float32": "float",
+    "Float64": "float",
+    "Int16": "integer",
+    "Int32": "integer",
+}
+_SSIP_ACTIONS = {
+    "Insert": "insert",
+    "Add": "insert",
+    "Delete": "delete",
+    "Update": "update",
+    "Refresh": "update",
+}
+
+
+def ssip_pi_json_to_pcdm(
+    ds: ray.data.Dataset,
+    source_column: str = "body",
+    properties_column: str = "properties",
+    metadata_point_types: dict[str, str] | None = None,
+) -> ray.data.Dataset:
+    """SSIP PI JSON stream → PCDM CDC rows (reference
+    ``ssip_pi_binary_json_to_pcdm.py:76-176``): body JSON carries
+    TagName/EventTime/Quality/Value; the message properties map carries
+    PointType (falling back to a broadcast metadata lookup) and Action.
+    ValueType maps from PointType and DEMOTES to 'string' when the value
+    fails the integer/float cast; ChangeType maps Insert/Add→insert,
+    Delete→delete, Update/Refresh→update.  Output adds EventDate (the merge
+    sink's partition key)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = []
+        props = batch[properties_column].to_pylist()
+        for body, prop in zip(batch[source_column].to_pylist(), props):
+            if body is None:
+                continue
+            msg = json.loads(body)
+            prop = prop or {}
+            tag = msg.get("TagName")
+            t = _to_utc_naive_us(msg.get("EventTime"))
+            point_type = prop.get("PointType")
+            if point_type is None and metadata_point_types:
+                point_type = metadata_point_types.get(tag)
+            vtype = _SSIP_POINT_TYPES.get(point_type, "string")
+            val = msg.get("Value")
+            if vtype == "integer":
+                try:
+                    int(str(val))
+                except (TypeError, ValueError):
+                    vtype = "string"
+            elif vtype == "float":
+                try:
+                    float(str(val))
+                except (TypeError, ValueError):
+                    vtype = "string"
+            rows.append(
+                (
+                    t.astype("datetime64[D]").item() if t is not None else None,
+                    tag,
+                    t,
+                    msg.get("Quality"),
+                    None if val is None else str(val),
+                    vtype,
+                    _SSIP_ACTIONS.get(prop.get("Action")),
+                )
+            )
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        return pa.table(
+            {
+                "EventDate": pa.array(cols[0], pa.date32()),
+                "TagName": pa.array(cols[1], pa.string()),
+                "EventTime": pa.array(cols[2], pa.timestamp("us")),
+                "Status": pa.array(cols[3], pa.string()),
+                "Value": pa.array(cols[4], pa.string()),
+                "ValueType": pa.array(cols[5], pa.string()),
+                "ChangeType": pa.array(cols[6], pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- OPC Publisher A&E (reference opc_publisher_opcae_json_to_pcdm.py) -----
+
+# (output column, nested Value field or None for top-level, arrow type)
+_AE_FIELDS = [
+    ("NodeId", None, pa.string()),
+    ("DisplayName", None, pa.string()),
+    ("ConditionId", "ConditionId", pa.string()),
+    ("AckedState", "AckedState", pa.string()),
+    ("AckedState/FalseState", "AckedState/FalseState", pa.string()),
+    ("AckedState/Id", "AckedState/Id", pa.bool_()),
+    ("AckedState/TrueState", "AckedState/TrueState", pa.string()),
+    ("ActiveState", "ActiveState", pa.string()),
+    ("ActiveState/FalseState", "ActiveState/FalseState", pa.string()),
+    ("ActiveState/Id", "ActiveState/Id", pa.bool_()),
+    ("ActiveState/TrueState", "ActiveState/TrueState", pa.string()),
+    ("EnabledState", "EnabledState", pa.string()),
+    ("EnabledState/FalseState", "EnabledState/FalseState", pa.string()),
+    ("EnabledState/Id", "EnabledState/Id", pa.bool_()),
+    ("EnabledState/TrueState", "EnabledState/TrueState", pa.string()),
+    ("EventId", "EventId", pa.string()),
+    ("EventType", "EventType", pa.string()),
+    ("HighHighLimit", "HighHighLimit", pa.float64()),
+    ("HighLimit", "HighLimit", pa.float64()),
+    ("InputNode", "InputNode", pa.string()),
+    ("LowLimit", "LowLimit", pa.float64()),
+    ("LowLowLimit", "LowLowLimit", pa.float64()),
+    ("Message", "Message", pa.string()),
+    ("Quality", "Quality", pa.string()),
+    ("ReceiveTime", "ReceiveTime", pa.timestamp("us")),
+    ("Retain", "Retain", pa.bool_()),
+    ("Severity", "Severity", pa.float64()),
+    ("SourceName", "SourceName", pa.string()),
+    ("SourceNode", "SourceNode", pa.string()),
+    ("EventTime", "Time", pa.timestamp("us")),
+]
+
+
+def opc_publisher_ae_to_events(
+    ds: ray.data.Dataset, source_column: str = "body"
+) -> ray.data.Dataset:
+    """OPC Publisher Alarms & Events JSON → one flat typed row per alarm
+    (reference ``opc_publisher_opcae_json_to_pcdm.py:73-141``): the body is a
+    JSON array of alarm objects whose condition fields live under
+    ``Value.<Field>.Value``; timestamps parse through the multi-format
+    coalesce and ``Time`` lands as ``EventTime``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for body in batch[source_column].to_pylist():
+            if body is None:
+                continue
+            for alarm in json.loads(body):
+                value = alarm.get("Value") or {}
+                row = {}
+                for out_name, field, typ in _AE_FIELDS:
+                    if field is None:
+                        v = alarm.get(out_name)
+                    else:
+                        v = (value.get(field) or {}).get("Value")
+                    if pa.types.is_timestamp(typ):
+                        v = _to_utc_naive_us(v)
+                    elif pa.types.is_float64(typ) and v is not None:
+                        v = float(v)
+                    elif pa.types.is_string(typ) and v is not None:
+                        v = str(v)
+                    row[out_name] = v
+                rows.append(row)
+        return pa.table(
+            {
+                name: pa.array([r[name] for r in rows], typ)
+                for name, _, typ in _AE_FIELDS
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -155,3 +155,154 @@ def test_mirico_to_metadata():
     df = mirico_to_metadata(_ds(body)).to_pandas()
     assert df["TagName"].tolist() == ["SITEA_RETRO1"]
     assert df["Description"].iloc[0] == "lat: 51.2, long: 4.1"
+
+
+def test_opcua_to_pcdm():
+    from core_ray.stages.vendors import opcua_to_pcdm
+
+    body = (
+        '{"MessageId":"12345","MessageType":"test","PublisherId":"opcua_pub",'
+        '"Messages":[{"DataSetWriterId":12345,"Timestamp":"2024-05-07T09:54:31.6769914Z",'
+        '"Payload":{"tag_1":{"Value":100.2}}},'
+        '{"DataSetWriterId":56789,"Timestamp":"2024-05-07T09:54:31.6509972Z",'
+        '"Payload":{"tag_2":{"Value":79}}}]}'
+    )
+    df = opcua_to_pcdm(_ds(body)).to_pandas().sort_values("TagName")
+    assert df["TagName"].tolist() == ["tag_1", "tag_2"]
+    assert df["Value"].tolist() == ["100.2", "79"]
+    assert df["ValueType"].tolist() == ["float", "float"]
+    assert df["Status"].tolist() == ["Good", "Good"]
+    assert df["ChangeType"].tolist() == ["insert", "insert"]
+    assert df["EventTime"].iloc[0] == pd.Timestamp("2024-05-07 09:54:31.676991")
+
+
+def test_ssip_pi_json_to_pcdm():
+    import json as _json
+
+    import pyarrow as pa
+
+    from core_ray.stages.vendors import ssip_pi_json_to_pcdm
+
+    bodies = [
+        _json.dumps(
+            {"TagName": "Test1", "EventTime": "2023-04-19T16:41:55.002+00:00",
+             "Quality": "Good", "Value": "1.0"}
+        ),
+        _json.dumps(
+            {"TagName": "Test2", "EventTime": "2023-04-19T16:41:55.056+00:00",
+             "Quality": "Bad", "Value": "test"}
+        ),
+        _json.dumps(
+            {"TagName": "Test3", "EventTime": "2023-04-20T00:00:01+00:00",
+             "Quality": "Good", "Value": "7"}
+        ),
+    ]
+    props = [
+        {"PointType": "Float32", "Action": "Add"},
+        {"PointType": "String", "Action": "Update"},
+        {"Action": "Insert"},  # PointType from broadcast metadata
+    ]
+    ds = ray.data.from_arrow(pa.table({"body": bodies, "properties": props}))
+    df = (
+        ssip_pi_json_to_pcdm(ds, metadata_point_types={"Test3": "Int32"})
+        .to_pandas()
+        .sort_values("TagName")
+    )
+    assert df["ValueType"].tolist() == ["float", "string", "integer"]
+    assert df["ChangeType"].tolist() == ["insert", "update", "insert"]
+    assert df["Status"].tolist() == ["Good", "Bad", "Good"]
+    assert str(df["EventDate"].iloc[0]) == "2023-04-19"
+    assert str(df["EventDate"].iloc[2]) == "2023-04-20"
+
+    # integer PointType with a non-integer value demotes to string
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "body": [_json.dumps({"TagName": "T", "EventTime":
+                    "2023-04-19T00:00:00+00:00", "Quality": "Good", "Value": "x"})],
+                "properties": [{"PointType": "Int16", "Action": "Refresh"}],
+            }
+        )
+    )
+    df2 = ssip_pi_json_to_pcdm(ds2).to_pandas()
+    assert df2["ValueType"].tolist() == ["string"]
+    assert df2["ChangeType"].tolist() == ["update"]
+
+
+def test_opc_publisher_ae_to_events():
+    import json as _json
+
+    from core_ray.stages.vendors import opc_publisher_ae_to_events
+
+    t = "2023-10-19T13:08:08.503Z"
+    alarm = {
+        "NodeId": "ns=6;s=MyLevel.Alarm",
+        "EndpointUrl": "opc.tcp://srv/OPCUA/SimulationServer",
+        "DisplayName": "MyLevelAlarm",
+        "Value": {
+            "ConditionId": {"Value": "ns#s=MyLevel.Alarm", "SourceTimestamp": t},
+            "AckedState": {"Value": "Unacknowledged", "SourceTimestamp": t},
+            "AckedState/Id": {"Value": False, "SourceTimestamp": t},
+            "ActiveState": {"Value": "Inactive", "SourceTimestamp": t},
+            "ActiveState/Id": {"Value": False, "SourceTimestamp": t},
+            "EnabledState": {"Value": "Enabled", "SourceTimestamp": t},
+            "EnabledState/Id": {"Value": True, "SourceTimestamp": t},
+            "EventType": {"Value": "i=9482", "SourceTimestamp": t},
+            "HighHighLimit": {"Value": 90, "SourceTimestamp": t},
+            "HighLimit": {"Value": 70, "SourceTimestamp": t},
+            "InputNode": {"Value": None, "SourceTimestamp": t},
+            "LowLimit": {"Value": 30, "SourceTimestamp": t},
+            "LowLowLimit": {"Value": 10, "SourceTimestamp": t},
+            "Message": {"Value": "Level exceeded", "SourceTimestamp": t},
+            "Quality": {"Value": None, "SourceTimestamp": t},
+            "ReceiveTime": {"Value": t, "SourceTimestamp": t},
+            "Retain": {"Value": True, "SourceTimestamp": t},
+            "Severity": {"Value": 500, "SourceTimestamp": t},
+            "SourceName": {"Value": "MyLevel", "SourceTimestamp": t},
+            "Time": {"Value": t, "SourceTimestamp": t},
+        },
+    }
+    df = opc_publisher_ae_to_events(_ds(_json.dumps([alarm]))).to_pandas()
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert r["NodeId"] == "ns=6;s=MyLevel.Alarm"
+    assert r["DisplayName"] == "MyLevelAlarm"
+    assert r["AckedState/Id"] == False and r["EnabledState/Id"] == True
+    assert r["HighHighLimit"] == 90.0 and r["Severity"] == 500.0
+    assert r["EventTime"] == pd.Timestamp("2023-10-19 13:08:08.503")
+    assert r["ReceiveTime"] == pd.Timestamp("2023-10-19 13:08:08.503")
+    assert pd.isna(r["InputNode"]) and pd.isna(r["Quality"])
+    assert df["EventTime"].dtype.kind == "M"
+
+
+def test_raw_forecast_to_weather_data_model():
+    from core_ray.stages.weather_model import (
+        WEATHER_DATA_MODEL,
+        raw_forecast_to_weather_data_model,
+    )
+
+    raw = pd.DataFrame(
+        {
+            "Latitude": [32.3667], "Longitude": [-95.3],
+            "FcstValidLocal": ["2024-01-15T07:00:00-0600"],
+            "Temp": [42], "Dewpt": [36], "Rh": [79], "Hi": [42], "Wc": [38],
+            "Wdir": [180], "Wspd": [9], "Clds": [84], "Qpf": [0.0],
+            "DayInd": ["D"], "Dow": ["Monday"], "Gust": [None], "Mslp": [1017.1],
+            "Num": [1], "Pop": [""], "PrecipType": ["rain"], "SnowQpf": [0.0],
+            "UvIndex": [1], "Vis": [10.0],
+        }
+    )
+    out = raw_forecast_to_weather_data_model(
+        ray.data.from_pandas(raw), processed_date="2024-01-15 12:00:00"
+    )
+    tbl = out.to_pandas()
+    assert list(tbl.columns) == [f.name for f in WEATHER_DATA_MODEL]
+    r = tbl.iloc[0]
+    assert r["WeatherDay"] == "2024-01-15"
+    assert r["WeatherHour"] == 8  # local hour + 1
+    assert r["WeatherTimezoneOffset"] == "-0600"
+    assert r["WeatherType"] == "F"
+    assert r["Temperature"] == 42.0 and r["Humidity"] == 79.0
+    assert pd.isna(r["PropOfPrecip"])  # blank string -> NULL before cast
+    assert pd.isna(r["WindGust"])
+    assert r["ProcessedDate"] == pd.Timestamp("2024-01-15 12:00:00")
