@@ -178,21 +178,40 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
 
 
 def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
-    """Top-k customers by revenue: per-customer totals from the partitioned
-    hash joins, tiny global sort+limit, then names fetched with a pushed-down
-    parquet filter on just the k winning keys."""
-    from ..ops.common import grouped_map
+    """Top-k customers by revenue.  Per-customer totals are one VECTORIZED
+    pandas groupby-sum per key-hash bucket (a per-key Python merge cost
+    ~0.2 ms x 15k customers, measured ~6 s at sf0.1), each bucket emits only
+    its local top-k (revenue desc, custkey asc — the oracle's rounded
+    ordering), and the driver merges 64·k candidate rows; names are fetched
+    with a parquet filter pushed down to just the k winning keys.  No global
+    sort, no full-table driver read — the pattern holds at any customer
+    cardinality."""
+    from ..ops.common import _arrow_add_bucket
 
     per_cust = _per_cust_revenue_partials(sf_dir)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"custkey": [int(g["c_custkey"].iloc[0])], "revenue": round4(g["rev"].sum())}
-        )
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("c_custkey", sort=False)["rev"].sum().reset_index()
+        out = out.rename(columns={"c_custkey": "custkey", "rev": "revenue"})
+        out["custkey"] = out["custkey"].astype("int64")
+        out["revenue"] = round4(out["revenue"].to_numpy())
+        return out.sort_values(
+            ["revenue", "custkey"], ascending=[False, True]
+        ).head(k)
 
-    totals = grouped_map(per_cust, ["c_custkey"], merge)
     top = (
-        totals.sort(["revenue", "custkey"], descending=[True, False]).limit(k).to_pandas()
+        per_cust.map_batches(
+            _arrow_add_bucket(["c_custkey"], 64), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_topk(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values(["revenue", "custkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
     )
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
