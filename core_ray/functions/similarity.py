@@ -215,12 +215,18 @@ def cosine_dup_pairs(
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
         cos = unit @ unit.T
-        rows = []
-        for i in range(len(ids)):
-            for j in np.nonzero(cos[i, i + 1 :] >= threshold)[0]:
-                rows.append((int(ids[i]), int(ids[i + 1 + j]), float(round4(cos[i, i + 1 + j])[()])))
-        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"]).astype(
-            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        # vectorized upper-triangle extraction + ONE round4 kernel call (the
+        # per-pair loop invoked the DuckDB rounding kernel once per pair)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        c = cos[iu, ju]
+        keep = c >= threshold
+        iu, ju, c = iu[keep], ju[keep], c[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu].astype(np.int64),
+                "vec_b": ids[ju].astype(np.int64),
+                "cosine": round4(c),
+            }
         )
 
     pairs = collision_grouped_map(exploded, ["band", "key"], bucket)
