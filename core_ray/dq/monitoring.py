@@ -16,14 +16,49 @@ from .manipulation import _runs
 
 
 def check_value_ranges(
-    ds: ray.data.Dataset, lo: float, hi: float
+    ds: ray.data.Dataset,
+    lo: float | None = None,
+    hi: float | None = None,
+    tag_ranges: dict[str, dict] | None = None,
 ) -> ray.data.Dataset:
-    """Rows whose Value falls outside [lo, hi] (reference
-    ``CheckValueRanges`` logs them; here they ARE the output)."""
+    """Rows whose Value falls outside the expected range (reference
+    ``CheckValueRanges`` logs them; here they ARE the output).
+
+    Either a global ``[lo, hi]`` or per-tag ``tag_ranges`` — a dict of
+    ``{tag: {"min": m, "max": M, "inclusive_bounds": bool}}`` exactly like
+    the reference (``check_value_ranges.py:42-47,171-179``): inclusive bounds
+    flag ``Value < min OR Value > max``; exclusive bounds flag
+    ``Value <= min OR Value >= max``; tags absent from the dict are ignored.
+    The per-tag lookup is three vectorized ``Series.map`` calls per batch —
+    no per-row Python."""
+    if tag_ranges is not None:
+        import pandas as pd
+
+        min_map = {t: float(r.get("min", -np.inf)) for t, r in tag_ranges.items()}
+        max_map = {t: float(r.get("max", np.inf)) for t, r in tag_ranges.items()}
+        inc_map = {
+            t: bool(r.get("inclusive_bounds", True)) for t, r in tag_ranges.items()
+        }
+
+        def mask_of(batch: pa.Table) -> np.ndarray:
+            s = pd.Series(batch[TS.TAG].to_numpy(zero_copy_only=False))
+            v = batch[TS.VALUE].to_numpy()
+            known = s.isin(min_map).to_numpy()
+            mn = s.map(min_map).to_numpy(dtype=np.float64, na_value=np.nan)
+            mx = s.map(max_map).to_numpy(dtype=np.float64, na_value=np.nan)
+            inc = s.map(inc_map).to_numpy(dtype=np.float64, na_value=1.0) == 1.0
+            with np.errstate(invalid="ignore"):
+                out = np.where(inc, (v < mn) | (v > mx), (v <= mn) | (v >= mx))
+            return known & out
+
+    else:
+
+        def mask_of(batch: pa.Table) -> np.ndarray:
+            v = batch[TS.VALUE].to_numpy()
+            return (v < lo) | (v > hi)
 
     def filt(batch: pa.Table) -> pa.Table:
-        v = batch[TS.VALUE].to_numpy()
-        out = batch.filter(pa.array((v < lo) | (v > hi)))
+        out = batch.filter(pa.array(mask_of(batch)))
         return pa.table(
             {
                 TS.TAG: out[TS.TAG],

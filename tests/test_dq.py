@@ -173,3 +173,35 @@ def test_hash_join_matches_pandas():
     )
     exp = left.merge(right, on="k").sort_values(["k", "lv", "rv"]).reset_index(drop=True)
     assert got.astype(str).equals(exp.astype(str))
+
+
+def test_check_value_ranges_global_and_per_tag():
+    from core_ray.dq import check_value_ranges
+
+    rows = [
+        ("A", T0, "Good", 25.0),
+        ("A", T0 + US, "Good", -5.0),   # below A's min
+        ("A", T0 + 2 * US, "Good", 50.0),   # == A's max, inclusive -> in range
+        ("B", T0 + 3 * US, "Good", 80.0),
+        ("B", T0 + 4 * US, "Good", 100.0),  # == B's max, exclusive -> OUT
+        ("C", T0 + 5 * US, "Good", 999.0),  # tag not configured -> ignored
+    ]
+    tag_ranges = {
+        "A": {"min": 0, "max": 50, "inclusive_bounds": True},
+        "B": {"min": 50, "max": 100, "inclusive_bounds": False},
+    }
+    out = (
+        check_value_ranges(_ds(rows), tag_ranges=tag_ranges)
+        .to_pandas()
+        .sort_values("EventTime")
+    )
+    assert list(zip(out["TagName"], out["Value"])) == [("A", -5.0), ("B", 100.0)]
+
+    # missing min/max arms: only the present bound is enforced
+    out2 = check_value_ranges(
+        _ds(rows), tag_ranges={"A": {"max": 20}}
+    ).to_pandas()
+    assert set(out2["Value"]) == {25.0, 50.0}
+
+    glob = check_value_ranges(_ds(rows), lo=0.0, hi=100.0).to_pandas()
+    assert set(glob["Value"]) == {-5.0, 999.0}
