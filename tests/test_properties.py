@@ -1,0 +1,120 @@
+"""Hypothesis property tests over the pure (no-Ray) kernels — the invariants
+every distributed stage relies on.  Mirrors the reference's unit-fixture
+strategy (SURVEY.md §5) but with generated inputs: window assignment laws,
+session-boundary laws, pair-generation equivalence vs brute force, popcount
+parity."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from core_ray.functions.dedup import _pairs_within_groups, popcount64
+from core_ray.windows import session_ids, sliding_window_starts, tumbling_window_start
+
+US = 1_000_000
+_ts_list = st.lists(
+    st.integers(min_value=0, max_value=10_000 * US), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ts=_ts_list,
+    start=st.integers(min_value=0, max_value=100 * US),
+    interval=st.integers(min_value=1, max_value=500 * US),
+)
+def test_tumbling_window_contains_its_timestamps(ts, start, interval):
+    arr = np.array(ts, dtype=np.int64)
+    ws = tumbling_window_start(arr, start, interval)
+    # every ts falls inside [ws, ws+interval) and ws is start-aligned
+    assert ((ws <= arr) & (arr < ws + interval)).all()
+    assert (((ws - start) % interval) == 0).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ts=_ts_list,
+    start=st.integers(min_value=0, max_value=100 * US),
+    slide=st.integers(min_value=1, max_value=200 * US),
+    extra=st.integers(min_value=0, max_value=400 * US),
+)
+def test_sliding_windows_exactly_cover(ts, start, slide, extra):
+    size = slide + extra  # size >= slide
+    arr = np.array(ts, dtype=np.int64)
+    idx, ws = sliding_window_starts(arr, start, size, slide)
+    # each emitted (row, window) pair really contains the row
+    assert ((ws <= arr[idx]) & (arr[idx] < ws + size)).all()
+    assert (((ws - start) % slide) == 0).all()
+    # and the multiplicity per row equals the true count of covering windows
+    for i, t in enumerate(arr):
+        lo = start + ((t - start) // slide) * slide  # last window start <= t
+        n_true = 0
+        w = lo
+        while w > t - size:
+            n_true += 1
+            w -= slide
+        assert int((idx == i).sum()) == n_true
+
+
+@settings(max_examples=60, deadline=None)
+@given(ts=_ts_list, gap=st.integers(min_value=1, max_value=500 * US))
+def test_session_ids_split_exactly_on_gap(ts, gap):
+    arr = np.sort(np.array(ts, dtype=np.int64))
+    sid = session_ids(arr, gap)
+    if len(arr) == 0:
+        assert len(sid) == 0
+        return
+    assert sid[0] == 0
+    d = np.diff(arr)
+    # session increments exactly where the gap is exceeded
+    assert (np.diff(sid) == (d > gap).astype(np.int64)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=50))
+def test_popcount64_matches_python_bin(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    got = popcount64(arr)
+    assert [int(x) for x in got] == [bin(v).count("1") for v in vals]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # group key
+            st.integers(min_value=0, max_value=30),  # doc id
+            st.integers(min_value=1, max_value=9),  # carried value
+        ),
+        max_size=40,
+    ),
+    max_group=st.one_of(st.none(), st.integers(min_value=1, max_value=6)),
+)
+def test_pairs_within_groups_matches_bruteforce(rows, max_group):
+    import itertools
+
+    import pandas as pd
+
+    # doc ids unique per group (the callers' invariant)
+    seen, clean = set(), []
+    for k, d, v in rows:
+        if (k, d) not in seen:
+            seen.add((k, d))
+            clean.append((k, d, v))
+    df = pd.DataFrame(clean, columns=["key", "doc_id", "val"])
+    got = _pairs_within_groups(df, ["key"], ["val"], max_group)
+    got_set = {
+        (a, b, va, vb)
+        for a, b, va, vb in zip(
+            got["doc_a"], got["doc_b"], got["val_a"], got["val_b"]
+        )
+    }
+    want = set()
+    for k, g in df.groupby("key"):
+        if max_group is not None and len(g) > max_group:
+            continue
+        members = sorted(zip(g["doc_id"], g["val"]))
+        for (a, va), (b, vb) in itertools.combinations(members, 2):
+            want.add((a, b, va, vb))
+    assert got_set == want
+    assert len(got) == len(want)  # no duplicate pairs either
