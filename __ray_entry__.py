@@ -285,6 +285,54 @@ def _q_vendor_fledge_pcdm(sf):
     return fledge_opcua_to_pcdm(ray.data.from_items([{"body": VENDOR_FLEDGE_PAYLOAD}]))
 
 
+def _q_vendor_opcua_pcdm(sf):
+    import ray.data
+
+    from core_ray.stages.vendors import opcua_to_pcdm
+
+    # the reference's own test payload (tests/.../test_opcua_json_to_pcdm.py:32)
+    payload = (
+        '{"MessageId":"12345","MessageType":"test","PublisherId":"opcua_pub",'
+        '"Messages":[{"DataSetWriterId":12345,"Timestamp":"2024-05-07T09:54:31.6769914Z",'
+        '"Payload":{"tag_1":{"Value":100.2}}},'
+        '{"DataSetWriterId":56789,"Timestamp":"2024-05-07T09:54:31.6509972Z",'
+        '"Payload":{"tag_2":{"Value":79}}}]}'
+    )
+    return opcua_to_pcdm(ray.data.from_items([{"body": payload}]))
+
+
+# the reference's golden weather fixture rows
+# (tests/.../the_weather_company/raw_forecast_to_weather_data_model/input.csv)
+_WEATHER_RAW_ROWS = [
+    # (FcstValidLocal, Num, Temp, Dewpt, Hi, Wc, Dow, Pop, PrecipType, Qpf,
+    #  SnowQpf, Rh, Wspd, Wdir, Gust, Clds, Vis, Mslp, UvIndex)
+    ("2023-06-30T09:00:00-0500", 1, 83, 72, 89, 83, "Friday", "1", "rain", 0.0, 0.0, 69, 13, 216, 23, 26, 10.0, 30.0, 2),
+    ("2023-06-30T10:00:00-0500", 2, 86, 71, 92, 86, "Friday", "1", "rain", 0.0, 0.0, 62, 13, 217, 21, 22, 10.0, 30.0, 4),
+    ("2023-06-30T11:00:00-0500", 3, 88, 70, 95, 88, "Friday", "0", "rain", 0.0, 0.0, 56, 12, 214, 20, 29, 10.0, 29.99, 7),
+    ("2023-06-30T12:00:00-0500", 4, 91, 71, 100, 91, "Friday", "0", "rain", 0.0, 0.0, 53, 11, 209, 17, 23, 10.0, 29.98, 9),
+]
+
+
+def _q_weather_forecast_model(sf):
+    import pandas as pd
+    import ray.data
+
+    from core_ray.stages.weather_model import raw_forecast_to_weather_data_model
+
+    cols = [
+        "FcstValidLocal", "Num", "Temp", "Dewpt", "Hi", "Wc", "Dow", "Pop",
+        "PrecipType", "Qpf", "SnowQpf", "Rh", "Wspd", "Wdir", "Gust", "Clds",
+        "Vis", "Mslp", "UvIndex",
+    ]
+    df = pd.DataFrame(_WEATHER_RAW_ROWS, columns=cols)
+    df.insert(0, "Latitude", 32.3667)
+    df.insert(1, "Longitude", -95.4)
+    df["DayInd"] = "D"
+    return raw_forecast_to_weather_data_model(
+        ray.data.from_pandas(df), processed_date="2023-06-30 14:57:50"
+    )
+
+
 def _ssip_file_bytes() -> bytes:
     import io
 
@@ -525,6 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_twa_meta": _q_ts_twa_meta,
         "ts_metadata": _q_ts_metadata,
         "vendor_fledge_pcdm": _q_vendor_fledge_pcdm,
+        "vendor_opcua_pcdm": _q_vendor_opcua_pcdm,
+        "weather_forecast_model": _q_weather_forecast_model,
         "ssip_pi_binary_pcdm": _q_ssip_pi_binary_pcdm,
         "mm_decode_features": _q_mm_decode_features,
         "ts_circular_avg": _q_ts_circular_avg,
@@ -981,6 +1031,41 @@ SELECT * FROM (VALUES
   ('pressure', TIMESTAMP '2024-05-04 08:45:42', 'Good', '-0.913545458', 'float', 'insert')
 ) v(TagName, EventTime, Status, Value, ValueType, ChangeType)
 ORDER BY TagName
+"""
+
+_ORACLE["vendor_opcua_pcdm"] = """
+SELECT * FROM (VALUES
+  ('tag_1', TIMESTAMP '2024-05-07 09:54:31.676991', 'Good', '100.2', 'float', 'insert'),
+  ('tag_2', TIMESTAMP '2024-05-07 09:54:31.650997', 'Good', '79', 'float', 'insert')
+) v(TagName, EventTime, Status, Value, ValueType, ChangeType)
+ORDER BY TagName
+"""
+
+# the reference's own golden rows (tests/.../raw_forecast_to_weather_data_model/output.csv)
+_ORACLE["weather_forecast_model"] = """
+SELECT
+  CAST(Latitude AS DOUBLE) AS Latitude, CAST(Longitude AS DOUBLE) AS Longitude,
+  WeatherDay, WeatherHour, WeatherTimezoneOffset, WeatherType,
+  TIMESTAMP '2023-06-30 14:57:50' AS ProcessedDate,
+  CAST(Temperature AS DOUBLE) AS Temperature, CAST(DewPoint AS DOUBLE) AS DewPoint,
+  CAST(Humidity AS DOUBLE) AS Humidity, CAST(HeatIndex AS DOUBLE) AS HeatIndex,
+  CAST(WindChill AS DOUBLE) AS WindChill, CAST(WindDirection AS DOUBLE) AS WindDirection,
+  CAST(WindSpeed AS DOUBLE) AS WindSpeed, CAST(CloudCover AS DOUBLE) AS CloudCover,
+  CAST(NULL AS VARCHAR) AS WetBulbTemp, CAST(NULL AS VARCHAR) AS SolarIrradiance,
+  CAST(Precipitation AS DOUBLE) AS Precipitation, DayOrNight, DayOfWeek,
+  WindGust, CAST(MslPressure AS DOUBLE) AS MslPressure, ForecastDayNum, PropOfPrecip,
+  PrecipType, CAST(SnowAccumulation AS DOUBLE) AS SnowAccumulation,
+  CAST(UvIndex AS DOUBLE) AS UvIndex, CAST(Visibility AS DOUBLE) AS Visibility
+FROM (VALUES
+  (32.3667, -95.4, '2023-06-30', 10, '-0500', 'F', 83, 72, 69, 89, 83, 216, 13, 26, 0.0, 'D', 'Friday', 23, 30.0, 1, 1, 'rain', 0.0, 2, 10.0),
+  (32.3667, -95.4, '2023-06-30', 11, '-0500', 'F', 86, 71, 62, 92, 86, 217, 13, 22, 0.0, 'D', 'Friday', 21, 30.0, 2, 1, 'rain', 0.0, 4, 10.0),
+  (32.3667, -95.4, '2023-06-30', 12, '-0500', 'F', 88, 70, 56, 95, 88, 214, 12, 29, 0.0, 'D', 'Friday', 20, 29.99, 3, 0, 'rain', 0.0, 7, 10.0),
+  (32.3667, -95.4, '2023-06-30', 13, '-0500', 'F', 91, 71, 53, 100, 91, 209, 11, 23, 0.0, 'D', 'Friday', 17, 29.98, 4, 0, 'rain', 0.0, 9, 10.0)
+) v(Latitude, Longitude, WeatherDay, WeatherHour, WeatherTimezoneOffset, WeatherType,
+    Temperature, DewPoint, Humidity, HeatIndex, WindChill, WindDirection, WindSpeed,
+    CloudCover, Precipitation, DayOrNight, DayOfWeek, WindGust, MslPressure,
+    ForecastDayNum, PropOfPrecip, PrecipType, SnowAccumulation, UvIndex, Visibility)
+ORDER BY WeatherHour
 """
 
 _ORACLE["ssip_pi_binary_pcdm"] = """

@@ -98,6 +98,10 @@ def raw_forecast_to_weather_data_model(
             # blank strings -> NULL before the cast (reference `:128-133`)
             if col.dtype == object or str(col.dtype) == "string":
                 col = col.mask(col.astype("string") == "")
+                # Spark casts string->numeric implicitly (e.g. Pop '1'->1);
+                # pyarrow needs the parse to happen first
+                if pa.types.is_integer(field.type) or pa.types.is_floating(field.type):
+                    col = pd.to_numeric(col, errors="coerce")
             out[field.name] = pa.array(col, field.type, from_pandas=True)
         return pa.table(out)
 
