@@ -220,7 +220,10 @@ def _q_doc_jaccard_pairs(sf):
 def _q_doc_simhash_pairs(sf):
     from core_ray.functions import simhash_pairs
 
-    return simhash_pairs(sf, max_hamming=3)  # rows-only check
+    # exact-oracled: the word hash is DuckDB's own hash() kernel, and 4x16-bit
+    # band blocking has recall 1 at hamming<=3 (pigeonhole), so the output is
+    # exactly {pairs: hamming(sig_a, sig_b) <= 3} — SQL-expressible end to end
+    return simhash_pairs(sf, max_hamming=3)
 
 
 def _query_vec(sf):
@@ -1023,6 +1026,43 @@ FROM base ORDER BY doc_id
 # (the two queries compute the same pair set by different distributed plans —
 # LSH candidates + verify vs. exhaustive shingle co-occurrence counting)
 _ORACLE["doc_jaccard_pairs"] = _ORACLE["doc_minhash_pairs"]
+
+# SimHash is hash-defined, so the engine hashes words with DuckDB's own
+# hash() kernel (core_ray/functions/dedup.py:_duckdb_word_hash) making the
+# 64-bit fingerprint reproducible in SQL; 4x16-bit band blocking has recall 1
+# at hamming<=3, so output == all pairs with bit_count(xor(sig_a,sig_b)) <= 3.
+# The HUGEINT->BIGINT subtraction maps the uint64 signature onto two's
+# complement so xor/bit_count operate on the same bit pattern as the engine.
+_ORACLE["doc_simhash_pairs"] = """
+WITH w AS (
+  SELECT doc_id, hash(w) AS h FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+votes AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM w CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sig AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(s.hsig, 0) - CASE
+              WHEN COALESCE(s.hsig, 0) >= 9223372036854775808::HUGEINT
+              THEN 18446744073709551616::HUGEINT ELSE 0 END AS BIGINT) AS fp
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0 END) AS hsig
+    FROM votes GROUP BY doc_id
+  ) s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+ORDER BY 1, 2
+"""
 
 _ORACLE["vendor_fledge_pcdm"] = """
 SELECT * FROM (VALUES

@@ -467,13 +467,48 @@ def jaccard_pairs(
 
 # --- SimHash ---------------------------------------------------------------
 
+_simhash_con = None
+
+
+def _duckdb_word_hash(flat_words: pa.Array) -> np.ndarray:
+    """DuckDB's own 64-bit string hash over an Arrow word array, vectorized.
+
+    SimHash output is hash-defined (the fingerprint IS the hash), so to make
+    the operator exactly oracle-able the engine uses the same kernel the
+    DuckDB oracle uses — the round4 pattern (`ops/common.py:299`) applied to
+    hashing.  One in-process zero-copy Arrow scan per batch; ``threads=1``
+    keeps scan order stable.
+    """
+    global _simhash_con
+    import duckdb
+
+    if _simhash_con is None:
+        _simhash_con = duckdb.connect()
+        _simhash_con.execute("SET threads=1")
+    t = pa.table({"w": flat_words})
+    _simhash_con.register("_simhash_words", t)
+    out = _simhash_con.execute("SELECT hash(w) AS h FROM _simhash_words").fetch_arrow_table()
+    _simhash_con.unregister("_simhash_words")
+    return out["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
 
 class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         n_docs = len(doc_ids)
-        hashes, wc = _word_hashes_batch(batch["text"])
-        crcs = _hash2(7, hashes)
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words)
+        # Arrow keeps empty words for leading/trailing whitespace; drop them
+        # (the oracle's regexp split + ``w <> ''`` filter does the same)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep).to_numpy(zero_copy_only=False)
+        wc = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        crcs = _duckdb_word_hash(flat)
         # one (n_words, 64) int8 bit matrix for the whole batch, summed per
         # doc with reduceat — no per-document Python loop
         shifts = np.arange(64, dtype=np.uint64)
