@@ -336,6 +336,50 @@ def _q_weather_forecast_model(sf):
     )
 
 
+def _q_bus_eventhub_decode(sf):
+    """Eventhub-over-Kafka wire source end to end: partitioned segment log →
+    per-partition starting-offset filter (file pruning + batch trim) → AMQP
+    1.0 header decode → Eventhub schema mapping (kafka_eventhub.py:323-367)."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from core_ray.sources.bus import KafkaEventhubFixtureSource, write_bus_log
+
+    tmp = tempfile.mkdtemp(prefix="bus_fixture_")
+    records = [
+        {
+            "key": f"k{i}".encode(),
+            "value": f'{{"tag": "T{i}", "v": {i * 10}}}'.encode(),
+            "timestamp": datetime(2024, 1, 1, 0, 0, i),
+            "partition": i % 2,
+            "headers": {
+                "x-opt-offset": str(5000 + i),
+                "x-opt-publisher": "pub-a" if i % 2 == 0 else "pub-b",
+                "x-opt-enqueued-time": datetime(2024, 1, 1, tzinfo=timezone.utc),
+                "app-prop": i,
+            },
+        }
+        for i in range(6)
+    ]
+    write_bus_log(tmp, records, num_partitions=2, segment_rows=2)
+    # start partition 0 at offset 1 (skips record i=0) — proves the range path
+    ds = KafkaEventhubFixtureSource(tmp, starting_offsets={0: 1}).read_batch()
+
+    def to_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["body"] = [b.decode() for b in out["body"]]
+        return out[
+            ["partition", "sequenceNumber", "offset", "publisher", "body",
+             "enqueuedTime", "properties", "systemProperties"]
+        ]
+
+    return ds.map_batches(to_rows, batch_format="pandas").sort(
+        ["partition", "sequenceNumber"]
+    )
+
+
 def _ssip_file_bytes() -> bytes:
     import io
 
@@ -577,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_metadata": _q_ts_metadata,
         "vendor_fledge_pcdm": _q_vendor_fledge_pcdm,
         "vendor_opcua_pcdm": _q_vendor_opcua_pcdm,
+        "bus_eventhub_decode": _q_bus_eventhub_decode,
         "weather_forecast_model": _q_weather_forecast_model,
         "ssip_pi_binary_pcdm": _q_ssip_pi_binary_pcdm,
         "mm_decode_features": _q_mm_decode_features,
@@ -1071,6 +1116,31 @@ SELECT * FROM (VALUES
   ('pressure', TIMESTAMP '2024-05-04 08:45:42', 'Good', '-0.913545458', 'float', 'insert')
 ) v(TagName, EventTime, Status, Value, ValueType, ChangeType)
 ORDER BY TagName
+"""
+
+# deterministic wire-fixture golden rows: partition 0 starts at offset 1 so
+# record i=0 is excluded; JSON property maps are sorted-key dumps
+_ORACLE["bus_eventhub_decode"] = """
+SELECT partition, sequenceNumber, "offset", publisher, body,
+       CAST(enqueuedTime AS TIMESTAMP) AS enqueuedTime, properties, systemProperties
+FROM (VALUES
+  ('0', 1::BIGINT, '5002', 'pub-a', '{"tag": "T2", "v": 20}', TIMESTAMP '2024-01-01 00:00:02',
+   '{"app-prop": "2"}',
+   '{"x-opt-enqueued-time": "2024-01-01T00:00:00+00:00", "x-opt-offset": "5002", "x-opt-publisher": "pub-a"}'),
+  ('0', 2::BIGINT, '5004', 'pub-a', '{"tag": "T4", "v": 40}', TIMESTAMP '2024-01-01 00:00:04',
+   '{"app-prop": "4"}',
+   '{"x-opt-enqueued-time": "2024-01-01T00:00:00+00:00", "x-opt-offset": "5004", "x-opt-publisher": "pub-a"}'),
+  ('1', 0::BIGINT, '5001', 'pub-b', '{"tag": "T1", "v": 10}', TIMESTAMP '2024-01-01 00:00:01',
+   '{"app-prop": "1"}',
+   '{"x-opt-enqueued-time": "2024-01-01T00:00:00+00:00", "x-opt-offset": "5001", "x-opt-publisher": "pub-b"}'),
+  ('1', 1::BIGINT, '5003', 'pub-b', '{"tag": "T3", "v": 30}', TIMESTAMP '2024-01-01 00:00:03',
+   '{"app-prop": "3"}',
+   '{"x-opt-enqueued-time": "2024-01-01T00:00:00+00:00", "x-opt-offset": "5003", "x-opt-publisher": "pub-b"}'),
+  ('1', 2::BIGINT, '5005', 'pub-b', '{"tag": "T5", "v": 50}', TIMESTAMP '2024-01-01 00:00:05',
+   '{"app-prop": "5"}',
+   '{"x-opt-enqueued-time": "2024-01-01T00:00:00+00:00", "x-opt-offset": "5005", "x-opt-publisher": "pub-b"}')
+) v(partition, sequenceNumber, "offset", publisher, body, enqueuedTime, properties, systemProperties)
+ORDER BY partition, sequenceNumber
 """
 
 _ORACLE["vendor_opcua_pcdm"] = """

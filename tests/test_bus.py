@@ -1,0 +1,112 @@
+"""Kafka/Eventhub wire source: segment log, offset semantics, AMQP roundtrip,
+Eventhub schema mapping, streaming triggers."""
+
+import json
+from datetime import datetime, timezone
+
+import pandas as pd
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _write_log(tmp_path, n=10):
+    from core_ray.sources.bus import write_bus_log
+
+    records = [
+        {
+            "key": f"k{i}".encode(),
+            "value": json.dumps({"i": i}).encode(),
+            "timestamp": _ts(f"2024-01-01 00:00:{i:02d}"),
+            "partition": i % 2,
+            "headers": {
+                "x-opt-offset": str(1000 + i),
+                "x-opt-publisher": "pub",
+                "x-opt-enqueued-time": datetime(2024, 1, 1, tzinfo=timezone.utc),
+                "custom-prop": i,
+            },
+        }
+        for i in range(n)
+    ]
+    high = write_bus_log(str(tmp_path), records, num_partitions=2, segment_rows=2)
+    return high
+
+
+def test_amqp_encode_decode_roundtrip():
+    from core_ray.sources.bus import encode_amqp_value
+    from core_ray.stages.binary_sources import decode_amqp_value
+
+    vals = [None, True, False, 0, 7, 255, 300, -5_000_000_000, 2.5, "hello",
+            "x" * 300, b"\x01\x02"]
+    for v in vals:
+        rest, out = decode_amqp_value(encode_amqp_value(v))
+        assert rest == b""
+        assert out == v
+    # timestamps decode tz-aware at ms precision
+    t = datetime(2024, 5, 1, 12, 0, 0, 500000, tzinfo=timezone.utc)
+    _, out = decode_amqp_value(encode_amqp_value(t))
+    assert out == t
+
+
+def test_wire_source_offset_ranges_and_pruning(tmp_path, ray_session):
+    from core_ray.sources.bus import KafkaFixtureSource, _list_segments
+
+    _write_log(tmp_path)
+    segs = _list_segments(str(tmp_path))
+    assert {p: len(s) for p, s in segs.items()} == {0: 3, 1: 3}
+
+    src = KafkaFixtureSource(str(tmp_path))
+    df = src.read_batch().to_pandas()
+    assert len(df) == 10
+    assert sorted(df["offset"][df["partition"] == 0]) == [0, 1, 2, 3, 4]
+    assert src.high_water_marks() == {0: 5, 1: 5}
+
+    # per-partition starting offsets (inclusive) + ending offsets (exclusive)
+    src = KafkaFixtureSource(str(tmp_path), {0: 3, 1: 1}, {0: 5, 1: 2})
+    df = src.read_batch().to_pandas()
+    got = {p: sorted(g["offset"]) for p, g in df.groupby("partition")}
+    assert got == {0: [3, 4], 1: [1]}
+
+    # "latest" start reads nothing
+    assert KafkaFixtureSource(str(tmp_path), "latest").read_batch().count() == 0
+
+
+def test_eventhub_schema_mapping(tmp_path, ray_session):
+    from core_ray.sources.bus import KafkaEventhubFixtureSource
+
+    _write_log(tmp_path)
+    df = KafkaEventhubFixtureSource(str(tmp_path)).read_batch().to_pandas()
+    df = df.sort_values(["partition", "sequenceNumber"]).reset_index(drop=True)
+    assert list(df.columns) == [
+        "body", "partition", "offset", "sequenceNumber", "enqueuedTime",
+        "publisher", "partitionKey", "properties", "systemProperties",
+    ]
+    row = df[(df["partition"] == "0") & (df["sequenceNumber"] == 0)].iloc[0]
+    assert json.loads(row["body"]) == {"i": 0}
+    assert row["offset"] == "1000"          # from x-opt-offset annotation
+    assert row["publisher"] == "pub"
+    assert row["partitionKey"] is None
+    props = json.loads(row["properties"])
+    sysprops = json.loads(row["systemProperties"])
+    assert props == {"custom-prop": "0"}    # user props exclude x-opt-*
+    assert set(sysprops) == {"x-opt-offset", "x-opt-publisher", "x-opt-enqueued-time"}
+    assert sysprops["x-opt-enqueued-time"].startswith("2024-01-01T00:00:00")
+
+
+def test_stream_triggers_resume(tmp_path, ray_session):
+    from core_ray.sources.bus import KafkaFixtureSource
+
+    _write_log(tmp_path)
+    src = KafkaFixtureSource(str(tmp_path))
+    seen, checkpoints = [], []
+    for epoch, nxt in src.read_stream(max_offsets_per_trigger=2):
+        seen.append(epoch.to_pandas())
+        checkpoints.append(nxt)
+    assert len(seen) == 3  # 5 offsets per partition, 2 per trigger
+    all_rows = pd.concat(seen)
+    assert len(all_rows) == 10
+    assert checkpoints[-1] == {0: 5, 1: 5}
+    # resume from a mid-stream checkpoint replays exactly the remainder
+    resumed = KafkaFixtureSource(str(tmp_path), checkpoints[0]).read_batch().to_pandas()
+    assert len(resumed) == 10 - len(seen[0])
