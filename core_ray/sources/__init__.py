@@ -3,6 +3,13 @@
 from .sql_query import sql_query
 from .iso import BaseISOSource, FixtureISOSource
 from .weather import weather_raw, weather_latest
+from .bus import (
+    KafkaEventhubFixtureSource,
+    KafkaFixtureSource,
+    KinesisFixtureSource,
+    kafka_to_eventhub_schema,
+    write_bus_log,
+)
 
 __all__ = [
     "sql_query",
@@ -10,4 +17,9 @@ __all__ = [
     "FixtureISOSource",
     "weather_raw",
     "weather_latest",
+    "KafkaFixtureSource",
+    "KafkaEventhubFixtureSource",
+    "KinesisFixtureSource",
+    "kafka_to_eventhub_schema",
+    "write_bus_log",
 ]

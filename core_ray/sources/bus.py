@@ -325,7 +325,10 @@ def kafka_to_eventhub_schema(
 
 class KafkaEventhubFixtureSource(KafkaFixtureSource):
     """Eventhub-over-Kafka: wire read + AMQP header decode + schema mapping
-    (the reference's ``SparkKafkaEventhubSource`` surface)."""
+    (the reference's ``SparkKafkaEventhubSource`` surface).  IoT Hub is the
+    same wire (``sources/spark/iot_hub.py`` reads an Eventhub-compatible
+    endpoint); its ``iothub-*`` system properties are already routed by the
+    system/user split above."""
 
     def __init__(self, path: str, starting_offsets="earliest", ending_offsets="latest",
                  decode_headers: bool = True):
@@ -334,3 +337,28 @@ class KafkaEventhubFixtureSource(KafkaFixtureSource):
 
     def read_batch(self) -> ray.data.Dataset:
         return kafka_to_eventhub_schema(super().read_batch(), self.decode_headers)
+
+
+class KinesisFixtureSource(KafkaFixtureSource):
+    """Kinesis wire schema over the same segment log — the reference's
+    ``KINESIS_SCHEMA`` (``_pipeline_utils/spark.py:600-609``): partitionKey,
+    data, stream, shardId, sequenceNumber (string), arrival timestamp.
+    Partitions map to shards; offsets to sequence numbers."""
+
+    def read_batch(self) -> ray.data.Dataset:
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "partitionKey": [
+                        None if k is None else bytes(k).decode("utf-8", "replace")
+                        for k in df["key"]
+                    ],
+                    "data": df["value"].to_numpy(),
+                    "stream": df["topic"].to_numpy(),
+                    "shardId": [f"shardId-{p:012d}" for p in df["partition"]],
+                    "sequenceNumber": df["offset"].astype(str).to_numpy(),
+                    "approximateArrivalTimestamp": df["timestamp"].to_numpy(),
+                }
+            )
+
+        return super().read_batch().map_batches(fn, batch_format="pandas")

@@ -110,3 +110,19 @@ def test_stream_triggers_resume(tmp_path, ray_session):
     # resume from a mid-stream checkpoint replays exactly the remainder
     resumed = KafkaFixtureSource(str(tmp_path), checkpoints[0]).read_batch().to_pandas()
     assert len(resumed) == 10 - len(seen[0])
+
+
+def test_kinesis_schema_mapping(tmp_path, ray_session):
+    from core_ray.sources.bus import KinesisFixtureSource
+
+    _write_log(tmp_path)
+    df = KinesisFixtureSource(str(tmp_path), {0: 4, 1: 4}).read_batch().to_pandas()
+    df = df.sort_values(["shardId", "sequenceNumber"]).reset_index(drop=True)
+    assert list(df.columns) == [
+        "partitionKey", "data", "stream", "shardId", "sequenceNumber",
+        "approximateArrivalTimestamp",
+    ]
+    assert len(df) == 2  # one remaining offset per shard
+    assert df["shardId"].tolist() == ["shardId-000000000000", "shardId-000000000001"]
+    assert df["sequenceNumber"].tolist() == ["4", "4"]
+    assert json.loads(df["data"].iloc[0]) == {"i": 8}
