@@ -178,6 +178,190 @@ class PJMDailyLoadISOSource(BaseISOSource):
         return df
 
 
+class MISOHistoricalLoadISOSource(MISODailyLoadISOSource):
+    """MISO historical daily forecast+actual load (reference
+    ``miso_historical_load_iso.py:24``): repeated-header rows dropped, missing
+    ActualLoad filled from the MTLF forecast (``fill_missing``), long →
+    wide pivot per LoadResource Zone, LRZ column renames, then a date-range
+    clamp + sort in sanitize.  The reference parses yearly Excel pulls; here
+    the per-year payloads are injected (CSV bytes) — the prepare/sanitize
+    semantics are preserved 1:1."""
+
+    required_columns = ["Datetime"]
+    _ZONE_RENAMES = {
+        "LRZ1": "Lrz1", "LRZ2_7": "Lrz2_7", "LRZ3_5": "Lrz3_5", "LRZ4": "Lrz4",
+        "LRZ6": "Lrz6", "LRZ8_9_10": "Lrz8_9_10", "MISO": "Miso",
+        "DATE_TIME": "Datetime",
+    }
+
+    def __init__(self, payloads: list[bytes], start_date: str, end_date: str,
+                 fill_missing: bool = True):
+        self.payloads = payloads
+        self.start_date = pd.Timestamp(start_date)
+        self.end_date = pd.Timestamp(end_date)
+        self.fill_missing = fill_missing
+
+    def _get_data(self) -> pd.DataFrame:
+        frames = [pd.read_csv(io.BytesIO(p)) for p in self.payloads]
+        df = pd.concat(frames, sort=False) if frames else pd.DataFrame()
+        return self._sanitize_data(self._prepare_data(df))
+
+    def _prepare_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["MarketDay"] != "MarketDay"]
+        if self.fill_missing:
+            df = df.fillna({"ActualLoad (MWh)": df["MTLF (MWh)"]})
+        df = df.rename(
+            columns={
+                "MarketDay": "date",
+                "HourEnding": "hour",
+                "ActualLoad (MWh)": "load",
+                "LoadResource Zone": "zone",
+            }
+        )
+        df = df.dropna()
+        df["date_time"] = pd.to_datetime(df["date"]) + pd.to_timedelta(
+            df["hour"].astype(int) - 1, "h"
+        )
+        df = df.drop(["hour", "date"], axis=1)
+        df["load"] = df["load"].astype(float)
+        df = df.pivot_table(index="date_time", values="load", columns="zone").reset_index()
+        df.columns = [str(c.split(" ")[0]).upper() for c in df.columns]
+        return df.rename(columns=self._ZONE_RENAMES)
+
+    def _sanitize_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        end = self.end_date.replace(hour=23, minute=59, second=59)
+        df = df[(df["Datetime"] >= self.start_date) & (df["Datetime"] <= end)]
+        df = df.sort_values("Datetime").reset_index(drop=True)
+        return super(MISODailyLoadISOSource, self)._sanitize_data(df)
+
+
+def chunked_date_ranges(
+    start: pd.Timestamp, end: pd.Timestamp, days: int = 30
+) -> list[tuple[pd.Timestamp, pd.Timestamp]]:
+    """The reference's paged-pull windowing (``caiso_historical_load_iso.py``):
+    [start, end] split into ``days``-sized half-open chunks, last clamped."""
+    end = end + pd.Timedelta(days=1)
+    out = []
+    for d in pd.date_range(start, end, freq=f"{days}D", inclusive="left"):
+        out.append((d, min(d + pd.Timedelta(days=days), end)))
+    return out
+
+
+class CAISOHistoricalLoadISOSource(CAISODailyLoadISOSource):
+    """CAISO historical load (reference ``caiso_historical_load_iso.py:30``):
+    same OASIS prepare as the daily source; pulls are chunked into 30-day
+    ranges (``chunked_date_ranges``) and concatenated.  Per-chunk payloads
+    are injected keyed by chunk index."""
+
+    def __init__(self, payloads: list[bytes], start_date: str, end_date: str,
+                 load_types: list[str] | None = None):
+        super().__init__(b"", load_types or ["Total Actual Hourly Integrated Load"])
+        self.payloads = payloads
+        self.start_date = pd.Timestamp(start_date)
+        self.end_date = pd.Timestamp(end_date)
+        if self.start_date > self.end_date:
+            raise ValueError("start_date must not be after end_date")
+
+    def chunks(self) -> list[tuple[pd.Timestamp, pd.Timestamp]]:
+        return chunked_date_ranges(self.start_date, self.end_date, days=30)
+
+    def _get_data(self) -> pd.DataFrame:
+        n = len(self.chunks())
+        if len(self.payloads) != n:
+            raise ValueError(f"expected {n} chunk payloads, got {len(self.payloads)}")
+        frames = [pd.read_csv(io.BytesIO(p)) for p in self.payloads]
+        df = pd.concat(frames, ignore_index=True)
+        return self._sanitize_data(self._prepare_data(df))
+
+
+class PJMDailyPricingISOSource(BaseISOSource):
+    """PJM day-ahead / real-time hourly LMP pricing (reference
+    ``pjm_daily_pricing_iso.py:29``): load_type selects the da/rt column set
+    (``_prepare_data`` `:167-229`), projected onto the fixed pricing model."""
+
+    required_columns = ["StartTime", "PnodeId", "TotalLmp"]
+    _COMMON = {
+        "datetime_beginning_utc": "StartTime", "pnode_id": "PnodeId",
+        "pnode_name": "PnodeName", "voltage": "Voltage", "equipment": "Equipment",
+        "type": "Type", "zone": "Zone", "version_nbr": "VersionNbr",
+    }
+    _OUT_COLS = [
+        "StartTime", "PnodeId", "PnodeName", "Voltage", "Equipment", "Type",
+        "Zone", "SystemEnergyPrice", "TotalLmp", "CongestionPrice",
+        "MarginalLossPrice", "VersionNbr",
+    ]
+
+    def __init__(self, payload: bytes, load_type: str = "day_ahead"):
+        if load_type not in ("day_ahead", "real_time"):
+            raise ValueError("load_type must be day_ahead or real_time")
+        self.payload = payload
+        self.load_type = load_type
+
+    def _fetch(self) -> bytes:
+        return self.payload
+
+    def _prepare_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        sfx = "da" if self.load_type == "day_ahead" else "rt"
+        renames = dict(self._COMMON)
+        renames.update(
+            {
+                f"system_energy_price_{sfx}": "SystemEnergyPrice",
+                f"total_lmp_{sfx}": "TotalLmp",
+                f"congestion_price_{sfx}": "CongestionPrice",
+                f"marginal_loss_price_{sfx}": "MarginalLossPrice",
+            }
+        )
+        df = df.rename(columns=renames)[self._OUT_COLS]
+        df["StartTime"] = pd.to_datetime(df["StartTime"])
+        return df
+
+
+class PJMHistoricalPricingISOSource(PJMDailyPricingISOSource):
+    """PJM historical pricing (reference ``pjm_historical_pricing_iso.py:29``):
+    daily-pricing prepare over chunked archive pulls, clamped to the
+    requested [start_date, end_date] window in sanitize."""
+
+    def __init__(self, payloads: list[bytes], start_date: str, end_date: str,
+                 load_type: str = "day_ahead"):
+        super().__init__(b"", load_type)
+        self.payloads = payloads
+        self.start_date = pd.Timestamp(start_date)
+        self.end_date = pd.Timestamp(end_date)
+
+    def _get_data(self) -> pd.DataFrame:
+        frames = [pd.read_csv(io.BytesIO(p)) for p in self.payloads]
+        df = pd.concat(frames, ignore_index=True)
+        return self._sanitize_data(self._prepare_data(df))
+
+    def _sanitize_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        end = self.end_date.replace(hour=23, minute=59, second=59)
+        df = df[(df["StartTime"] >= self.start_date) & (df["StartTime"] <= end)]
+        df = df.sort_values(["StartTime", "PnodeId"]).reset_index(drop=True)
+        return super()._sanitize_data(df)
+
+
+class PJMHistoricalLoadISOSource(PJMDailyLoadISOSource):
+    """PJM historical load (reference ``pjm_historical_load_iso.py:26``):
+    daily-load actual prepare over chunked pulls + window clamp."""
+
+    def __init__(self, payloads: list[bytes], start_date: str, end_date: str):
+        super().__init__(b"", load_type="actual")
+        self.payloads = payloads
+        self.start_date = pd.Timestamp(start_date)
+        self.end_date = pd.Timestamp(end_date)
+
+    def _get_data(self) -> pd.DataFrame:
+        frames = [pd.read_csv(io.BytesIO(p)) for p in self.payloads]
+        df = pd.concat(frames, ignore_index=True)
+        return self._sanitize_data(self._prepare_data(df))
+
+    def _sanitize_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        end = self.end_date.replace(hour=23, minute=59, second=59)
+        df = df[(df["start_time"] >= self.start_date) & (df["start_time"] <= end)]
+        df = df.sort_values(["start_time", "zone"]).reset_index(drop=True)
+        return super()._sanitize_data(df)
+
+
 class FixtureISOSource(BaseISOSource):
     """Deterministic ISO source over a CSV fixture (file path or bytes)."""
 

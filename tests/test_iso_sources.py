@@ -74,3 +74,91 @@ def test_pjm_forecast_and_actual_mappings():
     df = PJMDailyLoadISOSource(ac, load_type="actual").read_batch().to_pandas()
     assert df["zone"].iloc[0] == "AEP"
     assert df["load"].iloc[0] == 12345
+
+
+def test_miso_historical_pivot_and_fill():
+    from core_ray.sources.iso import MISOHistoricalLoadISOSource
+
+    csv = (
+        b"MarketDay,HourEnding,LoadResource Zone,MTLF (MWh),ActualLoad (MWh)\n"
+        b"MarketDay,HourEnding,LoadResource Zone,MTLF (MWh),ActualLoad (MWh)\n"  # repeated header
+        b"2023-05-10,1,LRZ1,100,101\n"
+        b"2023-05-10,1,MISO,500,\n"          # missing actual -> filled from MTLF
+        b"2023-05-10,2,LRZ1,110,111\n"
+        b"2023-05-10,2,MISO,510,511\n"
+        b"2023-05-11,1,LRZ1,200,201\n"       # outside range, clamped away
+        b"2023-05-11,1,MISO,600,601\n"
+    )
+    src = MISOHistoricalLoadISOSource([csv], "2023-05-10", "2023-05-10")
+    df = src._get_data()
+    assert list(df.columns) == ["Datetime", "Lrz1", "Miso"]
+    assert len(df) == 2
+    assert df["Miso"].tolist() == [500.0, 511.0]   # filled value first hour
+    assert df["Datetime"].iloc[0].hour == 0        # HourEnding-1
+
+    # fill_missing=False drops the NaN actual row instead
+    src = MISOHistoricalLoadISOSource([csv], "2023-05-10", "2023-05-10", fill_missing=False)
+    df = src._get_data()
+    assert pd.isna(df["Miso"].iloc[0])             # pivot leaves a hole
+
+
+def test_caiso_historical_chunks_and_concat():
+    from core_ray.sources.iso import CAISOHistoricalLoadISOSource, chunked_date_ranges
+
+    ranges = chunked_date_ranges(pd.Timestamp("2023-01-01"), pd.Timestamp("2023-03-01"), 30)
+    assert len(ranges) == 2
+    assert ranges[0][0] == pd.Timestamp("2023-01-01")
+    assert ranges[1][1] == pd.Timestamp("2023-03-02")  # end-exclusive clamp
+
+    row = (
+        b"INTERVALSTARTTIME_GMT,INTERVALENDTIME_GMT,LOAD_TYPE,OPR_DT,OPR_HR,"
+        b"OPR_INTERVAL,MARKET_RUN_ID,TAC_AREA_NAME,LABEL,XML_DATA_ITEM,POS,MW,"
+        b"EXECUTION_TYPE,GROUP\n"
+        b"2023-01-0%dT00:00:00-00:00,2023-01-0%dT01:00:00-00:00,1,2023-01-01,1,"
+        b"0,ACTUAL,CA ISO-TAC,Total Actual Hourly Integrated Load,SYS_FCST_ACT_MW,"
+        b"1,25000,ACTUAL,ALL\n"
+    )
+    p1 = row.replace(b"%d", b"1")
+    p2 = row.replace(b"%d", b"2")
+    src = CAISOHistoricalLoadISOSource([p1, p2], "2023-01-01", "2023-03-01")
+    df = src._get_data()
+    assert len(df) == 2
+    assert df["Load"].tolist() == [25000, 25000]
+    import pytest
+
+    with pytest.raises(ValueError):
+        CAISOHistoricalLoadISOSource([p1], "2023-01-01", "2023-03-01")._get_data()
+
+
+def test_pjm_pricing_da_rt_and_historical():
+    from core_ray.sources.iso import PJMDailyPricingISOSource, PJMHistoricalPricingISOSource
+
+    def mk(sfx):
+        return (
+            f"datetime_beginning_utc,pnode_id,pnode_name,voltage,equipment,type,zone,"
+            f"system_energy_price_{sfx},total_lmp_{sfx},congestion_price_{sfx},"
+            f"marginal_loss_price_{sfx},version_nbr\n"
+            f"2023-06-01 05:00,5021,PJM-RTO,345 KV,XF,ZONE,PJM,28.1,30.5,1.2,1.2,1\n"
+            f"2023-06-03 05:00,5021,PJM-RTO,345 KV,XF,ZONE,PJM,29.1,31.5,1.3,1.1,1\n"
+        ).encode()
+
+    da = PJMDailyPricingISOSource(mk("da"), "day_ahead")._get_data()
+    assert da["TotalLmp"].tolist() == [30.5, 31.5]
+    rt = PJMDailyPricingISOSource(mk("rt"), "real_time")._get_data()
+    assert rt["SystemEnergyPrice"].tolist() == [28.1, 29.1]
+    assert list(da.columns) == list(rt.columns)
+
+    hist = PJMHistoricalPricingISOSource([mk("da")], "2023-06-01", "2023-06-02")._get_data()
+    assert len(hist) == 1  # 06-03 clamped out
+
+
+def test_pjm_historical_load_clamp():
+    from core_ray.sources.iso import PJMHistoricalLoadISOSource
+
+    csv = (
+        b"datetime_beginning_utc,datetime_ending_utc,area,actual_load\n"
+        b"2023-06-01 00:00,2023-06-01 01:00,AE,1000\n"
+        b"2023-06-05 00:00,2023-06-05 01:00,AE,1100\n"
+    )
+    df = PJMHistoricalLoadISOSource([csv], "2023-06-01", "2023-06-02")._get_data()
+    assert df["load"].tolist() == [1000]
