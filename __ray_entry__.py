@@ -380,6 +380,53 @@ def _q_bus_eventhub_decode(sf):
     )
 
 
+def _q_bus_pcdm_ingest(sf):
+    """The reference's production pipeline end to end: bus wire source →
+    OPC-UA JSON parse → keyed PCDM merge (ValueType routing, EventDate
+    partitions, latest registers), micro-batched with offset checkpoints;
+    returns the merged float events table."""
+    import json as _json
+    import tempfile
+    from datetime import datetime
+
+    import pandas as pd
+    import ray.data
+
+    from core_ray.sources.bus import write_bus_log
+    from core_ray.stages.vendors import opcua_to_pcdm
+    from core_ray.streaming.ingest import StreamingPCDMIngest
+
+    tmp = tempfile.mkdtemp(prefix="bus_ingest_")
+    records = [
+        {
+            "key": f"k{i}".encode(),
+            "value": _json.dumps(
+                {
+                    "MessageId": "1",
+                    "MessageType": "t",
+                    "PublisherId": "p",
+                    "Messages": [
+                        {
+                            "DataSetWriterId": 1,
+                            "Timestamp": f"2024-05-07T09:00:{i:02d}Z",
+                            "Payload": {f"tag_{i % 3}": {"Value": i * 1.5}},
+                        }
+                    ],
+                }
+            ).encode(),
+            "timestamp": datetime(2024, 5, 7, 9, 0, i),
+            "partition": i % 2,
+        }
+        for i in range(6)
+    ]
+    write_bus_log(f"{tmp}/bus", records, num_partitions=2, segment_rows=2)
+    job = StreamingPCDMIngest(f"{tmp}/bus", f"{tmp}/out", opcua_to_pcdm,
+                              max_offsets_per_trigger=2)
+    job.run()
+    ev = job.sink.read_events("float").sort_values(["TagName", "EventTime"])
+    return ray.data.from_pandas(ev.reset_index(drop=True))
+
+
 def _ssip_file_bytes() -> bytes:
     import io
 
@@ -622,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vendor_fledge_pcdm": _q_vendor_fledge_pcdm,
         "vendor_opcua_pcdm": _q_vendor_opcua_pcdm,
         "bus_eventhub_decode": _q_bus_eventhub_decode,
+        "bus_pcdm_ingest": _q_bus_pcdm_ingest,
         "weather_forecast_model": _q_weather_forecast_model,
         "ssip_pi_binary_pcdm": _q_ssip_pi_binary_pcdm,
         "mm_decode_features": _q_mm_decode_features,
@@ -1116,6 +1164,18 @@ SELECT * FROM (VALUES
   ('pressure', TIMESTAMP '2024-05-04 08:45:42', 'Good', '-0.913545458', 'float', 'insert')
 ) v(TagName, EventTime, Status, Value, ValueType, ChangeType)
 ORDER BY TagName
+"""
+
+_ORACLE["bus_pcdm_ingest"] = """
+SELECT * FROM (VALUES
+  ('tag_0', TIMESTAMP '2024-05-07 09:00:00', 'Good', 0.0),
+  ('tag_0', TIMESTAMP '2024-05-07 09:00:03', 'Good', 4.5),
+  ('tag_1', TIMESTAMP '2024-05-07 09:00:01', 'Good', 1.5),
+  ('tag_1', TIMESTAMP '2024-05-07 09:00:04', 'Good', 6.0),
+  ('tag_2', TIMESTAMP '2024-05-07 09:00:02', 'Good', 3.0),
+  ('tag_2', TIMESTAMP '2024-05-07 09:00:05', 'Good', 7.5)
+) v(TagName, EventTime, Status, Value)
+ORDER BY TagName, EventTime
 """
 
 # deterministic wire-fixture golden rows: partition 0 starts at offset 1 so
