@@ -85,3 +85,67 @@ def frame_sample(
         return batch.filter(pa.array(idx % every_n == 0))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def resize_frames(
+    ds: ray.data.Dataset, out_h: int, out_w: int, batch_size: int = 64
+) -> ray.data.Dataset:
+    """RAW-frame resize — a REAL kernel, not a codec stub: payloads are
+    uncompressed ``uint8 [height, width, channels]`` buffers (the shape a
+    decode stage emits), with per-row ``height``/``width``/``channels``
+    metadata columns.  Nearest-neighbor index gather per frame in numpy;
+    rows whose payload length doesn't match its metadata are dropped (the
+    corrupt-input arm).  Small batches: payload x concurrency must fit the
+    worker heap."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hs = batch["height"].to_numpy(zero_copy_only=False)
+        ws = batch["width"].to_numpy(zero_copy_only=False)
+        cs = batch["channels"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        keep, out_payloads = [], []
+        for i, p in enumerate(payloads):
+            h, w, c = int(hs[i]), int(ws[i]), int(cs[i])
+            if p is None or len(p) != h * w * c:
+                keep.append(False)
+                continue
+            frame = np.frombuffer(p, dtype=np.uint8).reshape(h, w, c)
+            yi = (np.arange(out_h) * h) // out_h
+            xi = (np.arange(out_w) * w) // out_w
+            out_payloads.append(frame[yi][:, xi].tobytes())
+            keep.append(True)
+        out = batch.filter(pa.array(keep))
+        n = out.num_rows
+        out = out.drop_columns(["payload", "height", "width"])
+        out = out.append_column("payload", pa.array(out_payloads, pa.binary()))
+        out = out.append_column("height", pa.array([out_h] * n, pa.int32()))
+        out = out.append_column("width", pa.array([out_w] * n, pa.int32()))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def audio_frame_features(
+    ds: ray.data.Dataset, frame_len: int = 1024, n_frames: int = 16,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """RAW-PCM audio features — also a real kernel: payloads are int16
+    little-endian PCM; emits a fixed ``n_frames``-length RMS envelope
+    (windows of ``frame_len`` samples, zero-padded/truncated), normalized to
+    [0, 1] by the int16 range.  The windowing/aggregation pattern is the
+    same one a real fbank/MFCC stage would use."""
+    need = frame_len * n_frames
+
+    def fn(batch: pa.Table) -> pa.Table:
+        feats = []
+        for p in batch["payload"].to_pylist():
+            raw = np.frombuffer((p or b"")[: 2 * need].ljust(2 * need, b"\0"), dtype="<i2")
+            win = raw.astype(np.float64).reshape(n_frames, frame_len)
+            feats.append(np.sqrt((win * win).mean(axis=1)) / 32768.0)
+        arr = np.stack(feats) if feats else np.zeros((0, n_frames))
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(arr.ravel(), pa.float64()), n_frames
+        )
+        return batch.drop_columns(["payload"]).append_column("rms", vec)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

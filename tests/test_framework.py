@@ -289,3 +289,31 @@ def test_write_partitioned_resumable(tmp_path):
     assert r3 == {"written": 1, "skipped": 2}
     total = sum(pq.read_metadata(f).num_rows for f in glob.glob(f"{out}/part=*/data.parquet"))
     assert total == 10
+
+
+def test_multimodal_resize_and_audio_features():
+    import numpy as np
+    import ray.data
+
+    from core_ray.stages.multimodal import audio_frame_features, resize_frames
+
+    # 4x4 single-channel gradient frame + one corrupt row (length mismatch)
+    frame = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    rows = [
+        {"media_id": 0, "payload": frame.tobytes(), "height": 4, "width": 4, "channels": 1},
+        {"media_id": 1, "payload": b"\x00\x01", "height": 4, "width": 4, "channels": 1},
+    ]
+    out = resize_frames(ray.data.from_items(rows), 2, 2).to_pandas()
+    assert len(out) == 1  # corrupt row dropped
+    got = np.frombuffer(out["payload"].iloc[0], dtype=np.uint8).reshape(2, 2)
+    # nearest-neighbor gather picks rows/cols 0 and 2
+    assert got.tolist() == [[0, 2], [8, 10]]
+    assert out["height"].iloc[0] == 2 and out["width"].iloc[0] == 2
+
+    # constant-amplitude PCM -> constant RMS envelope
+    pcm = (np.ones(1024 * 4, dtype="<i2") * 16384).tobytes()
+    ds = ray.data.from_items([{"media_id": 0, "payload": pcm}])
+    feats = audio_frame_features(ds, frame_len=1024, n_frames=4).to_pandas()
+    rms = np.asarray(feats["rms"].iloc[0])
+    assert rms.shape == (4,)
+    assert np.allclose(rms, 0.5)
