@@ -46,14 +46,27 @@ VTYPES = ("float", "integer", "string")
 EVENT_COLS = ["TagName", "EventTime", "Status", "Value"]
 
 
-def _normalize_cdc(batch: pa.Table) -> pa.Table:
-    """ChangeType normalization + EventDate derivation."""
+def _normalize_cdc(batch: pa.Table, merge: bool = True,
+                   remove_nanoseconds: bool = False) -> pa.Table:
+    """ChangeType normalization + EventDate derivation (+ optional ms
+    truncation — the reference's ``remove_nanoseconds`` arm actually floors
+    to milliseconds: ``floor(ts*1000)/1000``, ``pcdm_to_delta.py:285-291``)."""
     import pyarrow.compute as pc
 
-    ct = pc.utf8_lower(batch["ChangeType"])
-    ct = pc.if_else(pc.is_in(ct, value_set=pa.array(["insert", "update"])), "upsert", ct)
-    i = batch.column_names.index("ChangeType")
-    batch = batch.set_column(i, "ChangeType", ct)
+    if merge:
+        ct = pc.utf8_lower(batch["ChangeType"])
+        ct = pc.if_else(
+            pc.is_in(ct, value_set=pa.array(["insert", "update"])), "upsert", ct
+        )
+        i = batch.column_names.index("ChangeType")
+        batch = batch.set_column(i, "ChangeType", ct)
+    if remove_nanoseconds:
+        i = batch.column_names.index("EventTime")
+        us = pc.cast(pc.cast(batch["EventTime"], pa.timestamp("us")), pa.int64())
+        ms = pc.multiply(pc.divide(us, 1000), 1000)
+        batch = batch.set_column(
+            i, "EventTime", pc.cast(ms, pa.timestamp("us"))
+        )
     # normalize ValueType HERE so the shuffle key equals the physical path
     # key — an unknown vtype coerced inside the merge task would let two
     # groups (unknown + 'string') race on the same string/dt=<date> file
@@ -77,8 +90,12 @@ def _cast_value(df: pd.DataFrame, vtype: str) -> pd.DataFrame:
 
 
 class PCDMMergeSink:
-    def __init__(self, root: str):
+    def __init__(self, root: str, merge: bool = True,
+                 remove_nanoseconds: bool = False, remove_duplicates: bool = True):
         self.root = root
+        self.merge = merge
+        self.remove_nanoseconds = remove_nanoseconds
+        self.remove_duplicates = remove_duplicates
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------------ events
@@ -90,9 +107,13 @@ class PCDMMergeSink:
 
     def apply(self, cdc: ray.data.Dataset) -> dict:
         """Apply one batch of 6-column PCDM CDC rows; returns merge stats."""
-        ds = cdc.map_batches(_normalize_cdc, batch_format="pyarrow")
+        merge_flag, strip_ns = self.merge, self.remove_nanoseconds
+        ds = cdc.map_batches(
+            lambda b: _normalize_cdc(b, merge_flag, strip_ns), batch_format="pyarrow"
+        )
 
         root = self.root
+        dedup = self.remove_duplicates
 
         def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
             vtype, date = g["ValueType"].iloc[0], g["EventDate"].iloc[0]
@@ -105,7 +126,9 @@ class PCDMMergeSink:
             g = g.sort_values(
                 ["TagName", "EventTime", "ChangeType", "Value"],
                 kind="mergesort", key=lambda c: c.astype(str) if c.name == "Value" else c,
-            ).drop_duplicates(["TagName", "EventTime", "ChangeType"], keep="last")
+            )
+            if dedup:
+                g = g.drop_duplicates(["TagName", "EventTime", "ChangeType"], keep="last")
             # within equal (TagName, EventTime): a delete and an upsert in the
             # same batch -> apply upserts then deletes (delete wins), matching
             # a sequential merge of distinct ChangeType rows

@@ -317,3 +317,36 @@ def test_multimodal_resize_and_audio_features():
     rms = np.asarray(feats["rms"].iloc[0])
     assert rms.shape == (4,)
     assert np.allclose(rms, 0.5)
+
+
+def test_pcdm_merge_ns_strip_and_dedup_flags(tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from core_ray.state import PCDMMergeSink
+
+    rows = pd.DataFrame(
+        {
+            "TagName": ["T1", "T1"],
+            "EventTime": pd.to_datetime(
+                ["2024-03-01 10:00:00.123456", "2024-03-01 10:00:00.123999"]
+            ),
+            "Status": ["Good", "Good"],
+            "Value": ["1.0", "2.0"],
+            "ValueType": ["float", "float"],
+            "ChangeType": ["insert", "insert"],
+        }
+    )
+    # remove_nanoseconds floors to ms (pcdm_to_delta.py:285-291): the two rows
+    # collapse onto one key and the dedup keeps the greater Value
+    sink = PCDMMergeSink(str(tmp_path / "a"), remove_nanoseconds=True)
+    sink.apply(ray.data.from_pandas(rows))
+    ev = sink.read_events("float")
+    assert len(ev) == 1
+    assert ev["EventTime"].iloc[0].microsecond == 123000
+    assert ev["Value"].iloc[0] == 2.0
+
+    # remove_duplicates=False keeps both rows (distinct keys without ns-strip)
+    sink = PCDMMergeSink(str(tmp_path / "b"), remove_duplicates=False)
+    sink.apply(ray.data.from_pandas(rows))
+    assert len(sink.read_events("float")) == 2
