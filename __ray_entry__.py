@@ -83,6 +83,24 @@ def _q_ts_resample_avg(sf):
                     exact_decimals=2)
 
 
+def _q_ts_resample_tz(sf):
+    from core_ray.ops import resample
+
+    # windowed query + the reference display-timezone output stage: buckets
+    # are assigned on absolute instants aligned to the +02:00 start, the
+    # output EventTime is shifted into the display offset
+    return resample(
+        sf,
+        start="2024-01-01T00:00:00+02:00",
+        end="2024-01-31T00:00:00+02:00",
+        rate=1,
+        unit="hour",
+        agg="avg",
+        exact_decimals=2,
+        display_tz="infer",
+    )
+
+
 def _q_ts_resample_last(sf):
     from core_ray.ops import resample
 
@@ -655,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_raw_ci": _q_ts_raw_ci,
         "ts_raw_tz": _q_ts_raw_tz,
         "ts_resample_avg": _q_ts_resample_avg,
+        "ts_resample_tz": _q_ts_resample_tz,
         "ts_resample_last": _q_ts_resample_last,
         "ts_resample_count_fill": _q_ts_resample_count_fill,
         "ts_summary": _q_ts_summary,
@@ -745,6 +764,22 @@ WITH f AS (SELECT DISTINCT * FROM ({_resample_base()}))
 SELECT TagName, make_timestamp(ws) AS EventTime,
   round_even(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 4) AS Value
 FROM f GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# +02:00 display offset: the absolute range and the window alignment shift
+# back 2h; the displayed EventTime shifts forward 2h (ms-trunc is a no-op on
+# whole-hour window starts)
+_S2 = S_US - 7_200_000_000
+_E2 = E_US - 7_200_000_000
+_ORACLE["ts_resample_tz"] = f"""
+WITH f AS (SELECT DISTINCT * FROM (
+  SELECT event_type AS TagName, epoch_us(ts) AS tus, value,
+         {_S2} + (epoch_us(ts) - {_S2}) // {HOUR_US} * {HOUR_US} AS ws
+  FROM events WHERE epoch_us(ts) BETWEEN {_S2} AND {_E2}
+))
+SELECT TagName, make_timestamp(ws + 7200000000) AS EventTime,
+  round_even(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 4) AS Value
+FROM f GROUP BY 1, ws ORDER BY 1, 2
 """
 
 _ORACLE["ts_resample_last"] = f"""

@@ -172,11 +172,17 @@ def resample(
     include_bad: bool = True,
     exact_decimals: int | None = None,
     spec: SeriesSpec = EVENTS_SPEC,
+    display_tz: str | None = None,
 ) -> ray.data.Dataset:
     """``exact_decimals``: treat values as fixed-point with that many decimal
     places and accumulate avg sums as exact integers — deterministic under
     any shuffle/summation order (float sums can flip a 4-decimal rounding
-    boundary depending on order)."""
+    boundary depending on order).
+
+    ``display_tz``: the reference's output stage shifts every query's
+    EventTime into the display timezone (start-date offset when ``"infer"``,
+    or an explicit ``"+HH:MM"``) — window ASSIGNMENT still happens on
+    absolute instants (``_time_series_query_builder.py:96-113``)."""
     if agg not in AGG_METHODS:
         raise ValueError(f"agg must be one of {AGG_METHODS}")
     start_us, end_us = ts_to_us(start), ts_to_us(end)
@@ -197,6 +203,25 @@ def resample(
     )
     from .common import grouped_map
 
-    return grouped_map(
+    out = grouped_map(
         partials, [TS.TAG], _finalize(agg, start_us, end_us, ival, fill, scale)
     )
+    if display_tz is not None:
+        import pyarrow.compute as pc
+
+        from .common import parse_tz_offset_us
+
+        offset = (
+            parse_tz_offset_us(start)
+            if display_tz == "infer"
+            else parse_tz_offset_us(f"2000-01-01T00:00:00{display_tz}")
+        )
+
+        def shift(t: pa.Table) -> pa.Table:
+            i = t.column_names.index("EventTime")
+            us = pc.cast(pc.cast(t["EventTime"], pa.timestamp("us")), pa.int64())
+            shifted = pc.add(pc.multiply(pc.divide(us, 1000), 1000), offset)
+            return t.set_column(i, "EventTime", pc.cast(shifted, pa.timestamp("us")))
+
+        out = out.map_batches(shift, batch_format="pyarrow")
+    return out
