@@ -350,3 +350,24 @@ def test_pcdm_merge_ns_strip_and_dedup_flags(tmp_path):
     sink = PCDMMergeSink(str(tmp_path / "b"), remove_duplicates=False)
     sink.apply(ray.data.from_pandas(rows))
     assert len(sink.read_events("float")) == 2
+
+
+def test_polars_delta_destination_modes(tmp_path):
+    import pytest
+    import ray.data
+
+    from core_ray.stages.python_destinations import PolarsDeltaDestination
+
+    ds = ray.data.from_items([{"a": 1}, {"a": 2}])
+    path = str(tmp_path / "tbl")
+
+    dest = PolarsDeltaDestination(path, mode="error")
+    assert dest.write_batch(ds)["written"] == 2
+    with pytest.raises(FileExistsError):
+        dest.write_batch(ds)  # table now exists
+
+    assert PolarsDeltaDestination(path, mode="ignore").write_batch(ds)["skipped"]
+    assert PolarsDeltaDestination(path, mode="append").write_batch(ds)["written"] == 2
+    assert PolarsDeltaDestination(path, mode="append").read_back().num_rows == 4
+    PolarsDeltaDestination(path, mode="overwrite").write_batch(ds)
+    assert PolarsDeltaDestination(path, mode="append").read_back().num_rows == 2
