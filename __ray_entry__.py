@@ -445,6 +445,42 @@ def _q_bus_pcdm_ingest(sf):
     return ray.data.from_pandas(ev.reset_index(drop=True))
 
 
+def _weather_fixture_ds():
+    import pandas as pd
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "lat": [10.0, 10.0, 10.0, 20.0, 20.0, 30.0],
+            "lon": [30.0, 30.0, 30.0, 40.0, 40.0, 50.0],
+            "forecast_time": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03",
+                 "2024-01-01", "2024-01-04", "2024-01-02"]
+            ),
+            "temp": [1.5, 2.5, 3.5, 4.5, 5.5, 6.5],
+        }
+    )
+    return ray.data.from_pandas(df)
+
+
+def _q_weather_box_raw(sf):
+    from core_ray.sources.weather import weather_raw
+
+    # grid-box + time predicates (weather builder raw point/grid arms)
+    return weather_raw(
+        _weather_fixture_ds(),
+        start_us=1_704_067_200_000_000,          # 2024-01-01
+        end_us=1_704_240_000_000_000,            # 2024-01-03
+        box=(5.0, 25.0, 25.0, 45.0),
+    ).sort(["lat", "lon", "forecast_time"])
+
+
+def _q_weather_latest_point(sf):
+    from core_ray.sources.weather import weather_latest
+
+    return weather_latest(_weather_fixture_ds(), point=(10.0, 30.0))
+
+
 def _ssip_file_bytes() -> bytes:
     import io
 
@@ -689,6 +725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vendor_opcua_pcdm": _q_vendor_opcua_pcdm,
         "bus_eventhub_decode": _q_bus_eventhub_decode,
         "bus_pcdm_ingest": _q_bus_pcdm_ingest,
+        "weather_box_raw": _q_weather_box_raw,
+        "weather_latest_point": _q_weather_latest_point,
         "weather_forecast_model": _q_weather_forecast_model,
         "ssip_pi_binary_pcdm": _q_ssip_pi_binary_pcdm,
         "mm_decode_features": _q_mm_decode_features,
@@ -1199,6 +1237,20 @@ SELECT * FROM (VALUES
   ('pressure', TIMESTAMP '2024-05-04 08:45:42', 'Good', '-0.913545458', 'float', 'insert')
 ) v(TagName, EventTime, Status, Value, ValueType, ChangeType)
 ORDER BY TagName
+"""
+
+_ORACLE["weather_box_raw"] = """
+SELECT * FROM (VALUES
+  (10.0, 30.0, TIMESTAMP '2024-01-01', 1.5),
+  (10.0, 30.0, TIMESTAMP '2024-01-02', 2.5),
+  (10.0, 30.0, TIMESTAMP '2024-01-03', 3.5),
+  (20.0, 40.0, TIMESTAMP '2024-01-01', 4.5)
+) v(lat, lon, forecast_time, temp)
+ORDER BY lat, lon, forecast_time
+"""
+
+_ORACLE["weather_latest_point"] = """
+SELECT 10.0 AS lat, 30.0 AS lon, TIMESTAMP '2024-01-03' AS forecast_time, 3.5 AS temp
 """
 
 _ORACLE["bus_pcdm_ingest"] = """
