@@ -445,6 +445,40 @@ def _q_bus_pcdm_ingest(sf):
     return ray.data.from_pandas(ev.reset_index(drop=True))
 
 
+def _q_fc_linreg(sf):
+    """Forecasting: exact-integer OLS over daily resampled averages, 5-day
+    horizon.  Both the daily means (DECIMAL sums) and the OLS coefficients
+    (HUGEINT sums, all terms < 2^53 so double casts are exact) are
+    bit-reproducible in SQL — see linear_regression(exact_decimals=...)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from core_ray.dq import linear_regression
+    from core_ray.ops import resample
+
+    DAY_US = 86_400_000_000
+    daily = resample(sf, start=START, end=END, rate=1, unit="day", agg="avg",
+                     exact_decimals=2)
+
+    def to_internal(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "TagName": t["TagName"],
+                "ts_us": pc.cast(pc.cast(t["EventTime"], pa.timestamp("us")), pa.int64()),
+                "Status": pa.array(["Good"] * t.num_rows),
+                "Value": t["Value"],
+            }
+        )
+
+    fc = linear_regression(
+        daily.map_batches(to_internal, batch_format="pyarrow"),
+        horizon=5, step_us=DAY_US, exact_decimals=4, x_unit_us=DAY_US,
+    )
+    return fc.filter(lambda r: r["Status"] == "Forecast").sort(
+        ["TagName", "EventTime"]
+    )
+
+
 def _weather_fixture_ds():
     import pandas as pd
     import ray.data
@@ -726,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bus_eventhub_decode": _q_bus_eventhub_decode,
         "bus_pcdm_ingest": _q_bus_pcdm_ingest,
         "weather_box_raw": _q_weather_box_raw,
+        "fc_linreg": _q_fc_linreg,
         "weather_latest_point": _q_weather_latest_point,
         "weather_forecast_model": _q_weather_forecast_model,
         "ssip_pi_binary_pcdm": _q_ssip_pi_binary_pcdm,
@@ -1237,6 +1272,39 @@ SELECT * FROM (VALUES
   ('pressure', TIMESTAMP '2024-05-04 08:45:42', 'Good', '-0.913545458', 'float', 'insert')
 ) v(TagName, EventTime, Status, Value, ValueType, ChangeType)
 ORDER BY TagName
+"""
+
+# exact-OLS forecast: daily DECIMAL means -> fixed-point HUGEINT OLS sums
+# (every derived term < 2^53 so the double casts are exact on both sides),
+# op order mirrored term for term with linear_regression(exact_decimals=4)
+_FC_DAY_US = 86_400_000_000
+_FC_DAY_WS = f"({S_US} + ((epoch_us(ts) - {S_US}) // {_FC_DAY_US}) * {_FC_DAY_US})"
+_ORACLE["fc_linreg"] = f"""
+WITH f AS (SELECT DISTINCT * FROM (
+  SELECT event_type AS TagName, epoch_us(ts) AS tus, value, {_FC_DAY_WS} AS ws
+  FROM events WHERE {_RANGE}
+)),
+d AS (SELECT TagName, ws,
+             round_even(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 4) AS v
+      FROM f GROUP BY 1, 2),
+c AS (SELECT TagName, CAST(round_even(v * 10000, 0) AS HUGEINT) AS vc,
+             (ws - MIN(ws) OVER (PARTITION BY TagName)) // 86400000000 AS x,
+             MIN(ws) OVER (PARTITION BY TagName) AS t0
+      FROM d),
+s AS (SELECT TagName, ANY_VALUE(t0) AS t0, COUNT(*) AS n, SUM(x) AS sx,
+             SUM(vc) AS sv, SUM(x*x) AS sxx, SUM(x*vc) AS sxv, MAX(x) AS xl
+      FROM c GROUP BY 1),
+k AS (SELECT unnest(range(1, 6)) AS i)
+SELECT s.TagName,
+       make_timestamp(s.t0 + (s.xl + k.i) * 86400000000) AS EventTime,
+       'Forecast' AS Status,
+       round_even((
+          CAST(s.sv*s.sxx - s.sx*s.sxv AS DOUBLE) / CAST(s.n*s.sxx - s.sx*s.sx AS DOUBLE)
+          + CAST(s.n*s.sxv - s.sx*s.sv AS DOUBLE) / CAST(s.n*s.sxx - s.sx*s.sx AS DOUBLE)
+            * CAST(s.xl + k.i AS DOUBLE)
+       ) / 10000, 4) AS Value
+FROM s CROSS JOIN k
+ORDER BY 1, 2
 """
 
 _ORACLE["weather_box_raw"] = """

@@ -22,6 +22,12 @@ from .monitoring import (
     identify_missing_intervals,
     moving_average,
 )
+from .forecasting import (
+    arima_forecast,
+    data_binning,
+    knn_regressor,
+    linear_regression,
+)
 
 __all__ = [
     "duplicate_detection",
@@ -39,4 +45,8 @@ __all__ = [
     "moving_average",
     "dimensionality_reduction",
     "identify_missing_data_pattern",
+    "linear_regression",
+    "arima_forecast",
+    "data_binning",
+    "knn_regressor",
 ]

@@ -23,10 +23,21 @@ from ..ops.common import TS, round4
 
 
 def linear_regression(
-    ds: ray.data.Dataset, horizon: int = 5, step_us: int | None = None
+    ds: ray.data.Dataset, horizon: int = 5, step_us: int | None = None,
+    exact_decimals: int | None = None, x_unit_us: int = 1,
 ) -> ray.data.Dataset:
     """Fit value ~ a + b*t per tag; append ``horizon`` forecast rows with
-    Status='Forecast' (step inferred from the median delta if not given)."""
+    Status='Forecast' (step inferred from the median delta if not given).
+
+    ``exact_decimals``: compute the closed-form OLS from EXACT integer sums
+    (values as fixed-point ints, time as ``x_unit_us`` offsets, final combine
+    in arbitrary-precision Python ints) so the coefficients — and therefore
+    the forecasts — are bit-identical to a DuckDB formulation at any
+    parallelism (lstsq's float accumulation order is not).  For exact parity
+    every derived integer must stay < 2^53 (DuckDB's HUGEINT→DOUBLE cast is
+    not correctly rounded above that — measured ~1% off-by-one-ulp), so pick
+    ``x_unit_us`` to keep offsets small (e.g. a day for daily-resampled
+    input)."""
 
     def per_tag(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
@@ -34,6 +45,37 @@ def linear_regression(
         v = g[TS.VALUE].to_numpy().astype(np.float64)
         if len(ts) < 2:
             fut = pd.DataFrame(columns=["TagName", "EventTime", "Status", "Value"])
+        elif exact_decimals is not None:
+            ti = g[TS.TS_US].to_numpy()
+            t0 = int(ti[0])
+            x = ((ti - t0) // x_unit_us).astype(np.int64)
+            scale10 = 10 ** exact_decimals
+            vc = np.round(v * scale10).astype(np.int64)
+            n = len(x)
+            # per-element products fit int64; totals go through Python ints
+            Sx, Sv = int(x.sum()), int(vc.sum())
+            Sxx = sum(int(a) * int(a) for a in x)
+            Sxv = sum(int(a) * int(b) for a, b in zip(x, vc))
+            den = n * Sxx - Sx * Sx
+            step = step_us or int(np.median(np.diff(ti)))
+            fut_ts = ti[-1] + step * np.arange(1, horizon + 1)
+            if den == 0:
+                fut_v = np.full(horizon, (Sv / n) / scale10)
+            else:
+                # the exact op order the oracle mirrors: two int ratios, then
+                # a + b*x, then the fixed-point descale, then round_even
+                a = (Sv * Sxx - Sx * Sxv) / den
+                b = (n * Sxv - Sx * Sv) / den
+                fut_x = ((fut_ts - t0) // x_unit_us).astype(np.float64)
+                fut_v = (a + b * fut_x) / scale10
+            fut = pd.DataFrame(
+                {
+                    "TagName": g[TS.TAG].iloc[0],
+                    "EventTime": fut_ts.astype(np.int64).astype("datetime64[us]"),
+                    "Status": "Forecast",
+                    "Value": round4(fut_v),
+                }
+            )
         else:
             t0, scale = ts[0], max(ts[-1] - ts[0], 1.0)
             x = (ts - t0) / scale
