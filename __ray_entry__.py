@@ -479,6 +479,47 @@ def _q_fc_linreg(sf):
     )
 
 
+def _q_sql_passthrough(sf):
+    from core_ray.sources import sql_query
+
+    # arbitrary-SQL passthrough + the reference's limit/offset output stage
+    return sql_query(
+        sf,
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+        limit=3,
+        offset=1,
+    )
+
+
+def _q_batch_fanout(sf):
+    """``batch`` fan-out: independent queries submitted concurrently, results
+    keyed and order-preserved (reference queries/time_series/batch.py:22-86);
+    surfaced as one table with a query_id discriminator column."""
+    import pandas as pd
+    import ray.data
+
+    from core_ray.ops import raw
+    from core_ray.pipelines.framework import run_batch
+
+    results = run_batch(
+        {
+            "q_click": lambda: raw(sf, start=START, end="2024-01-02 00:00:00",
+                                   tags=["click"]),
+            "q_error": lambda: raw(sf, start=START, end="2024-01-02 00:00:00",
+                                   tags=["error"]),
+        }
+    )
+    frames = []
+    for name in ("q_click", "q_error"):
+        df = results[name].to_pandas()
+        df.insert(0, "query_id", name)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True).sort_values(
+        ["query_id", "TagName", "EventTime"]
+    )
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
 def _weather_fixture_ds():
     import pandas as pd
     import ray.data
@@ -761,6 +802,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bus_pcdm_ingest": _q_bus_pcdm_ingest,
         "weather_box_raw": _q_weather_box_raw,
         "fc_linreg": _q_fc_linreg,
+        "sql_passthrough": _q_sql_passthrough,
+        "batch_fanout": _q_batch_fanout,
         "weather_latest_point": _q_weather_latest_point,
         "weather_forecast_model": _q_weather_forecast_model,
         "ssip_pi_binary_pcdm": _q_ssip_pi_binary_pcdm,
@@ -1305,6 +1348,24 @@ SELECT s.TagName,
        ) / 10000, 4) AS Value
 FROM s CROSS JOIN k
 ORDER BY 1, 2
+"""
+
+_ORACLE["sql_passthrough"] = """
+SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 3 OFFSET 1
+"""
+
+_ORACLE["batch_fanout"] = f"""
+SELECT 'q_click' AS query_id, event_type AS TagName, ts AS EventTime,
+       'Good' AS Status, value AS Value
+FROM events
+WHERE ts BETWEEN TIMESTAMP '{START}' AND TIMESTAMP '2024-01-02 00:00:00'
+  AND event_type = 'click'
+UNION ALL
+SELECT 'q_error', event_type, ts, 'Good', value
+FROM events
+WHERE ts BETWEEN TIMESTAMP '{START}' AND TIMESTAMP '2024-01-02 00:00:00'
+  AND event_type = 'error'
+ORDER BY 1, 2, 3
 """
 
 _ORACLE["weather_box_raw"] = """
