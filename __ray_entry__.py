@@ -479,6 +479,70 @@ def _q_fc_linreg(sf):
     )
 
 
+def _q_dq_flatline(sf):
+    """FlatlineFilter over a derived zero-run column: values < 2 are zeroed
+    (the planted flat runs), then runs longer than tolerance=1 are removed."""
+    import numpy as np
+    import pandas as pd
+
+    from core_ray.dq import flatline_filter
+
+    def zero_low(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        v = df["Value"].to_numpy()
+        df["Value"] = np.where(v < 2, 0.0, v)
+        return df
+
+    ds = _events_ds(sf).map_batches(zero_low, batch_format="pandas")
+    return flatline_filter(ds, tolerance=1)
+
+
+def _q_dq_missing_pattern(sf):
+    from core_ray.dq import identify_missing_data_pattern
+
+    # daily pattern: an event is expected near 00:00 and 00:30 of every day
+    # in each tag's observed range, tolerance 60 s
+    return identify_missing_data_pattern(
+        _events_ds(sf),
+        pattern_us=[0, 1_800_000_000],
+        period_us=86_400_000_000,
+        tolerance_us=60_000_000,
+    )
+
+
+def _q_ml_prep_features(sf):
+    """ML feature prep chain: one-hot the lang column (categories computed by
+    a distinct aggregate) + degree-2 polynomial expansion + vector assembly,
+    reduced to a hashable projection (vector column surfaced as its sum)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from core_ray.stages.ml_prep import (
+        columns_to_vector,
+        one_hot_encoding,
+        polynomial_features,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    ds = one_hot_encoding(ds, "lang")
+    ds = polynomial_features(ds, ["n_chars"])
+    ds = columns_to_vector(ds, ["n_chars", "n_chars_x_n_chars"], output="features")
+
+    def project(t: pa.Table) -> pa.Table:
+        arr = t["features"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.flatten().to_numpy(zero_copy_only=False)
+        fsum = vals.reshape(-1, 2).sum(axis=1)
+        out = t.drop_columns(["features", "lang"])
+        return out.append_column("features_sum", pa.array(fsum, pa.float64()))
+
+    return ds.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_sql_passthrough(sf):
     from core_ray.sources import sql_query
 
@@ -803,6 +867,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weather_box_raw": _q_weather_box_raw,
         "fc_linreg": _q_fc_linreg,
         "sql_passthrough": _q_sql_passthrough,
+        "dq_flatline": _q_dq_flatline,
+        "dq_missing_pattern": _q_dq_missing_pattern,
+        "ml_prep_features": _q_ml_prep_features,
         "batch_fanout": _q_batch_fanout,
         "weather_latest_point": _q_weather_latest_point,
         "weather_forecast_model": _q_weather_forecast_model,
@@ -1348,6 +1415,58 @@ SELECT s.TagName,
        ) / 10000, 4) AS Value
 FROM s CROSS JOIN k
 ORDER BY 1, 2
+"""
+
+# gaps-and-islands run grouping: runs of zeroed values longer than 1 per tag
+# are deleted (FlatlineFilter); engine orders runs by (ts, value) — mirrored
+_ORACLE["dq_flatline"] = """
+WITH e AS (
+  SELECT event_type AS TagName, ts,
+         CASE WHEN value < 2 THEN 0.0 ELSE value END AS value
+  FROM events
+),
+f AS (SELECT TagName, ts, value,
+             CASE WHEN value = 0 THEN 1 ELSE 0 END AS flat FROM e),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY TagName ORDER BY ts, value)
+           - row_number() OVER (PARTITION BY TagName, flat ORDER BY ts, value) AS grp
+      FROM f),
+c AS (SELECT *, COUNT(*) OVER (PARTITION BY TagName, flat, grp) AS runlen FROM r)
+SELECT TagName, ts AS EventTime, 'Good' AS Status, value AS Value
+FROM c WHERE flat = 0 OR runlen <= 1
+ORDER BY 1, 2
+"""
+
+# expected-pattern spine per tag (period-aligned range x offsets), nearest
+# actual distance via a grouped min over the tag's events, missing if > tol
+_ORACLE["dq_missing_pattern"] = """
+WITH t AS (SELECT event_type AS TagName, epoch_us(ts) AS tus FROM events),
+rng AS (SELECT TagName, (MIN(tus) // 86400000000) * 86400000000 AS p0,
+               (MAX(tus) // 86400000000) * 86400000000 AS p1
+        FROM t GROUP BY 1),
+periods AS (SELECT TagName, unnest(range(p0, p1 + 1, 86400000000)) AS ps FROM rng),
+offs AS (SELECT unnest([0, 1800000000]) AS off),
+expected AS (SELECT TagName, ps + off AS e FROM periods CROSS JOIN offs),
+near AS (SELECT x.TagName, x.e, MIN(ABS(t.tus - x.e)) AS nd
+         FROM expected x JOIN t USING (TagName) GROUP BY 1, 2)
+SELECT TagName, make_timestamp(e) AS ExpectedTime,
+       round_even(nd / 1000000.0, 4) AS nearest_diff_s
+FROM near WHERE nd > 60000000
+ORDER BY 1, 2
+"""
+
+_ORACLE["ml_prep_features"] = """
+SELECT doc_id, n_chars,
+       CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS lang_de,
+       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lang_en,
+       CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS lang_es,
+       CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS lang_fr,
+       CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS lang_zh,
+       CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE) AS n_chars_x_n_chars,
+       CAST(n_chars AS DOUBLE) + CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+         AS features_sum
+FROM documents
+ORDER BY doc_id
 """
 
 _ORACLE["sql_passthrough"] = """
