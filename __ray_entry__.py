@@ -543,6 +543,14 @@ def _q_ml_prep_features(sf):
     return ds.map_batches(project, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_dq_imputation(sf):
+    from core_ray.dq import missing_value_imputation
+
+    # linear-interp arm (scipy absent): mode-of-deltas step inference, gap
+    # fill at evenly spread timestamps, endpoint-bracketed interpolation
+    return missing_value_imputation(_events_ds(sf), tolerance_pct=25.0)
+
+
 def _q_sql_passthrough(sf):
     from core_ray.sources import sql_query
 
@@ -870,6 +878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_flatline": _q_dq_flatline,
         "dq_missing_pattern": _q_dq_missing_pattern,
         "ml_prep_features": _q_ml_prep_features,
+        "dq_imputation": _q_dq_imputation,
         "batch_fanout": _q_batch_fanout,
         "weather_latest_point": _q_weather_latest_point,
         "weather_forecast_model": _q_weather_forecast_model,
@@ -1453,6 +1462,57 @@ SELECT TagName, make_timestamp(e) AS ExpectedTime,
        round_even(nd / 1000000.0, 4) AS nearest_diff_s
 FROM near WHERE nd > 60000000
 ORDER BY 1, 2
+"""
+
+# imputation, linear arm: per-tag mode of second-floored deltas (ties ->
+# smallest), gaps > step*1.25 filled with k = round_even(gap/step)-1 evenly
+# spread (floored) timestamps, values = endpoint-bracketed linear interp in
+# the same double op order as np.interp
+_ORACLE["dq_imputation"] = """
+WITH e AS (
+  SELECT event_type AS TagName, epoch_us(ts) AS tus, value FROM events
+),
+d AS (
+  SELECT TagName, tus, value,
+         lag(tus) OVER (PARTITION BY TagName ORDER BY tus, value) AS pt,
+         lag(value) OVER (PARTITION BY TagName ORDER BY tus, value) AS pv
+  FROM e
+),
+fd AS (SELECT TagName, ((tus - pt) // 1000000) * 1000000 AS f
+       FROM d WHERE pt IS NOT NULL),
+steps AS (
+  SELECT TagName, f AS step FROM (
+    SELECT TagName, f, COUNT(*) AS c,
+           row_number() OVER (PARTITION BY TagName ORDER BY COUNT(*) DESC, f ASC) AS rn
+    FROM fd GROUP BY 1, 2
+  ) WHERE rn = 1
+),
+gaps AS (
+  SELECT d.TagName, d.pt AS a, d.tus AS b, d.pv AS va, d.value AS vb,
+         s.step,
+         CAST(round_even(CAST(d.tus - d.pt AS DOUBLE) / s.step, 0) AS BIGINT) - 1 AS k
+  FROM d JOIN steps s USING (TagName)
+  WHERE d.pt IS NOT NULL
+    AND CAST(d.tus - d.pt AS DOUBLE) > s.step * 1.25
+),
+newpts AS (
+  SELECT TagName, a, b, va, vb, k,
+         unnest(range(1, k + 1)) AS i
+  FROM gaps WHERE k > 0
+),
+imputed AS (
+  SELECT TagName,
+         CAST(FLOOR(a + (CAST(b - a AS DOUBLE) / (k + 1)) * i) AS BIGINT) AS tnew,
+         a, b, va, vb
+  FROM newpts
+)
+SELECT TagName, make_timestamp(tnew) AS EventTime, 'Imputed' AS Status,
+       round_even((vb - va) / CAST(b - a AS DOUBLE)
+                  * CAST(tnew - a AS DOUBLE) + va, 4) AS Value
+FROM imputed
+UNION ALL
+SELECT TagName, make_timestamp(tus), 'Good', value FROM e
+ORDER BY 1, 2, 3
 """
 
 _ORACLE["ml_prep_features"] = """
