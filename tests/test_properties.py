@@ -118,3 +118,71 @@ def test_pairs_within_groups_matches_bruteforce(rows, max_group):
             want.add((a, b, va, vb))
     assert got_set == want
     assert len(got) == len(want)  # no duplicate pairs either
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    val=st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=300),
+        st.binary(max_size=300),
+    )
+)
+def test_amqp_roundtrip_any_primitive(val):
+    from core_ray.sources.bus import encode_amqp_value
+    from core_ray.stages.binary_sources import decode_amqp_value
+
+    rest, out = decode_amqp_value(encode_amqp_value(val))
+    assert rest == b""
+    assert out == val and type(out) is type(val)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    start_day=st.integers(min_value=0, max_value=3000),
+    span=st.integers(min_value=0, max_value=400),
+    chunk=st.integers(min_value=1, max_value=60),
+)
+def test_chunked_date_ranges_partition_exactly(start_day, span, chunk):
+    import pandas as pd
+
+    from core_ray.sources.iso import chunked_date_ranges
+
+    s = pd.Timestamp("2000-01-01") + pd.Timedelta(days=start_day)
+    e = s + pd.Timedelta(days=span)
+    ranges = chunked_date_ranges(s, e, days=chunk)
+    # contiguous, non-overlapping, covering [s, e+1d) exactly
+    assert ranges[0][0] == s
+    assert ranges[-1][1] == e + pd.Timedelta(days=1)
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        assert a1 == b0
+    assert all(a < b for a, b in ranges)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=3, max_size=40
+    ),
+    step=st.integers(min_value=1, max_value=50),
+)
+def test_exact_ols_matches_lstsq(vals, step):
+    # the exact-integer closed form and numpy lstsq agree on the same points
+    n = len(vals)
+    x = np.arange(n, dtype=np.int64) * step
+    vc = np.array(vals, dtype=np.int64)
+    Sx, Sv = int(x.sum()), int(vc.sum())
+    Sxx = sum(int(a) * int(a) for a in x)
+    Sxv = sum(int(a) * int(b) for a, b in zip(x, vc))
+    den = n * Sxx - Sx * Sx
+    if den == 0:
+        return
+    a = (Sv * Sxx - Sx * Sxv) / den
+    b = (n * Sxv - Sx * Sv) / den
+    A = np.stack([np.ones(n), x.astype(np.float64)], axis=1)
+    coef, *_ = np.linalg.lstsq(A, vc.astype(np.float64), rcond=None)
+    assert np.isclose(a, coef[0], rtol=1e-6, atol=1e-6)
+    assert np.isclose(b, coef[1], rtol=1e-6, atol=1e-6)
