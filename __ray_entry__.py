@@ -438,8 +438,10 @@ def _q_bus_pcdm_ingest(sf):
         for i in range(6)
     ]
     write_bus_log(f"{tmp}/bus", records, num_partitions=2, segment_rows=2)
+    # one trigger drains the log; the multi-epoch trigger loop and
+    # crash/resume byte-identity are exercised by tests/test_ingest.py
     job = StreamingPCDMIngest(f"{tmp}/bus", f"{tmp}/out", opcua_to_pcdm,
-                              max_offsets_per_trigger=2)
+                              max_offsets_per_trigger=3)
     job.run()
     ev = job.sink.read_events("float").sort_values(["TagName", "EventTime"])
     return ray.data.from_pandas(ev.reset_index(drop=True))
@@ -549,6 +551,35 @@ def _q_dq_imputation(sf):
     # linear-interp arm (scipy absent): mode-of-deltas step inference, gap
     # fill at evenly spread timestamps, endpoint-bracketed interpolation
     return missing_value_imputation(_events_ds(sf), tolerance_pct=25.0)
+
+
+def _q_fc_arima(sf):
+    """AR(1)-with-drift fallback over daily means, exact-integer moment sums
+    (statsmodels absent -> the fallback IS the tested arm; all integer terms
+    < 2^53 so the oracle's casts are exact)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from core_ray.dq import arima_forecast
+    from core_ray.ops import resample
+
+    daily = resample(sf, start=START, end=END, rate=1, unit="day", agg="avg",
+                     exact_decimals=2)
+
+    def to_internal(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "TagName": t["TagName"],
+                "ts_us": pc.cast(pc.cast(t["EventTime"], pa.timestamp("us")), pa.int64()),
+                "Status": pa.array(["Good"] * t.num_rows),
+                "Value": t["Value"],
+            }
+        )
+
+    return arima_forecast(
+        daily.map_batches(to_internal, batch_format="pyarrow"),
+        horizon=5, exact_decimals=1,
+    ).sort(["TagName", "EventTime"])
 
 
 def _q_sql_passthrough(sf):
@@ -879,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_missing_pattern": _q_dq_missing_pattern,
         "ml_prep_features": _q_ml_prep_features,
         "dq_imputation": _q_dq_imputation,
+        "fc_arima": _q_fc_arima,
         "batch_fanout": _q_batch_fanout,
         "weather_latest_point": _q_weather_latest_point,
         "weather_forecast_model": _q_weather_forecast_model,
@@ -1461,6 +1493,52 @@ near AS (SELECT x.TagName, x.e, MIN(ABS(t.tus - x.e)) AS nd
 SELECT TagName, make_timestamp(e) AS ExpectedTime,
        round_even(nd / 1000000.0, 4) AS nearest_diff_s
 FROM near WHERE nd > 60000000
+ORDER BY 1, 2
+"""
+
+# AR(1)-with-drift fallback over daily DECIMAL means: mean-centered moment
+# sums expanded to integer polynomials (all < 2^53), phi clipped, 5-step
+# recursion unrolled in the same double op order as the engine
+_ORACLE["fc_arima"] = f"""
+WITH f AS (SELECT DISTINCT * FROM (
+  SELECT event_type AS TagName, epoch_us(ts) AS tus, value, {_FC_DAY_WS} AS ws
+  FROM events WHERE {_RANGE}
+)),
+d AS (SELECT TagName, ws,
+             round_even(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 4) AS v
+      FROM f GROUP BY 1, 2),
+c AS (SELECT TagName, ws, CAST(round_even(v * 10, 0) AS BIGINT) AS vc FROM d),
+p AS (SELECT TagName, ws, vc,
+             lag(vc) OVER (PARTITION BY TagName ORDER BY ws) AS pv,
+             lag(ws) OVER (PARTITION BY TagName ORDER BY ws) AS pws
+      FROM c),
+s AS (SELECT TagName,
+             COUNT(*) AS n, SUM(vc) AS sv,
+             SUM(vc) FILTER (pv IS NOT NULL) AS sv1, SUM(pv) AS sv0,
+             SUM(vc * pv) AS svv, SUM(pv * pv) AS s00,
+             CAST(FLOOR(MEDIAN(ws - pws)) AS BIGINT) AS step,
+             MAX(ws) AS wl, arg_max(vc, ws) AS lastc
+      FROM p GROUP BY 1),
+g0 AS (SELECT TagName, n, sv, step, wl, lastc,
+              n*n*svv - n*sv*(sv1 + sv0) + (n-1)*sv*sv AS num,
+              n*n*s00 - 2*n*sv*sv0 + (n-1)*sv*sv AS den
+       FROM s),
+g1 AS (SELECT *, CAST(sv AS DOUBLE) / n AS mu,
+              LEAST(GREATEST(CASE WHEN den > 0
+                    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                    ELSE 0.0 END, -0.999), 0.999) AS phi
+       FROM g0),
+g2 AS (SELECT *, mu + phi * (CAST(lastc AS DOUBLE) - mu) AS p1 FROM g1),
+g3 AS (SELECT *, mu + phi * (p1 - mu) AS p2 FROM g2),
+g4 AS (SELECT *, mu + phi * (p2 - mu) AS p3 FROM g3),
+g5 AS (SELECT *, mu + phi * (p3 - mu) AS p4 FROM g4),
+g6 AS (SELECT *, mu + phi * (p4 - mu) AS p5 FROM g5),
+k AS (SELECT unnest(range(1, 6)) AS i)
+SELECT g6.TagName,
+       make_timestamp(g6.wl + g6.step * k.i) AS EventTime,
+       round_even(CASE k.i WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3
+                           WHEN 4 THEN p4 ELSE p5 END / 10, 4) AS Value
+FROM g6 CROSS JOIN k
 ORDER BY 1, 2
 """
 

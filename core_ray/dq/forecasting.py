@@ -108,9 +108,17 @@ def linear_regression(
     return grouped_map(ds, [TS.TAG], per_tag)
 
 
-def arima_forecast(ds: ray.data.Dataset, horizon: int = 5) -> ray.data.Dataset:
+def arima_forecast(
+    ds: ray.data.Dataset, horizon: int = 5, exact_decimals: int | None = None
+) -> ray.data.Dataset:
     """ARIMA per tag when statsmodels exists; otherwise a deterministic
-    AR(1)-with-drift fallback. Only forecast rows are returned."""
+    AR(1)-with-drift fallback. Only forecast rows are returned.
+
+    ``exact_decimals`` (fallback path): the AR(1) moment sums are computed on
+    fixed-point ints and combined in arbitrary-precision Python ints (the
+    mean-centered cross/auto products expand to integer polynomials in the
+    raw sums), with every term kept < 2^53 so the oracle's HUGEINT→DOUBLE
+    casts are exact — same contract as ``linear_regression``."""
 
     def per_tag(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
@@ -119,23 +127,43 @@ def arima_forecast(ds: ray.data.Dataset, horizon: int = 5) -> ray.data.Dataset:
         if len(v) < 3:
             return pd.DataFrame(columns=["TagName", "EventTime", "Value"])
         step = int(np.median(np.diff(ts)))
-        try:
-            from statsmodels.tsa.arima.model import ARIMA
-
-            fit = ARIMA(v, order=(1, 0, 0)).fit()
-            preds = np.asarray(fit.forecast(horizon))
-        except Exception:
-            # AR(1) with drift: v_t - mu = phi (v_{t-1} - mu)
-            mu = v.mean()
-            c = v - mu
-            denom = float(c[:-1] @ c[:-1])
-            phi = float(c[1:] @ c[:-1]) / denom if denom > 0 else 0.0
-            phi = float(np.clip(phi, -0.999, 0.999))
-            preds, last = [], v[-1]
+        if exact_decimals is not None:
+            scale10 = 10 ** exact_decimals
+            vc = np.round(v * scale10).astype(np.int64)
+            n = len(vc)
+            Sv = int(vc.sum())
+            Sv1, Sv0 = int(vc[1:].sum()), int(vc[:-1].sum())
+            Svv = sum(int(a) * int(b) for a, b in zip(vc[1:], vc[:-1]))
+            S00 = sum(int(a) * int(a) for a in vc[:-1])
+            # n^2 * sum((v_t-mu)(v_{t-1}-mu)) and n^2 * sum((v_{t-1}-mu)^2)
+            num = n * n * Svv - n * Sv * (Sv1 + Sv0) + (n - 1) * Sv * Sv
+            den = n * n * S00 - 2 * n * Sv * Sv0 + (n - 1) * Sv * Sv
+            phi = float(num) / float(den) if den > 0 else 0.0
+            phi = min(max(phi, -0.999), 0.999)
+            mu_c = float(Sv) / n
+            preds_c, last_c = [], float(vc[-1])
             for _ in range(horizon):
-                last = mu + phi * (last - mu)
-                preds.append(last)
-            preds = np.array(preds)
+                last_c = mu_c + phi * (last_c - mu_c)
+                preds_c.append(last_c)
+            preds = np.array(preds_c) / scale10
+        else:
+            try:
+                from statsmodels.tsa.arima.model import ARIMA
+
+                fit = ARIMA(v, order=(1, 0, 0)).fit()
+                preds = np.asarray(fit.forecast(horizon))
+            except Exception:
+                # AR(1) with drift: v_t - mu = phi (v_{t-1} - mu)
+                mu = v.mean()
+                c = v - mu
+                denom = float(c[:-1] @ c[:-1])
+                phi = float(c[1:] @ c[:-1]) / denom if denom > 0 else 0.0
+                phi = float(np.clip(phi, -0.999, 0.999))
+                preds, last = [], v[-1]
+                for _ in range(horizon):
+                    last = mu + phi * (last - mu)
+                    preds.append(last)
+                preds = np.array(preds)
         fut_ts = ts[-1] + step * np.arange(1, horizon + 1)
         return pd.DataFrame(
             {
