@@ -582,6 +582,56 @@ def _q_fc_arima(sf):
     ).sort(["TagName", "EventTime"])
 
 
+def _q_dq_minmax_norm(sf):
+    from core_ray.dq import normalize as dq_normalize
+
+    ds, _params = dq_normalize(_events_ds(sf), method="minmax")
+
+    def finalize(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from core_ray.ops.common import round4
+
+        return pa.table(
+            {
+                "TagName": batch["TagName"],
+                "EventTime": pc.cast(batch["ts_us"], pa.timestamp("us")),
+                "Value": pa.array(round4(batch["Value"].to_numpy())),
+            }
+        )
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_dq_check_ranges(sf):
+    from core_ray.dq import check_value_ranges
+
+    # mixed per-tag inclusive/exclusive bounds; unlisted tags are ignored
+    return check_value_ranges(
+        _events_ds(sf),
+        tag_ranges={
+            "click": {"min": 5.0, "max": 45.0, "inclusive_bounds": True},
+            "error": {"min": 10.0, "max": 40.0, "inclusive_bounds": False},
+        },
+    )
+
+
+def _q_dq_flatline_runs(sf):
+    import numpy as np
+    import pandas as pd
+
+    from core_ray.dq import flatline_detection
+
+    def zero_low(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        v = df["Value"].to_numpy()
+        df["Value"] = np.where(v < 2, 0.0, v)
+        return df
+
+    ds = _events_ds(sf).map_batches(zero_low, batch_format="pandas")
+    return flatline_detection(ds, tolerance=2)
+
+
 def _q_sql_passthrough(sf):
     from core_ray.sources import sql_query
 
@@ -911,6 +961,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ml_prep_features": _q_ml_prep_features,
         "dq_imputation": _q_dq_imputation,
         "fc_arima": _q_fc_arima,
+        "dq_minmax_norm": _q_dq_minmax_norm,
+        "dq_check_ranges": _q_dq_check_ranges,
+        "dq_flatline_runs": _q_dq_flatline_runs,
         "batch_fanout": _q_batch_fanout,
         "weather_latest_point": _q_weather_latest_point,
         "weather_forecast_model": _q_weather_forecast_model,
@@ -1539,6 +1592,45 @@ SELECT g6.TagName,
        round_even(CASE k.i WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3
                            WHEN 4 THEN p4 ELSE p5 END / 10, 4) AS Value
 FROM g6 CROSS JOIN k
+ORDER BY 1, 2
+"""
+
+_ORACLE["dq_minmax_norm"] = """
+WITH mm AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+            FROM events GROUP BY 1)
+SELECT e.event_type AS TagName, e.ts AS EventTime,
+       round_even((e.value - m.mn) /
+                  CASE WHEN m.mx > m.mn THEN m.mx - m.mn ELSE 1.0 END, 4) AS Value
+FROM events e JOIN mm m ON e.event_type = m.event_type
+ORDER BY 1, 2
+"""
+
+# inclusive bounds flag v < min OR v > max; exclusive flag v <= min OR v >= max
+_ORACLE["dq_check_ranges"] = """
+SELECT event_type AS TagName, ts AS EventTime, value AS Value
+FROM events
+WHERE (event_type = 'click' AND (value < 5.0 OR value > 45.0))
+   OR (event_type = 'error' AND (value <= 10.0 OR value >= 40.0))
+ORDER BY 1, 2
+"""
+
+_ORACLE["dq_flatline_runs"] = """
+WITH e AS (
+  SELECT event_type AS TagName, epoch_us(ts) AS tus,
+         CASE WHEN value < 2 THEN 0.0 ELSE value END AS value
+  FROM events
+),
+f AS (SELECT TagName, tus, value,
+             CASE WHEN value = 0 THEN 1 ELSE 0 END AS flat FROM e),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY TagName ORDER BY tus, value)
+           - row_number() OVER (PARTITION BY TagName, flat ORDER BY tus, value) AS grp
+      FROM f)
+SELECT TagName, make_timestamp(MIN(tus)) AS RunStart,
+       make_timestamp(MAX(tus)) AS RunEnd, COUNT(*) AS run_length
+FROM r WHERE flat = 1
+GROUP BY TagName, grp
+HAVING COUNT(*) >= 2
 ORDER BY 1, 2
 """
 
