@@ -632,6 +632,39 @@ def _q_dq_flatline_runs(sf):
     return flatline_detection(ds, tolerance=2)
 
 
+def _q_mm_resize_frames(sf):
+    """Raw-frame nearest-neighbor resize (a real kernel — no codec): 4x4
+    gradient frames to 2x2, corrupt row dropped, output surfaced as hex."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from core_ray.stages.multimodal import resize_frames
+
+    rows = []
+    for m in range(3):
+        frame = (np.arange(16, dtype=np.uint8) + 10 * m).reshape(4, 4, 1)
+        rows.append({"media_id": m, "payload": frame.tobytes(),
+                     "height": 4, "width": 4, "channels": 1})
+    rows.append({"media_id": 99, "payload": b"\x00", "height": 4, "width": 4,
+                 "channels": 1})  # corrupt: dropped
+    out = resize_frames(ray.data.from_items(rows), 2, 2)
+
+    def to_hex(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "height": t["height"],
+                "width": t["width"],
+                "payload_hex": pa.array(
+                    [bytes(p).hex() for p in t["payload"].to_pylist()]
+                ),
+            }
+        )
+
+    return out.map_batches(to_hex, batch_format="pyarrow").sort("media_id")
+
+
 def _q_sql_passthrough(sf):
     from core_ray.sources import sql_query
 
@@ -964,6 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_minmax_norm": _q_dq_minmax_norm,
         "dq_check_ranges": _q_dq_check_ranges,
         "dq_flatline_runs": _q_dq_flatline_runs,
+        "mm_resize_frames": _q_mm_resize_frames,
         "batch_fanout": _q_batch_fanout,
         "weather_latest_point": _q_weather_latest_point,
         "weather_forecast_model": _q_weather_forecast_model,
@@ -1593,6 +1627,18 @@ SELECT g6.TagName,
                            WHEN 4 THEN p4 ELSE p5 END / 10, 4) AS Value
 FROM g6 CROSS JOIN k
 ORDER BY 1, 2
+"""
+
+# nearest-neighbor gather of rows/cols {0,2} from the 4x4 gradient frames
+_ORACLE["mm_resize_frames"] = """
+SELECT media_id, CAST(height AS INT) AS height, CAST(width AS INT) AS width,
+       payload_hex
+FROM (VALUES
+  (0::BIGINT, 2, 2, '0002080a'),
+  (1::BIGINT, 2, 2, '0a0c1214'),
+  (2::BIGINT, 2, 2, '14161c1e')
+) v(media_id, height, width, payload_hex)
+ORDER BY media_id
 """
 
 _ORACLE["dq_minmax_norm"] = """
