@@ -632,6 +632,20 @@ def _q_dq_flatline_runs(sf):
     return flatline_detection(ds, tolerance=2)
 
 
+def _q_fc_knn(sf):
+    from core_ray.dq import knn_regressor
+
+    # k=3 time-nearest mean at three requested instants, deterministic
+    # neighbor order + integer-cent mean (see knn_regressor exact_decimals)
+    return knn_regressor(
+        _events_ds(sf),
+        timestamps_us=[1_704_500_000_000_000, 1_705_300_000_000_000,
+                       1_706_100_000_000_000],
+        k=3,
+        exact_decimals=2,
+    )
+
+
 def _q_mm_resize_frames(sf):
     """Raw-frame nearest-neighbor resize (a real kernel — no codec): 4x4
     gradient frames to 2x2, corrupt row dropped, output surfaced as hex."""
@@ -998,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_check_ranges": _q_dq_check_ranges,
         "dq_flatline_runs": _q_dq_flatline_runs,
         "mm_resize_frames": _q_mm_resize_frames,
+        "fc_knn": _q_fc_knn,
         "batch_fanout": _q_batch_fanout,
         "weather_latest_point": _q_weather_latest_point,
         "weather_forecast_model": _q_weather_forecast_model,
@@ -1627,6 +1642,23 @@ SELECT g6.TagName,
                            WHEN 4 THEN p4 ELSE p5 END / 10, 4) AS Value
 FROM g6 CROSS JOIN k
 ORDER BY 1, 2
+"""
+
+# k-nearest-by-time mean: rank by (|tus - t|, tus), integer-cent sum
+_ORACLE["fc_knn"] = """
+WITH req AS (SELECT unnest([1704500000000000, 1705300000000000,
+                            1706100000000000]) AS t),
+ranked AS (
+  SELECT e.event_type, r.t,
+         CAST(round_even(e.value * 100, 0) AS BIGINT) AS vc,
+         row_number() OVER (PARTITION BY e.event_type, r.t
+                            ORDER BY ABS(epoch_us(e.ts) - r.t), epoch_us(e.ts)) AS rn
+  FROM events e CROSS JOIN req r
+)
+SELECT event_type AS TagName, make_timestamp(t) AS EventTime,
+       round_even(CAST(SUM(vc) AS DOUBLE) / 3 / 100, 4) AS Value
+FROM ranked WHERE rn <= 3
+GROUP BY 1, t ORDER BY 1, 2
 """
 
 # nearest-neighbor gather of rows/cols {0,2} from the 4x4 gradient frames

@@ -288,10 +288,15 @@ def data_binning(ds: ray.data.Dataset, n_bins: int = 4, iters: int = 10) -> ray.
 
 
 def knn_regressor(
-    ds: ray.data.Dataset, timestamps_us: list[int], k: int = 5
+    ds: ray.data.Dataset, timestamps_us: list[int], k: int = 5,
+    exact_decimals: int | None = None,
 ) -> ray.data.Dataset:
     """Predict Value at requested timestamps as the mean of the k
-    time-nearest observations per tag."""
+    time-nearest observations per tag.
+
+    ``exact_decimals``: deterministic neighbor choice (sorted by
+    ``(distance, ts)`` rather than argpartition's arbitrary tie order) and an
+    exact integer-cent mean — bit-reproducible in SQL."""
     req = np.asarray(sorted(timestamps_us), dtype=np.int64)
 
     def per_tag(g: pd.DataFrame) -> pd.DataFrame:
@@ -299,10 +304,19 @@ def knn_regressor(
         ts = g[TS.TS_US].to_numpy()
         v = g[TS.VALUE].to_numpy()
         preds = []
-        for t in req.tolist():
-            d = np.abs(ts - t)
-            nn = np.argpartition(d, min(k, len(d)) - 1)[:k]
-            preds.append(v[nn].mean())
+        if exact_decimals is not None:
+            scale10 = 10 ** exact_decimals
+            vc = np.round(v * scale10).astype(np.int64)
+            for t in req.tolist():
+                d = np.abs(ts - t)
+                kk = min(k, len(d))
+                nn = np.lexsort((ts, d))[:kk]
+                preds.append(float(int(vc[nn].sum())) / kk / scale10)
+        else:
+            for t in req.tolist():
+                d = np.abs(ts - t)
+                nn = np.argpartition(d, min(k, len(d)) - 1)[:k]
+                preds.append(v[nn].mean())
         return pd.DataFrame(
             {
                 "TagName": g[TS.TAG].iloc[0],
