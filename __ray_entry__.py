@@ -646,6 +646,33 @@ def _q_fc_knn(sf):
     )
 
 
+def _q_dq_dim_reduce(sf):
+    """DimensionalityReduction: distributed moment pass → correlation matrix
+    → projection.  A planted duplicate column (corr=1 >= 0.999) is dropped;
+    the real columns (pairwise corr << 0.999) survive."""
+    import pyarrow as pa
+    import ray.data
+
+    from core_ray.dq.reduction import dimensionality_reduction
+
+    ds = ray.data.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        return t.append_column("qty_dup", t["l_quantity"])
+
+    ds = ds.map_batches(plant, batch_format="pyarrow")
+    reduced, dropped = dimensionality_reduction(
+        ds, ["l_quantity", "l_extendedprice", "l_discount", "qty_dup"],
+        threshold=0.999,
+    )
+    assert [d[1] for d in dropped] == ["qty_dup"]
+    return reduced.sort(["l_orderkey", "l_linenumber"])
+
+
 def _q_mm_resize_frames(sf):
     """Raw-frame nearest-neighbor resize (a real kernel — no codec): 4x4
     gradient frames to 2x2, corrupt row dropped, output surfaced as hex."""
@@ -1013,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_flatline_runs": _q_dq_flatline_runs,
         "mm_resize_frames": _q_mm_resize_frames,
         "fc_knn": _q_fc_knn,
+        "dq_dim_reduce": _q_dq_dim_reduce,
         "batch_fanout": _q_batch_fanout,
         "weather_latest_point": _q_weather_latest_point,
         "weather_forecast_model": _q_weather_forecast_model,
@@ -1642,6 +1670,12 @@ SELECT g6.TagName,
                            WHEN 4 THEN p4 ELSE p5 END / 10, 4) AS Value
 FROM g6 CROSS JOIN k
 ORDER BY 1, 2
+"""
+
+# the planted duplicate column is dropped; the original projection survives
+_ORACLE["dq_dim_reduce"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+FROM lineitem ORDER BY l_orderkey, l_linenumber
 """
 
 # k-nearest-by-time mean: rank by (|tus - t|, tus), integer-cent sum
