@@ -625,7 +625,8 @@ def _q_dq_flatline_runs(sf):
     def zero_low(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         v = df["Value"].to_numpy()
-        df["Value"] = np.where(v < 2, 0.0, v)
+        # cutoff 15 so zero RUNS exist at every sf (sf0.001 included)
+        df["Value"] = np.where(v < 15, 0.0, v)
         return df
 
     ds = _events_ds(sf).map_batches(zero_low, batch_format="pandas")
@@ -1729,7 +1730,7 @@ ORDER BY 1, 2
 _ORACLE["dq_flatline_runs"] = """
 WITH e AS (
   SELECT event_type AS TagName, epoch_us(ts) AS tus,
-         CASE WHEN value < 2 THEN 0.0 ELSE value END AS value
+         CASE WHEN value < 15 THEN 0.0 ELSE value END AS value
   FROM events
 ),
 f AS (SELECT TagName, tus, value,

@@ -216,15 +216,16 @@ def missing_value_imputation(
         step = int(vals[counts.argmax()])
         if step <= 0:
             return _finalize(g)
-        new_ts = []
         limit = step * (1 + tolerance_pct / 100.0)
-        for a, b in zip(ts[:-1].tolist(), ts[1:].tolist()):
-            gap = b - a
-            if gap > limit:
-                k = int(round(gap / step)) - 1
-                if k > 0:
-                    actual = gap / (k + 1)
-                    new_ts.extend(int(a + actual * (i + 1)) for i in range(k))
+        gaps = deltas.astype(np.float64)
+        gap_idx = np.nonzero(gaps > limit)[0]
+        new_ts = []
+        for i in gap_idx.tolist():  # loop over GAPS only, not every pair
+            a, gap = int(ts[i]), float(gaps[i])
+            k = int(round(gap / step)) - 1
+            if k > 0:
+                actual = gap / (k + 1)
+                new_ts.extend(int(a + actual * (j + 1)) for j in range(k))
         if not new_ts:
             return _finalize(g)
         new_ts = np.array(sorted(new_ts), dtype=np.int64)

@@ -124,11 +124,48 @@ class PipelineJobExecute:
         return results
 
 
+def _seed_fsspec_http_shim() -> None:
+    """Make ``from fsspec.implementations.http import HTTPFileSystem``
+    deterministic under concurrent Dataset construction.
+
+    Ray's path resolver does that import per ``read_parquet`` and catches
+    only ``ModuleNotFoundError``; in this environment the module always
+    fails mid-import (no aiohttp), and two threads racing it can observe the
+    partially-initialized module — surfacing as a plain ``ImportError`` that
+    Ray does NOT catch.  If the real module is unimportable, register a shim
+    exposing a dummy ``HTTPFileSystem`` (Ray only uses it in ``isinstance``
+    checks for local paths, which stay False) so every later import succeeds
+    instantly from ``sys.modules``."""
+    import sys
+
+    if "fsspec.implementations.http" in sys.modules:
+        return
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        import types
+
+        try:
+            import fsspec.implementations  # noqa: F401
+        except Exception:
+            return
+        shim = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # pragma: no cover - marker class only
+            def __init__(self, *a, **k):
+                raise ImportError("fsspec http support requires aiohttp")
+
+        shim.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = shim
+
+
 def run_batch(queries: dict[str, Any], max_workers: int = 4) -> dict[str, Any]:
     """Concurrent fan-out of independent query callables (reference
     ``queries/time_series/batch.py:22-86`` ThreadPoolExecutor), order
     preserved by key."""
     from concurrent.futures import ThreadPoolExecutor
+
+    _seed_fsspec_http_shim()
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         futures = {name: pool.submit(fn) for name, fn in queries.items()}
