@@ -219,16 +219,23 @@ def missing_value_imputation(
         limit = step * (1 + tolerance_pct / 100.0)
         gaps = deltas.astype(np.float64)
         gap_idx = np.nonzero(gaps > limit)[0]
-        new_ts = []
-        for i in gap_idx.tolist():  # loop over GAPS only, not every pair
-            a, gap = int(ts[i]), float(gaps[i])
-            k = int(round(gap / step)) - 1
-            if k > 0:
-                actual = gap / (k + 1)
-                new_ts.extend(int(a + actual * (j + 1)) for j in range(k))
-        if not new_ts:
+        # vectorized fill: k points per gap, evenly spread — same arithmetic
+        # as the scalar form (a + gap/(k+1)*(j+1), truncated), no Python loop
+        # over the (possibly millions of) inserted points
+        a_arr = ts[gap_idx].astype(np.float64)
+        gap_arr = gaps[gap_idx]
+        k_arr = np.round(gap_arr / step).astype(np.int64) - 1
+        keep = k_arr > 0
+        a_arr, gap_arr, k_arr = a_arr[keep], gap_arr[keep], k_arr[keep]
+        total = int(k_arr.sum())
+        if total == 0:
             return _finalize(g)
-        new_ts = np.array(sorted(new_ts), dtype=np.int64)
+        actual = gap_arr / (k_arr + 1)
+        j = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(k_arr)[:-1])), k_arr
+        )
+        new_ts = np.repeat(a_arr, k_arr) + np.repeat(actual, k_arr) * (j + 1)
+        new_ts = np.sort(new_ts.astype(np.int64))
         try:
             from scipy.interpolate import UnivariateSpline
 
