@@ -355,16 +355,24 @@ def minhash_pairs(
     pairs = bucketed_group_pairs(bands, ["band", "band_hash"])
     cand = bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b"]).to_pandas()
     ids = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    idset = pa.array(ids, pa.int64())
-    texts = (
-        ds.map_batches(
+    if isinstance(source, str):
+        # push the candidate-id filter into the parquet scan (row-group
+        # pruning) instead of re-reading every document and masking
+        import pyarrow.dataset as pads
+
+        path = source if source.endswith(".parquet") else f"{source}/documents.parquet"
+        texts_ds = ray.data.read_parquet(
+            path,
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(ids),
+        )
+    else:
+        idset = pa.array(ids, pa.int64())
+        texts_ds = ds.map_batches(
             lambda t: t.filter(pc.is_in(t["doc_id"], value_set=idset)),
             batch_format="pyarrow",
         )
-        .to_pandas()
-        .set_index("doc_id")["text"]
-        .to_dict()
-    )
+    texts = texts_ds.to_pandas().set_index("doc_id")["text"].to_dict()
     import ray as _ray
 
     texts_ref = _ray.put(texts)

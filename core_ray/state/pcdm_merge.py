@@ -111,6 +111,10 @@ class PCDMMergeSink:
         ds = cdc.map_batches(
             lambda b: _normalize_cdc(b, merge_flag, strip_ns), batch_format="pyarrow"
         )
+        # both the keyed merge and the latest-register update consume the
+        # normalized CDC; materialize it once so the (possibly expensive)
+        # upstream parse doesn't run twice — one micro-batch, bounded size
+        ds = ds.materialize()
 
         root = self.root
         dedup = self.remove_duplicates
