@@ -230,15 +230,23 @@ class KafkaFixtureSource(SourceComponent):
         ]
         if not files:
             return ray.data.from_arrow(KAFKA_WIRE_SCHEMA.empty_table())
-        ds = ray.data.read_parquet(files, columns=self.columns)
+        # the offset trim needs partition+offset even if the caller's
+        # projection omits them; read the union, project back after the trim
+        read_cols = self.columns
+        if read_cols is not None:
+            read_cols = list(dict.fromkeys([*read_cols, "partition", "offset"]))
+        ds = ray.data.read_parquet(files, columns=read_cols)
         start_arr = _dict_to_lookup(start)
         end_arr = _dict_to_lookup(end)
+        keep_cols = self.columns
 
         def trim(batch: pa.Table) -> pa.Table:
             p = batch["partition"].to_numpy(zero_copy_only=False).astype(np.int64)
             o = batch["offset"].to_numpy(zero_copy_only=False)
             mask = (o >= start_arr[p]) & (o < end_arr[p])
-            return batch.filter(pa.array(mask)) if not mask.all() else batch
+            if not mask.all():
+                batch = batch.filter(pa.array(mask))
+            return batch.select(keep_cols) if keep_cols is not None else batch
 
         return ds.map_batches(trim, batch_format="pyarrow")
 

@@ -126,3 +126,13 @@ def test_kinesis_schema_mapping(tmp_path, ray_session):
     assert df["shardId"].tolist() == ["shardId-000000000000", "shardId-000000000001"]
     assert df["sequenceNumber"].tolist() == ["4", "4"]
     assert json.loads(df["data"].iloc[0]) == {"i": 8}
+
+
+def test_wire_source_projection_excluding_trim_columns(tmp_path, ray_session):
+    from core_ray.sources.bus import KafkaFixtureSource
+
+    _write_log(tmp_path)
+    ds = KafkaFixtureSource(str(tmp_path), {0: 3, 1: 3}, columns=["value"]).read_batch()
+    df = ds.to_pandas()
+    assert list(df.columns) == ["value"]
+    assert len(df) == 4  # offsets 3,4 per partition
