@@ -358,14 +358,17 @@ def _q_bus_eventhub_decode(sf):
     """Eventhub-over-Kafka wire source end to end: partitioned segment log →
     per-partition starting-offset filter (file pruning + batch trim) → AMQP
     1.0 header decode → Eventhub schema mapping (kafka_eventhub.py:323-367)."""
-    import tempfile
+    import shutil
     from datetime import datetime, timezone
 
     import pandas as pd
 
     from core_ray.sources.bus import KafkaEventhubFixtureSource, write_bus_log
 
-    tmp = tempfile.mkdtemp(prefix="bus_fixture_")
+    # fixed scratch dir, rebuilt per call (the Dataset reads it lazily, so it
+    # must outlive this function — a fixed name bounds the leak to one copy)
+    tmp = "/tmp/graft_bus_fixture"
+    shutil.rmtree(tmp, ignore_errors=True)
     records = [
         {
             "key": f"k{i}".encode(),
@@ -404,7 +407,7 @@ def _q_bus_pcdm_ingest(sf):
     partitions, latest registers), micro-batched with offset checkpoints;
     returns the merged float events table."""
     import json as _json
-    import tempfile
+    import shutil
     from datetime import datetime
 
     import pandas as pd
@@ -414,7 +417,8 @@ def _q_bus_pcdm_ingest(sf):
     from core_ray.stages.vendors import opcua_to_pcdm
     from core_ray.streaming.ingest import StreamingPCDMIngest
 
-    tmp = tempfile.mkdtemp(prefix="bus_ingest_")
+    tmp = "/tmp/graft_bus_ingest"
+    shutil.rmtree(tmp, ignore_errors=True)
     records = [
         {
             "key": f"k{i}".encode(),
@@ -1776,6 +1780,7 @@ gaps AS (
          CAST(round_even(CAST(d.tus - d.pt AS DOUBLE) / s.step, 0) AS BIGINT) - 1 AS k
   FROM d JOIN steps s USING (TagName)
   WHERE d.pt IS NOT NULL
+    AND s.step > 0  -- engine skips tags whose mode delta floors to 0
     AND CAST(d.tus - d.pt AS DOUBLE) > s.step * 1.25
 ),
 newpts AS (

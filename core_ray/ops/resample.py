@@ -209,7 +209,7 @@ def resample(
     if display_tz is not None:
         import pyarrow.compute as pc
 
-        from .common import parse_tz_offset_us
+        from .common import display_tz_shift, finalize_times, parse_tz_offset_us
 
         offset = (
             parse_tz_offset_us(start)
@@ -218,10 +218,13 @@ def resample(
         )
 
         def shift(t: pa.Table) -> pa.Table:
+            # same output stage as raw(display_tz=...): int64-us round-trip
+            # through the shared ms-trunc + offset helper
             i = t.column_names.index("EventTime")
             us = pc.cast(pc.cast(t["EventTime"], pa.timestamp("us")), pa.int64())
-            shifted = pc.add(pc.multiply(pc.divide(us, 1000), 1000), offset)
-            return t.set_column(i, "EventTime", pc.cast(shifted, pa.timestamp("us")))
+            t = t.set_column(i, "EventTime", us)
+            t = display_tz_shift(t, ["EventTime"], offset)
+            return finalize_times(t, {"EventTime": "EventTime"})
 
         out = out.map_batches(shift, batch_format="pyarrow")
     return out

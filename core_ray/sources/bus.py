@@ -118,6 +118,8 @@ def write_bus_log(
     Offsets are assigned per partition in list order — the producer contract.
     Returns {partition: next_offset} (the high-water marks).
     """
+    import zlib
+
     parts: dict[int, list[dict]] = {p: [] for p in range(num_partitions)}
     rr = 0
     for rec in records:
@@ -127,7 +129,8 @@ def write_bus_log(
             if k is None:
                 p, rr = rr % num_partitions, rr + 1
             else:
-                p = int(np.uint64(hash(bytes(k))) % np.uint64(num_partitions))
+                # deterministic across processes (Python's hash() is salted)
+                p = zlib.crc32(bytes(k)) % num_partitions
         parts[int(p)].append(rec)
     high = {}
     for p, rows in parts.items():
@@ -258,6 +261,8 @@ class KafkaFixtureSource(SourceComponent):
         Mirrors the connector's trigger semantics — each epoch advances the
         per-partition offsets; pass the returned dict back as
         ``starting_offsets`` to resume (the checkpoint contract)."""
+        if max_offsets_per_trigger is not None and max_offsets_per_trigger <= 0:
+            raise ValueError("max_offsets_per_trigger must be positive")
         segs = _list_segments(self.path)
         start, end = self._offset_range(segs)
         cur = dict(start)

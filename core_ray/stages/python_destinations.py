@@ -80,9 +80,15 @@ class PolarsDeltaDestination(DestinationComponent):
         return {"written": written, "skipped": False}
 
     def read_back(self) -> pa.Table:
-        files = sorted(
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.endswith(".parquet")
+        files = (
+            sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(self.path)
+            else []
         )
+        if not files:
+            return pa.table({})
         return pa.concat_tables(pq.read_table(f) for f in files)

@@ -133,22 +133,30 @@ class PCDMMergeSink:
             )
             if dedup:
                 g = g.drop_duplicates(["TagName", "EventTime", "ChangeType"], keep="last")
-            # within equal (TagName, EventTime): a delete and an upsert in the
-            # same batch -> apply upserts then deletes (delete wins), matching
-            # a sequential merge of distinct ChangeType rows
-            ups = _cast_value(g[g["ChangeType"] == "upsert"], vtype)[EVENT_COLS]
-            dels = g[g["ChangeType"] == "delete"][["TagName", "EventTime"]]
-
             path = os.path.join(root, vtype, f"dt={date}", "data.parquet")
             existing = pq.read_table(path).to_pandas() if os.path.exists(path) else None
             key = ["TagName", "EventTime"]
-            frames = [f for f in (existing, ups) if f is not None and len(f)]
-            merged = (
-                pd.concat(frames, ignore_index=True) if frames else ups
-            ).drop_duplicates(key, keep="last")  # upsert: new value wins
-            if len(dels):
-                mask = merged.set_index(key).index.isin(dels.set_index(key).index)
-                merged = merged[~mask]
+            if not merge_flag:
+                # merge=False is the reference's APPEND path
+                # (pcdm_to_delta.py:277: no ChangeType rewriting, no keyed
+                # arms) — every row appends regardless of ChangeType
+                ups = _cast_value(g, vtype)[EVENT_COLS]
+                dels = g.iloc[0:0][["TagName", "EventTime"]]
+                frames = [f for f in (existing, ups) if f is not None and len(f)]
+                merged = pd.concat(frames, ignore_index=True) if frames else ups
+            else:
+                # within equal (TagName, EventTime): a delete and an upsert in
+                # the same batch -> apply upserts then deletes (delete wins),
+                # matching a sequential merge of distinct ChangeType rows
+                ups = _cast_value(g[g["ChangeType"] == "upsert"], vtype)[EVENT_COLS]
+                dels = g[g["ChangeType"] == "delete"][["TagName", "EventTime"]]
+                frames = [f for f in (existing, ups) if f is not None and len(f)]
+                merged = (
+                    pd.concat(frames, ignore_index=True) if frames else ups
+                ).drop_duplicates(key, keep="last")  # upsert: new value wins
+                if len(dels):
+                    mask = merged.set_index(key).index.isin(dels.set_index(key).index)
+                    merged = merged[~mask]
             merged = merged.sort_values(key, kind="mergesort").reset_index(drop=True)
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".tmp"
@@ -184,7 +192,9 @@ class PCDMMergeSink:
         conditional updates, ref ``pcdm_latest_to_delta.py:177-240``)."""
 
         def candidates(g: pd.DataFrame) -> pd.DataFrame:
-            g = g[g["ChangeType"] == "upsert"]
+            # every non-delete row is a latest-register candidate (covers the
+            # merge=False append path where ChangeType stays 'insert')
+            g = g[g["ChangeType"] != "delete"]
             if len(g) == 0:
                 return pd.DataFrame(
                     columns=[

@@ -371,3 +371,30 @@ def test_polars_delta_destination_modes(tmp_path):
     assert PolarsDeltaDestination(path, mode="append").read_back().num_rows == 4
     PolarsDeltaDestination(path, mode="overwrite").write_batch(ds)
     assert PolarsDeltaDestination(path, mode="append").read_back().num_rows == 2
+
+
+def test_pcdm_merge_append_mode(tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from core_ray.state import PCDMMergeSink
+
+    rows = pd.DataFrame(
+        {
+            "TagName": ["T1", "T1"],
+            "EventTime": pd.to_datetime(["2024-03-01 10:00:00", "2024-03-01 10:00:00"]),
+            "Status": ["Good", "Good"],
+            "Value": ["1.0", "2.0"],
+            "ValueType": ["float", "float"],
+            "ChangeType": ["insert", "insert"],
+        }
+    )
+    # merge=False is the reference append path: no keyed dedup against the
+    # existing partition, rows land regardless of ChangeType
+    sink = PCDMMergeSink(str(tmp_path / "a"), merge=False, remove_duplicates=False)
+    sink.apply(ray.data.from_pandas(rows))
+    sink.apply(ray.data.from_pandas(rows))
+    ev = sink.read_events("float")
+    assert len(ev) == 4  # appended twice, no merge
+    latest = sink.read_latest()
+    assert latest["TagName"].tolist() == ["T1"]  # registers still maintained
