@@ -999,6 +999,15 @@ def _q_ts_raw_json(sf):
     return to_json_rows(raw(sf, start=START, end=END, tags=TAGS2, sort=False))
 
 
+def _q_ts_raw_json_ns(sf):
+    from core_ray.ops import raw, to_json_rows
+
+    # the reference's 9-digit-fraction + offset JSON timestamp format
+    return to_json_rows(
+        raw(sf, start=START, end=END, tags=TAGS2, sort=False), ns_precision=True
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "ts_pivot": _q_ts_pivot,
@@ -1046,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_resize_frames": _q_mm_resize_frames,
         "fc_knn": _q_fc_knn,
         "dq_dim_reduce": _q_dq_dim_reduce,
+        "ts_raw_json_ns": _q_ts_raw_json_ns,
         "batch_fanout": _q_batch_fanout,
         "weather_latest_point": _q_weather_latest_point,
         "weather_forecast_model": _q_weather_forecast_model,
@@ -2149,6 +2159,14 @@ ORDER BY 1, 2, 4 LIMIT 50 OFFSET 10
 _ORACLE["ts_raw_json"] = f"""
 SELECT '{{"TagName":"' || event_type || '","t":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')
        || '","v":"' || printf('%.2f', value) || '"}}' AS payload
+FROM events
+WHERE {_RANGE} AND event_type IN ('click', 'purchase')
+ORDER BY 1
+"""
+
+_ORACLE["ts_raw_json_ns"] = f"""
+SELECT '{{"TagName":"' || event_type || '","t":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')
+       || '000Z","v":"' || printf('%.2f', value) || '"}}' AS payload
 FROM events
 WHERE {_RANGE} AND event_type IN ('click', 'purchase')
 ORDER BY 1

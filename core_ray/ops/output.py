@@ -98,13 +98,21 @@ def metadata_table(
     return ray.data.from_arrow(t)
 
 
-def to_json_rows(ds: ray.data.Dataset) -> ray.data.Dataset:
+def to_json_rows(ds: ray.data.Dataset, ns_precision: bool = False) -> ray.data.Dataset:
     """One compact JSON string per PCDM row with fixed formatting
     (timestamps ``%Y-%m-%dT%H:%M:%S.%f``, values ``%.2f`` — stable across
-    engines, unlike generic float repr)."""
+    engines, unlike generic float repr).
+
+    ``ns_precision``: the reference's 9-digit-fraction + offset format
+    (``yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX``,
+    ``_time_series_query_builder.py:470-477`` / ``api/v1/common.py:210``
+    ``date_unit="ns"``); storage is µs so the three extra digits are zeros
+    and the UTC offset prints as ``Z``."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         ts = df["EventTime"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        if ns_precision:
+            ts = ts + "000Z"
         vals = df["Value"].map(lambda v: "%.2f" % v)
         payload = (
             '{"TagName":"' + df["TagName"].astype(str)
