@@ -137,6 +137,20 @@ def _q_ts_interpolate(sf):
     return interpolate(sf, start=START, end=END, rate=1, unit="hour")
 
 
+def _q_ts_interpolate_tz(sf):
+    from core_ray.ops import interpolate
+
+    # spine aligned to the +02:00 start on absolute instants; display shifted
+    return interpolate(
+        sf,
+        start="2024-01-01T00:00:00+02:00",
+        end="2024-01-31T00:00:00+02:00",
+        rate=1,
+        unit="hour",
+        display_tz="infer",
+    )
+
+
 def _q_ts_interp_at_time(sf):
     from core_ray.ops import interpolation_at_time
 
@@ -1056,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fc_knn": _q_fc_knn,
         "dq_dim_reduce": _q_dq_dim_reduce,
         "ts_raw_json_ns": _q_ts_raw_json_ns,
+        "ts_interpolate_tz": _q_ts_interpolate_tz,
         "batch_fanout": _q_batch_fanout,
         "weather_latest_point": _q_weather_latest_point,
         "weather_forecast_model": _q_weather_forecast_model,
@@ -1149,6 +1164,39 @@ WITH f AS (SELECT DISTINCT * FROM (
 SELECT TagName, make_timestamp(ws + 7200000000) AS EventTime,
   round_even(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 4) AS Value
 FROM f GROUP BY 1, ws ORDER BY 1, 2
+"""
+
+# interpolate with the +02:00 display stage: the spine/windows run on
+# absolute instants aligned to the shifted start; displayed EventTime adds 2h
+_ORACLE["ts_interpolate_tz"] = f"""
+WITH f AS (
+  SELECT event_type AS TagName, epoch_us(ts) AS tus, value,
+         {_S2} + (epoch_us(ts) - {_S2}) // {HOUR_US} * {HOUR_US} AS ws
+  FROM events WHERE epoch_us(ts) BETWEEN {_S2} AND {_E2}
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY TagName, ws ORDER BY tus DESC, value DESC) rn FROM f),
+agg AS (SELECT TagName, ws, value AS v FROM r WHERE rn = 1),
+tags AS (SELECT DISTINCT TagName FROM f),
+grid AS (SELECT unnest(generate_series({_S2}, {_E2}, {HOUR_US})) AS wus),
+j AS (SELECT t.TagName, g.wus, a.v
+      FROM tags t CROSS JOIN grid g
+      LEFT JOIN agg a ON a.TagName = t.TagName AND a.ws = g.wus),
+w AS (SELECT TagName, wus, v,
+  last_value(v IGNORE NULLS) OVER
+    (PARTITION BY TagName ORDER BY wus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+  last_value(CASE WHEN v IS NOT NULL THEN wus END IGNORE NULLS) OVER
+    (PARTITION BY TagName ORDER BY wus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pt,
+  first_value(v IGNORE NULLS) OVER
+    (PARTITION BY TagName ORDER BY wus ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+  first_value(CASE WHEN v IS NOT NULL THEN wus END IGNORE NULLS) OVER
+    (PARTITION BY TagName ORDER BY wus ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nt
+  FROM j)
+SELECT TagName, make_timestamp(wus + 7200000000) AS EventTime,
+  round_even(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (wus - pt) / (nt - pt)
+             WHEN pv IS NOT NULL THEN pv END, 4) AS Value
+FROM w ORDER BY 1, 2
 """
 
 _ORACLE["ts_resample_last"] = f"""

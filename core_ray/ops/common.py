@@ -168,6 +168,31 @@ def display_tz_shift(batch: pa.Table, us_cols: list[str], offset_us: int) -> pa.
     return batch
 
 
+def apply_display_tz(
+    ds: "ray.data.Dataset", start: str, display_tz: str, col: str = "EventTime"
+):
+    """Shared post-computation output stage: shift a finalized timestamp[us]
+    column into the display timezone (ms-trunc + offset — the reference wraps
+    EVERY query's output in this, ``_time_series_query_builder.py:96-101``).
+    ``display_tz="infer"`` takes the offset from the query's start date."""
+    import pyarrow.compute as pc
+
+    offset = (
+        parse_tz_offset_us(start)
+        if display_tz == "infer"
+        else parse_tz_offset_us(f"2000-01-01T00:00:00{display_tz}")
+    )
+
+    def shift(t: pa.Table) -> pa.Table:
+        i = t.column_names.index(col)
+        us = pc.cast(pc.cast(t[col], pa.timestamp("us")), pa.int64())
+        t = t.set_column(i, col, us)
+        t = display_tz_shift(t, [col], offset)
+        return finalize_times(t, {col: col})
+
+    return ds.map_batches(shift, batch_format="pyarrow")
+
+
 def finalize_times(batch: pa.Table, us_cols: dict[str, str]) -> pa.Table:
     """Convert int64-us columns to timestamp[us] output columns (renamed)."""
     for src, dst in us_cols.items():

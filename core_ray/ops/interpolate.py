@@ -102,6 +102,7 @@ def interpolate(
     tags: list[str] | None = None,
     include_bad: bool = True,
     spec: SeriesSpec = EVENTS_SPEC,
+    display_tz: str | None = None,
 ) -> ray.data.Dataset:
     start_us, end_us = ts_to_us(start), ts_to_us(end)
     ival = interval_us(rate, unit)
@@ -110,7 +111,12 @@ def interpolate(
     partials = ds.map_batches(partial_window_aggregates(start_us, ival), batch_format="pyarrow")
     from .common import grouped_map
 
-    return grouped_map(partials, [TS.TAG], _interp_group(start_us, end_us, ival))
+    out = grouped_map(partials, [TS.TAG], _interp_group(start_us, end_us, ival))
+    if display_tz is not None:
+        from .common import apply_display_tz
+
+        out = apply_display_tz(out, start, display_tz)
+    return out
 
 
 def _dedup_partials(batch: pa.Table) -> pa.Table:

@@ -207,24 +207,7 @@ def resample(
         partials, [TS.TAG], _finalize(agg, start_us, end_us, ival, fill, scale)
     )
     if display_tz is not None:
-        import pyarrow.compute as pc
+        from .common import apply_display_tz
 
-        from .common import display_tz_shift, finalize_times, parse_tz_offset_us
-
-        offset = (
-            parse_tz_offset_us(start)
-            if display_tz == "infer"
-            else parse_tz_offset_us(f"2000-01-01T00:00:00{display_tz}")
-        )
-
-        def shift(t: pa.Table) -> pa.Table:
-            # same output stage as raw(display_tz=...): int64-us round-trip
-            # through the shared ms-trunc + offset helper
-            i = t.column_names.index("EventTime")
-            us = pc.cast(pc.cast(t["EventTime"], pa.timestamp("us")), pa.int64())
-            t = t.set_column(i, "EventTime", us)
-            t = display_tz_shift(t, ["EventTime"], offset)
-            return finalize_times(t, {"EventTime": "EventTime"})
-
-        out = out.map_batches(shift, batch_format="pyarrow")
+        out = apply_display_tz(out, start, display_tz)
     return out
