@@ -88,10 +88,17 @@ def latest(
     *,
     tags: list[str] | None = None,
     spec: SeriesSpec = EVENTS_SPEC,
+    display_tz: str | None = None,
 ) -> ray.data.Dataset:
+    """``display_tz`` must be an explicit "+HH:MM" offset here — latest has
+    no query start date to infer from (the reference takes the zone from the
+    query parameters)."""
     ds = read_events(source, spec) if isinstance(source, str) else source
     ds = normalize(ds, spec, tags=tags)
     partials = ds.map_batches(_partials, batch_format="pyarrow")
-    from .common import grouped_map
+    from .common import apply_display_tz, grouped_map
 
-    return grouped_map(partials, [TS.TAG], _merge)
+    out = grouped_map(partials, [TS.TAG], _merge)
+    if display_tz is not None:
+        out = apply_display_tz(out, "2000-01-01T00:00:00", display_tz)
+    return out

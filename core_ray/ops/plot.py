@@ -79,12 +79,16 @@ def plot(
     unit: str = "minute",
     tags: list[str] | None = None,
     spec: SeriesSpec = EVENTS_SPEC,
+    display_tz: str | None = None,
 ) -> ray.data.Dataset:
     start_us, end_us = ts_to_us(start), ts_to_us(end)
     ival = interval_us(rate, unit)
     ds = read_events(source, spec) if isinstance(source, str) else source
     ds = normalize(ds, spec, start_us=start_us, end_us=end_us, tags=tags)
     partials = ds.map_batches(_partials(start_us, ival), batch_format="pyarrow")
-    from .common import grouped_map
+    from .common import apply_display_tz, grouped_map
 
-    return grouped_map(partials, [TS.TAG], _finalize)
+    out = grouped_map(partials, [TS.TAG], _finalize)
+    if display_tz is not None:
+        out = apply_display_tz(out, start, display_tz)
+    return out
