@@ -136,3 +136,22 @@ def test_wire_source_projection_excluding_trim_columns(tmp_path, ray_session):
     df = ds.to_pandas()
     assert list(df.columns) == ["value"]
     assert len(df) == 4  # offsets 3,4 per partition
+
+
+def test_keyed_routing_deterministic(tmp_path):
+    import zlib
+
+    from core_ray.sources.bus import _list_segments, write_bus_log
+
+    records = [
+        {"key": f"k{i}".encode(), "value": b"v", "timestamp": _ts("2024-01-01 00:00:00")}
+        for i in range(8)
+    ]
+    write_bus_log(str(tmp_path), records, num_partitions=4, segment_rows=10)
+    segs = _list_segments(str(tmp_path))
+    got = {p: s[-1][1] + 1 if s else 0 for p, s in segs.items()}
+    want = {p: 0 for p in range(4)}
+    for i in range(8):
+        want[zlib.crc32(f"k{i}".encode()) % 4] += 1
+    # crc32-based routing: layout reproducible across processes/runs
+    assert got == want
