@@ -292,6 +292,38 @@ def _q_emb_knn_ivf_full(sf):
     return knn_ivf(sf, _query_vec(sf), k=10, n_centroids=16, n_probe=16)
 
 
+_IVF_INDEX_CACHE: dict = {}
+
+
+def _ivf_index_dir(sf) -> str:
+    """Build (once per sf_dir per process) the persisted IVF layout under /tmp.
+    The build is the one full scan; every serve after it reads only the probed
+    partition bytes — the 100-TB serving shape."""
+    if sf not in _IVF_INDEX_CACHE:
+        import hashlib
+        import os
+
+        from core_ray.functions import build_ivf_index
+
+        d = os.path.join(
+            "/tmp", "graft_ivf_" + hashlib.md5(sf.encode()).hexdigest()[:10]
+        )
+        if not os.path.exists(os.path.join(d, "centroids.parquet")):
+            build_ivf_index(sf, d, n_centroids=16)
+        _IVF_INDEX_CACHE[sf] = d
+    return _IVF_INDEX_CACHE[sf]
+
+
+def _q_emb_knn_indexed(sf):
+    from core_ray.functions import knn_ivf_indexed
+
+    # probe ALL 16 partitions of the persisted index: the union of partitions
+    # is the whole corpus, so serving must reproduce brute force EXACTLY —
+    # an exact oracle for the persisted-layout path (IO pruning itself is
+    # asserted in tests/test_functions.py::test_ivf_index_build_serve_and_io_pruning)
+    return knn_ivf_indexed(_ivf_index_dir(sf), _query_vec(sf), k=10, n_probe=16)
+
+
 def _q_emb_cosine_dups(sf):
     from core_ray.functions import cosine_dup_pairs
 
@@ -826,12 +858,26 @@ def _ssip_file_bytes() -> bytes:
 
 
 def _q_ssip_pi_binary_pcdm(sf):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     import ray.data
 
     from core_ray.stages.binary_sources import ssip_pi_binary_file_to_pcdm
 
     rows = [{"path": "f1.parquet", "content": _ssip_file_bytes()}]
-    return ssip_pi_binary_file_to_pcdm(ray.data.from_items(rows))
+    ds = ssip_pi_binary_file_to_pcdm(ray.data.from_items(rows))
+
+    # Strict-schema parity with the DuckDB oracle: DATE round-trips to
+    # pandas as datetime64[us]; the engine's date32 would surface as
+    # object-of-date.  Cast at the query boundary only.
+    def cast_date(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("EventDate")
+        return batch.set_column(
+            i, "EventDate", pc.cast(batch["EventDate"], pa.timestamp("us"))
+        )
+
+    return ds.map_batches(cast_date, batch_format="pyarrow")
 
 
 def _q_mm_decode_features(sf):
@@ -1089,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_knn_ivf_full": _q_emb_knn_ivf_full,
+        "emb_knn_indexed": _q_emb_knn_indexed,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "rel_pricing_summary": _q_rel_pricing,
         "rel_revenue_by_nation": _q_rel_revenue_nation,
@@ -1988,7 +2035,9 @@ ORDER BY TagName
 """
 
 _ORACLE["mm_decode_features"] = """
-SELECT * FROM (VALUES
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       f0, f1, f2, f3
+FROM (VALUES
   (1, 0, 0.6295, 0.9432, 0.8792, 0.9843),
   (1, 2, 0.6295, 0.1964, 0.8792, 0.0422),
   (2, 0, 0.6042, 0.9432, 0.5286, 0.9843),
@@ -2044,6 +2093,17 @@ LIMIT 10
 """
 
 _ORACLE["emb_knn_ivf_full"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round_even(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 4) AS sim
+FROM embeddings
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+# probe-all over the persisted hive-partitioned IVF layout covers the whole
+# corpus, so the exact brute-force top-k is the oracle
+_ORACLE["emb_knn_indexed"] = """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
        round_even(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 4) AS sim

@@ -4,7 +4,14 @@ alongside the time-series operators."""
 
 from .text import token_count, quality_score, fingerprint, lang_id
 from .dedup import dedup_exact, exact_jaccard, jaccard_pairs, minhash_pairs, simhash_pairs
-from .similarity import knn_brute_force, knn_ivf, cosine_dup_pairs
+from .similarity import (
+    knn_brute_force,
+    knn_ivf,
+    build_ivf_index,
+    load_ivf_centroids,
+    knn_ivf_indexed,
+    cosine_dup_pairs,
+)
 from .join import hash_join
 
 __all__ = [
@@ -19,6 +26,9 @@ __all__ = [
     "simhash_pairs",
     "knn_brute_force",
     "knn_ivf",
+    "build_ivf_index",
+    "load_ivf_centroids",
+    "knn_ivf_indexed",
     "cosine_dup_pairs",
     "hash_join",
 ]

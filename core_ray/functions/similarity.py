@@ -43,6 +43,21 @@ def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
         return np.where(norms > 0, mat @ qn / norms, 0.0)
 
 
+def _topk_round4(ids: np.ndarray, sim_raw: np.ndarray, k: int):
+    """Round-then-rank, paying the oracle-parity round_even kernel only on the
+    survivors: round_even(x, 4) moves a value by at most 5e-5, so every row
+    that could round into the k-th kept bucket has unrounded sim within 1e-4
+    of the k-th largest unrounded sim.  Rows below that margin are strictly
+    dominated by >= k kept rows in rounded value, tie-breaks included."""
+    if len(sim_raw) > k:
+        kth = np.partition(sim_raw, -k)[-k]
+        mask = sim_raw >= kth - 1e-4
+        ids, sim_raw = ids[mask], sim_raw[mask]
+    sim = round4(sim_raw)
+    order = np.lexsort((ids, -sim))[:k]
+    return ids[order], sim[order]
+
+
 def knn_brute_force(
     source: str | ray.data.Dataset, query: np.ndarray, k: int = 10
 ) -> ray.data.Dataset:
@@ -54,19 +69,11 @@ def knn_brute_force(
             return pa.table(
                 {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
             )
-        # ROUND BEFORE the per-batch cut: the global order (and the oracle's)
-        # is by round_even(sim, 4) with vec_id tie-break, so cutting on the
-        # unrounded value could keep a different row at a rounding-boundary
-        # tie inside one batch
-        sim = round4(_cosine(_batch_matrix(batch), q))
+        sim_raw = _cosine(_batch_matrix(batch), q)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         # per-batch partial top-k: only k rows leave each batch
-        order = np.lexsort((batch["vec_id"].to_numpy(zero_copy_only=False), -sim))[:k]
-        return pa.table(
-            {
-                "vec_id": pa.array(batch["vec_id"].to_numpy(zero_copy_only=False)[order]),
-                "sim": pa.array(sim[order]),
-            }
-        )
+        out_ids, out_sim = _topk_round4(ids, sim_raw, k)
+        return pa.table({"vec_id": pa.array(out_ids), "sim": pa.array(out_sim)})
 
     partials = _read_emb(source).map_batches(score, batch_format="pyarrow")
     return partials.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
@@ -129,14 +136,93 @@ def knn_ivf(
             )
         sub = mat[mask]
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)[mask]
-        sim = round4(_cosine(sub, q))  # round BEFORE the cut (oracle ordering)
-        order = np.lexsort((ids, -sim))[:k]
-        return pa.table(
-            {"vec_id": pa.array(ids[order]), "sim": pa.array(sim[order])}
-        )
+        out_ids, out_sim = _topk_round4(ids, _cosine(sub, q), k)
+        return pa.table({"vec_id": pa.array(out_ids), "sim": pa.array(out_sim)})
 
     partials = ds.map_batches(score, batch_format="pyarrow")
     return partials.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def build_ivf_index(
+    source: str | ray.data.Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    sample_rows: int = 2048,
+    seed: int = 13,
+) -> np.ndarray:
+    """Persisted IVF layout: coarse k-means centroids from a seeded sample,
+    then the corpus written hive-partitioned by nearest centroid
+    (``data/centroid=<c>/``) alongside the centroid matrix
+    (``centroids.parquet``).  This is the structure that makes ANN serving
+    IO-pruned at scale: a query reads only its ``n_probe`` partitions'
+    bytes instead of scanning (and assigning) the whole corpus per query.
+    Build once, serve many — the build is the only full scan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ds = _read_emb(source)
+    sample_tbl = ds.limit(sample_rows).to_pandas()
+    sample = np.stack(sample_tbl["embedding"].to_numpy()).astype(np.float64)
+    cents = _kmeans(sample, n_centroids, seed=seed)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("centroid", pa.array([], pa.int32()))
+        a = _sq_dists(_batch_matrix(batch), ray.get(cents_ref)).argmin(axis=1)
+        return batch.append_column("centroid", pa.array(a.astype(np.int32)))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "data"), partition_cols=["centroid"]
+    )
+    pq.write_table(
+        pa.table({"centroid": pa.array(range(len(cents)), pa.int32()),
+                  "embedding": pa.array(list(cents))}),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    return cents
+
+
+def load_ivf_centroids(index_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    return np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def knn_ivf_indexed(
+    index_dir: str, query: np.ndarray, k: int = 10, n_probe: int = 4
+) -> ray.data.Dataset:
+    """Serve ANN from a :func:`build_ivf_index` layout: pick the query's
+    ``n_probe`` nearest centroids from the (tiny) persisted centroid table,
+    then ``read_parquet`` ONLY those partitions — IO cost is
+    ~n_probe/n_centroids of the corpus, not a full scan."""
+    import os
+
+    q = np.asarray(query, dtype=np.float64)
+    cents = load_ivf_centroids(index_dir)
+    probe = np.argsort(((cents - q) ** 2).sum(axis=1))[:n_probe].tolist()
+    # pyarrow's dataset() treats a LIST of paths as files, so expand each
+    # probed partition dir to its parquet files explicitly
+    paths = [
+        os.path.join(p, f)
+        for c in probe
+        if os.path.isdir(p := os.path.join(index_dir, "data", f"centroid={c}"))
+        for f in sorted(os.listdir(p))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return ray.data.from_items([]).map_batches(
+            lambda b: pa.table({"vec_id": pa.array([], pa.int64()),
+                                "sim": pa.array([], pa.float64())}),
+            batch_format="pyarrow",
+        )
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    return knn_brute_force(ds, q, k=k)
 
 
 def cosine_dup_pairs(

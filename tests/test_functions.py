@@ -144,3 +144,80 @@ def test_cosine_dup_pairs_planted():
     pairs = cosine_dup_pairs(ray.data.from_pandas(df), threshold=0.95).to_pandas()
     assert (0, 1) in set(zip(pairs["vec_a"], pairs["vec_b"]))
     assert (pairs["cosine"] >= 0.95).all()
+
+
+def test_ivf_index_build_serve_and_io_pruning(sf_dir, tmp_path):
+    """The persisted IVF layout must (a) serve with bounded recall vs brute
+    force, (b) agree exactly with brute force restricted to the probed
+    partitions, and (c) prune IO: the probed partitions' bytes are a small
+    fraction of the corpus (the whole point of the layout at 100 TB)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from core_ray.functions import (
+        build_ivf_index,
+        knn_brute_force,
+        knn_ivf_indexed,
+        load_ivf_centroids,
+    )
+
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(sf_dir, idx, n_centroids=16)
+    assert cents.shape[0] == 16
+    assert np.allclose(load_ivf_centroids(idx), cents)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    n_probe = 4
+
+    got = knn_ivf_indexed(idx, q, k=10, n_probe=n_probe).to_pandas()
+    bf = knn_brute_force(sf_dir, q, k=10).to_pandas()
+    # (a) recall: the query's own partition is probed, so its exact dup
+    # (itself) plus nearby vectors must appear
+    assert len(set(bf["vec_id"]) & set(got["vec_id"])) / 10 >= 0.5
+
+    # (b) exactness on the probed subset: serving == brute force over the
+    # union of probed partitions (no approximation beyond partition pruning)
+    probe = np.argsort(((cents - q) ** 2).sum(axis=1))[:n_probe].tolist()
+    paths = [os.path.join(idx, "data", f"centroid={c}") for c in probe]
+    files = [
+        os.path.join(p, f)
+        for p in paths
+        if os.path.isdir(p)
+        for f in sorted(os.listdir(p))
+        if f.endswith(".parquet")
+    ]
+    sub = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+    ref = knn_brute_force(sub, q, k=10).to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref.reset_index(drop=True))
+
+    # (c) IO pruning: bytes under the probed dirs << bytes under data/
+    def _bytes(paths):
+        total = 0
+        for p in paths:
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    probed = _bytes([p for p in paths if os.path.isdir(p)])
+    full = _bytes([os.path.join(idx, "data")])
+    assert probed / full <= n_probe / 16 * 2.5  # skew allowance
+
+
+def test_topk_round4_matches_full_round():
+    """_topk_round4's margin cut must be indistinguishable from rounding the
+    whole array then ranking, including at rounding-boundary ties."""
+    from core_ray.functions.similarity import _topk_round4, round4
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        sims = rng.uniform(-1, 1, size=500)
+        # plant boundary ties right at the 4-decimal rounding edge
+        sims[:20] = np.round(sims[0], 4) + rng.integers(-2, 3, size=20) * 5e-5
+        ids = rng.permutation(500).astype(np.int64)
+        full = round4(sims)
+        order = np.lexsort((ids, -full))[:10]
+        got_ids, got_sim = _topk_round4(ids, sims, 10)
+        assert got_ids.tolist() == ids[order].tolist()
+        assert got_sim.tolist() == full[order].tolist()
