@@ -326,61 +326,59 @@ def normalize(ds: ray.data.Dataset, method: str = "zscore"):
             stats[tag]["min"] = float(mm.loc[tag, "mn"])
             stats[tag]["max"] = float(mm.loc[tag, "mx"])
     params = {"method": method, "stats": stats}
-    params_ref = ray.put(params)
+    return (
+        ds.map_batches(_norm_transform(params, invert=False), batch_format="pyarrow"),
+        params,
+    )
+
+
+def _stats_arrays(stats: dict) -> dict:
+    """Columnarize the per-tag stats dict ONCE on the driver: a pandas Index
+    over the tags plus aligned float64 arrays.  Per batch the tag column is
+    resolved with one vectorized ``Index.get_indexer`` call and stats are
+    gathered with numpy fancy indexing — no per-row dict lookups in the map
+    stage.  The ``std or 1.0`` substitution is baked into the array so the
+    arithmetic is bit-identical to the scalar formulation."""
+    import pandas as pd
+
+    tags = sorted(stats)
+    get = lambda t, k: float(stats[t].get(k) if stats[t].get(k) is not None else np.nan)
+    return {
+        "index": pd.Index(tags),
+        "mean": np.array([get(t, "mean") for t in tags], dtype=np.float64),
+        "std": np.array([(stats[t].get("std") or 1.0) for t in tags], dtype=np.float64),
+        "min": np.array([get(t, "min") for t in tags], dtype=np.float64),
+        "max": np.array([get(t, "max") for t in tags], dtype=np.float64),
+    }
+
+
+def _norm_transform(params: dict, invert: bool):
+    method = params["method"]
+    arrs_ref = ray.put(_stats_arrays(params["stats"]))
 
     def transform(batch: pa.Table) -> pa.Table:
-        p = ray.get(params_ref)
-        st = p["stats"]
+        a = ray.get(arrs_ref)
         tags = batch[TS.TAG].to_numpy(zero_copy_only=False)
         v = batch[TS.VALUE].to_numpy().astype(np.float64)
-        if p["method"] == "zscore":
-            mean = np.array([st[t]["mean"] for t in tags.tolist()])
-            std = np.array([st[t]["std"] or 1.0 for t in tags.tolist()])
-            nv = (v - mean) / std
-        elif p["method"] == "minmax":
-            mn = np.array([st[t]["min"] for t in tags.tolist()])
-            mx = np.array([st[t]["max"] for t in tags.tolist()])
+        pos = a["index"].get_indexer(tags)
+        if method == "zscore":
+            mean, std = a["mean"][pos], a["std"][pos]
+            nv = v * std + mean if invert else (v - mean) / std
+        elif method == "minmax":
+            mn, mx = a["min"][pos], a["max"][pos]
             rng = np.where(mx > mn, mx - mn, 1.0)
-            nv = (v - mn) / rng
+            nv = v * rng + mn if invert else (v - mn) / rng
         else:  # mean
-            mean = np.array([st[t]["mean"] for t in tags.tolist()])
-            mn = np.array([st[t]["min"] for t in tags.tolist()])
-            mx = np.array([st[t]["max"] for t in tags.tolist()])
+            mean, mn, mx = a["mean"][pos], a["min"][pos], a["max"][pos]
             rng = np.where(mx > mn, mx - mn, 1.0)
-            nv = (v - mean) / rng
+            nv = v * rng + mean if invert else (v - mean) / rng
         return batch.set_column(
             batch.column_names.index(TS.VALUE), TS.VALUE, pa.array(nv)
         )
 
-    return ds.map_batches(transform, batch_format="pyarrow"), params
+    return transform
 
 
 def denormalize(ds: ray.data.Dataset, params: dict) -> ray.data.Dataset:
     """Exact reversal of :func:`normalize` given its params."""
-    params_ref = ray.put(params)
-
-    def transform(batch: pa.Table) -> pa.Table:
-        p = ray.get(params_ref)
-        st = p["stats"]
-        tags = batch[TS.TAG].to_numpy(zero_copy_only=False)
-        v = batch[TS.VALUE].to_numpy().astype(np.float64)
-        if p["method"] == "zscore":
-            mean = np.array([st[t]["mean"] for t in tags.tolist()])
-            std = np.array([st[t]["std"] or 1.0 for t in tags.tolist()])
-            nv = v * std + mean
-        elif p["method"] == "minmax":
-            mn = np.array([st[t]["min"] for t in tags.tolist()])
-            mx = np.array([st[t]["max"] for t in tags.tolist()])
-            rng = np.where(mx > mn, mx - mn, 1.0)
-            nv = v * rng + mn
-        else:
-            mean = np.array([st[t]["mean"] for t in tags.tolist()])
-            mn = np.array([st[t]["min"] for t in tags.tolist()])
-            mx = np.array([st[t]["max"] for t in tags.tolist()])
-            rng = np.where(mx > mn, mx - mn, 1.0)
-            nv = v * rng + mean
-        return batch.set_column(
-            batch.column_names.index(TS.VALUE), TS.VALUE, pa.array(nv)
-        )
-
-    return ds.map_batches(transform, batch_format="pyarrow")
+    return ds.map_batches(_norm_transform(params, invert=True), batch_format="pyarrow")

@@ -333,10 +333,9 @@ def minhash_pairs(
     distinct candidate pair is re-scored with EXACT shingle Jaccard over the
     two texts and filtered on the exact value — output is then deterministic
     and hash-independent (modulo LSH recall: 1-(1-J^r)^b, >1-4e-8 at J>=0.9
-    with 16x4 bands).  The verify stage broadcasts only the texts of docs
-    that appear in candidate pairs — bounded by the near-dup set, not the
-    corpus; swap in a partitioned hash join (functions/join.py) if that set
-    ever outgrows driver memory.
+    with 16x4 bands).  The verify stage fetches both candidate texts through
+    partitioned hash joins (functions/join.py) — the candidate set never
+    touches the driver, so it scales with the corpus, not driver memory.
     """
     ds = _read_docs(source, ["doc_id", "text"])
     bands = ds.map_batches(
@@ -353,44 +352,64 @@ def minhash_pairs(
         return bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b", "est_jaccard"])
 
     pairs = bucketed_group_pairs(bands, ["band", "band_hash"])
-    cand = bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b"]).to_pandas()
-    ids = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    if isinstance(source, str):
-        # push the candidate-id filter into the parquet scan (row-group
-        # pruning) instead of re-reading every document and masking
-        import pyarrow.dataset as pads
+    cand = bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b"])
 
-        path = source if source.endswith(".parquet") else f"{source}/documents.parquet"
-        texts_ds = ray.data.read_parquet(
-            path,
-            columns=["doc_id", "text"],
-            filter=pads.field("doc_id").isin(ids),
-        )
-    else:
-        idset = pa.array(ids, pa.int64())
-        texts_ds = ds.map_batches(
-            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=idset)),
-            batch_format="pyarrow",
-        )
-    texts = texts_ds.to_pandas().set_index("doc_id")["text"].to_dict()
-    import ray as _ray
+    # Attach both texts with two partitioned hash joins (functions/join.py)
+    # instead of a driver-side texts dict: nothing about the candidate set
+    # ever materializes on the driver, so a dirty corpus with a huge near-dup
+    # set stays distributed.  hash_join itself broadcasts the (doc_id, text)
+    # side only when its byte size is under the documented threshold.
+    from .join import hash_join
 
-    texts_ref = _ray.put(texts)
+    def _ren(a: str, b: str):
+        return lambda t: t.select(["doc_id", "text"]).rename_columns([a, b])
+
+    cand = hash_join(
+        cand,
+        ds.map_batches(_ren("doc_a", "text_a"), batch_format="pyarrow"),
+        on="doc_a",
+    )
+    cand = hash_join(
+        cand,
+        ds.map_batches(_ren("doc_b", "text_b"), batch_format="pyarrow"),
+        on="doc_b",
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        t = _ray.get(texts_ref)
         from ..ops.common import round4
 
+        # memoize shingle sets per unique text in the batch; the pairwise
+        # intersection itself is C-level set arithmetic
+        memo: dict = {}
+
+        def sh(t: str) -> set:
+            s = memo.get(t)
+            if s is None:
+                w = t.lower().split()
+                s = set(zip(w, w[1:], w[2:])) if len(w) >= 3 else set(w)
+                memo[t] = s
+            return s
+
         out = []
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            j = exact_jaccard(t[int(a)], t[int(b)])
+        for a, b, ta, tb in zip(
+            batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]
+        ):
+            sa, sb = sh(ta), sh(tb)
+            if not sa and not sb:
+                j = 1.0
+            else:
+                inter = len(sa & sb)
+                j = inter / (len(sa) + len(sb) - inter)
             if j >= threshold:
-                out.append((int(a), int(b), float(round4(np.array([j]))[0])))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"]).astype(
+                out.append((int(a), int(b), j))
+        df = pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"]).astype(
             {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
         )
+        if len(df):
+            df["jaccard"] = round4(df["jaccard"].to_numpy())
+        return df
 
-    return ray.data.from_pandas(cand).map_batches(verify, batch_format="pandas")
+    return cand.map_batches(verify, batch_format="pandas")
 
 
 def jaccard_pairs(
@@ -600,22 +619,19 @@ def simhash_pairs(
 
 
 def dedup_exact(source: str | ray.data.Dataset) -> ray.data.Dataset:
-    """Exact dedup: survivors = min doc_id per content digest.  Returns the
-    surviving full rows."""
-    import hashlib
+    """Exact dedup: survivors = min doc_id per text.  Returns the surviving
+    full rows.
 
+    The dedup key is the text itself: bucket routing hashes it with the
+    vectorized pandas hasher (``ops/common._arrow_add_bucket``) and the
+    in-bucket duplicate mask compares full texts, so two distinct texts can
+    never merge on a hash collision — truly exact at any corpus size, with
+    no per-row Python anywhere in the path.  The full row ships through the
+    shuffle regardless (survivor rows are the output), so keying on text
+    adds no extra bytes over a digest column."""
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     ds = _read_docs(source, cols)
 
-    def add_digest(batch: pa.Table) -> pa.Table:
-        dig = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
-        return batch.append_column("digest", pa.array(dig, pa.string()))
-
     from ..ops.common import bucketed_distinct
 
-    out = bucketed_distinct(
-        ds.map_batches(add_digest, batch_format="pyarrow"), ["digest"], ["digest", "doc_id"]
-    )
-    return out.map_batches(
-        lambda df: df.drop(columns=["digest"]), batch_format="pandas"
-    )
+    return bucketed_distinct(ds, ["text"], ["text", "doc_id"])

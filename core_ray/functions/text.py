@@ -2,8 +2,9 @@
 scoring, fingerprinting, language ID.
 
 All stages are stateless ``map_batches`` transforms; the string kernels are
-vectorized ``pyarrow.compute`` regex counts where possible (no Python loop in
-the hot path except the md5 fingerprint, whose cost is the C hash itself).
+vectorized ``pyarrow.compute`` regex counts where possible, and the md5
+fingerprint runs as a vectorized in-process DuckDB kernel (no Python loop in
+any hot path).
 Reference analog: the per-batch JSON/string parsers of
 ``transformers/spark/*_to_pcdm.py`` (SURVEY.md §2.4) — per-record string work
 re-expressed as vectorized Arrow kernels.
@@ -11,7 +12,6 @@ re-expressed as vectorized Arrow kernels.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -71,13 +71,31 @@ def quality_score(source: str | ray.data.Dataset) -> ray.data.Dataset:
     return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+_md5_con = None
+
+
+def _duckdb_md5(texts) -> pa.Array:
+    """Vectorized md5 over an Arrow string column via an in-process DuckDB
+    kernel (the ``round_even``/``hash()`` parity pattern): one zero-copy
+    Arrow scan per batch instead of a per-row Python hashlib loop.
+    ``threads=1`` keeps scan order stable so row order is preserved."""
+    global _md5_con
+    import duckdb
+
+    if _md5_con is None:
+        _md5_con = duckdb.connect()
+        _md5_con.execute("SET threads=1")
+    _md5_con.register("_fp_texts", pa.table({"t": texts}))
+    out = _md5_con.execute("SELECT md5(t) AS d FROM _fp_texts").fetch_arrow_table()
+    _md5_con.unregister("_fp_texts")
+    return out["d"].combine_chunks()
+
+
 def fingerprint(source: str | ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, md5): content fingerprint for exact dedup / lineage."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-        return pa.table({"doc_id": batch["doc_id"], "md5": pa.array(digests, pa.string())})
+        return pa.table({"doc_id": batch["doc_id"], "md5": _duckdb_md5(batch["text"])})
 
     return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 

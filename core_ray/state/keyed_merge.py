@@ -122,13 +122,24 @@ class KeyedMergeDestination:
         bs_del = when_not_matched_by_source_delete_list or []
         by_source = bool(bs_upd or bs_del)
 
-        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["_kbucket"] = self._bucket_of(df) if len(df) else pd.Series([], dtype="int64")
-            df["_marker"] = False
-            return df
+        num_buckets = self.num_buckets
 
-        tagged = source.map_batches(add_bucket, batch_format="pandas")
+        def add_bucket(t: pa.Table) -> pa.Table:
+            # Arrow-native routing: only the KEY columns are converted for
+            # hashing; the payload never round-trips through pandas here
+            # (same hasher as ``_bucket_of``, so bucket ids are stable across
+            # merges that used the old pandas path)
+            import numpy as np
+
+            if len(t) == 0:
+                t = t.append_column("_kbucket", pa.array([], pa.int64()))
+                return t.append_column("_marker", pa.array([], pa.bool_()))
+            kdf = t.select(key_cols).to_pandas()
+            h = (pd.util.hash_pandas_object(kdf, index=False) % num_buckets).to_numpy()
+            t = t.append_column("_kbucket", pa.array(h.astype("int64")))
+            return t.append_column("_marker", pa.array(np.zeros(len(t), dtype=bool)))
+
+        tagged = source.map_batches(add_bucket, batch_format="pyarrow")
         if by_source:
             # by-source clauses must visit every existing bucket
             existing = [
