@@ -202,6 +202,123 @@ def _q_ts_twa_meta(sf):
     )
 
 
+def _builder(sf):
+    """The reference's fluent public API driven end-to-end under the
+    correctness gate: same oracles as the direct-op queries."""
+    from core_ray.queries import TimeSeriesQueryBuilder
+
+    return (
+        TimeSeriesQueryBuilder()
+        .connect()
+        .source(
+            f"{sf}/events.parquet",
+            tagname_column="event_type",
+            timestamp_column="ts",
+            status_column=None,
+            value_column="value",
+        )
+        .m_source(TAG_META)
+    )
+
+
+def _q_qb_raw(sf):
+    return _builder(sf).raw(
+        tagname_filter=TAGS2, start_date=START, end_date=END, include_bad_data=True
+    )
+
+
+def _q_qb_resample_last(sf):
+    return _builder(sf).resample(
+        tagname_filter=ALL_TAGS,
+        start_date=START,
+        end_date=END,
+        time_interval_rate="1",
+        time_interval_unit="hour",
+        agg_method="last",
+        include_bad_data=True,
+    )
+
+
+def _q_qb_twa(sf):
+    return _builder(sf).time_weighted_average(
+        tagname_filter=ALL_TAGS,
+        start_date=START,
+        end_date=END,
+        time_interval_rate="1",
+        time_interval_unit="hour",
+        step="false",
+        include_bad_data=True,
+    )
+
+
+def _q_mdm_usage(sf):
+    """Events -> typed MDM usage rows (data_models/timeseries.py): per-event
+    Uid/SeriesId, hour-interval bucket, conformed onto MDM_USAGE_SCHEMA."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from core_ray.data_models import conform_mdm_usage
+
+    def to_usage(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "Uid": t["event_type"],
+                "SeriesId": pc.binary_join_element_wise(
+                    t["event_type"], pa.scalar(":usage"), ""
+                ),
+                "Timestamp": t["ts"],
+                "IntervalTimestamp": pc.floor_temporal(t["ts"], unit="hour"),
+                "Value": t["value"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return conform_mdm_usage(ds.map_batches(to_usage, batch_format="pyarrow"))
+
+
+def _q_mdm_meta(sf):
+    """The tag registry as validated typed MetaData rows -> MDM meta table
+    (Properties map exercised in tests/test_data_models.py; the oracle gate
+    compares the scalar columns)."""
+    import ray.data
+
+    from core_ray.data_models import (
+        MetaData,
+        ModelType,
+        SeriesType,
+        Uom,
+        ValueType,
+        meta_table,
+    )
+
+    uom_of = {"degC": Uom.WEATHER, "bar": Uom.WEATHER, "kWh": Uom.KWH, "m3": Uom.MWH}
+    rows = [
+        MetaData(
+            Uid=tag,
+            SeriesId=f"{tag}:usage",
+            SeriesParentId="",
+            Name=tag,
+            Uom=uom_of.get((meta.get("UoM") or ""), Uom.W),
+            Description=meta["Description"],
+            TimestampStart=1704067200,
+            TimestampEnd=1706659200,
+            Timezone="UTC",
+            Version="1",
+            SeriesType=SeriesType.Hour,
+            ModelType=ModelType.AMI_USAGE,
+            ValueType=ValueType.Usage,
+            Properties={"step": str(bool(meta.get("Step", False))).lower()},
+        )
+        for tag, meta in sorted(TAG_META.items())
+    ]
+    t = meta_table(rows).drop_columns(["Properties"])
+    return ray.data.from_arrow(t)
+
+
 def _q_doc_token_count(sf):
     from core_ray.functions import token_count
 
@@ -1087,6 +1204,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_resample_avg": _q_ts_resample_avg,
         "ts_resample_tz": _q_ts_resample_tz,
         "ts_resample_last": _q_ts_resample_last,
+        "mdm_usage": _q_mdm_usage,
+        "mdm_meta": _q_mdm_meta,
+        "qb_raw": _q_qb_raw,
+        "qb_resample_last": _q_qb_resample_last,
+        "qb_twa": _q_qb_twa,
         "ts_resample_count_fill": _q_ts_resample_count_fill,
         "ts_summary": _q_ts_summary,
         "ts_latest": _q_ts_latest,
@@ -2279,6 +2401,38 @@ FROM events
 WHERE {_RANGE} AND event_type IN ('click', 'purchase')
 ORDER BY 1
 """
+
+
+_ORACLE["mdm_usage"] = """
+SELECT event_type AS Uid, event_type || ':usage' AS SeriesId, ts AS Timestamp,
+       date_trunc('hour', ts) AS IntervalTimestamp, value AS Value
+FROM events
+ORDER BY 1, 3
+"""
+
+# enum ints: SeriesType.Hour=64, ModelType.AMI_USAGE=2, ValueType.Usage=16
+_ORACLE["mdm_meta"] = """
+SELECT * FROM (VALUES
+  ('click', 'click:usage', '', 'click', 'WEATHER', 'click events'),
+  ('error', 'error:usage', '', 'error', 'WEATHER', 'error events'),
+  ('purchase', 'purchase:usage', '', 'purchase', 'KWH', 'purchase events'),
+  ('signup', 'signup:usage', '', 'signup', 'MWH', 'signup events'),
+  ('view', 'view:usage', '', 'view', 'W', 'view events')
+) m(Uid, SeriesId, SeriesParentId, Name, Uom, Description)
+CROSS JOIN (SELECT TIMESTAMP '2024-01-01 00:00:00' AS TimestampStart,
+                   TIMESTAMP '2024-01-31 00:00:00' AS TimestampEnd,
+                   'UTC' AS Timezone, '1' AS Version,
+                   CAST(64 AS INTEGER) AS SeriesType,
+                   CAST(2 AS INTEGER) AS ModelType,
+                   CAST(16 AS INTEGER) AS ValueType)
+ORDER BY Uid
+"""
+
+# The builder facade reuses the direct-op oracles verbatim — identical
+# output is the whole contract of a facade
+_ORACLE["qb_raw"] = _ORACLE["ts_raw"]
+_ORACLE["qb_resample_last"] = _ORACLE["ts_resample_last"]
+_ORACLE["qb_twa"] = _ORACLE["ts_twa"]
 
 
 def oracle_sql() -> dict[str, str]:

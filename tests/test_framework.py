@@ -398,3 +398,44 @@ def test_pcdm_merge_append_mode(tmp_path):
     assert len(ev) == 4  # appended twice, no merge
     latest = sink.read_latest()
     assert latest["TagName"].tolist() == ["T1"]  # registers still maintained
+
+
+def test_logging_surface_dataset_and_manifests(tmp_path):
+    """DatasetLogHandler captures managed loggers' records as a queryable
+    table; manifest_logs surfaces streaming epoch manifests as a Dataset."""
+    import json
+    import os
+
+    from core_ray.pipelines.logging import (
+        DatasetLogHandler,
+        LoggerManager,
+        RuntimeLogCollector,
+        manifest_logs,
+    )
+
+    lm = LoggerManager()
+    logger = lm.create_logger("test_run_logger")
+    logger.setLevel("INFO")
+    handler = RuntimeLogCollector().attach_dataset_handler_to_logger("test_run_logger")
+    logger.info("stage %s started", "read")
+    logger.warning("late rows: %d", 3)
+
+    df = handler.get_logs_as_df()
+    assert list(df.columns) == ["timestamp", "name", "level", "message"]
+    assert df["message"].tolist() == ["stage read started", "late rows: 3"]
+    assert df["level"].tolist() == ["INFO", "WARNING"]
+
+    ds = handler.to_dataset()
+    assert ds.count() == 2
+    logger.removeHandler(handler)
+
+    mdir = tmp_path / "out" / "manifests" / "part=0003"
+    os.makedirs(mdir)
+    (mdir / "epoch-000007.json").write_text(
+        json.dumps({"rows_in": 10, "rows_emitted": 9, "tokens_emitted": 55,
+                    "late_rows": 1, "dupes_dropped": 0, "watermark": 123})
+    )
+    logs = manifest_logs(str(tmp_path / "out")).to_pandas()
+    assert logs.loc[0, "partition"] == 3
+    assert logs.loc[0, "epoch"] == 7
+    assert logs.loc[0, "tokens_emitted"] == 55

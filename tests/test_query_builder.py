@@ -1,0 +1,207 @@
+"""The fluent TimeSeriesQueryBuilder facade must produce outputs identical
+to calling the ops directly — every terminal method is driven over the
+events fixture and compared frame-for-frame (reference
+``time_series_query_builder.py`` parameter names)."""
+
+import pandas as pd
+import pytest
+
+from core_ray.queries import TimeSeriesQueryBuilder
+
+START = "2024-01-01 00:00:00"
+END = "2024-01-31 00:00:00"
+TAGS2 = ["click", "purchase"]
+ALL_TAGS = ["click", "error", "purchase", "signup", "view"]
+META = {
+    "click": {"UoM": "degC", "Step": True},
+    "error": {"UoM": "bar", "Step": True},
+    "purchase": {"UoM": "kWh", "Step": False},
+    "signup": {"UoM": "m3", "Step": False},
+    "view": {"UoM": None, "Step": True},
+}
+
+
+def _b(sf_dir) -> TimeSeriesQueryBuilder:
+    return (
+        TimeSeriesQueryBuilder()
+        .connect()
+        .source(
+            sf_dir + "/events.parquet",
+            tagname_column="event_type",
+            timestamp_column="ts",
+            status_column=None,
+            value_column="value",
+        )
+        .m_source(META)
+    )
+
+
+def _df(res) -> pd.DataFrame:
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _expect(op, *args, **kw) -> pd.DataFrame:
+    from core_ray.ops.common import SeriesSpec
+
+    spec = SeriesSpec(tag_col="event_type", ts_col="ts", value_col="value", status_col=None)
+    return _df(op(*args, spec=spec, **kw))
+
+
+def test_builder_raw_matches_direct(sf_dir):
+    from core_ray.ops import raw
+
+    got = _df(_b(sf_dir).raw(tagname_filter=TAGS2, start_date=START, end_date=END))
+    want = _expect(raw, sf_dir + "/events.parquet", start=START, end=END, tags=TAGS2,
+                   include_bad=False)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_builder_raw_uom_and_pagination(sf_dir):
+    got = _b(sf_dir).raw(
+        tagname_filter=TAGS2, start_date=START, end_date=END,
+        display_uom=True, limit=50, offset=10,
+    )
+    assert isinstance(got, pd.DataFrame)
+    assert len(got) == 50
+    assert set(got["UoM"].unique()) <= {"degC", "kWh"}
+
+
+def test_builder_resample_matches_direct(sf_dir):
+    from core_ray.ops import resample
+
+    got = _df(_b(sf_dir).resample(
+        tagname_filter=ALL_TAGS, start_date=START, end_date=END,
+        time_interval_rate="1", time_interval_unit="hour", agg_method="avg",
+    ))
+    want = _expect(resample, sf_dir + "/events.parquet", start=START, end=END,
+                   rate=1, unit="hour", agg="avg", tags=ALL_TAGS, include_bad=False)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_builder_resample_pivot(sf_dir):
+    got = _df(_b(sf_dir).resample(
+        tagname_filter=ALL_TAGS, start_date=START, end_date=END,
+        time_interval_rate="1", time_interval_unit="day", agg_method="last",
+        pivot=True,
+    ))
+    assert list(got.columns) == ["EventTime"] + ALL_TAGS
+
+
+def test_builder_interpolate_matches_direct(sf_dir):
+    from core_ray.ops import interpolate
+
+    got = _df(_b(sf_dir).interpolate(
+        tagname_filter=ALL_TAGS, start_date=START, end_date=END,
+        time_interval_rate="1", time_interval_unit="hour",
+    ))
+    want = _expect(interpolate, sf_dir + "/events.parquet", start=START, end=END,
+                   rate=1, unit="hour", tags=ALL_TAGS, include_bad=False)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_builder_interpolation_at_time(sf_dir):
+    from core_ray.ops import interpolation_at_time
+
+    ats = ["2024-01-05 00:00:00", "2024-01-10 12:30:00"]
+    got = _df(_b(sf_dir).interpolation_at_time(tagname_filter=ALL_TAGS, timestamp_filter=ats))
+    want = _expect(interpolation_at_time, sf_dir + "/events.parquet",
+                   timestamps=ats, tags=ALL_TAGS, include_bad=False)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_builder_twa_metadata_step(sf_dir):
+    from core_ray.ops import time_weighted_average
+
+    got = _df(_b(sf_dir).time_weighted_average(
+        tagname_filter=ALL_TAGS, start_date=START, end_date=END,
+        time_interval_rate="1", time_interval_unit="hour", step="metadata",
+    ))
+    want = _expect(time_weighted_average, sf_dir + "/events.parquet",
+                   start=START, end=END, rate=1, unit="hour",
+                   step="metadata", metadata=META, tags=ALL_TAGS)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_builder_circular_and_summary_and_latest(sf_dir):
+    from core_ray.ops import circular_average, latest, summary
+
+    got = _df(_b(sf_dir).circular_average(
+        tagname_filter=TAGS2, start_date=START, end_date=END,
+        time_interval_rate="1", time_interval_unit="day",
+        lower_bound=0.0, upper_bound=360.0,
+    ))
+    want = _expect(circular_average, sf_dir + "/events.parquet", start=START, end=END,
+                   rate=1, unit="day", lower_bound=0.0, upper_bound=360.0,
+                   tags=TAGS2, include_bad=False)
+    pd.testing.assert_frame_equal(got, want)
+
+    got = _df(_b(sf_dir).summary(tagname_filter=ALL_TAGS, start_date=START, end_date=END))
+    want = _expect(summary, sf_dir + "/events.parquet", start=START, end=END,
+                   tags=ALL_TAGS, include_bad=False)
+    pd.testing.assert_frame_equal(got, want)
+
+    got = _df(_b(sf_dir).latest())
+    want = _expect(latest, sf_dir + "/events.parquet")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_builder_metadata_and_display_uom_guard(sf_dir):
+    got = _df(_b(sf_dir).metadata(tagname_filter=["click", "view"]))
+    assert got["TagName"].tolist() == ["click", "view"]
+    assert got["Step"].tolist() == [True, True]
+
+    nb = TimeSeriesQueryBuilder().source(
+        sf_dir + "/events.parquet",
+        tagname_column="event_type",
+        timestamp_column="ts",
+        status_column=None,
+        value_column="value",
+    )
+    with pytest.raises(ValueError, match="display_uom"):
+        nb.raw(tagname_filter=TAGS2, start_date=START, end_date=END, display_uom=True)
+
+
+def test_get_module_params_dict(sf_dir):
+    """The parameter-dict get() wrappers accept both get(params) and the
+    reference's get(connection, params)."""
+    from core_ray.queries.time_series import raw as raw_mod
+
+    p = {
+        "source": sf_dir + "/events.parquet",
+        "tagname_column": "event_type",
+        "timestamp_column": "ts",
+        "status_column": None,
+        "value_column": "value",
+        "tag_names": TAGS2,
+        "start_date": START,
+        "end_date": END,
+    }
+    a = _df(raw_mod.get(None, p))
+    b = _df(raw_mod.get(p))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_batch_get_order_preserving(sf_dir):
+    from core_ray.queries.time_series import batch
+
+    base = {
+        "source": sf_dir + "/events.parquet",
+        "tagname_column": "event_type",
+        "timestamp_column": "ts",
+        "status_column": None,
+        "value_column": "value",
+        "start_date": START,
+        "end_date": END,
+    }
+    out = batch.get([
+        {"type": "raw", "parameters_dict": {**base, "tag_names": ["click"]}},
+        {"type": "resample", "parameters_dict": {
+            **base, "tag_names": ["click"], "time_interval_rate": "1",
+            "time_interval_unit": "day", "agg_method": "count"}},
+    ])
+    assert len(out) == 2
+    raw_df, rs_df = _df(out[0]), _df(out[1])
+    assert set(raw_df["TagName"]) == {"click"}
+    assert {"TagName", "EventTime", "Value"} <= set(rs_df.columns)
