@@ -356,6 +356,24 @@ def merge_latest(results: list[dict]) -> pa.Table:
     )
 
 
+WATERMARK_FLOOR_US = -(1 << 62)
+
+
+def conservative_watermark(partition_maxes: list[int], lateness_us: int) -> int:
+    """Event-time watermark = min over ALL partitions minus allowed lateness.
+
+    A partition that has never received data (max ts < 0) holds the
+    watermark at the floor (no windows close) rather than being skipped —
+    skipping would let its eventual older rows be classified late.
+    Conservative-only: emission is delayed until every partition has been
+    reached (with key-hash routing that is the first epoch), never
+    incorrect.  Pinned by ``tests/test_streaming.py``.
+    """
+    if partition_maxes and all(m >= 0 for m in partition_maxes):
+        return min(partition_maxes) - lateness_us
+    return WATERMARK_FLOOR_US
+
+
 def spawn_actors(cfg: StreamConfig) -> list:
     """Spawn the fixed partition-actor pool for ``cfg`` (reusable across
     runs via ``StreamingJob(cfg, actors=...)`` + actor-side ``reset``)."""
@@ -472,16 +490,7 @@ class StreamingJob:
 
             t0 = _time.monotonic()
             maxes = ray.get([a.epoch_max_ts.remote(e) for a in actors])
-            # Watermark = min over ALL partitions. A partition that has never
-            # received data holds the watermark at -inf (no windows close)
-            # rather than being skipped — skipping would let its eventual
-            # older rows be classified late. Conservative-only: emission is
-            # delayed until every partition has been reached (with key-hash
-            # routing that is the first epoch), never incorrect.
-            if all(m >= 0 for m in maxes):
-                wm = min(maxes) - cfg.lateness_s * 1_000_000
-            else:
-                wm = -(1 << 62)
+            wm = conservative_watermark(maxes, cfg.lateness_s * 1_000_000)
             results = ray.get([a.end_epoch.remote(e, wm) for a in actors])
             t_barrier = _time.monotonic() - t0
             t0 = _time.monotonic()

@@ -363,3 +363,166 @@ def test_token_stats_mode_sums_every_token(stream_dirs):
     assert (merged["sum_tok_values_true"] == merged["sum_tok_values_got"]).all()
     assert (merged["sum_n_tok_true"] == merged["sum_n_tok_got"]).all()
     assert (merged["cnt_true"] == merged["cnt_got"]).all()
+
+
+def test_conservative_watermark_over_silent_partitions():
+    """The watermark contract (ADVICE r1): a silent partition pins the
+    watermark at the floor; it only advances once EVERY partition has seen
+    data, and then by the slowest partition."""
+    from core_ray.streaming.job import WATERMARK_FLOOR_US, conservative_watermark
+
+    lat = 2_000_000
+    assert conservative_watermark([-1, -1], lat) == WATERMARK_FLOOR_US
+    assert conservative_watermark([10_000_000, -1], lat) == WATERMARK_FLOOR_US
+    assert conservative_watermark([10_000_000, 7_000_000], lat) == 5_000_000
+    assert conservative_watermark([], lat) == WATERMARK_FLOOR_US
+
+
+def test_silent_partition_holds_windows_then_catches_up(stream_dirs):
+    """End-to-end shape of the contract: with one silent partition the
+    floor watermark closes no windows; once the partition receives (old!)
+    data those rows are NOT late and the stream emits correctly."""
+    import ray
+
+    from core_ray.streaming.job import WATERMARK_FLOOR_US
+    from core_ray.streaming.state_actor import StreamPartitionActor
+
+    base, _ = stream_dirs
+    out = str(base / "out_silent")
+    mk_actor = lambda p: StreamPartitionActor.options(num_cpus=0).remote(
+        p, out, 60_000_000, 2_000_000, T0_US
+    )
+    a, b = mk_actor(10), mk_actor(11)
+
+    idx = np.arange(50, dtype=np.int64)
+    t = make_chunk(0, 50)
+    tbl = pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "tokens": t["tokens"],
+            "n_tok": t["n_tok"],
+            "source": t["source"],
+            "doc_idx": pa.array(idx),
+            "ts_us": pa.array(event_time_us(idx)),
+            "Status": pa.array(row_status(idx)),
+        }
+    )
+    # epoch 0: only actor a gets data -> driver watermark is the floor
+    ray.get(a.ingest.remote(0, 0, tbl))
+    maxes = ray.get([x.epoch_max_ts.remote(0) for x in (a, b)])
+    from core_ray.streaming.job import conservative_watermark
+
+    wm0 = conservative_watermark(maxes, 2_000_000)
+    assert wm0 == WATERMARK_FLOOR_US
+    r0 = ray.get([x.end_epoch.remote(0, wm0) for x in (a, b)])
+    assert all(len(r["closed"]["ws"]) == 0 for r in r0)  # no window closes
+    assert all(r["counters"]["late_rows"] == 0 for r in r0)
+
+    # epoch 1: b finally receives OLDER rows than a's max — must not be late
+    old = pa.table({c: tbl[c].take(pa.array(np.arange(5))) for c in tbl.column_names})
+    ray.get(b.ingest.remote(1, 1, old))
+    maxes = ray.get([x.epoch_max_ts.remote(1) for x in (a, b)])
+    wm1 = conservative_watermark(maxes, 2_000_000)
+    assert wm1 > WATERMARK_FLOOR_US
+    r1 = ray.get([x.end_epoch.remote(1, wm1) for x in (a, b)])
+    assert sum(r["counters"]["late_rows"] for r in r1) == 0
+    ray.kill(a)
+    ray.kill(b)
+
+
+def test_dedup_horizon_reemit_contract(stream_dirs):
+    """Pin the BOUNDED-DEDUP CONTRACT (state_actor docstring): a duplicate
+    redelivered WITHIN the lateness horizon is dropped; the same row
+    redelivered with an event time already beyond (watermark - lateness)
+    finds its register evicted and re-emits."""
+    import ray
+
+    from core_ray.streaming.state_actor import StreamPartitionActor
+
+    base, _ = stream_dirs
+    out = str(base / "out_horizon")
+    a = StreamPartitionActor.options(num_cpus=0).remote(0, out, 60_000_000, 2_000_000, T0_US)
+
+    def mk(idx):
+        idx = np.asarray(idx, dtype=np.int64)
+        t = make_chunk(0, int(idx.max()) + 1).take(pa.array(idx))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tokens": t["tokens"],
+                "n_tok": t["n_tok"],
+                "source": t["source"],
+                "doc_idx": pa.array(idx),
+                "ts_us": pa.array(event_time_us(idx)),
+                "Status": pa.array(row_status(idx)),
+            }
+        )
+
+    wm_of = lambda i: event_time_us(np.array([i]))[0] - 2_000_000
+
+    ray.get(a.ingest.remote(0, 0, mk(np.arange(10))))
+    r0 = ray.get(a.end_epoch.remote(0, wm_of(9)))
+    assert r0["counters"]["rows_emitted"] == 10
+
+    # within horizon: row 9 redelivered -> dropped
+    ray.get(a.ingest.remote(1, 1, mk(np.array([9, 10]))))
+    r1 = ray.get(a.end_epoch.remote(1, wm_of(10)))
+    assert r1["counters"]["dupes_dropped"] == 1
+
+    # advance the watermark far past row 3's event time, evicting its register
+    ray.get(a.ingest.remote(2, 2, mk(np.array([5000]))))
+    r2 = ray.get(a.end_epoch.remote(2, wm_of(5000)))
+    assert r2["counters"]["rows_emitted"] == 1
+
+    # beyond horizon: row 3 redelivered -> register gone -> re-emits (late)
+    ray.get(a.ingest.remote(3, 3, mk(np.array([3]))))
+    r3 = ray.get(a.end_epoch.remote(3, wm_of(5000)))
+    assert r3["counters"]["dupes_dropped"] == 0
+    assert r3["counters"]["rows_emitted"] == 1
+    assert r3["counters"]["late_rows"] == 1
+    ray.kill(a)
+
+
+def test_optimize_and_vacuum_sink(stream_dirs):
+    """Compaction must preserve the read result exactly (same rows, same
+    order) while shrinking file count; vacuum removes tmp orphans and stale
+    snapshots; both are idempotent."""
+    from core_ray.ops.maintenance import optimize_sink, vacuum_sink
+
+    base, in_dir = stream_dirs
+    out_dir = str(base / "out_compact")
+    _run(in_dir, out_dir)
+
+    def canon(t):
+        # dictionary-encoded columns re-unify per compacted file; compare
+        # logical values in row order, not chunk layouts
+        return t.to_pandas().reset_index(drop=True)
+
+    before = canon(_read_rows(out_dir))
+    n_before = len(glob.glob(f"{out_dir}/part=0*/rows-*.parquet"))
+
+    stats = optimize_sink(out_dir, target_file_bytes=1 << 30)
+    after = canon(_read_rows(out_dir))
+    n_after = len(glob.glob(f"{out_dir}/part=0*/rows-*.parquet"))
+    pd.testing.assert_frame_equal(after, before)  # rows AND order preserved
+    assert n_after < n_before
+    assert stats["files_before"] > stats["files_after"]
+
+    # idempotent: second run finds nothing contiguous left to merge
+    stats2 = optimize_sink(out_dir, target_file_bytes=1 << 30)
+    assert stats2["files_before"] == 0
+    pd.testing.assert_frame_equal(canon(_read_rows(out_dir)), before)
+
+    # vacuum: plant a tmp orphan and a stale snapshot
+    pdir = sorted(glob.glob(f"{out_dir}/part=0*"))[0]
+    open(os.path.join(pdir, "rows-epoch-999999.parquet.tmp"), "w").close()
+    snaps = sorted(glob.glob(f"{pdir}/state-*.parquet"))
+    if snaps:
+        stale = snaps[0].replace("-epoch-", "-epoch-").replace(
+            snaps[0][-14:-8], "000000"
+        )
+        shutil.copy(snaps[0], stale)
+    removed = vacuum_sink(out_dir)
+    assert removed["tmp"] >= 1
+    assert not glob.glob(f"{out_dir}/**/*.tmp", recursive=True)
+    pd.testing.assert_frame_equal(canon(_read_rows(out_dir)), before)
