@@ -305,6 +305,24 @@ def _bucket_pairs(threshold: float | None):
     return fn
 
 
+_MINHASH_STAGES: dict = {}
+
+
+def _minhash_bands_fn(include_sig: bool):
+    """Plain-function form of :class:`MinHashStage` for task-pool
+    ``map_batches``: the stage instance is built once per worker process and
+    cached at module level (the stateful-setup-amortized pattern without
+    actor-pool spawn latency)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = _MINHASH_STAGES.get(include_sig)
+        if stage is None:
+            stage = _MINHASH_STAGES[include_sig] = MinHashStage(include_sig=include_sig)
+        return stage(batch)
+
+    return fn
+
+
 def exact_jaccard(text_a: str, text_b: str) -> float:
     """Exact word-3-gram shingle Jaccard (word-level fallback under 3 words),
     matching the MinHash shingle definition."""
@@ -338,12 +356,15 @@ def minhash_pairs(
     touches the driver, so it scales with the corpus, not driver memory.
     """
     ds = _read_docs(source, ["doc_id", "text"])
+    # task pool, not an actor pool: MinHashStage's per-actor setup is two
+    # tiny numpy arrays, so actor spawn latency (~seconds for the pool) was
+    # pure overhead — a module-cached stage instance inside plain tasks
+    # gives identical semantics with zero spawn cost
     bands = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"include_sig": not exact_verify},
+        _minhash_bands_fn(include_sig=not exact_verify),
         batch_format="pyarrow",
         batch_size=2048,
-        concurrency=concurrency or pool_size(),
+        **({"concurrency": concurrency} if concurrency else {}),
     )
     from ..ops.common import bucketed_distinct, collision_grouped_map
 
@@ -352,49 +373,66 @@ def minhash_pairs(
         return bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b", "est_jaccard"])
 
     pairs = bucketed_group_pairs(bands, ["band", "band_hash"])
-    cand = bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b"])
+    # candidate PAIRS are bounded by the near-dup set — materialize once in
+    # the object store so the LSH pipeline above runs exactly once (it feeds
+    # both the semi-join key set and the final pair joins)
+    cand = bucketed_distinct(pairs, ["doc_a", "doc_b"], ["doc_a", "doc_b"]).materialize()
 
-    # Attach both texts with two partitioned hash joins (functions/join.py)
-    # instead of a driver-side texts dict: nothing about the candidate set
-    # ever materializes on the driver, so a dirty corpus with a huge near-dup
-    # set stays distributed.  hash_join itself broadcasts the (doc_id, text)
-    # side only when its byte size is under the documented threshold.
-    from .join import hash_join
+    # Exact-verify without a driver-side texts dict and without shuffling
+    # the corpus: (1) collect the DISTINCT candidate ids (ints — the only
+    # driver-side materialization, 8 bytes/key; functions/join.py semi-join
+    # machinery), (2) prune the corpus to candidate texts — pushed into the
+    # parquet scan as a row-group filter when the source is a path, a
+    # vectorized is_in scan otherwise, (3) park the candidate texts in the
+    # OBJECT STORE as block refs and attach+verify both sides in one fused
+    # map stage (workers fetch the broadcast table zero-copy; it is bounded
+    # by the near-dup set).  For a near-dup set too big for a worker's heap,
+    # route the attach through two `hash_join` passes instead — the
+    # documented large-side path.
+    from .join import collect_key_set, fetch_broadcast_table, object_store_table
 
-    def _ren(a: str, b: str):
-        return lambda t: t.select(["doc_id", "text"]).rename_columns([a, b])
+    keep = collect_key_set(cand, ["doc_a", "doc_b"])
+    if isinstance(source, str):
+        import pyarrow.dataset as pads
 
-    cand = hash_join(
-        cand,
-        ds.map_batches(_ren("doc_a", "text_a"), batch_format="pyarrow"),
-        on="doc_a",
-    )
-    cand = hash_join(
-        cand,
-        ds.map_batches(_ren("doc_b", "text_b"), batch_format="pyarrow"),
-        on="doc_b",
-    )
+        path = source if source.endswith(".parquet") else f"{source}/documents.parquet"
+        texts_cand = ray.data.read_parquet(
+            path,
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(keep.to_pylist()),
+        )
+    else:
+        import ray as _ray
+
+        keep_ref = _ray.put(keep)
+        texts_cand = ds.map_batches(
+            lambda t: t.select(["doc_id", "text"]).filter(
+                pc.is_in(t["doc_id"], value_set=_ray.get(keep_ref))
+            ),
+            batch_format="pyarrow",
+        )
+    texts_refs = object_store_table(texts_cand)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         from ..ops.common import round4
 
-        # memoize shingle sets per unique text in the batch; the pairwise
-        # intersection itself is C-level set arithmetic
+        tbl = fetch_broadcast_table(texts_refs)
+        texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+        # memoize shingle sets per doc; the pairwise intersection itself is
+        # C-level set arithmetic
         memo: dict = {}
 
-        def sh(t: str) -> set:
-            s = memo.get(t)
+        def sh(i: int) -> set:
+            s = memo.get(i)
             if s is None:
-                w = t.lower().split()
+                w = texts[i].lower().split()
                 s = set(zip(w, w[1:], w[2:])) if len(w) >= 3 else set(w)
-                memo[t] = s
+                memo[i] = s
             return s
 
         out = []
-        for a, b, ta, tb in zip(
-            batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]
-        ):
-            sa, sb = sh(ta), sh(tb)
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            sa, sb = sh(int(a)), sh(int(b))
             if not sa and not sb:
                 j = 1.0
             else:

@@ -113,3 +113,77 @@ def hash_join(
         return pa.Table.from_pandas(lf.merge(rf, on=on, how=how), preserve_index=False)
 
     return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def semi_join_filter(
+    ds: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    on: str,
+    key_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Filter ``ds`` to rows whose ``on`` value appears in any of ``keys``'
+    ``key_cols`` — the dynamic-partition-pruning / broadcast-semi-join
+    pattern.
+
+    The keep-set must be control-plane small (ids, not payloads): it is
+    collected once, deduplicated, and shipped via ``ray.put``; the big side
+    is then pruned in ONE vectorized Arrow scan with no shuffle.  Use this
+    before a ``hash_join`` whose probe side is a large table but whose
+    matching row set is known to be small — the join then runs against the
+    pruned side instead of shuffling the full table.
+    """
+    import pyarrow.compute as pc
+
+    keep = collect_key_set(keys, key_cols or [on])
+
+    import ray as _ray
+
+    ref = _ray.put(keep)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[on], value_set=_ray.get(ref)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def collect_key_set(keys: ray.data.Dataset, cols: list[str]) -> pa.Array:
+    """Gather the distinct union of ``cols`` values from a control-plane
+    Dataset (ids, never payloads) into one Arrow array.  This is the only
+    driver-side materialization in the semi-join path and is bounded by the
+    key-set size — 8 bytes per int key."""
+    import pyarrow.compute as pc
+
+    chunks = []
+    for b in keys.select_columns(cols).iter_batches(batch_format="pyarrow"):
+        for c in cols:
+            chunks.append(b[c].combine_chunks())
+    if not chunks:
+        return pa.array([], pa.int64())
+    return pc.unique(pa.concat_arrays([c.cast(chunks[0].type) for c in chunks]))
+
+
+_BCAST_CACHE: dict = {}
+
+
+def object_store_table(ds: ray.data.Dataset):
+    """Materialize a SMALL Dataset's blocks in the object store and return
+    the block refs — a broadcast build side that never lands on the driver
+    (contrast hash_join's broadcast path, which goes through driver pandas).
+    Workers fetch the refs zero-copy and assemble the table locally once
+    per process (cached)."""
+    return ds.materialize().to_arrow_refs()
+
+
+def fetch_broadcast_table(refs) -> pa.Table:
+    """Worker-side: assemble (and cache per process) the table behind
+    :func:`object_store_table` refs."""
+    import ray as _ray
+
+    key = tuple(r.hex() for r in refs)
+    tbl = _BCAST_CACHE.get(key)
+    if tbl is None:
+        tables = _ray.get(list(refs))
+        tbl = pa.concat_tables(tables) if tables else pa.table({})
+        _BCAST_CACHE.clear()  # hold at most one broadcast table per worker
+        _BCAST_CACHE[key] = tbl
+    return tbl
