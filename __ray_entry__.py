@@ -951,6 +951,46 @@ def _q_weather_latest_point(sf):
     return weather_latest(_weather_fixture_ds(), point=(10.0, 30.0))
 
 
+def _q_qb_weather_grid(sf):
+    """WeatherQueryBuilder raw_grid arm: strict box bounds + valid-time +
+    forecast-run-time windows (reference _weather_query_builder.py:87-92)."""
+    import pandas as pd
+    import ray.data
+
+    from core_ray.queries import WeatherQueryBuilder
+
+    df = pd.DataFrame(
+        {
+            "Latitude": [10.0, 10.0, 20.0, 20.0, 30.0],
+            "Longitude": [30.0, 30.0, 40.0, 40.0, 50.0],
+            "EventTime": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-01", "2024-01-04", "2024-01-02"]
+            ),
+            "EnqueuedTime": pd.to_datetime(
+                ["2023-12-31", "2024-01-01", "2023-12-31", "2024-01-03", "2024-01-01"]
+            ),
+            "TagName": ["p1_temp", "p1_temp", "p2_temp", "p2_wind", "p3_temp"],
+            "Value": [1.5, 2.5, 4.5, 5.5, 6.5],
+        }
+    )
+    return (
+        WeatherQueryBuilder()
+        .connect()
+        .source(ray.data.from_pandas(df))
+        .raw_grid(
+            start_date="2024-01-01",
+            end_date="2024-01-05",
+            forecast_run_start_date="2023-12-30",
+            forecast_run_end_date="2024-01-02",
+            min_lat=5.0,
+            min_lon=25.0,
+            max_lat=25.0,
+            max_lon=45.0,
+            measurement="temp",
+        )
+    )
+
+
 def _ssip_file_bytes() -> bytes:
     import io
 
@@ -1224,6 +1264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bus_eventhub_decode": _q_bus_eventhub_decode,
         "bus_pcdm_ingest": _q_bus_pcdm_ingest,
         "weather_box_raw": _q_weather_box_raw,
+        "qb_weather_grid": _q_qb_weather_grid,
         "fc_linreg": _q_fc_linreg,
         "sql_passthrough": _q_sql_passthrough,
         "dq_flatline": _q_dq_flatline,
@@ -2426,6 +2467,15 @@ CROSS JOIN (SELECT TIMESTAMP '2024-01-01 00:00:00' AS TimestampStart,
                    CAST(2 AS INTEGER) AS ModelType,
                    CAST(16 AS INTEGER) AS ValueType)
 ORDER BY Uid
+"""
+
+_ORACLE["qb_weather_grid"] = """
+SELECT * FROM (VALUES
+  (10.0, 30.0, TIMESTAMP '2024-01-01', TIMESTAMP '2023-12-31', 'p1_temp', 1.5),
+  (10.0, 30.0, TIMESTAMP '2024-01-02', TIMESTAMP '2024-01-01', 'p1_temp', 2.5),
+  (20.0, 40.0, TIMESTAMP '2024-01-01', TIMESTAMP '2023-12-31', 'p2_temp', 4.5)
+) v(Latitude, Longitude, EventTime, EnqueuedTime, TagName, Value)
+ORDER BY TagName
 """
 
 # The builder facade reuses the direct-op oracles verbatim — identical

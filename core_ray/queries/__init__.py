@@ -3,5 +3,6 @@
 parameters_dict)`` modules, all facades over ``core_ray/ops``."""
 
 from .time_series import TimeSeriesQueryBuilder
+from .weather import WeatherQueryBuilder
 
-__all__ = ["TimeSeriesQueryBuilder"]
+__all__ = ["TimeSeriesQueryBuilder", "WeatherQueryBuilder"]

@@ -19,8 +19,12 @@ def _geo_filter(
     lon_col: str = "lon",
     point: tuple[float, float] | None = None,
     box: tuple[float, float, float, float] | None = None,  # (lat_min, lat_max, lon_min, lon_max)
+    strict_box: bool = False,
     tol: float = 1e-6,
 ) -> ray.data.Dataset:
+    """``strict_box=True`` uses exclusive bounds — the reference's grid SQL
+    is ``lat > min AND lat < max`` (``_weather_query_builder.py:89-92``)."""
+
     def fn(batch: pa.Table) -> pa.Table:
         lat = batch[lat_col].to_numpy()
         lon = batch[lon_col].to_numpy()
@@ -28,10 +32,32 @@ def _geo_filter(
             mask = (np.abs(lat - point[0]) <= tol) & (np.abs(lon - point[1]) <= tol)
         elif box is not None:
             la0, la1, lo0, lo1 = box
-            mask = (lat >= la0) & (lat <= la1) & (lon >= lo0) & (lon <= lo1)
+            if strict_box:
+                mask = (lat > la0) & (lat < la1) & (lon > lo0) & (lon < lo1)
+            else:
+                mask = (lat >= la0) & (lat <= la1) & (lon >= lo0) & (lon <= lo1)
         else:
             mask = np.ones(len(lat), dtype=bool)
         return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _ts_between(
+    ds: ray.data.Dataset, col: str, start_us: int | None, end_us: int | None
+) -> ray.data.Dataset:
+    if start_us is None and end_us is None:
+        return ds
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch[col], pa.timestamp("us")), pa.int64())
+        mask = None
+        if start_us is not None:
+            mask = pc.greater_equal(t, start_us)
+        if end_us is not None:
+            m2 = pc.less_equal(t, end_us)
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -42,23 +68,18 @@ def weather_raw(
     start_us: int | None = None,
     end_us: int | None = None,
     ts_col: str = "forecast_time",
+    run_col: str | None = None,
+    run_start_us: int | None = None,
+    run_end_us: int | None = None,
     **geo,
 ) -> ray.data.Dataset:
-    """Raw forecast slice with time + point/box predicates."""
+    """Raw forecast slice with time + forecast-run-time + point/box
+    predicates (reference raw point/grid WHERE clauses,
+    ``_weather_query_builder.py:87-92``)."""
     ds = _geo_filter(ds, **geo)
-    if start_us is not None or end_us is not None:
-
-        def fn(batch: pa.Table) -> pa.Table:
-            t = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
-            mask = None
-            if start_us is not None:
-                mask = pc.greater_equal(t, start_us)
-            if end_us is not None:
-                m2 = pc.less_equal(t, end_us)
-                mask = m2 if mask is None else pc.and_(mask, m2)
-            return batch.filter(mask)
-
-        ds = ds.map_batches(fn, batch_format="pyarrow")
+    ds = _ts_between(ds, ts_col, start_us, end_us)
+    if run_col is not None:
+        ds = _ts_between(ds, run_col, run_start_us, run_end_us)
     return ds
 
 

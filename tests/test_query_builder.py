@@ -205,3 +205,108 @@ def test_batch_get_order_preserving(sf_dir):
     raw_df, rs_df = _df(out[0]), _df(out[1])
     assert set(raw_df["TagName"]) == {"click"}
     assert {"TagName", "EventTime", "Value"} <= set(rs_df.columns)
+
+
+def test_weather_query_builder(sf_dir):
+    """WeatherQueryBuilder point/grid/latest arms over the weather fixture:
+    point = exact lat/lon, grid = STRICT bounds (reference SQL), raw also
+    filters the forecast-run timestamp range."""
+    import ray.data
+
+    from core_ray.queries import WeatherQueryBuilder
+
+    df = pd.DataFrame(
+        {
+            "Latitude": [10.0, 10.0, 20.0, 20.0, 30.0],
+            "Longitude": [30.0, 30.0, 40.0, 40.0, 50.0],
+            "EventTime": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-01", "2024-01-04", "2024-01-02"]
+            ),
+            "EnqueuedTime": pd.to_datetime(
+                ["2023-12-31", "2024-01-01", "2023-12-31", "2024-01-03", "2024-01-01"]
+            ),
+            "TagName": ["p1_temp", "p1_temp", "p2_temp", "p2_wind", "p3_temp"],
+            "Value": [1.5, 2.5, 4.5, 5.5, 6.5],
+        }
+    )
+
+    def b():
+        return WeatherQueryBuilder().connect().source(ray.data.from_pandas(df))
+
+    got = b().raw_point(
+        start_date="2024-01-01", end_date="2024-01-05",
+        forecast_run_start_date="2023-12-30", forecast_run_end_date="2024-01-02",
+        lat=10.0, lon=30.0,
+    ).to_pandas()
+    assert got["Value"].tolist() == [1.5, 2.5]
+
+    # strict grid excludes the boundary cell (lat=10 is NOT > 10)
+    got = b().raw_grid(
+        start_date="2024-01-01", end_date="2024-01-05",
+        forecast_run_start_date="2023-12-30", forecast_run_end_date="2024-01-05",
+        min_lat=10.0, min_lon=30.0, max_lat=35.0, max_lon=55.0,
+    ).to_pandas()
+    assert sorted(got["Value"].tolist()) == [4.5, 5.5, 6.5]
+
+    # run-timestamp window prunes the 2024-01-03 forecast run
+    got = b().raw_grid(
+        start_date="2024-01-01", end_date="2024-01-05",
+        forecast_run_start_date="2023-12-30", forecast_run_end_date="2024-01-02",
+        min_lat=10.0, min_lon=30.0, max_lat=35.0, max_lon=55.0,
+    ).to_pandas()
+    assert sorted(got["Value"].tolist()) == [4.5, 6.5]
+
+    # latest per cell + measurement suffix filter
+    got = b().latest_grid(min_lat=5.0, min_lon=25.0, max_lat=35.0, max_lon=55.0,
+                          measurement="temp").to_pandas()
+    assert sorted(got["Value"].tolist()) == [2.5, 4.5, 6.5]
+
+    got = b().latest_point(lat=20.0, lon=40.0).to_pandas()
+    assert got["Value"].tolist() == [5.5]
+
+
+def test_weather_parameter_dict_wrappers(sf_dir):
+    """queries.weather.raw/latest get_grid/get_point parameter-dict wrappers
+    (reference queries/weather/raw.py:20,81 latest.py:20,72) return the same
+    rows as the builder arms they wrap."""
+    import ray.data
+
+    from core_ray.queries.weather import latest as w_latest
+    from core_ray.queries.weather import raw as w_raw
+
+    df = pd.DataFrame(
+        {
+            "Latitude": [10.0, 10.0, 20.0],
+            "Longitude": [30.0, 30.0, 40.0],
+            "EventTime": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-01"]),
+            "EnqueuedTime": pd.to_datetime(["2023-12-31", "2024-01-01", "2023-12-31"]),
+            "TagName": ["p1_temp", "p1_temp", "p2_temp"],
+            "Value": [1.5, 2.5, 4.5],
+        }
+    )
+    base = {
+        "source": ray.data.from_pandas(df),
+        "start_date": "2024-01-01",
+        "end_date": "2024-01-05",
+        "forecast_run_start_date": "2023-12-30",
+        "forecast_run_end_date": "2024-01-02",
+    }
+
+    got = w_raw.get_point(None, {**base, "lat": 10.0, "lon": 30.0}).to_pandas()
+    assert got["Value"].tolist() == [1.5, 2.5]
+
+    got = w_raw.get_grid(
+        None, {**base, "min_lat": 5.0, "min_lon": 25.0, "max_lat": 25.0, "max_lon": 45.0}
+    ).to_pandas()
+    assert sorted(got["Value"].tolist()) == [1.5, 2.5, 4.5]
+
+    got = w_latest.get_grid(
+        None, {"source": ray.data.from_pandas(df), "min_lat": 5.0, "min_lon": 25.0,
+               "max_lat": 25.0, "max_lon": 45.0}
+    ).to_pandas()
+    assert sorted(got["Value"].tolist()) == [2.5, 4.5]
+
+    got = w_latest.get_point(
+        None, {"source": ray.data.from_pandas(df), "lat": 10.0, "lon": 30.0, "limit": 5}
+    )
+    assert got["Value"].tolist() == [2.5]
