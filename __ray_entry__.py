@@ -886,6 +886,20 @@ def _q_sql_passthrough(sf):
     )
 
 
+def _q_qb_sql_json(sf):
+    """SQLQueryBuilder.get facade (reference queries/sql/sql_query.py:21):
+    arbitrary SQL + to_json row output + limit/offset pagination."""
+    from core_ray.queries import SQLQueryBuilder
+
+    return SQLQueryBuilder().get(
+        sf,
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+        to_json=True,
+        limit=3,
+        offset=1,
+    )
+
+
 def _q_batch_fanout(sf):
     """``batch`` fan-out: independent queries submitted concurrently, results
     keyed and order-preserved (reference queries/time_series/batch.py:22-86);
@@ -1267,6 +1281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qb_weather_grid": _q_qb_weather_grid,
         "fc_linreg": _q_fc_linreg,
         "sql_passthrough": _q_sql_passthrough,
+        "qb_sql_json": _q_qb_sql_json,
         "dq_flatline": _q_dq_flatline,
         "dq_missing_pattern": _q_dq_missing_pattern,
         "ml_prep_features": _q_ml_prep_features,
@@ -2087,6 +2102,12 @@ ORDER BY doc_id
 
 _ORACLE["sql_passthrough"] = """
 SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 3 OFFSET 1
+"""
+
+_ORACLE["qb_sql_json"] = """
+SELECT to_json(j_) AS Value
+FROM (SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey) j_
+LIMIT 3 OFFSET 1
 """
 
 _ORACLE["batch_fanout"] = f"""

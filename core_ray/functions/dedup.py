@@ -666,10 +666,12 @@ def dedup_exact(source: str | ray.data.Dataset) -> ray.data.Dataset:
     never merge on a hash collision — truly exact at any corpus size, with
     no per-row Python anywhere in the path.  The full row ships through the
     shuffle regardless (survivor rows are the output), so keying on text
-    adds no extra bytes over a digest column."""
+    adds no extra bytes over a digest column.  Buckets sort by ``doc_id``
+    only (an int sort — ordering long text payloads would dominate the
+    in-bucket cost); first-per-text in that order IS min-doc_id-per-text."""
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     ds = _read_docs(source, cols)
 
     from ..ops.common import bucketed_distinct
 
-    return bucketed_distinct(ds, ["text"], ["text", "doc_id"])
+    return bucketed_distinct(ds, ["text"], ["doc_id"])

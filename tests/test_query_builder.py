@@ -310,3 +310,26 @@ def test_weather_parameter_dict_wrappers(sf_dir):
         None, {"source": ray.data.from_pandas(df), "lat": 10.0, "lon": 30.0, "limit": 5}
     )
     assert got["Value"].tolist() == [2.5]
+
+
+def test_sql_query_builder(sf_dir):
+    """SQLQueryBuilder.get (reference queries/sql/sql_query.py:21): plain,
+    paginated, and to_json arms over the registered tables."""
+    from core_ray.queries import SQLQueryBuilder
+
+    b = SQLQueryBuilder()
+    got = b.get(sf_dir, "SELECT r_regionkey FROM region ORDER BY r_regionkey").to_pandas()
+    assert got["r_regionkey"].tolist() == [0, 1, 2, 3, 4]
+
+    got = b.get(
+        sf_dir, "SELECT r_regionkey FROM region ORDER BY r_regionkey", limit=2, offset=1
+    ).to_pandas()
+    assert got["r_regionkey"].tolist() == [1, 2]
+
+    got = b.get(
+        sf_dir,
+        "SELECT r_regionkey AS k FROM region ORDER BY r_regionkey",
+        to_json=True,
+        limit=1,
+    ).to_pandas()
+    assert got["Value"].tolist() == ['{"k":0}']
