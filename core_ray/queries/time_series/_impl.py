@@ -45,12 +45,16 @@ from ...ops.common import SeriesSpec
 
 def _params(connection, parameters_dict):
     """Support both ``get(params)`` and the reference's
-    ``get(connection, params)`` calling conventions."""
+    ``get(connection, params)`` calling conventions.  Dates are normalized
+    with the reference's rules (``_utilities_query_builder.py:59``: date-only
+    end_date means end-of-day, see ``queries/_dates.py``)."""
+    from .._dates import parse_dates
+
     if parameters_dict is None and isinstance(connection, dict):
-        return connection
+        return parse_dates(dict(connection))
     if parameters_dict is None:
         raise ValueError("parameters_dict is required")
-    return dict(parameters_dict)
+    return parse_dates(dict(parameters_dict))
 
 
 def _spec(p: dict) -> SeriesSpec:

@@ -24,6 +24,15 @@ import ray.data
 from ...ops import paginate
 from ...ops.common import ts_to_us
 from ...sources.weather import weather_latest, weather_raw
+from .._dates import parse_query_date
+
+
+def _start_us(dt) -> int:
+    return ts_to_us(parse_query_date(dt))
+
+
+def _end_us(dt) -> int:
+    return ts_to_us(parse_query_date(dt, is_end_date=True))
 
 
 class WeatherQueryBuilder:
@@ -107,12 +116,12 @@ class WeatherQueryBuilder:
     ):
         ds = weather_raw(
             self._ds(),
-            start_us=ts_to_us(start_date),
-            end_us=ts_to_us(end_date),
+            start_us=_start_us(start_date),
+            end_us=_end_us(end_date),
             ts_col=self.timestamp_column,
             run_col=self.forecast_run_timestamp_column,
-            run_start_us=ts_to_us(forecast_run_start_date),
-            run_end_us=ts_to_us(forecast_run_end_date),
+            run_start_us=_start_us(forecast_run_start_date),
+            run_end_us=_end_us(forecast_run_end_date),
             lat_col=self.latitude_column,
             lon_col=self.longitude_column,
             point=(lat, lon),
@@ -135,12 +144,12 @@ class WeatherQueryBuilder:
     ):
         ds = weather_raw(
             self._ds(),
-            start_us=ts_to_us(start_date),
-            end_us=ts_to_us(end_date),
+            start_us=_start_us(start_date),
+            end_us=_end_us(end_date),
             ts_col=self.timestamp_column,
             run_col=self.forecast_run_timestamp_column,
-            run_start_us=ts_to_us(forecast_run_start_date),
-            run_end_us=ts_to_us(forecast_run_end_date),
+            run_start_us=_start_us(forecast_run_start_date),
+            run_end_us=_end_us(forecast_run_end_date),
             lat_col=self.latitude_column,
             lon_col=self.longitude_column,
             box=(min_lat, max_lat, min_lon, max_lon),

@@ -333,3 +333,53 @@ def test_sql_query_builder(sf_dir):
         limit=1,
     ).to_pandas()
     assert got["Value"].tolist() == ['{"k":0}']
+
+
+def test_query_date_parsing():
+    """Reference date-normalization rules (_utilities_query_builder.py:30-56):
+    date-only end_date means end-of-day; bare timestamps gain +00:00;
+    date+offset gets the day-bound inserted; engine-native formats pass."""
+    from datetime import datetime
+
+    from core_ray.queries._dates import parse_dates, parse_query_date
+
+    assert parse_query_date("2024-01-05") == "2024-01-05T00:00:00+00:00"
+    assert parse_query_date("2024-01-05", is_end_date=True) == "2024-01-05T23:59:59+00:00"
+    assert parse_query_date("2024-01-05T10:00:00") == "2024-01-05T10:00:00+00:00"
+    assert parse_query_date("2024-01-05T10:00:00+02:00") == "2024-01-05T10:00:00+02:00"
+    assert parse_query_date("2024-01-05+02:00", is_end_date=True) == "2024-01-05T23:59:59+02:00"
+    # midnight datetime = date-only start; non-midnight keeps its time
+    assert parse_query_date(datetime(2024, 1, 5)) == "2024-01-05T00:00:00+00:00"
+    assert parse_query_date(datetime(2024, 1, 5, 10, 30)) == "2024-01-05T10:30:00+00:00"
+    # engine-native space-separated strings pass through untouched
+    assert parse_query_date("2024-01-05 10:00:00") == "2024-01-05 10:00:00"
+
+    p = parse_dates({"start_date": "2024-01-01", "end_date": "2024-01-05",
+                     "timestamps": ["2024-01-02T01:00:00"]})
+    assert p["start_date"].endswith("T00:00:00+00:00")
+    assert p["end_date"].endswith("T23:59:59+00:00")
+    assert p["timestamps"] == ["2024-01-02T01:00:00+00:00"]
+
+
+def test_builder_end_date_is_end_of_day(sf_dir):
+    """A date-only end_date through the parameter-dict layer includes rows
+    later that day (the reference's T23:59:59 rule)."""
+    import ray.data
+
+    from core_ray.queries.time_series import raw as q_raw
+
+    df = pd.DataFrame(
+        {
+            "TagName": ["a", "a"],
+            "EventTime": pd.to_datetime(["2024-01-02 00:00:00", "2024-01-02 12:00:00"]),
+            "Status": ["Good", "Good"],
+            "Value": [1.0, 2.0],
+        }
+    )
+    got = q_raw.get(
+        None,
+        {"source": ray.data.from_pandas(df), "tag_names": ["a"],
+         "start_date": "2024-01-01", "end_date": "2024-01-02"},
+    )
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert sorted(got["Value"].tolist()) == [1.0, 2.0]
