@@ -343,6 +343,18 @@ def _q_doc_dedup_exact(sf):
     return dedup_exact(sf)
 
 
+def _q_doc_repetition(sf):
+    from core_ray.functions import repetition_stats
+
+    return repetition_stats(sf)
+
+
+def _q_doc_dup_shingles(sf):
+    from core_ray.functions import dup_shingle_coverage
+
+    return dup_shingle_coverage(sf)
+
+
 def _q_doc_lang_id(sf):
     from core_ray.functions import lang_id
 
@@ -1306,6 +1318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_repetition": _q_doc_repetition,
+        "doc_dup_shingles": _q_doc_dup_shingles,
         "doc_lang_id": _q_doc_lang_id,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_jaccard_pairs": _q_doc_jaccard_pairs,
@@ -2233,6 +2247,54 @@ ORDER BY media_id, frame_idx
 _ORACLE["doc_token_count"] = """
 SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words
 FROM documents ORDER BY doc_id
+"""
+
+# both sides tokenize identically (lowercase, whitespace split, empties
+# dropped); the engine counts distinct words / bigram runs over 64-bit
+# polynomial hashes, the oracle over the strings themselves
+_ORACLE["doc_repetition"] = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+dw AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+       FROM words GROUP BY 1),
+bg AS (
+  SELECT doc_id, ws[i] || chr(1) || ws[i+1] AS g
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+bgc AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, g),
+topbg AS (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY 1)
+SELECT w.doc_id,
+       coalesce(dw.n_words, 0) AS n_words,
+       round_even(CASE WHEN dw.n_words > 0
+                       THEN dw.n_distinct * 1.0 / dw.n_words ELSE 0.0 END, 4) AS distinct_ratio,
+       round_even(CASE WHEN dw.n_words >= 2
+                       THEN topbg.mc * 1.0 / (dw.n_words - 1) ELSE 0.0 END, 4) AS top_bigram_frac
+FROM w LEFT JOIN dw USING (doc_id) LEFT JOIN topbg USING (doc_id)
+ORDER BY doc_id
+"""
+
+_ORACLE["doc_dup_shingles"] = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2] AS g
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+cnt AS (SELECT g, count(*) AS nd FROM sh GROUP BY 1),
+per AS (
+  SELECT doc_id, count(*) AS n_sh,
+         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM sh JOIN cnt USING (g) GROUP BY 1
+)
+SELECT doc_id, n_sh, n_dup, round_even(n_dup * 1.0 / n_sh, 4) AS dup_ratio
+FROM per ORDER BY doc_id
 """
 
 _ORACLE["doc_quality"] = """

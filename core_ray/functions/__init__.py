@@ -2,8 +2,15 @@
 similarity search, multimodal plumbing — first-class large-scale components
 alongside the time-series operators."""
 
-from .text import token_count, quality_score, fingerprint, lang_id
-from .dedup import dedup_exact, exact_jaccard, jaccard_pairs, minhash_pairs, simhash_pairs
+from .text import token_count, quality_score, fingerprint, lang_id, repetition_stats
+from .dedup import (
+    dedup_exact,
+    dup_shingle_coverage,
+    exact_jaccard,
+    jaccard_pairs,
+    minhash_pairs,
+    simhash_pairs,
+)
 from .similarity import (
     knn_brute_force,
     knn_ivf,
@@ -19,7 +26,9 @@ __all__ = [
     "quality_score",
     "fingerprint",
     "lang_id",
+    "repetition_stats",
     "dedup_exact",
+    "dup_shingle_coverage",
     "exact_jaccard",
     "jaccard_pairs",
     "minhash_pairs",

@@ -541,6 +541,122 @@ def jaccard_pairs(
     )
 
 
+def dup_shingle_coverage(
+    source: str | ray.data.Dataset,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Per-document duplicate n-gram coverage: for every doc with >= 3 words,
+    the fraction of its DISTINCT word-trigram shingles that also occur in at
+    least one OTHER document.  This is the n-gram-granularity "how much of
+    this doc is boilerplate shared with the rest of the corpus" signal used
+    to rank documents for substring-level dedup (cf. training-data dedup
+    pipelines that remove repeated spans across a corpus).
+
+    Shape (no driver materialization, two shuffles, only hashes move):
+
+    1. ``map_batches``: per-doc DISTINCT trigram-shingle hashes + shingle-set
+       size → (shingle, doc_id, set_size) rows.  Docs with < 3 words are
+       excluded (no trigram exists; the oracle applies the same rule).
+    2. Inverted index: hash-bucket shuffle on ``shingle``; within a bucket
+       every global occurrence of a shingle is co-located, so a vectorized
+       ``np.unique`` marks shingles held by >= 2 docs and a per-bucket
+       groupby emits per-doc partial dup counts (<= 1 row per doc·bucket).
+    3. Tiny hash-bucket shuffle on ``doc_id`` sums the partials:
+       ``dup_ratio = n_dup / n_sh`` (canonical 4-dp rounding).
+
+    At 100 TB the shingle index is the same machinery as ``jaccard_pairs``
+    stage 2 but never generates pairs, so there is no quadratic arm — the
+    output is exactly one row per document.
+    """
+    from ..ops.common import _arrow_add_bucket, round4
+
+    ds = _read_docs(source, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes, wc = _word_hashes_batch(batch["text"])
+        n = len(ids)
+        doc_idx = np.repeat(np.arange(n), wc)
+        # trigram hashes only for docs with >= 3 words (no short-doc word
+        # fallback here — the ratio is defined over true trigram sets)
+        keep_doc = wc >= 3
+        if len(hashes) >= 3:
+            a, b, c = hashes[:-2], hashes[1:-1], hashes[2:]
+            with np.errstate(over="ignore"):
+                tri = _hash2(
+                    99, a * _U64(0x9E3779B97F4A7C15) ^ b * _U64(0xC2B2AE3D27D4EB4F) ^ c
+                )
+            m = (doc_idx[:-2] == doc_idx[2:]) & keep_doc[doc_idx[:-2]]
+            tri, tdoc = tri[m], doc_idx[:-2][m]
+        else:
+            tri = np.zeros(0, dtype=np.uint64)
+            tdoc = np.zeros(0, dtype=np.int64)
+        # distinct per doc
+        order = np.lexsort((tri, tdoc))
+        d, s = tdoc[order], tri[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        d, s = d[new], s[new]
+        sizes = np.bincount(d, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(s, pa.uint64()),
+                "doc_id": pa.array(ids[d], pa.int64()),
+                "n_sh": pa.array(sizes[d], pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(
+        explode,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency or pool_size(),
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["shingle"].to_numpy()
+        uniq, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
+        dup = (cnt[inv] >= 2).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "dup": dup,
+                "n_sh": g["n_sh"].to_numpy(),
+            }
+        )
+        return (
+            df.groupby("doc_id", sort=False)
+            .agg(dup_cnt=("dup", "sum"), n_sh=("n_sh", "first"))
+            .reset_index()
+        )
+
+    partials = (
+        exploded.map_batches(_arrow_add_bucket(["shingle"], 64), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby("doc_id", sort=True)
+            .agg(n_dup=("dup_cnt", "sum"), n_sh=("n_sh", "first"))
+            .reset_index()
+        )
+        out = agg[["doc_id", "n_sh", "n_dup"]].astype(
+            {"doc_id": "int64", "n_sh": "int64", "n_dup": "int64"}
+        )
+        out["dup_ratio"] = round4(
+            agg["n_dup"].to_numpy(np.float64) / agg["n_sh"].to_numpy(np.float64)
+        )
+        return out
+
+    return (
+        partials.map_batches(_arrow_add_bucket(["doc_id"], 16), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 _simhash_con = None

@@ -108,6 +108,70 @@ def fingerprint(source: str | ray.data.Dataset) -> ray.data.Dataset:
     return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+def repetition_stats(source: str | ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc repetition filters in the style of large-corpus quality
+    pipelines (Gopher/C4 repetition rules): lexical diversity and the share
+    of word-bigram slots taken by the single most frequent bigram.
+
+    Output per doc: ``n_words``, ``distinct_ratio`` = distinct words /
+    n_words, ``top_bigram_frac`` = max bigram count / (n_words - 1)
+    (0.0 for docs with < 2 words).  Tokenization matches the dedup family:
+    lowercase, whitespace split, empties dropped.
+
+    Fully vectorized: one polynomial hash pass over the flat word buffer
+    (``dedup._word_hashes_batch``), then sort/reduceat run-length counting —
+    no Python loop over words or docs.  Stateless ``map_batches``; nothing
+    shuffles (all features are per-document).
+    """
+    from .dedup import _U64, _hash2, _word_hashes_batch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        h, wc = _word_hashes_batch(batch["text"])
+        doc_idx = np.repeat(np.arange(n), wc)
+        # distinct words per doc: sort (doc, hash), count run starts per doc
+        order = np.lexsort((h, doc_idx))
+        d, s = doc_idx[order], h[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        distinct = np.bincount(d[new], minlength=n).astype(np.int64)
+        # top bigram count per doc: hash consecutive same-doc word pairs,
+        # run-length count per (doc, bigram), then per-doc max via reduceat
+        top = np.zeros(n, dtype=np.int64)
+        if len(h) >= 2:
+            m = doc_idx[1:] == doc_idx[:-1]
+            with np.errstate(over="ignore"):
+                bg = _hash2(7, h[:-1] * _U64(0x9E3779B97F4A7C15) ^ h[1:])[m]
+            bdoc = doc_idx[:-1][m]
+            if len(bdoc):
+                order = np.lexsort((bg, bdoc))
+                bd, bgs = bdoc[order], bg[order]
+                new = np.ones(len(bd), dtype=bool)
+                new[1:] = (bd[1:] != bd[:-1]) | (bgs[1:] != bgs[:-1])
+                starts = np.flatnonzero(new)
+                runlen = np.diff(np.append(starts, len(bd)))
+                rdoc = bd[starts]
+                bounds = np.flatnonzero(
+                    np.r_[True, rdoc[1:] != rdoc[:-1]]
+                )
+                top[rdoc[bounds]] = np.maximum.reduceat(runlen, bounds)
+        wcf = wc.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dr = np.where(wc > 0, distinct / np.maximum(wcf, 1.0), 0.0)
+            tb = np.where(wc >= 2, top / np.maximum(wcf - 1.0, 1.0), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(wc.astype(np.int64)),
+                "distinct_ratio": pa.array(round4(dr)),
+                "top_bigram_frac": pa.array(round4(tb)),
+            }
+        )
+
+    return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
 # --- language ID -----------------------------------------------------------
 
 # Tiny per-language stopword lists (public common function words).  The

@@ -122,6 +122,42 @@ def test_ivf_recall_vs_brute_force(sf_dir):
     assert len(bf & ivf) / 10 >= 0.5
 
 
+def test_repetition_stats_planted():
+    from core_ray.functions import repetition_stats
+
+    rows = [
+        (0, "a b a b a b"),          # 6 words, 2 distinct; top bigram "a b" x3 of 5 slots
+        (1, "x y z w"),              # all distinct; every bigram count 1 of 3 slots
+        (2, "solo"),                 # 1 word: no bigram slot
+        (3, ""),                     # empty
+    ]
+    out = repetition_stats(_docs_ds(rows)).to_pandas().sort_values("doc_id")
+    assert out["n_words"].tolist() == [6, 4, 1, 0]
+    assert out["distinct_ratio"].tolist() == [0.3333, 1.0, 1.0, 0.0]
+    assert out["top_bigram_frac"].tolist() == [0.6, 0.3333, 0.0, 0.0]
+
+
+def test_dup_shingle_coverage_planted():
+    from core_ray.functions import dup_shingle_coverage
+
+    rows = [
+        (0, "a b c d e"),    # shingles: abc bcd cde
+        (1, "a b c x y"),    # shares abc with doc 0 -> 1/3
+        (2, "p q r s"),      # no overlap -> 0/2
+        (3, "t u"),          # < 3 words: excluded
+    ]
+    out = (
+        dup_shingle_coverage(_docs_ds(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_sh"].tolist() == [3, 3, 2]
+    assert out["n_dup"].tolist() == [1, 1, 0]
+    assert out["dup_ratio"].tolist() == [0.3333, 0.3333, 0.0]
+
+
 def test_quality_score_empty_text():
     from core_ray.functions import quality_score
 
