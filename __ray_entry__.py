@@ -343,6 +343,52 @@ def _q_doc_dedup_exact(sf):
     return dedup_exact(sf)
 
 
+def _q_doc_token_count_bpe(sf):
+    from core_ray.functions import token_count_bpe
+
+    return token_count_bpe(sf)
+
+
+def _q_emb_knn_multi(sf):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from core_ray.functions import knn_multi
+
+    t = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, 4)
+    Q = np.array([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+    return knn_multi(sf, Q, query_ids=t["vec_id"].to_numpy(), k=10)
+
+
+def _q_doc_corpus_filter(sf):
+    from core_ray.functions import corpus_filter
+
+    return corpus_filter(sf)
+
+
+def _q_doc_corpus_stats(sf):
+    from core_ray.functions import corpus_stats
+
+    return corpus_stats(sf)
+
+
+def _q_doc_dedup_near(sf):
+    from core_ray.functions import dedup_near
+
+    return dedup_near(sf)
+
+
+def _q_emb_dedup_semantic(sf):
+    from core_ray.functions import dedup_semantic
+
+    # same threshold-adaptive banding as emb_cosine_dups: 32x2-bit bands give
+    # collision prob > 1 - 3e-8 at cosine >= 0.45, so the pair set (and hence
+    # the component keep set) matches the exact-all-pairs oracle
+    return dedup_semantic(sf, threshold=0.45, n_planes=64, bands=32)
+
+
 def _q_doc_repetition(sf):
     from core_ray.functions import repetition_stats
 
@@ -1320,6 +1366,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_repetition": _q_doc_repetition,
         "doc_dup_shingles": _q_doc_dup_shingles,
+        "doc_dedup_near": _q_doc_dedup_near,
+        "emb_dedup_semantic": _q_emb_dedup_semantic,
+        "doc_corpus_filter": _q_doc_corpus_filter,
+        "doc_corpus_stats": _q_doc_corpus_stats,
+        "doc_token_count_bpe": _q_doc_token_count_bpe,
+        "emb_knn_multi": _q_emb_knn_multi,
         "doc_lang_id": _q_doc_lang_id,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_jaccard_pairs": _q_doc_jaccard_pairs,
@@ -2247,6 +2299,143 @@ ORDER BY media_id, frame_idx
 _ORACLE["doc_token_count"] = """
 SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words
 FROM documents ORDER BY doc_id
+"""
+
+# both engines evaluate the identical RE2 pattern, so counts match exactly
+_ORACLE["doc_token_count_bpe"] = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(
+         text, '''(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'
+       )) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+# rank by the 4-dp-rounded similarity, ties by vec_id — the engine's
+# _topk_round4 contract
+_ORACLE["emb_knn_multi"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 4
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round_even(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, sim FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) <= 10
+ORDER BY query_id, sim DESC, vec_id
+"""
+
+# composite C4/Gopher-style keep gate — thresholds compare the 4-dp-rounded
+# features on both sides so the decision is bit-identical
+_ORACLE["doc_corpus_filter"] = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+dw AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+       FROM words GROUP BY 1),
+bg AS (
+  SELECT doc_id, ws[i] || chr(1) || ws[i+1] AS g
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+bgc AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, g),
+topbg AS (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY 1),
+feat AS (
+  SELECT w.doc_id,
+         coalesce(dw.n_words, 0) AS n_words,
+         round_even(CASE WHEN dw.n_words > 0
+                         THEN dw.n_distinct * 1.0 / dw.n_words ELSE 0.0 END, 4) AS distinct_ratio,
+         round_even(CASE WHEN dw.n_words >= 2
+                         THEN topbg.mc * 1.0 / (dw.n_words - 1) ELSE 0.0 END, 4) AS top_bigram_frac,
+         round_even(CASE WHEN length(w.text) > 0
+                         THEN CAST(length(regexp_extract_all(w.text, '[0-9]')) AS DOUBLE)
+                              / length(w.text) ELSE 0.0 END, 4) AS digit_ratio
+  FROM w LEFT JOIN dw USING (doc_id) LEFT JOIN topbg USING (doc_id)
+)
+SELECT doc_id, n_words, distinct_ratio, top_bigram_frac, digit_ratio
+FROM feat
+WHERE n_words >= 20 AND distinct_ratio >= 0.3
+  AND top_bigram_frac <= 0.2 AND digit_ratio <= 0.2
+ORDER BY doc_id
+"""
+
+_ORACLE["doc_corpus_stats"] = r"""
+WITH n AS (
+  SELECT CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       round_even(sum(n_words) * 1.0 / count(*), 4) AS mean_words,
+       min(n_words) AS min_words,
+       max(n_words) AS max_words,
+       quantile_disc(n_words, 0.5) AS median_words,
+       quantile_disc(n_words, 0.95) AS p95_words
+FROM n
+"""
+
+# corpus-level near-dedup: the jaccard pair SQL feeds a recursive CTE that
+# computes each node's reachable set over the symmetric edge list; the
+# component minimum survives (the engine's union-find uses the same min-root
+# convention), every unpaired doc is kept
+_ORACLE["doc_dedup_near"] = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2] AS g
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+cnts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN cnts na ON na.doc_id = inter.doc_a
+             JOIN cnts nb ON nb.doc_id = inter.doc_b
+  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(u, r) AS (
+  SELECT u, v AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+),
+lbl AS (SELECT u, min(r) AS root FROM reach GROUP BY u)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT u FROM lbl WHERE root < u)
+ORDER BY doc_id
+"""
+
+_ORACLE["emb_dedup_semantic"] = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.45
+),
+edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+          UNION ALL SELECT vec_b, vec_a FROM pairs),
+reach(u, r) AS (
+  SELECT u, v AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+),
+lbl AS (SELECT u, min(r) AS root FROM reach GROUP BY u)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT u FROM lbl WHERE root < u)
+ORDER BY vec_id
 """
 
 # both sides tokenize identically (lowercase, whitespace split, empties

@@ -2,9 +2,20 @@
 similarity search, multimodal plumbing — first-class large-scale components
 alongside the time-series operators."""
 
-from .text import token_count, quality_score, fingerprint, lang_id, repetition_stats
+from .text import (
+    corpus_filter,
+    corpus_stats,
+    fingerprint,
+    lang_id,
+    quality_score,
+    repetition_stats,
+    token_count,
+    token_count_bpe,
+)
 from .dedup import (
+    component_drop_ids,
     dedup_exact,
+    dedup_near,
     dup_shingle_coverage,
     exact_jaccard,
     jaccard_pairs,
@@ -13,27 +24,36 @@ from .dedup import (
 )
 from .similarity import (
     knn_brute_force,
+    knn_multi,
     knn_ivf,
     build_ivf_index,
     load_ivf_centroids,
     knn_ivf_indexed,
     cosine_dup_pairs,
+    dedup_semantic,
 )
 from .join import hash_join
 
 __all__ = [
     "token_count",
+    "token_count_bpe",
     "quality_score",
     "fingerprint",
     "lang_id",
     "repetition_stats",
+    "corpus_filter",
+    "corpus_stats",
+    "component_drop_ids",
     "dedup_exact",
+    "dedup_near",
+    "dedup_semantic",
     "dup_shingle_coverage",
     "exact_jaccard",
     "jaccard_pairs",
     "minhash_pairs",
     "simhash_pairs",
     "knn_brute_force",
+    "knn_multi",
     "knn_ivf",
     "build_ivf_index",
     "load_ivf_centroids",

@@ -791,3 +791,71 @@ def dedup_exact(source: str | ray.data.Dataset) -> ray.data.Dataset:
     from ..ops.common import bucketed_distinct
 
     return bucketed_distinct(ds, ["text"], ["doc_id"])
+
+
+# --- near-dup keep sets (connected components over pair output) -------------
+
+
+def component_drop_ids(pairs: ray.data.Dataset, a: str = "doc_a", b: str = "doc_b") -> np.ndarray:
+    """Union-find over a near-duplicate pair Dataset: returns the sorted ids
+    to DROP so that exactly the minimum id of every connected component
+    survives.
+
+    The pair list streams through ``iter_batches`` — only two int64 columns
+    ever reach the driver, never documents.  Scale contract: the pair set is
+    the near-duplicate subset (two ints per duplicate relation), orders of
+    magnitude smaller than the corpus; if a corpus were dirty enough for the
+    pair list itself to overwhelm a driver, swap this for an iterative
+    min-label propagation over a hash-partitioned edge Dataset (same output,
+    k rounds of ``groupby(node).min``) — the keep-set filter below is
+    unchanged either way."""
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in pairs.select_columns([a, b]).iter_batches(batch_format="pyarrow"):
+        for u, v in zip(
+            batch[a].to_numpy(zero_copy_only=False),
+            batch[b].to_numpy(zero_copy_only=False),
+        ):
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                # min root wins, so find(x) is always the component minimum
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+    drops = [x for x in parent if find(x) != x]
+    return np.array(sorted(drops), dtype=np.int64)
+
+
+def dedup_near(
+    source: str | ray.data.Dataset,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Corpus-level near-duplicate dedup: the end-to-end "give me the cleaned
+    corpus" operator.  ``jaccard_pairs`` (exact n-gram Jaccard, recall 1)
+    feeds connected components; the minimum doc_id of every duplicate
+    component survives, and the corpus is anti-filtered against the drop set
+    (broadcast once via the object store, checked per batch with a
+    vectorized ``is_in``).  Returns the kept ``doc_id`` rows.
+    """
+    pairs = jaccard_pairs(
+        source, threshold=threshold, max_doc_freq=max_doc_freq, concurrency=concurrency
+    )
+    drops = component_drop_ids(pairs)
+    drops_ref = ray.put(pa.array(drops, pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch["doc_id"], value_set=ray.get(drops_ref)))
+        return batch.filter(mask)
+
+    return _read_docs(source, ["doc_id"]).map_batches(keep, batch_format="pyarrow")

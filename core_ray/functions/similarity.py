@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -77,6 +78,66 @@ def knn_brute_force(
 
     partials = _read_emb(source).map_batches(score, batch_format="pyarrow")
     return partials.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def knn_multi(
+    source: str | ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray | list | None = None,
+    k: int = 10,
+) -> ray.data.Dataset:
+    """Batched ANN baseline: top-k by cosine for a whole QUERY MATRIX in one
+    corpus pass.  ``queries`` is (m, dim); the normalized matrix is broadcast
+    once via ``ray.put`` and every batch does a single (n, dim) x (dim, m)
+    matmul — m queries cost one scan, not m scans.  Per batch only m*k
+    partial rows leave; a tiny per-query group merge picks the global top-k
+    (rank by 4-dp-rounded sim, ties by vec_id — same contract as
+    ``knn_brute_force``).  Output: (query_id, vec_id, sim).
+    """
+    import pandas as pd
+
+    Q = np.asarray(queries, dtype=np.float64)
+    qids = np.arange(len(Q), dtype=np.int64) if query_ids is None else np.asarray(
+        query_ids, dtype=np.int64
+    )
+    qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        mat = _batch_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = np.inf  # zero rows score 0 against every query
+        sims = (mat / norms[:, None]) @ ray.get(q_ref).T  # (n, m)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out_q, out_i, out_s = [], [], []
+        for j in range(sims.shape[1]):  # m is small; inner work is vectorized
+            ki, ks = _topk_round4(ids, sims[:, j], k)
+            out_q.append(np.full(len(ki), qids[j], dtype=np.int64))
+            out_i.append(ki)
+            out_s.append(ks)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_i).astype(np.int64)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partials = _read_emb(source).map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return g[["query_id", "vec_id", "sim"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
 def _sq_dists(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -317,3 +378,37 @@ def cosine_dup_pairs(
 
     pairs = collision_grouped_map(exploded, ["band", "key"], bucket)
     return bucketed_distinct(pairs, ["vec_a", "vec_b"], ["vec_a", "vec_b", "cosine"])
+
+
+def dedup_semantic(
+    source: str | ray.data.Dataset,
+    threshold: float = 0.45,
+    n_planes: int = 32,
+    bands: int = 4,
+    seed: int = 23,
+) -> ray.data.Dataset:
+    """Semantic (embedding-space) dedup of the corpus: near-duplicate pairs
+    from ``cosine_dup_pairs`` (hyperplane-LSH blocked, exact cosine verified)
+    feed connected components; the minimum vec_id of each duplicate component
+    survives and the table is anti-filtered against the drop set.  This is
+    the SemDeDup-shaped "keep one representative per semantic cluster"
+    operator; returns the kept ``vec_id`` rows.
+    """
+    from .dedup import component_drop_ids
+
+    pairs = cosine_dup_pairs(
+        source, threshold=threshold, n_planes=n_planes, bands=bands, seed=seed
+    )
+    drops = component_drop_ids(pairs, a="vec_a", b="vec_b")
+    drops_ref = ray.put(pa.array(drops, pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch["vec_id"], value_set=ray.get(drops_ref)))
+        return batch.filter(mask)
+
+    if isinstance(source, str):
+        path = source if source.endswith(".parquet") else f"{source}/embeddings.parquet"
+        ids = ray.data.read_parquet(path, columns=["vec_id"])
+    else:
+        ids = source.select_columns(["vec_id"])
+    return ids.map_batches(keep, batch_format="pyarrow")

@@ -39,6 +39,29 @@ def token_count(source: str | ray.data.Dataset) -> ray.data.Dataset:
     return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+# GPT-2-style pretokenizer classes, RE2-compatible (no lookahead): common
+# English contraction suffixes, letter runs, digit runs, punctuation runs.
+# Both the engine (Arrow) and the oracle (DuckDB) evaluate this exact
+# pattern with RE2, so the counts are identical by construction.
+_BPE_ISH = r"'(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def token_count_bpe(source: str | ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens): BPE-ish subword-boundary token count — the
+    pretokenizer split LLM tokenizers apply before merges (letters / digits /
+    punctuation / contraction suffixes as separate runs).  A whitespace count
+    underestimates tokens on punctuated or numeric text; this is the cheap
+    corpus-budget estimator."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], _BPE_ISH)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
 def quality_score(source: str | ray.data.Dataset) -> ray.data.Dataset:
     """Per-doc quality features: n_chars, n_words, avg_word_len, digit_ratio,
     space_ratio (rounded to the canonical 4 decimals)."""
@@ -123,53 +146,167 @@ def repetition_stats(source: str | ray.data.Dataset) -> ray.data.Dataset:
     no Python loop over words or docs.  Stateless ``map_batches``; nothing
     shuffles (all features are per-document).
     """
-    from .dedup import _U64, _hash2, _word_hashes_batch
-
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(ids)
-        h, wc = _word_hashes_batch(batch["text"])
-        doc_idx = np.repeat(np.arange(n), wc)
-        # distinct words per doc: sort (doc, hash), count run starts per doc
-        order = np.lexsort((h, doc_idx))
-        d, s = doc_idx[order], h[order]
-        new = np.ones(len(d), dtype=bool)
-        new[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
-        distinct = np.bincount(d[new], minlength=n).astype(np.int64)
-        # top bigram count per doc: hash consecutive same-doc word pairs,
-        # run-length count per (doc, bigram), then per-doc max via reduceat
-        top = np.zeros(n, dtype=np.int64)
-        if len(h) >= 2:
-            m = doc_idx[1:] == doc_idx[:-1]
-            with np.errstate(over="ignore"):
-                bg = _hash2(7, h[:-1] * _U64(0x9E3779B97F4A7C15) ^ h[1:])[m]
-            bdoc = doc_idx[:-1][m]
-            if len(bdoc):
-                order = np.lexsort((bg, bdoc))
-                bd, bgs = bdoc[order], bg[order]
-                new = np.ones(len(bd), dtype=bool)
-                new[1:] = (bd[1:] != bd[:-1]) | (bgs[1:] != bgs[:-1])
-                starts = np.flatnonzero(new)
-                runlen = np.diff(np.append(starts, len(bd)))
-                rdoc = bd[starts]
-                bounds = np.flatnonzero(
-                    np.r_[True, rdoc[1:] != rdoc[:-1]]
-                )
-                top[rdoc[bounds]] = np.maximum.reduceat(runlen, bounds)
-        wcf = wc.astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            dr = np.where(wc > 0, distinct / np.maximum(wcf, 1.0), 0.0)
-            tb = np.where(wc >= 2, top / np.maximum(wcf - 1.0, 1.0), 0.0)
+        wc, dr, tb = _repetition_features(batch["text"])
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "n_words": pa.array(wc.astype(np.int64)),
-                "distinct_ratio": pa.array(round4(dr)),
-                "top_bigram_frac": pa.array(round4(tb)),
+                "n_words": pa.array(wc),
+                "distinct_ratio": pa.array(dr),
+                "top_bigram_frac": pa.array(tb),
             }
         )
 
     return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def _repetition_features(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n_words, distinct_ratio, top_bigram_frac) per doc — the vectorized
+    core shared by ``repetition_stats`` and ``corpus_filter``.  Ratios carry
+    the canonical 4-dp rounding."""
+    from .dedup import _U64, _hash2, _word_hashes_batch
+
+    h, wc = _word_hashes_batch(texts)
+    n = len(wc)
+    doc_idx = np.repeat(np.arange(n), wc)
+    # distinct words per doc: sort (doc, hash), count run starts per doc
+    order = np.lexsort((h, doc_idx))
+    d, s = doc_idx[order], h[order]
+    new = np.ones(len(d), dtype=bool)
+    new[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+    distinct = np.bincount(d[new], minlength=n).astype(np.int64)
+    # top bigram count per doc: hash consecutive same-doc word pairs,
+    # run-length count per (doc, bigram), then per-doc max via reduceat
+    top = np.zeros(n, dtype=np.int64)
+    if len(h) >= 2:
+        m = doc_idx[1:] == doc_idx[:-1]
+        with np.errstate(over="ignore"):
+            bg = _hash2(7, h[:-1] * _U64(0x9E3779B97F4A7C15) ^ h[1:])[m]
+        bdoc = doc_idx[:-1][m]
+        if len(bdoc):
+            order = np.lexsort((bg, bdoc))
+            bd, bgs = bdoc[order], bg[order]
+            new = np.ones(len(bd), dtype=bool)
+            new[1:] = (bd[1:] != bd[:-1]) | (bgs[1:] != bgs[:-1])
+            starts = np.flatnonzero(new)
+            runlen = np.diff(np.append(starts, len(bd)))
+            rdoc = bd[starts]
+            bounds = np.flatnonzero(np.r_[True, rdoc[1:] != rdoc[:-1]])
+            top[rdoc[bounds]] = np.maximum.reduceat(runlen, bounds)
+    wcf = wc.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dr = np.where(wc > 0, distinct / np.maximum(wcf, 1.0), 0.0)
+        tb = np.where(wc >= 2, top / np.maximum(wcf - 1.0, 1.0), 0.0)
+    return wc.astype(np.int64), round4(dr), round4(tb)
+
+
+def corpus_filter(
+    source: str | ray.data.Dataset,
+    min_words: int = 20,
+    min_distinct_ratio: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    max_digit_ratio: float = 0.2,
+) -> ray.data.Dataset:
+    """Composite corpus-cleaning gate (the C4/Gopher-style keep/drop rule):
+    a document survives iff it has at least ``min_words`` words, lexical
+    diversity at least ``min_distinct_ratio``, no bigram dominating more than
+    ``max_top_bigram_frac`` of its bigram slots, and a digit share of at most
+    ``max_digit_ratio``.
+
+    All features come from ONE vectorized ``map_batches`` pass (no join of
+    per-feature tables, nothing shuffles); thresholds compare the canonical
+    4-dp-rounded values so the decision is exactly SQL-reproducible.
+    Returns the kept docs with their features.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = batch["text"]
+        wc, dr, tb = _repetition_features(text)
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        n_digit = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.int64()).to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            digit_ratio = round4(
+                np.where(n_chars > 0, n_digit / np.maximum(n_chars, 1), 0.0)
+            )
+        keep = (
+            (wc >= min_words)
+            & (dr >= min_distinct_ratio)
+            & (tb <= max_top_bigram_frac)
+            & (digit_ratio <= max_digit_ratio)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_words": pa.array(wc[keep]),
+                "distinct_ratio": pa.array(dr[keep]),
+                "top_bigram_frac": pa.array(tb[keep]),
+                "digit_ratio": pa.array(digit_ratio[keep]),
+            }
+        )
+
+    return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def corpus_stats(source: str | ray.data.Dataset) -> ray.data.Dataset:
+    """One-row global corpus profile: document count, total / mean / min /
+    max words per doc, and exact discrete median and p95 of the
+    words-per-doc distribution.
+
+    Scale shape: each batch reduces to a tiny words-per-doc histogram
+    (value, cnt) — the only thing that shuffles; a single small ``groupby``
+    merges the histograms and one final task derives every statistic from
+    the merged histogram (count = Σcnt, sum = Σ value·cnt, quantiles by
+    cumulative count).  Quantiles use DuckDB ``quantile_disc`` semantics
+    (sorted[ceil(q·n)-1]) so the result is exactly SQL-reproducible.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64())
+        vals, cnts = np.unique(n.to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "n_words": pa.array(vals.astype(np.int64)),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        _read_docs(source, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("n_words")
+        .sum("cnt")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_words").reset_index(drop=True)
+        v = df["n_words"].to_numpy(np.int64)
+        c = df["sum(cnt)"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def q_disc(q: float) -> int:
+            target = int(np.ceil(q * n))
+            return int(v[np.searchsorted(cum, max(target, 1))])
+
+        total = int((v * c).sum())
+        return pd.DataFrame(
+            {
+                "n_docs": [n],
+                "total_words": [total],
+                "mean_words": round4(np.array([total / n if n else 0.0])),
+                "min_words": [int(v[0]) if n else 0],
+                "max_words": [int(v[-1]) if n else 0],
+                "median_words": [q_disc(0.5) if n else 0],
+                "p95_words": [q_disc(0.95) if n else 0],
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None
+    )
 
 
 # --- language ID -----------------------------------------------------------

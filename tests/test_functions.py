@@ -158,6 +158,101 @@ def test_dup_shingle_coverage_planted():
     assert out["dup_ratio"].tolist() == [0.3333, 0.3333, 0.0]
 
 
+def test_component_drop_ids_min_root():
+    from core_ray.functions import component_drop_ids
+
+    # components {0,2,5} (chain 5-2, 2-0) and {7,9}; 3 untouched
+    pairs = pd.DataFrame({"doc_a": [5, 2, 7], "doc_b": [2, 0, 9]})
+    drops = component_drop_ids(ray.data.from_pandas(pairs))
+    assert drops.tolist() == [2, 5, 9]
+
+
+def test_dedup_near_keeps_component_min(sf_dir):
+    from core_ray.functions import dedup_near
+
+    long_a = " ".join(f"w{i}" for i in range(30))
+    long_b = " ".join(f"w{i}" for i in range(29)) + " zz"  # near-dup of a
+    rows = [
+        (10, long_a),
+        (11, long_b),
+        (12, "totally different words here about other things entirely"),
+    ]
+    kept = sorted(dedup_near(_docs_ds(rows)).to_pandas()["doc_id"])
+    assert kept == [10, 12]
+
+
+def test_dedup_semantic_keeps_component_min():
+    from core_ray.functions import dedup_semantic
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=8)
+    rows = []
+    for i, vec in enumerate(
+        [base, base + 0.001, -base, rng.normal(size=8) + 3.0]
+    ):
+        rows.append({"vec_id": i, "embedding": list(np.asarray(vec, np.float32))})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    kept = sorted(dedup_semantic(ds, threshold=0.95, n_planes=64, bands=32).to_pandas()["vec_id"])
+    # 0 and 1 are near-identical (cosine ~1); 2 is anti-parallel; 3 unrelated
+    assert kept == [0, 2, 3]
+
+
+def test_corpus_filter_thresholds():
+    from core_ray.functions import corpus_filter
+
+    good = " ".join(a + b for a in "abcde" for b in "abcde")  # 25 distinct words
+    repetitive = "a b " * 15                               # top bigram dominates
+    short = "only four words here"
+    digits = " ".join("123" for _ in range(25))            # all digits
+    rows = [(0, good), (1, repetitive), (2, short), (3, digits)]
+    out = corpus_filter(_docs_ds(rows)).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+
+
+def test_corpus_stats_exact():
+    from core_ray.functions import corpus_stats
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([1, 2, 3, 4, 5])]
+    out = corpus_stats(_docs_ds(rows)).to_pandas()
+    assert out.iloc[0]["n_docs"] == 5
+    assert out.iloc[0]["total_words"] == 15
+    assert out.iloc[0]["mean_words"] == 3.0
+    assert out.iloc[0]["min_words"] == 1
+    assert out.iloc[0]["max_words"] == 5
+    # duckdb quantile_disc: sorted[ceil(q*n)-1] -> 0.5*5 -> idx 2 -> 3
+    assert out.iloc[0]["median_words"] == 3
+    assert out.iloc[0]["p95_words"] == 5
+
+
+def test_token_count_bpe_splits_runs():
+    from core_ray.functions import token_count_bpe
+
+    rows = [
+        (0, "hello world"),        # 2 letter runs
+        (1, "it's 42 degrees!"),   # it + 's + 42 + degrees + !
+        (2, "a1b2"),               # a 1 b 2
+        (3, ""),
+    ]
+    out = token_count_bpe(_docs_ds(rows)).to_pandas().sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [2, 5, 4, 0]
+
+
+def test_knn_multi_matches_single_query(sf_dir):
+    from core_ray.functions import knn_brute_force, knn_multi
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    Q = np.array([np.asarray(v, np.float64) for v in t["embedding"][:3].to_pylist()])
+    multi = knn_multi(sf_dir, Q, query_ids=[0, 1, 2], k=5).to_pandas()
+    for qid in [0, 1, 2]:
+        single = knn_brute_force(sf_dir, Q[qid], k=5).to_pandas()
+        got = multi[multi["query_id"] == qid].sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        )
+        assert got["vec_id"].tolist() == single["vec_id"].tolist()
+        assert got["sim"].tolist() == single["sim"].tolist()
+
+
 def test_quality_score_empty_text():
     from core_ray.functions import quality_score
 

@@ -103,21 +103,20 @@ def test_pairs_within_groups_matches_bruteforce(rows, max_group):
             clean.append((k, d, v))
     df = pd.DataFrame(clean, columns=["key", "doc_id", "val"])
     got = _pairs_within_groups(df, ["key"], ["val"], max_group)
-    got_set = {
-        (a, b, va, vb)
-        for a, b, va, vb in zip(
-            got["doc_a"], got["doc_b"], got["val_a"], got["val_b"]
-        )
-    }
-    want = set()
+    got_rows = sorted(
+        zip(got["doc_a"], got["doc_b"], got["val_a"], got["val_b"])
+    )
+    # MULTISET comparison: a pair sharing k keys must appear k times — that
+    # row multiplicity IS the co-occurrence count jaccard_pairs aggregates
+    # into the intersection size (one row per shared shingle group)
+    want = []
     for k, g in df.groupby("key"):
         if max_group is not None and len(g) > max_group:
             continue
         members = sorted(zip(g["doc_id"], g["val"]))
         for (a, va), (b, vb) in itertools.combinations(members, 2):
-            want.add((a, b, va, vb))
-    assert got_set == want
-    assert len(got) == len(want)  # no duplicate pairs either
+            want.append((a, b, va, vb))
+    assert got_rows == sorted(want)
 
 
 @settings(max_examples=80, deadline=None)
