@@ -45,8 +45,9 @@ def one_hot_encoding(
     def fn(batch: pa.Table) -> pa.Table:
         col = batch[column].to_numpy(zero_copy_only=False)
         for c in cats:
+            # int32 indicator matches the SQL CAST(x AS INTEGER) oracle dtype
             batch = batch.append_column(
-                f"{column}_{c}", pa.array((col == c).astype(np.int8))
+                f"{column}_{c}", pa.array((col == c).astype(np.int32))
             )
         return batch
 
