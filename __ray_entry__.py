@@ -343,6 +343,39 @@ def _q_doc_dedup_exact(sf):
     return dedup_exact(sf)
 
 
+def _q_dq_expectations(sf):
+    import ray.data
+
+    from core_ray.dq.expectations import ExpectationSuite, validate
+
+    suite = ExpectationSuite("events-quality")
+    suite.add_expectation("expect_column_values_to_not_be_null", column="value")
+    suite.add_expectation(
+        "expect_column_values_to_be_between",
+        column="value", min_value=0.0, max_value=100.0, mostly=0.9,
+    )
+    suite.add_expectation(
+        "expect_column_values_to_be_in_set",
+        column="event_type",
+        value_set=["click", "view", "purchase", "signup"], mostly=0.5,
+    )
+    suite.add_expectation(
+        "expect_column_values_to_match_regex", column="event_type", regex="^[a-z]+$"
+    )
+    suite.add_expectation("expect_column_values_to_be_unique", column="event_id")
+    suite.add_expectation(
+        "expect_column_mean_to_be_between", column="value",
+        min_value=1.0, max_value=100.0,
+    )
+    suite.add_expectation(
+        "expect_table_row_count_to_be_between", min_value=100, max_value=10_000_000
+    )
+    ds = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return validate(ds, suite)
+
+
 def _q_doc_token_count_bpe(sf):
     from core_ray.functions import token_count_bpe
 
@@ -1372,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_corpus_stats": _q_doc_corpus_stats,
         "doc_token_count_bpe": _q_doc_token_count_bpe,
         "emb_knn_multi": _q_emb_knn_multi,
+        "dq_expectations": _q_dq_expectations,
         "doc_lang_id": _q_doc_lang_id,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_jaccard_pairs": _q_doc_jaccard_pairs,
@@ -2299,6 +2333,56 @@ ORDER BY media_id, frame_idx
 _ORACLE["doc_token_count"] = """
 SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words
 FROM documents ORDER BY doc_id
+"""
+
+# one UNION ALL branch per expectation, GE `mostly` semantics:
+# success = (1 - unexpected/element) >= mostly; nulls excluded from
+# value-based element counts
+_ORACLE["dq_expectations"] = r"""
+WITH e AS (SELECT event_id, event_type, value FROM events)
+SELECT * FROM (
+  SELECT 'expect_column_values_to_not_be_null' AS expectation_type,
+         'value' AS "column",
+         count(*) AS element_count,
+         CAST(count(*) - count(value) AS BIGINT) AS unexpected_count,
+         (count(*) - count(value)) = 0 AS success
+  FROM e
+  UNION ALL
+  SELECT 'expect_column_values_to_be_between', 'value',
+         count(value),
+         CAST(count(value) - sum(CASE WHEN value >= 0.0 AND value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT),
+         1.0 - (count(value) - sum(CASE WHEN value >= 0.0 AND value <= 100.0 THEN 1 ELSE 0 END))
+             * 1.0 / count(value) >= 0.9
+  FROM e
+  UNION ALL
+  SELECT 'expect_column_values_to_be_in_set', 'event_type',
+         count(event_type),
+         CAST(count(event_type) - sum(CASE WHEN event_type IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT),
+         1.0 - (count(event_type) - sum(CASE WHEN event_type IN ('click','view','purchase','signup') THEN 1 ELSE 0 END))
+             * 1.0 / count(event_type) >= 0.5
+  FROM e
+  UNION ALL
+  SELECT 'expect_column_values_to_match_regex', 'event_type',
+         count(event_type),
+         CAST(count(event_type) - sum(CASE WHEN regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END) AS BIGINT),
+         (count(event_type) - sum(CASE WHEN regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END)) = 0
+  FROM e
+  UNION ALL
+  SELECT 'expect_column_values_to_be_unique', 'event_id',
+         (SELECT count(*) FROM e),
+         (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM (SELECT count(*) AS c FROM e GROUP BY event_id HAVING count(*) > 1)),
+         (SELECT coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM e GROUP BY event_id HAVING count(*) > 1)) = 0
+  UNION ALL
+  SELECT 'expect_column_mean_to_be_between', 'value',
+         count(value), CAST(0 AS BIGINT),
+         sum(value) / count(value) >= 1.0 AND sum(value) / count(value) <= 100.0
+  FROM e
+  UNION ALL
+  SELECT 'expect_table_row_count_to_be_between', '',
+         count(*), CAST(0 AS BIGINT),
+         count(*) >= 100 AND count(*) <= 10000000
+  FROM e
+)
 """
 
 # both engines evaluate the identical RE2 pattern, so counts match exactly

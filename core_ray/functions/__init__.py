@@ -14,6 +14,7 @@ from .text import (
 )
 from .dedup import (
     component_drop_ids,
+    component_labels_distributed,
     dedup_exact,
     dedup_near,
     dup_shingle_coverage,
@@ -44,6 +45,7 @@ __all__ = [
     "corpus_filter",
     "corpus_stats",
     "component_drop_ids",
+    "component_labels_distributed",
     "dedup_exact",
     "dedup_near",
     "dedup_semantic",

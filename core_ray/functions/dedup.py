@@ -805,10 +805,10 @@ def component_drop_ids(pairs: ray.data.Dataset, a: str = "doc_a", b: str = "doc_
     ever reach the driver, never documents.  Scale contract: the pair set is
     the near-duplicate subset (two ints per duplicate relation), orders of
     magnitude smaller than the corpus; if a corpus were dirty enough for the
-    pair list itself to overwhelm a driver, swap this for an iterative
-    min-label propagation over a hash-partitioned edge Dataset (same output,
-    k rounds of ``groupby(node).min``) — the keep-set filter below is
-    unchanged either way."""
+    pair list itself to overwhelm a driver, use
+    :func:`component_labels_distributed` (same min-root labels, computed as
+    k rounds of ``hash_join`` + ``groupby(node).min`` with no driver loop) —
+    the keep-set filter is unchanged either way."""
     parent: dict = {}
 
     def find(x: int) -> int:
@@ -833,6 +833,95 @@ def component_drop_ids(pairs: ray.data.Dataset, a: str = "doc_a", b: str = "doc_
                     parent[ru] = rv
     drops = [x for x in parent if find(x) != x]
     return np.array(sorted(drops), dtype=np.int64)
+
+
+def component_labels_distributed(
+    pairs: ray.data.Dataset,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_rounds: int = 50,
+) -> ray.data.Dataset:
+    """Fully-distributed connected components over a pair Dataset by
+    iterative min-label propagation — the scale path for corpora whose
+    near-duplicate pair list is itself too large for a driver union-find.
+
+    Each round: every node takes the minimum of its own label and its
+    neighbors' labels (one ``hash_join`` edges⋈labels + one
+    ``groupby(node).min``), until a fixpoint.  Rounds needed = the maximum
+    component diameter (near-dup clusters are shallow, so a handful).
+    Returns (node, label) with label = component minimum — identical to
+    ``component_drop_ids``'s union-find convention.
+    """
+    from .join import hash_join
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        u = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u, v])),
+                "dst": pa.array(np.concatenate([v, u])),
+            }
+        )
+
+    edges = (
+        pairs.select_columns([a, b])
+        .map_batches(symmetrize, batch_format="pyarrow")
+        .materialize()  # reused every round; only two int64 columns
+    )
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        node = t["src"].to_numpy(zero_copy_only=False)
+        nbr = t["min(dst)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(node.astype(np.int64)),
+                "label": pa.array(np.minimum(node, nbr).astype(np.int64)),
+            }
+        )
+
+    labels = (
+        edges.groupby("src").min("dst").map_batches(init_labels, batch_format="pyarrow")
+    ).materialize()
+
+    def as_dst_key(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["dst", "label"])
+
+    def as_node_label(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"], "label": t["label"]})
+
+    for _ in range(max_rounds):
+        contrib = hash_join(
+            edges, labels.map_batches(as_dst_key, batch_format="pyarrow"), on="dst"
+        ).map_batches(as_node_label, batch_format="pyarrow")
+        new_labels = (
+            contrib.union(labels)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # converged when no node's label shrank this round
+        def relabel(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["node", "old"])
+
+        changed = (
+            hash_join(
+                new_labels, labels.map_batches(relabel, batch_format="pyarrow"), on="node"
+            )
+            .map_batches(
+                lambda t: t.filter(pc.not_equal(t["label"], t["old"])),
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def dedup_near(

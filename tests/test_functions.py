@@ -167,6 +167,28 @@ def test_component_drop_ids_min_root():
     assert drops.tolist() == [2, 5, 9]
 
 
+def test_component_labels_distributed_matches_union_find():
+    from core_ray.functions import component_drop_ids, component_labels_distributed
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 60, 45
+    pairs = pd.DataFrame(
+        {
+            "doc_a": rng.integers(0, n_nodes, n_edges),
+            "doc_b": rng.integers(0, n_nodes, n_edges),
+        }
+    )
+    pairs = pairs[pairs["doc_a"] != pairs["doc_b"]].reset_index(drop=True)
+    ds = ray.data.from_pandas(pairs)
+
+    drops_uf = set(component_drop_ids(ds).tolist())
+    lbl = component_labels_distributed(ds).to_pandas()
+    drops_dist = set(lbl.loc[lbl["label"] < lbl["node"], "node"].tolist())
+    assert drops_dist == drops_uf
+    # labels are the component minima: every label is itself a kept node
+    assert set(lbl["label"]) <= set(lbl["node"]) - drops_dist
+
+
 def test_dedup_near_keeps_component_min(sf_dir):
     from core_ray.functions import dedup_near
 
