@@ -929,17 +929,40 @@ def dedup_near(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     concurrency: int | None = None,
+    distributed_components: bool = False,
 ) -> ray.data.Dataset:
     """Corpus-level near-duplicate dedup: the end-to-end "give me the cleaned
     corpus" operator.  ``jaccard_pairs`` (exact n-gram Jaccard, recall 1)
     feeds connected components; the minimum doc_id of every duplicate
-    component survives, and the corpus is anti-filtered against the drop set
-    (broadcast once via the object store, checked per batch with a
-    vectorized ``is_in``).  Returns the kept ``doc_id`` rows.
-    """
+    component survives.  Returns the kept ``doc_id`` rows.
+
+    Default path: driver union-find over the (tiny) pair list, drop set
+    broadcast once via the object store, anti-filtered per batch with a
+    vectorized ``is_in``.  ``distributed_components=True`` switches to
+    :func:`component_labels_distributed` + a left ``hash_join`` keep-filter —
+    nothing ever reaches the driver, for corpora whose duplicate-pair list
+    itself is at data scale."""
     pairs = jaccard_pairs(
         source, threshold=threshold, max_doc_freq=max_doc_freq, concurrency=concurrency
     )
+    ids = _read_docs(source, ["doc_id"])
+    if distributed_components:
+        from .join import hash_join
+
+        labels = component_labels_distributed(pairs).map_batches(
+            lambda t: t.rename_columns(["doc_id", "label"]), batch_format="pyarrow"
+        )
+        joined = hash_join(ids, labels, on="doc_id", how="left")
+
+        def keep_joined(batch: pa.Table) -> pa.Table:
+            lbl = batch["label"]
+            mask = pc.or_kleene(
+                pc.is_null(lbl), pc.equal(lbl, batch["doc_id"])
+            )
+            return batch.filter(pc.fill_null(mask, True)).select(["doc_id"])
+
+        return joined.map_batches(keep_joined, batch_format="pyarrow")
+
     drops = component_drop_ids(pairs)
     drops_ref = ray.put(pa.array(drops, pa.int64()))
 
@@ -947,4 +970,4 @@ def dedup_near(
         mask = pc.invert(pc.is_in(batch["doc_id"], value_set=ray.get(drops_ref)))
         return batch.filter(mask)
 
-    return _read_docs(source, ["doc_id"]).map_batches(keep, batch_format="pyarrow")
+    return ids.map_batches(keep, batch_format="pyarrow")

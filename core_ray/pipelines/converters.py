@@ -45,6 +45,7 @@ _COMPONENT_MODULES = (
     "core_ray.stages.ecmwf",
     "core_ray.sources.python_sources",
     "core_ray.sources.iso",
+    "core_ray.sources.bus",
     "core_ray.pipelines.logging",
     "core_ray.pipelines.converters",  # the generic adapters below
 )

@@ -31,7 +31,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..pipelines.framework import SourceComponent
+from ..pipelines.framework import DestinationComponent, SourceComponent
 from ..stages.binary_sources import decode_kafka_headers_to_amqp_properties
 
 # the Eventhub/IoT-hub system property names (kafka_eventhub.py:28-45)
@@ -375,3 +375,151 @@ class KinesisFixtureSource(KafkaFixtureSource):
             )
 
         return super().read_batch().map_batches(fn, batch_format="pandas")
+
+
+# --- wire destination --------------------------------------------------------
+
+# standard CRC-32 table (zlib polynomial 0xEDB88320), built once
+_CRC32_LUT = None
+
+
+def _crc32_table() -> np.ndarray:
+    global _CRC32_LUT
+    if _CRC32_LUT is None:
+        t = np.arange(256, dtype=np.uint32)
+        for _ in range(8):
+            t = np.where(t & 1, np.uint32(0xEDB88320) ^ (t >> 1), t >> 1)
+        _CRC32_LUT = t
+    return _CRC32_LUT
+
+
+def crc32_batch(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """zlib-compatible CRC-32 of a binary column, vectorized across rows:
+    the LUT update runs position-by-position over the flat value buffer, so
+    the Python-level loop is over MAX KEY LENGTH (bytes), never over rows."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    n = len(keys)
+    bufs = keys.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1, offset=keys.offset * 4).astype(
+        np.int64
+    )
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    starts, lens = offs[:-1], np.diff(offs)
+    lut = _crc32_table()
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(int(lens.max()) if n else 0):
+        active = lens > j
+        byte = data[starts[active] + j]
+        c = crc[active]
+        crc[active] = (c >> np.uint32(8)) ^ lut[(c ^ byte) & np.uint32(0xFF)]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+class BusLogDestination(DestinationComponent):
+    """Kafka-wire WRITER side of the segment log — the file-backed analog of
+    the reference's Kafka/Eventhub destination connectors (which are network
+    producer glue; reference ``destinations/spark/kafka.py`` et al.).
+
+    Producer semantics kept: keyed records route to a partition by
+    zlib-CRC32(key) % num_partitions (matching ``write_bus_log``'s fixture
+    producer; an explicit ``partition`` column overrides), offsets continue
+    from the log's current per-partition high-water marks, and each
+    partition is written by exactly ONE task (Kafka's single-writer-per-
+    partition ordering contract).  Rows within a partition are ordered
+    deterministically by (timestamp, value) before offset assignment, since
+    a Dataset carries no total order.
+
+    Input columns: ``value`` (binary) required; ``key`` (binary),
+    ``timestamp`` (timestamp[us]), ``partition`` (int), ``headers`` (wire
+    list<struct<key,value>>) optional.  Returns per-partition
+    {partition: (first_offset, last_offset)} for the rows written.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        topic: str = "events",
+        num_partitions: int = 2,
+        segment_rows: int = 1000,
+    ):
+        self.path = path
+        self.topic = topic
+        self.num_partitions = num_partitions
+        self.segment_rows = segment_rows
+
+    def write_batch(self, ds: ray.data.Dataset):
+        os.makedirs(self.path, exist_ok=True)
+        hwm = {p: 0 for p in range(self.num_partitions)}
+        for p, segs in _list_segments(self.path).items():
+            hwm[p] = segs[-1][1] + 1 if segs else 0
+        n_parts, topic, seg_rows, path = (
+            self.num_partitions, self.topic, self.segment_rows, self.path,
+        )
+
+        def route(t: pa.Table) -> pa.Table:
+            if "partition" in t.column_names:
+                part = t["partition"].to_numpy(zero_copy_only=False).astype(np.int32)
+                t = t.drop(["partition"])
+            elif "key" in t.column_names and t["key"].null_count < len(t):
+                part = (crc32_batch(t["key"]) % np.uint32(n_parts)).astype(np.int32)
+            else:
+                raise ValueError(
+                    "BusLogDestination needs a key or partition column to route"
+                )
+            return t.append_column("_part", pa.array(part))
+
+        def write_partition(g: pd.DataFrame) -> pd.DataFrame:
+            p = int(g["_part"].iloc[0])
+            g = g.drop(columns=["_part"])
+            order = ["timestamp", "value"] if "timestamp" in g else ["value"]
+            g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+            base = hwm[p]
+            n = len(g)
+            keys = (
+                pa.array(list(g["key"]), pa.binary())
+                if "key" in g
+                else pa.array([None] * n, pa.binary())
+            )
+            ts = (
+                pa.Array.from_pandas(g["timestamp"]).cast(pa.timestamp("us"))
+                if "timestamp" in g
+                else pa.array([datetime(1970, 1, 1)] * n, pa.timestamp("us"))
+            )
+            headers = (
+                pa.array(list(g["headers"]), KAFKA_WIRE_SCHEMA.field("headers").type)
+                if "headers" in g
+                else pa.array([[]] * n, KAFKA_WIRE_SCHEMA.field("headers").type)
+            )
+            pdir = os.path.join(path, f"partition={p}")
+            os.makedirs(pdir, exist_ok=True)
+            for s in range(0, n, seg_rows):
+                e = min(s + seg_rows, n)
+                first, last = base + s, base + e - 1
+                t = pa.table(
+                    {
+                        "key": keys.slice(s, e - s),
+                        "value": pa.array(list(g["value"][s:e]), pa.binary()),
+                        "topic": pa.array([topic] * (e - s)),
+                        "partition": pa.array([p] * (e - s), pa.int32()),
+                        "offset": pa.array(range(first, last + 1), pa.int64()),
+                        "timestamp": ts.slice(s, e - s),
+                        "timestampType": pa.array([0] * (e - s), pa.int32()),
+                        "headers": headers.slice(s, e - s),
+                    }
+                )
+                pq.write_table(t, os.path.join(pdir, f"segment-{first}-{last}.parquet"))
+            return pd.DataFrame(
+                {"partition": [p], "first": [base], "last": [base + n - 1]}
+            )
+
+        summary = (
+            ds.map_batches(route, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(write_partition, batch_format="pandas")
+            .to_pandas()
+        )
+        return {
+            int(r["partition"]): (int(r["first"]), int(r["last"]))
+            for _, r in summary.iterrows()
+        }

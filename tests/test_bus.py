@@ -155,3 +155,56 @@ def test_keyed_routing_deterministic(tmp_path):
         want[zlib.crc32(f"k{i}".encode()) % 4] += 1
     # crc32-based routing: layout reproducible across processes/runs
     assert got == want
+
+
+def test_bus_log_destination_roundtrip(tmp_path, ray_session):
+    """Dataset -> BusLogDestination -> KafkaFixtureSource round trip: keyed
+    CRC32 routing matches the fixture producer, offsets continue across
+    appends, per-partition order is deterministic."""
+    import zlib
+
+    import ray.data
+
+    from core_ray.sources.bus import BusLogDestination, KafkaFixtureSource
+
+    path = str(tmp_path / "log")
+    rows = pd.DataFrame(
+        {
+            "key": [f"k{i}".encode() for i in range(20)],
+            "value": [f"v{i}".encode() for i in range(20)],
+            "timestamp": pd.to_datetime(
+                [f"2024-01-01 00:00:{i:02d}" for i in range(20)]
+            ),
+        }
+    )
+    dest = BusLogDestination(path, topic="t", num_partitions=3, segment_rows=4)
+    marks = dest.write_batch(ray.data.from_pandas(rows))
+
+    back = KafkaFixtureSource(path).read_batch().to_pandas()
+    assert len(back) == 20
+    assert set(bytes(v) for v in back["value"]) == set(rows["value"])
+    # routing matches the fixture producer's crc32 rule
+    for _, r in back.iterrows():
+        assert r["partition"] == zlib.crc32(bytes(r["key"])) % 3
+    # offsets are dense per partition starting at 0
+    for p, g in back.groupby("partition"):
+        offs = sorted(g["offset"])
+        assert offs == list(range(len(offs)))
+        assert marks[p] == (0, len(offs) - 1)
+
+    # second append continues from the high-water marks
+    more = pd.DataFrame(
+        {
+            "key": [b"k0", b"k1"],
+            "value": [b"w0", b"w1"],
+            "timestamp": pd.to_datetime(["2024-01-02", "2024-01-02"]),
+        }
+    )
+    marks2 = dest.write_batch(ray.data.from_pandas(more))
+    back2 = KafkaFixtureSource(path).read_batch().to_pandas()
+    assert len(back2) == 22
+    for p, (first, last) in marks2.items():
+        assert first == marks[p][1] + 1
+    # per-partition reads stay offset-dense after the append
+    for p, g in back2.groupby("partition"):
+        assert sorted(g["offset"]) == list(range(len(g)))

@@ -201,6 +201,11 @@ def test_dedup_near_keeps_component_min(sf_dir):
     ]
     kept = sorted(dedup_near(_docs_ds(rows)).to_pandas()["doc_id"])
     assert kept == [10, 12]
+    # the fully-distributed components arm computes the same keep set
+    kept_dist = sorted(
+        dedup_near(_docs_ds(rows), distributed_components=True).to_pandas()["doc_id"]
+    )
+    assert kept_dist == [10, 12]
 
 
 def test_dedup_semantic_keeps_component_min():
