@@ -382,6 +382,48 @@ def _q_doc_token_count_bpe(sf):
     return token_count_bpe(sf)
 
 
+def _q_tok_pack_sequences(sf):
+    from core_ray.functions import pack_sequences
+
+    # concat-and-cut packing over the doc stream (n_chars as the per-doc
+    # token count); two-pass exclusive prefix scan, one shuffle
+    return pack_sequences(sf, cap=512)
+
+
+def _q_doc_vocab_topk(sf):
+    from core_ray.functions import vocab_topk
+
+    return vocab_topk(sf, k=100)
+
+
+def _q_doc_decontaminate(sf):
+    from core_ray.functions import decontaminate
+
+    # eval set = doc_id % 25 == 0 (deterministic benchmark stand-in);
+    # word-trigram overlap so the synth corpus carries real signal
+    return decontaminate(sf, eval_mod=25, n=3)
+
+
+_PII_PATTERNS_Q = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    r"\b\d{6,}\b",
+    r"\bspark\b",  # corpus-specific scrub term so redactions actually fire
+)
+
+
+def _q_doc_pii_scrub(sf):
+    from core_ray.functions import pii_scrub
+
+    return pii_scrub(sf, patterns=_PII_PATTERNS_Q)
+
+
+def _q_doc_sample_quota(sf):
+    from core_ray.functions import sample_quota
+
+    return sample_quota(sf, {f"src{i}": (i * 53) % 1000 for i in range(20)})
+
+
 def _q_emb_knn_multi(sf):
     import numpy as np
     import pyarrow.parquet as pq
@@ -1421,6 +1463,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_priority": _q_rel_order_priority,
         "ev_sessionize": _q_ev_sessionize,
         "ev_sliding_count": _q_ev_sliding_count,
+        "tok_pack_sequences": _q_tok_pack_sequences,
+        "doc_vocab_topk": _q_doc_vocab_topk,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_pii_scrub": _q_doc_pii_scrub,
+        "doc_sample_quota": _q_doc_sample_quota,
     }
 
 
@@ -2839,6 +2886,77 @@ ORDER BY TagName
 _ORACLE["qb_raw"] = _ORACLE["ts_raw"]
 _ORACLE["qb_resample_last"] = _ORACLE["ts_resample_last"]
 _ORACLE["qb_twa"] = _ORACLE["ts_twa"]
+
+# GPT-style sequence packing: concatenate docs in doc_id order, cut every 512
+# tokens; one row per (doc, pack) span.  The engine's two-pass bucket prefix
+# scan is partitioning-invariant, so the oracle is a plain window cumsum.
+_ORACLE["tok_pack_sequences"] = """
+WITH c AS (
+  SELECT doc_id, n_chars AS n_tok,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, CAST(p AS BIGINT) AS pack_id,
+       CAST(GREATEST(cum - n_tok - p*512, 0) AS BIGINT) AS pack_offset,
+       CAST(LEAST((p+1)*512, cum) - GREATEST(p*512, cum - n_tok) AS BIGINT) AS n_in_pack
+FROM c, unnest(generate_series((cum - n_tok)//512, (cum-1)//512)) AS t(p)
+ORDER BY doc_id, pack_id
+"""
+
+# Arrow utf8_split_whitespace == RE2 \s+ split on this corpus (ASCII); ties
+# below rank k cut deterministically by (cnt DESC, word ASC) on both sides
+_ORACLE["doc_vocab_topk"] = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w WHERE word <> ''
+GROUP BY word ORDER BY cnt DESC, word LIMIT 100
+"""
+
+# decontamination: shingles are hashed with DuckDB's own hash() kernel on
+# both sides (the simhash pattern), so the distinct-overlap counts are
+# identical by construction
+_ORACLE["doc_decontaminate"] = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, hash(ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2]) AS h
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 25 = 0),
+tr AS (SELECT doc_id, count(*) AS n_overlap
+       FROM sh JOIN ev USING (h) WHERE doc_id % 25 <> 0 GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(tr.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(tr.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN tr USING (doc_id)
+WHERE d.doc_id % 25 <> 0 ORDER BY d.doc_id
+"""
+
+# patterns apply sequentially (each sees the previous replacement's output);
+# both sides evaluate the identical RE2 strings
+_ORACLE["doc_pii_scrub"] = r"""
+WITH s0 AS (SELECT doc_id, text AS t, 0 AS n FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g') AS t,
+              n + length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n FROM s0),
+s2 AS (SELECT doc_id, regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g') AS t,
+              n + length(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '\b\d{6,}\b', '[PII]', 'g') AS t,
+              n + length(regexp_extract_all(t, '\b\d{6,}\b')) AS n FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(t, '\bspark\b', '[PII]', 'g') AS t,
+              n + length(regexp_extract_all(t, '\bspark\b')) AS n FROM s3)
+SELECT doc_id, t AS clean_text, CAST(n AS BIGINT) AS n_redactions FROM s4 ORDER BY doc_id
+"""
+
+# hash-defined sampling uses DuckDB's hash() in-process on the engine side,
+# so the kept set is reproducible in SQL; quota(src_i) = (i*53) % 1000
+_ORACLE["doc_sample_quota"] = """
+SELECT doc_id, source FROM documents
+WHERE hash(doc_id) % 1000 < (CAST(substr(source, 4) AS BIGINT) * 53) % 1000
+ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -91,9 +91,12 @@ def run_streaming(
         t0 = time.time()
         StreamingJob(cfg, actors=actors).run(resume=False)
         cold = time.time() - t0
-    # best-of-2 timed runs: steady-state throughput, not host scheduling noise
+    # best-of-3 timed runs: steady-state throughput, not host scheduling
+    # noise — the worker pool / allocator arenas keep warming past the first
+    # timed run on this virtualized host (measured 3.1 -> 2.2 -> 1.2 s on an
+    # identical back-to-back triple), so two timed runs still under-report
     walls = []
-    for _ in range(2 if warmup else 1):
+    for _ in range(3 if warmup else 1):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         res = StreamingJob(cfg, actors=actors).run(resume=False)

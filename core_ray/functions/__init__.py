@@ -34,6 +34,13 @@ from .similarity import (
     dedup_semantic,
 )
 from .join import hash_join
+from .training import (
+    decontaminate,
+    pack_sequences,
+    pii_scrub,
+    sample_quota,
+    vocab_topk,
+)
 
 __all__ = [
     "token_count",
@@ -62,4 +69,9 @@ __all__ = [
     "knn_ivf_indexed",
     "cosine_dup_pairs",
     "hash_join",
+    "pack_sequences",
+    "vocab_topk",
+    "decontaminate",
+    "pii_scrub",
+    "sample_quota",
 ]

@@ -659,7 +659,23 @@ def dup_shingle_coverage(
 
 # --- SimHash ---------------------------------------------------------------
 
-_simhash_con = None
+_hash_con_local = __import__("threading").local()
+
+
+def _duckdb_hash_con():
+    """Per-thread in-process DuckDB connection for the hash kernels.
+
+    Thread-local because Ray Data may run fused map stages on concurrent
+    threads of one worker; sharing a connection across them raises
+    "Query interrupted"."""
+    import duckdb
+
+    con = getattr(_hash_con_local, "con", None)
+    if con is None:
+        con = duckdb.connect()
+        con.execute("SET threads=1")
+        _hash_con_local.con = con
+    return con
 
 
 def _duckdb_word_hash(flat_words: pa.Array) -> np.ndarray:
@@ -671,16 +687,11 @@ def _duckdb_word_hash(flat_words: pa.Array) -> np.ndarray:
     hashing.  One in-process zero-copy Arrow scan per batch; ``threads=1``
     keeps scan order stable.
     """
-    global _simhash_con
-    import duckdb
-
-    if _simhash_con is None:
-        _simhash_con = duckdb.connect()
-        _simhash_con.execute("SET threads=1")
+    con = _duckdb_hash_con()
     t = pa.table({"w": flat_words})
-    _simhash_con.register("_simhash_words", t)
-    out = _simhash_con.execute("SELECT hash(w) AS h FROM _simhash_words").fetch_arrow_table()
-    _simhash_con.unregister("_simhash_words")
+    con.register("_simhash_words", t)
+    out = con.execute("SELECT hash(w) AS h FROM _simhash_words").fetch_arrow_table()
+    con.unregister("_simhash_words")
     return out["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
 
 

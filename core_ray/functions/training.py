@@ -1,0 +1,416 @@
+"""LLM training-data pipeline operators: sequence packing, vocabulary
+statistics, benchmark decontamination, PII redaction, deterministic quota
+sampling.
+
+These are the corpus-preparation stages that sit between the dedup/filter
+operators (``functions/dedup.py``, ``functions/text.py``) and the tokenized
+training stream (``streaming/job.py``): pack documents into fixed-length
+training sequences, build a vocabulary, drop benchmark-contaminated
+documents, redact PII, and downsample sources to mixture quotas.  Every
+stage is a vectorized Arrow/numpy ``map_batches`` transform; the only
+driver-side state is provably small (bucket prefix sums, the eval-side
+shingle set, the top-k merge).
+
+Reference analog: the reference has no LLM-corpus stages — these extend the
+engine the way SURVEY.md §2's dedup/similarity section does, with the same
+exact-DuckDB-oracle discipline (hash-defined outputs use DuckDB's own
+``hash()`` kernel so the oracle reproduces them bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .dedup import _ragged_range, _duckdb_word_hash
+
+
+def _read_docs(source: str | ray.data.Dataset, columns: list[str]) -> ray.data.Dataset:
+    if isinstance(source, str):
+        path = source if source.endswith(".parquet") else f"{source}/documents.parquet"
+        return ray.data.read_parquet(path, columns=columns)
+    return source
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _id_hi_from_parquet(path: str, id_col: str) -> int | None:
+    """Max id from parquet row-group statistics — no data scan."""
+    try:
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(id_col)
+        hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or st.max is None:
+                return None
+            hi = st.max if hi is None else max(hi, st.max)
+        return hi
+    except Exception:
+        return None
+
+
+def pack_sequences(
+    source: str | ray.data.Dataset,
+    cap: int = 512,
+    count_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """GPT-style sequence packing: concatenate documents in ``id_col`` order
+    into one token stream and cut it every ``cap`` tokens.  A document that
+    straddles a cut appears in each pack it touches, so the output has one
+    row per (document, pack) span: ``(doc_id, pack_id, pack_offset,
+    n_in_pack)``.
+
+    Distributed as a two-pass exclusive prefix scan — the packing of any
+    range of documents depends only on the token total BEFORE it:
+
+    1. per-bucket token totals (bucket = contiguous id range) via per-batch
+       partial sums + a tiny ``groupby`` (``n_buckets`` rows to the driver);
+    2. each bucket packs independently: sort within bucket, local cumsum +
+       the bucket's exclusive prefix, vectorized span emission.
+
+    One shuffle total (the bucket co-group); the driver holds ``n_buckets``
+    integers.  The global result is partitioning-invariant, so the oracle is
+    a plain window cumsum.  Zero-length documents produce no spans.
+    """
+    cols = [id_col, count_col]
+    ds = _read_docs(source, cols)
+
+    # bucket width from parquet stats when possible (no scan), else one
+    # column-pruned aggregate pass
+    hi = None
+    if isinstance(source, str):
+        path = source if source.endswith(".parquet") else f"{source}/documents.parquet"
+        hi = _id_hi_from_parquet(path, id_col)
+    if hi is None:
+        hi = ds.max(id_col)
+    width = max(1, (int(hi) + n_buckets) // n_buckets)
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = batch[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ids // width
+        uniq, inv = np.unique(b, return_inverse=True)
+        sums = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table({"bucket": uniq.astype(np.int64), "psum": sums})
+
+    totals = (
+        ds.map_batches(partial_sums, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("psum")
+        .take_all()  # bounded: <= n_buckets rows
+    )
+    tot = np.zeros(n_buckets + 1, dtype=np.int64)
+    for row in totals:
+        tot[int(row["bucket"])] = int(row["sum(psum)"])
+    prefix = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    prefix_ref = ray.put(prefix)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("_bucket", pa.array(ids // width, pa.int64()))
+
+    def pack_group(g) -> "pa.Table":
+        import pandas as pd
+
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        bucket = int(g["_bucket"][0].as_py())
+        order = pc.sort_indices(g[id_col])
+        ids = g[id_col].take(order).to_numpy(zero_copy_only=False)
+        n = g[count_col].take(order).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n > 0
+        ids, n = ids[keep], n[keep]
+        pre = ray.get(prefix_ref)[bucket]
+        cum = pre + np.cumsum(n)
+        start = (cum - n) // cap
+        end = (cum - 1) // cap
+        spans = (end - start + 1).astype(np.int64)
+        pack = _ragged_range(start, spans)
+        doc_rep = np.repeat(ids, spans)
+        cum_rep = np.repeat(cum, spans)
+        n_rep = np.repeat(n, spans)
+        off = np.maximum(cum_rep - n_rep - pack * cap, 0)
+        n_in = np.minimum((pack + 1) * cap, cum_rep) - np.maximum(
+            pack * cap, cum_rep - n_rep
+        )
+        return pa.table(
+            {
+                "doc_id": doc_rep.astype(np.int64),
+                "pack_id": pack.astype(np.int64),
+                "pack_offset": off.astype(np.int64),
+                "n_in_pack": n_in.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pack_group, batch_format="pyarrow")
+        .sort(["doc_id", "pack_id"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(source: str | ray.data.Dataset, k: int = 100) -> ray.data.Dataset:
+    """Top-k corpus vocabulary by word frequency: ``(word, cnt)`` ordered by
+    count desc, word asc.
+
+    Per-batch partial counts (Arrow ``value_counts`` — one pass, no Python
+    over words) shrink the shuffle to distinct-words-per-batch before the
+    ``groupby`` sum; each hash bucket emits only its local top-k and the
+    driver merges ``64*k`` candidate rows (the ``top_customers`` pattern,
+    ``pipelines/relational.py:180``) — no global sort at any cardinality.
+    """
+    from ..ops.common import _arrow_add_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.utf8_split_whitespace(pc.utf8_lower(texts)).flatten()
+        words = words.filter(pc.not_equal(words, ""))
+        vc = words.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if isinstance(g, pa.Table):
+            g = g.to_pandas()
+        out = g.groupby("word", sort=False)["cnt"].sum().reset_index()
+        out = out.sort_values(["cnt", "word"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    top = (
+        _read_docs(source, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_arrow_add_bucket(["word"], 64), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_topk(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+        .to_pandas()  # bounded: <= 64*k rows
+        .sort_values(["cnt", "word"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(top)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """DuckDB-hash word ``n``-gram shingles for a batch: ``(flat_hashes,
+    per_doc_counts)``.  The shingle string is ``w1||chr(1)||w2||...`` hashed
+    with DuckDB's own ``hash()`` kernel (``dedup._duckdb_word_hash``) so a
+    SQL oracle reproduces it exactly.  Docs with < n words emit nothing.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    words = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    flat = words.flatten()
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, parent = flat.filter(pa.array(keep)), parent[keep]
+    if len(flat) < n:
+        return np.zeros(0, np.uint64), np.zeros(n_docs, np.int64)
+    valid = parent[: len(parent) - n + 1] == parent[n - 1 :]
+    parts = [flat.slice(i, len(flat) - n + 1) for i in range(n)]
+    joined = pc.binary_join_element_wise(*parts, "\x01")
+    joined = joined.filter(pa.array(valid))
+    sh_parent = parent[: len(parent) - n + 1][valid]
+    hashes = _duckdb_word_hash(joined) if len(joined) else np.zeros(0, np.uint64)
+    counts = np.bincount(sh_parent, minlength=n_docs).astype(np.int64)
+    return hashes, counts
+
+
+def decontaminate(
+    source: str | ray.data.Dataset,
+    eval_mod: int = 25,
+    n: int = 3,
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``n``-gram with the held-out evaluation set (here: ``doc_id % eval_mod
+    == 0`` — a deterministic stand-in for the benchmark corpus).
+
+    Output: ``(doc_id, n_overlap, contaminated)`` for every NON-eval
+    document, where ``n_overlap`` counts DISTINCT shared shingles.
+
+    Scale shape: the eval side of a decontamination run is MBs against a TB
+    corpus, so its distinct shingle-hash set is collected once, sorted, and
+    broadcast via ``ray.put``; the training side is a single streamed
+    ``map_batches`` doing a vectorized ``searchsorted`` membership test —
+    no shuffle at all.
+    """
+    ds = _read_docs(source, ["doc_id", "text"])
+
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = ids % eval_mod == 0
+        if not mask.any():
+            return pa.table({"h": pa.array([], pa.uint64())})
+        texts = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray
+        ) else batch["text"]
+        h, _ = _shingle_hashes(texts.filter(pa.array(mask)), n)
+        return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
+
+    # bounded by the eval corpus's distinct shingle count (MBs by design)
+    ev_tbl = pa.concat_tables(
+        ray.get(ds.map_batches(eval_shingles, batch_format="pyarrow").to_arrow_refs())
+    )
+    ev = np.unique(ev_tbl["h"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    ev_ref = ray.put(ev)
+
+    def train_overlap(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = ids % eval_mod != 0
+        ids = ids[mask]
+        texts = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray
+        ) else batch["text"]
+        h, counts = _shingle_hashes(texts.filter(pa.array(mask)), n)
+        parent = np.repeat(np.arange(len(ids)), counts)
+        ev_sorted = ray.get(ev_ref)
+        pos = np.searchsorted(ev_sorted, h)
+        member = (pos < len(ev_sorted)) & (ev_sorted[np.minimum(pos, len(ev_sorted) - 1)] == h)
+        # distinct shared shingles per doc: unique (parent, hash) pairs
+        if member.any():
+            pair = np.stack([parent[member], h[member].astype(np.int64)], axis=1)
+            pair = np.unique(pair, axis=0)
+            n_over = np.bincount(pair[:, 0], minlength=len(ids)).astype(np.int64)
+        else:
+            n_over = np.zeros(len(ids), np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_overlap": pa.array(n_over, pa.int64()),
+                "contaminated": pa.array(n_over > 0),
+            }
+        )
+
+    return ds.map_batches(train_overlap, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (shared verbatim by pyarrow and the DuckDB oracle)
+PII_PATTERNS: tuple[str, ...] = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",  # email
+    r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",  # IPv4
+    r"\b\d{6,}\b",  # long digit runs (ids, phone fragments)
+)
+
+
+def pii_scrub(
+    source: str | ray.data.Dataset,
+    patterns: tuple[str, ...] = PII_PATTERNS,
+    repl: str = "[PII]",
+) -> ray.data.Dataset:
+    """Redact PII-shaped spans: ``(doc_id, clean_text, n_redactions)``.
+
+    Patterns apply SEQUENTIALLY (each sees the previous replacement's
+    output — order is part of the contract and the oracle nests the same
+    way).  Pure vectorized Arrow regex kernels (RE2), one streamed
+    ``map_batches``, no shuffle; both engine and oracle evaluate the
+    identical RE2 pattern strings so counts and text match exactly.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        total = np.zeros(len(txt), np.int64)
+        for pat in patterns:
+            total += pc.count_substring_regex(txt, pat).to_numpy(zero_copy_only=False)
+            txt = pc.replace_substring_regex(txt, pat, repl)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": txt,
+                "n_redactions": pa.array(total, pa.int64()),
+            }
+        )
+
+    return _read_docs(source, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# deterministic quota sampling
+# ---------------------------------------------------------------------------
+
+
+def _duckdb_hash_i64(vals: np.ndarray) -> np.ndarray:
+    """DuckDB's 64-bit hash over an int64 array (same in-process kernel
+    pattern as ``dedup._duckdb_word_hash`` — hash-defined sampling must be
+    oracle-reproducible)."""
+    from .dedup import _duckdb_hash_con
+
+    con = _duckdb_hash_con()
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    con.register("_quota_vals", t)
+    out = con.execute("SELECT hash(v) AS h FROM _quota_vals").fetch_arrow_table()
+    con.unregister("_quota_vals")
+    return out["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+
+def sample_quota(
+    source: str | ray.data.Dataset,
+    quotas: dict[str, int],
+    default: int = 1000,
+    mod: int = 1000,
+) -> ray.data.Dataset:
+    """Deterministic per-source mixture sampling: keep a document iff
+    ``hash(doc_id) % mod < quotas[source]`` (permille when ``mod=1000``).
+
+    This is how source mixing weights are applied to a 100 TB corpus:
+    stateless, reproducible across reruns and cluster sizes (the hash is
+    DuckDB's, so the kept set is SQL-verifiable), and a pure streamed filter
+    — no shuffle, no sampling state.  Output: ``(doc_id, source)`` kept rows.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        thr = np.array([quotas.get(s, default) for s in uniq], np.int64)
+        keep = (_duckdb_hash_i64(ids) % np.uint64(mod)).astype(np.int64) < thr[inv]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "source": pa.array(src[keep], pa.string()),
+            }
+        )
+
+    return _read_docs(source, ["doc_id", "source"]).map_batches(
+        fn, batch_format="pyarrow"
+    ).sort("doc_id")

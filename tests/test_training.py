@@ -1,0 +1,163 @@
+"""Tests for the LLM corpus-preparation stages (functions/training.py):
+sequence packing (span arithmetic + partitioning invariance), vocabulary
+top-k, decontamination against a planted eval overlap, PII redaction, and
+deterministic quota sampling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+
+def _docs(rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["lang"] = "x"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    return ray.data.from_pandas(df)
+
+
+def test_pack_sequences_span_arithmetic():
+    from core_ray.functions import pack_sequences
+
+    # counts 3, 4, 5 with cap 4 over ids 0..2:
+    #   stream positions: doc0 [0,3), doc1 [3,7), doc2 [7,12)
+    #   doc0 -> pack0 off0 n3; doc1 -> pack0 off3 n1 + pack1 off0 n3;
+    #   doc2 -> pack1 off3 n1 + pack2 off0 n4
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "n": [3, 4, 5]})
+    out = (
+        pack_sequences(ray.data.from_pandas(df), cap=4, count_col="n")
+        .to_pandas()
+        .sort_values(["doc_id", "pack_id"])
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 1, 2, 2],
+            "pack_id": [0, 0, 1, 1, 2],
+            "pack_offset": [0, 3, 0, 3, 0],
+            "n_in_pack": [3, 1, 3, 1, 4],
+        }
+    )
+    pd.testing.assert_frame_equal(out.astype("int64"), expect.astype("int64"))
+
+
+def test_pack_sequences_partitioning_invariant():
+    """The two-pass prefix scan gives the same packing at any bucket count
+    (the multi-node contract), every token lands in exactly one pack slot,
+    and zero-length docs vanish."""
+    from core_ray.functions import pack_sequences
+
+    rng = np.random.default_rng(7)
+    n = rng.integers(0, 9, size=200)
+    df = pd.DataFrame({"doc_id": np.arange(200), "n": n})
+    outs = []
+    for nb in (1, 3, 16):
+        out = (
+            pack_sequences(ray.data.from_pandas(df), cap=16, count_col="n", n_buckets=nb)
+            .to_pandas()
+            .sort_values(["doc_id", "pack_id"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    out = outs[0]
+    assert out["n_in_pack"].sum() == n.sum()
+    assert set(out["doc_id"]) == set(df.loc[df["n"] > 0, "doc_id"])
+    # pack fullness: every pack except the last holds exactly cap tokens
+    per_pack = out.groupby("pack_id")["n_in_pack"].sum()
+    assert (per_pack.iloc[:-1] == 16).all()
+
+
+def test_vocab_topk_counts_and_tiebreak():
+    from core_ray.functions import vocab_topk
+
+    rows = [(0, "b b b a a c"), (1, "a c c d")]
+    out = vocab_topk(_docs(rows), k=3).to_pandas()
+    # counts: a=3, b=3, c=3, d=1 -> top3 ties broken word-asc
+    assert list(out["word"]) == ["a", "b", "c"]
+    assert list(out["cnt"]) == [3, 3, 3]
+
+
+def test_decontaminate_planted_overlap():
+    from core_ray.functions import decontaminate
+
+    eval_doc = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, eval_doc),  # eval (0 % 5 == 0)
+        (1, "alpha beta gamma something else entirely here"),  # shares trigram
+        (2, "totally unrelated words with no overlap at all"),
+        (3, "delta epsilon zeta trailing content"),  # shares trigram
+    ]
+    out = decontaminate(_docs(rows), eval_mod=5, n=3).to_pandas()
+    got = dict(zip(out["doc_id"], out["contaminated"]))
+    assert got == {1: True, 2: False, 3: True}
+    n_over = dict(zip(out["doc_id"], out["n_overlap"]))
+    assert n_over[1] == 1 and n_over[3] == 1 and n_over[2] == 0
+
+
+def test_pii_scrub_patterns_and_counts():
+    from core_ray.functions import pii_scrub
+
+    rows = [
+        (0, "mail me at john.doe@example.com or 10.0.0.1 today"),
+        (1, "account 1234567 is fine but 12345 is too short"),
+        (2, "nothing sensitive here"),
+    ]
+    out = pii_scrub(_docs(rows)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "clean_text"] == "mail me at [PII] or [PII] today"
+    assert out.loc[0, "n_redactions"] == 2
+    assert out.loc[1, "clean_text"] == "account [PII] is fine but 12345 is too short"
+    assert out.loc[1, "n_redactions"] == 1
+    assert out.loc[2, "n_redactions"] == 0
+
+
+def test_sample_quota_deterministic_and_bounded():
+    from core_ray.functions import sample_quota
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000),
+            "source": np.where(np.arange(1000) % 2 == 0, "a", "b"),
+            "text": "x",
+            "lang": "x",
+            "n_chars": 1,
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out1 = sample_quota(ds, {"a": 0, "b": 500}).to_pandas()
+    out2 = sample_quota(ray.data.from_pandas(df), {"a": 0, "b": 500}).to_pandas()
+    pd.testing.assert_frame_equal(out1, out2)  # reproducible
+    assert (out1["source"] == "b").all()  # quota 0 drops everything
+    frac = len(out1) / 500.0
+    assert 0.35 < frac < 0.65  # ~quota/mod of the b rows
+
+
+def test_pack_sequences_matches_duckdb(sf_dir):
+    """End-to-end oracle parity at sf0.001 (the driver gate runs sf0.01)."""
+    import duckdb
+
+    from core_ray.functions import pack_sequences
+
+    mine = pack_sequences(sf_dir, cap=512).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = con.execute(
+        """
+        WITH c AS (
+          SELECT doc_id, n_chars AS n_tok,
+                 CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, CAST(p AS BIGINT) AS pack_id,
+               CAST(GREATEST(cum - n_tok - p*512, 0) AS BIGINT) AS pack_offset,
+               CAST(LEAST((p+1)*512, cum) - GREATEST(p*512, cum - n_tok) AS BIGINT) AS n_in_pack
+        FROM c, unnest(generate_series((cum - n_tok)//512, (cum-1)//512)) AS t(p)
+        ORDER BY doc_id, pack_id
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(mine.reset_index(drop=True), oracle)
