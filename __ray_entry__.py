@@ -382,6 +382,74 @@ def _q_doc_token_count_bpe(sf):
     return token_count_bpe(sf)
 
 
+def _q_ev_stream_join(sf):
+    """The STREAMING symmetric hash join end to end: click and purchase
+    events staged as two ts-ordered file streams, hash-routed to the
+    partition-actor pool, matched incrementally at each epoch barrier
+    (purchase within 10 min after a click by the same user), state evicted
+    by watermark, committed exactly-once — then the manifested output read
+    back.  Oracle: the equivalent batch interval join in SQL."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from core_ray.streaming import JoinConfig, StreamJoinJob, read_joined
+
+    tmp = "/tmp/graft_stream_join"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    for side, etype, cols in (
+        ("l", "click", ["user_id", "ts_us", "event_id"]),
+        ("r", "purchase", ["user_id", "ts_us", "event_id", "value"]),
+    ):
+        part = (
+            ev.loc[ev["event_type"] == etype, cols]
+            .sort_values("ts_us", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        d = f"{tmp}/{side}"
+        import os as _os
+
+        _os.makedirs(d, exist_ok=True)
+        step = (len(part) + 3) // 4  # 4 epochs per side
+        for i in range(4):
+            pq.write_table(
+                pa.Table.from_pandas(part.iloc[i * step : (i + 1) * step], preserve_index=False),
+                f"{d}/f{i:03d}.parquet",
+            )
+    cfg = JoinConfig(
+        left_dir=f"{tmp}/l",
+        right_dir=f"{tmp}/r",
+        out_dir=f"{tmp}/out",
+        key_col="user_id",
+        band_lo_us=0,
+        band_hi_us=600_000_000,
+        num_partitions=4,
+        files_per_epoch=1,
+        left_payload=["event_id"],
+        right_payload=["event_id", "value"],
+    )
+    StreamJoinJob(cfg).run(resume=False)
+    df = read_joined(f"{tmp}/out").to_pandas()
+    out = pd.DataFrame(
+        {
+            "user_id": df["user_id"].astype("int64"),
+            "click_id": df["l_event_id"].astype("int64"),
+            "purchase_id": df["r_event_id"].astype("int64"),
+            "click_ts": df["l_ts_us"].astype("datetime64[us]"),
+            "purchase_ts": df["r_ts_us"].astype("datetime64[us]"),
+            "purchase_value": df["r_value"].astype("float64"),
+        }
+    ).sort_values(["user_id", "click_id", "purchase_id"]).reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
 def _q_tok_pack_sequences(sf):
     from core_ray.functions import pack_sequences
 
@@ -1463,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_priority": _q_rel_order_priority,
         "ev_sessionize": _q_ev_sessionize,
         "ev_sliding_count": _q_ev_sliding_count,
+        "ev_stream_join": _q_ev_stream_join,
         "tok_pack_sequences": _q_tok_pack_sequences,
         "doc_vocab_topk": _q_doc_vocab_topk,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -2886,6 +2955,18 @@ ORDER BY TagName
 _ORACLE["qb_raw"] = _ORACLE["ts_raw"]
 _ORACLE["qb_resample_last"] = _ORACLE["ts_resample_last"]
 _ORACLE["qb_twa"] = _ORACLE["ts_twa"]
+
+# The streaming symmetric hash join's incremental emission (newL x stateR +
+# newL x newR + stateL x newR per barrier) covers every qualifying pair
+# exactly once, so the committed output equals the batch interval join.
+_ORACLE["ev_stream_join"] = """
+SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id,
+       l.ts AS click_ts, r.ts AS purchase_ts, r.value AS purchase_value
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+ORDER BY 1, 2, 3
+"""
 
 # GPT-style sequence packing: concatenate docs in doc_id order, cut every 512
 # tokens; one row per (doc, pack) span.  The engine's two-pass bucket prefix

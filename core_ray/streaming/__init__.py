@@ -27,5 +27,12 @@ Architecture (SURVEY.md §3, §7.2 step 3-5):
 """
 
 from .job import StreamingJob, StreamConfig
+from .join import JoinConfig, StreamJoinJob, read_joined
 
-__all__ = ["StreamingJob", "StreamConfig"]
+__all__ = [
+    "StreamingJob",
+    "StreamConfig",
+    "JoinConfig",
+    "StreamJoinJob",
+    "read_joined",
+]

@@ -1,0 +1,368 @@
+"""Stateful symmetric hash join between two event streams.
+
+The stream-stream analog of the reference's keyed normalize-then-merge stage
+(``pcdm_to_delta.py``, SURVEY.md §2.5): two keyed streams are hash-routed to
+a fixed partition-actor pool; each actor holds BOTH sides' unmatched rows in
+per-partition state and, at every epoch barrier, emits the matches that this
+epoch's arrivals complete — ``newL ⋈ (stateR ∪ newR)  ∪  stateL ⋈ newR`` —
+so every qualifying pair is emitted exactly once, in the epoch its later
+side arrives.
+
+Semantics: inner join ``ON l.key = r.key AND r.ts - l.ts ∈ [band_lo_us,
+band_hi_us]`` (an event-time interval join; a symmetric band is ``lo=-B,
+hi=B``).  The band bounds state: once the watermark passes, a left row with
+``ts < wm - band_hi`` and a right row with ``ts < wm + band_lo`` can never
+match a future arrival and are evicted — state per actor is O(rows inside
+the band at the frontier), independent of stream length.
+
+Exactly-once / resume: the same ``EpochSink`` commit protocol as the
+windowed-aggregate engine (``sink.py``) — deterministic per-(partition,
+epoch) files, atomic manifests, per-epoch state snapshots; a run killed
+after epoch k and resumed is byte-identical to an unbroken run
+(``tests/test_stream_join.py``).
+
+Watermark: per-side conservative frontier (min over ALL partitions, floor
+while any partition is silent on that side — ``job.conservative_watermark``)
+and the join watermark is the min across sides; a globally EXHAUSTED side
+(driver knows its file list ended) stops constraining, so the surviving
+side's windows keep closing.  Rows older than the watermark are late and
+dropped (counted per partition in the manifest lineage counters), matching
+the aggregate engine's lateness contract.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..synth import _hash2
+from .sink import EpochSink
+from .job import conservative_watermark, WATERMARK_FLOOR_US
+
+_EXHAUSTED = 1 << 62
+
+
+@dataclass
+class JoinConfig:
+    left_dir: str
+    right_dir: str
+    out_dir: str
+    key_col: str = "key"
+    ts_col: str = "ts_us"  # int64 microseconds
+    # r.ts - l.ts must fall in [band_lo_us, band_hi_us]
+    band_lo_us: int = 0
+    band_hi_us: int = 600_000_000
+    num_partitions: int = 8
+    lateness_s: int = 2
+    files_per_epoch: int = 1
+    route_seed: int = 7
+    # payload columns carried through (prefixed l_/r_ in the output)
+    left_payload: list = field(default_factory=list)
+    right_payload: list = field(default_factory=list)
+
+
+def _list_files(d: str) -> list[str]:
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def _epoch_groups(files: list[str], per_epoch: int) -> list[list[str]]:
+    return [files[i : i + per_epoch] for i in range(0, len(files), per_epoch)]
+
+
+@ray.remote(num_cpus=0)
+class JoinPartitionActor:
+    """One hash partition of the symmetric join: buffers per-epoch arrivals,
+    applies them at the barrier, holds both sides' in-band state."""
+
+    def __init__(self, partition_id: int, out_dir: str, cfg_dict: dict):
+        pa.set_cpu_count(1)
+        self.part = partition_id
+        self.out_dir = out_dir
+        self.key = cfg_dict["key_col"]
+        self.ts = cfg_dict["ts_col"]
+        self.lo = cfg_dict["band_lo_us"]
+        self.hi = cfg_dict["band_hi_us"]
+        self.lpay = list(cfg_dict["left_payload"])
+        self.rpay = list(cfg_dict["right_payload"])
+        self.reset()
+
+    def reset(self) -> bool:
+        self.sink = EpochSink(self.out_dir, self.part)
+        self.state: dict[str, pd.DataFrame] = {"l": None, "r": None}
+        self.max_ts = {"l": -1, "r": -1}
+        self.watermark = WATERMARK_FLOOR_US
+        self._epoch_rows: dict[tuple[int, str], list[pa.Table]] = {}
+        self._epoch_ids: dict[int, set] = {}
+        self._epoch_max: dict[tuple[int, str], int] = {}
+        self._late = 0
+        return True
+
+    # -- ingest ---------------------------------------------------------
+
+    def ingest(self, epoch: int, side: str, batch_id: int, table: pa.Table) -> int:
+        ids = self._epoch_ids.setdefault(epoch, set())
+        if (side, batch_id) in ids:  # task-retry redelivery
+            return 0
+        ids.add((side, batch_id))
+        self._epoch_rows.setdefault((epoch, side), []).append(table)
+        ts = table[self.ts].to_numpy()
+        if len(ts):
+            k = (epoch, side)
+            self._epoch_max[k] = max(self._epoch_max.get(k, -1), int(ts.max()))
+        return len(table)
+
+    def epoch_max_ts(self, upto_epoch: int, side: str) -> int:
+        vals = [v for (e, s), v in self._epoch_max.items() if s == side and e <= upto_epoch]
+        return max([self.max_ts[side]] + vals)
+
+    # -- barrier ----------------------------------------------------------
+
+    def _new_frame(self, epoch: int, side: str) -> pd.DataFrame:
+        tables = self._epoch_rows.pop((epoch, side), [])
+        cols = [self.key, self.ts] + (self.lpay if side == "l" else self.rpay)
+        if not tables:
+            return pd.DataFrame(columns=cols)
+        df = pa.concat_tables(tables).to_pandas()
+        late = df[self.ts].to_numpy() < self.watermark
+        self._late += int(late.sum())
+        return df[~late]
+
+    def end_epoch(self, epoch: int, watermark_us: int) -> dict:
+        new_l = self._new_frame(epoch, "l")
+        new_r = self._new_frame(epoch, "r")
+        self._epoch_ids.pop(epoch, None)
+        for k in [k for k in self._epoch_max if k[0] == epoch]:
+            side = k[1]
+            self.max_ts[side] = max(self.max_ts[side], self._epoch_max.pop(k))
+
+        state_l, state_r = self.state["l"], self.state["r"]
+        pieces = []
+        if len(new_l):
+            right_all = (
+                pd.concat([state_r, new_r], ignore_index=True)
+                if state_r is not None
+                else new_r
+            )
+            pieces.append(self._band_join(new_l, right_all))
+        if len(new_r) and state_l is not None and len(state_l):
+            pieces.append(self._band_join(state_l, new_r))
+        # drop empty pieces before concat: an all-object empty frame would
+        # upcast the typed columns and destabilize the sink file bytes
+        pieces = [p for p in pieces if len(p)]
+        out = (
+            pd.concat(pieces, ignore_index=True)
+            if pieces
+            else self._band_join(new_l.iloc[:0], new_r.iloc[:0])
+        )
+        # deterministic total order: every column participates
+        if len(out):
+            out = out.sort_values(list(out.columns), kind="mergesort").reset_index(
+                drop=True
+            )
+
+        # append new arrivals, then evict rows the watermark proves dead:
+        # future rows have ts >= wm, so a left row needs ts >= wm - band_hi
+        # and a right row needs ts >= wm + band_lo to ever match again
+        self.state["l"] = self._evict(
+            pd.concat([state_l, new_l], ignore_index=True) if state_l is not None else new_l,
+            watermark_us - self.hi,
+        )
+        self.state["r"] = self._evict(
+            pd.concat([state_r, new_r], ignore_index=True) if state_r is not None else new_r,
+            watermark_us + self.lo,
+        )
+        self.watermark = watermark_us
+
+        table = pa.Table.from_pandas(out, preserve_index=False)
+        counters = {
+            "rows_emitted": len(out),
+            "late_rows": self._late,
+            "state_l": len(self.state["l"]),
+            "state_r": len(self.state["r"]),
+        }
+        self.sink.commit_epoch(epoch, {"joined": table}, counters)
+        self._write_snapshot(epoch)
+        self.sink.gc_snapshots(epoch)
+        return counters
+
+    def _band_join(self, lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if lf is None or rf is None or not len(lf) or not len(rf):
+            return pd.DataFrame(
+                columns=[self.key, "l_" + self.ts, "r_" + self.ts]
+                + ["l_" + c for c in self.lpay]
+                + ["r_" + c for c in self.rpay]
+            )
+        lf = lf.rename(columns={self.ts: "l_" + self.ts, **{c: "l_" + c for c in self.lpay}})
+        rf = rf.rename(columns={self.ts: "r_" + self.ts, **{c: "r_" + c for c in self.rpay}})
+        m = lf.merge(rf, on=self.key, how="inner")  # C hash join per barrier
+        if not len(m):
+            return m
+        d = m["r_" + self.ts].to_numpy() - m["l_" + self.ts].to_numpy()
+        return m[(d >= self.lo) & (d <= self.hi)]
+
+    def _evict(self, df: pd.DataFrame, min_ts: int) -> pd.DataFrame:
+        if df is None or not len(df):
+            return df if df is not None else pd.DataFrame()
+        return df[df[self.ts].to_numpy() >= min_ts].reset_index(drop=True)
+
+    # -- snapshots ----------------------------------------------------------
+
+    def _write_snapshot(self, epoch: int) -> None:
+        for side in ("l", "r"):
+            df = self.state[side]
+            t = pa.Table.from_pandas(
+                df if df is not None and len(df) else pd.DataFrame(), preserve_index=False
+            )
+            t = t.replace_schema_metadata(
+                {
+                    "max_ts": str(self.max_ts[side]),
+                    "watermark": str(self.watermark),
+                    "late": str(self._late),
+                }
+            )
+            self.sink.write_snapshot(epoch, f"join-{side}", t)
+
+    def load_snapshot(self, epoch: int) -> bool:
+        ok = False
+        for side in ("l", "r"):
+            t = self.sink.read_snapshot(epoch, f"join-{side}")
+            if t is None:
+                continue
+            ok = True
+            meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
+            self.max_ts[side] = int(meta.get("max_ts", -1))
+            self.watermark = int(meta.get("watermark", WATERMARK_FLOOR_US))
+            self._late = int(meta.get("late", 0))
+            self.state[side] = t.to_pandas() if len(t) else None
+        return ok
+
+
+def _route_side(files: list, cols, key_col, ts_col, side, seed, actors, epoch, base_id):
+    """Raw consume task: read one file group, hash-route slices per
+    partition (same task-not-Dataset rationale as ``job._consume_block``)."""
+    import pyarrow.parquet as pq
+
+    pa.set_cpu_count(1)
+    tables = [pq.read_table(f, columns=cols, use_threads=False) for f in files]
+    if not tables:
+        return 0
+    t = pa.concat_tables(tables)
+    keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    part = (_hash2(seed, keys) % np.uint64(len(actors))).astype(np.int32)
+    order = np.argsort(part, kind="stable")
+    spart = part[order]
+    bounds = np.searchsorted(spart, np.arange(len(actors) + 1))
+    refs = []
+    for p in range(len(actors)):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        if hi > lo:
+            sl = t.take(pa.array(order[lo:hi]))  # compact copy, not a slice view
+            refs.append(actors[p].ingest.remote(epoch, side, base_id, sl))
+    return sum(ray.get(refs)) if refs else 0
+
+
+_route_side_task = ray.remote(_route_side)
+
+
+class StreamJoinJob:
+    def __init__(self, cfg: JoinConfig):
+        self.cfg = cfg
+        lf = _epoch_groups(_list_files(cfg.left_dir), cfg.files_per_epoch)
+        rf = _epoch_groups(_list_files(cfg.right_dir), cfg.files_per_epoch)
+        self.n_epochs = max(len(lf), len(rf))
+        self.lf, self.rf = lf, rf
+
+    def run(self, resume: bool = True, stop_after_epoch: int | None = None) -> dict:
+        cfg = self.cfg
+        cfg_dict = {
+            "key_col": cfg.key_col,
+            "ts_col": cfg.ts_col,
+            "band_lo_us": cfg.band_lo_us,
+            "band_hi_us": cfg.band_hi_us,
+            "left_payload": cfg.left_payload,
+            "right_payload": cfg.right_payload,
+        }
+        actors = [
+            JoinPartitionActor.remote(p, cfg.out_dir, cfg_dict)
+            for p in range(cfg.num_partitions)
+        ]
+        start = 0
+        if resume:
+            committed = [
+                EpochSink(cfg.out_dir, p).last_committed_epoch()
+                for p in range(cfg.num_partitions)
+            ]
+            start = min(committed) + 1
+            if start > 0:
+                ray.get([a.load_snapshot.remote(start - 1) for a in actors])
+
+        lcols = [cfg.key_col, cfg.ts_col] + cfg.left_payload
+        rcols = [cfg.key_col, cfg.ts_col] + cfg.right_payload
+        lateness_us = cfg.lateness_s * 1_000_000
+        last = self.n_epochs - 1 if stop_after_epoch is None else min(
+            stop_after_epoch, self.n_epochs - 1
+        )
+        totals = {"rows": 0, "late": 0}
+        for e in range(start, last + 1):
+            refs = []
+            for side, groups, cols in (("l", self.lf, lcols), ("r", self.rf, rcols)):
+                if e < len(groups):
+                    refs.append(
+                        _route_side_task.remote(
+                            groups[e], cols, cfg.key_col, cfg.ts_col, side,
+                            cfg.route_seed, actors, e, e,
+                        )
+                    )
+            ray.get(refs)
+            # one barrier round-trip for both sides' frontiers
+            live = [s for s, g in (("l", self.lf), ("r", self.rf)) if e < len(g)]
+            refs2 = [a.epoch_max_ts.remote(e, s) for s in live for a in actors]
+            flat = ray.get(refs2)
+            wms = []
+            for i, (side, groups) in enumerate((("l", self.lf), ("r", self.rf))):
+                if e >= len(groups):
+                    # side fully applied in a prior epoch: no future rows, so
+                    # it stops constraining and the other side keeps closing
+                    wms.append(_EXHAUSTED)
+                else:
+                    j = live.index(side)
+                    maxes = flat[j * len(actors) : (j + 1) * len(actors)]
+                    wms.append(conservative_watermark(maxes, lateness_us))
+            wm = min(wms)
+            results = ray.get([a.end_epoch.remote(e, wm) for a in actors])
+            for c in results:
+                totals["rows"] += c["rows_emitted"]
+            totals["late"] = sum(c["late_rows"] for c in results)
+        for a in actors:
+            ray.kill(a)
+        return {"epochs": self.n_epochs, "totals": totals}
+
+
+def read_joined(out_dir: str):
+    """The committed join output as a Ray Dataset (manifested files only)."""
+    import glob
+    import json
+
+    files = []
+    for mdir in sorted(glob.glob(os.path.join(out_dir, "manifests", "part=*"))):
+        part_dir = os.path.join(
+            out_dir, os.path.basename(mdir)
+        )
+        for mf in sorted(os.listdir(mdir)):
+            with open(os.path.join(mdir, mf)) as f:
+                man = json.load(f)
+            for entry in man["files"].values():
+                files.append(os.path.join(part_dir, entry["file"]))
+    import ray.data
+
+    if not files:
+        return ray.data.from_items([])
+    return ray.data.read_parquet(files)
