@@ -450,6 +450,100 @@ def _q_ev_stream_join(sf):
     return ray.data.from_pandas(out)
 
 
+def _ev_typed(sf, etype: str, cols: list[str], rename: dict[str, str] | None = None):
+    """events filtered to one type, pruned to ``cols``, optionally renamed —
+    vectorized Arrow filter, no per-row predicate."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_type"] + cols
+    )
+
+    def f(t):
+        t = t.filter(pc.equal(t["event_type"], etype)).select(cols)
+        return t.rename_columns([rename.get(c, c) for c in cols]) if rename else t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_ev_asof_join(sf):
+    """As-of join: each click picks the user's latest purchase at or before
+    the click (DuckDB ASOF JOIN parity).  Hash-bucketed by user, per-bucket
+    pandas merge_asof; inner so the output schema carries no nulls."""
+    from core_ray.functions import asof_join
+
+    clicks = _ev_typed(
+        sf, "click", ["event_id", "user_id", "ts"], {"event_id": "click_id"}
+    )
+    purch = _ev_typed(
+        sf, "purchase", ["user_id", "ts", "value"], {"value": "p_value"}
+    )
+    return asof_join(
+        clicks,
+        purch,
+        on="ts",
+        by="user_id",
+        how="inner",
+        keep_right_on="p_ts",
+        right_tiebreak="p_value",
+    )
+
+
+def _q_ev_interval_join(sf):
+    """Non-equi interval join: purchases landing inside any error's ±15-min
+    window.  Grid-partitioned (30-min cells), intervals replicated per
+    overlapped cell, each pair meets exactly once — no dedup."""
+    import pyarrow as pa
+
+    from core_ray.functions import interval_join
+
+    points = _ev_typed(
+        sf, "purchase", ["event_id", "ts"], {"event_id": "point_id", "ts": "p_ts"}
+    )
+    errs = _ev_typed(sf, "error", ["event_id", "ts"], {"event_id": "window_id"})
+
+    m15 = 15 * 60 * 1_000_000
+
+    def widen(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        import pyarrow.compute as pc
+
+        t = t.append_column(
+            "start_ts", pc.subtract(us, m15).cast(pa.timestamp("us"))
+        )
+        t = t.append_column("end_ts", pc.add(us, m15).cast(pa.timestamp("us")))
+        return t.select(["window_id", "start_ts", "end_ts"])
+
+    intervals = errs.map_batches(widen, batch_format="pyarrow")
+    return interval_join(
+        points, intervals, "p_ts", "start_ts", "end_ts", granularity_us=30 * 60 * 1_000_000
+    )
+
+
+def _q_ev_match_pattern(sf):
+    """CEP strict-contiguity pattern: view → purchase → view per user, each
+    step within 6 h of the previous (MATCH_RECOGNIZE shape; oracle is the
+    LEAD-window formulation).  Pattern chosen to be non-empty at every SF."""
+    import ray.data
+
+    from core_ray.functions import match_pattern
+
+    ev = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return match_pattern(
+        ev,
+        key="user_id",
+        order_col="ts",
+        type_col="event_type",
+        pattern=["view", "purchase", "view"],
+        within_us=6 * 3_600_000_000,
+        tiebreak="event_id",
+    )
+
+
 def _q_tok_pack_sequences(sf):
     from core_ray.functions import pack_sequences
 
@@ -1532,6 +1626,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sessionize": _q_ev_sessionize,
         "ev_sliding_count": _q_ev_sliding_count,
         "ev_stream_join": _q_ev_stream_join,
+        "ev_asof_join": _q_ev_asof_join,
+        "ev_interval_join": _q_ev_interval_join,
+        "ev_match_pattern": _q_ev_match_pattern,
         "tok_pack_sequences": _q_tok_pack_sequences,
         "doc_vocab_topk": _q_doc_vocab_topk,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -2966,6 +3063,49 @@ FROM events l JOIN events r ON l.user_id = r.user_id
 WHERE l.event_type = 'click' AND r.event_type = 'purchase'
   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
 ORDER BY 1, 2, 3
+"""
+
+# As-of semantics are DuckDB's own ASOF JOIN (greatest p.ts <= c.ts per
+# user, equality included).  The QUALIFY pre-dedup mirrors the engine's
+# right_tiebreak rule: among right rows tying on (user_id, ts), max p_value
+# wins (no ties exist in this data; the rule pins determinism regardless).
+_ORACLE["ev_asof_join"] = """
+WITH c AS (SELECT event_id AS click_id, user_id, ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, value AS p_value FROM events
+      WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) = 1)
+SELECT c.click_id, c.user_id, c.ts, p.ts AS p_ts, p.p_value
+FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY 1
+"""
+
+# Inclusive BETWEEN on both ends, matching the grid join's boundary rule.
+_ORACLE["ev_interval_join"] = """
+SELECT p.event_id AS point_id, p.ts AS p_ts, i.event_id AS window_id,
+       i.ts - INTERVAL 15 MINUTE AS start_ts, i.ts + INTERVAL 15 MINUTE AS end_ts
+FROM events p JOIN events i
+  ON p.event_type = 'purchase' AND i.event_type = 'error'
+ AND p.ts BETWEEN i.ts - INTERVAL 15 MINUTE AND i.ts + INTERVAL 15 MINUTE
+ORDER BY 1, 3
+"""
+
+# Strict contiguity == LEAD over (PARTITION BY key ORDER BY ts, event_id):
+# the next row per user IS the next pattern step; 6 h cap per step.
+_ORACLE["ev_match_pattern"] = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         LEAD(event_type, 1) OVER w AS t2, LEAD(event_type, 2) OVER w AS t3,
+         LEAD(ts, 1) OVER w AS ts2, LEAD(ts, 2) OVER w AS ts3,
+         LEAD(event_id, 1) OVER w AS id2, LEAD(event_id, 2) OVER w AS id3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, ts AS start_ts, ts3 AS end_ts,
+       event_id AS event_id_1, id2 AS event_id_2, id3 AS event_id_3
+FROM o
+WHERE event_type = 'view' AND t2 = 'purchase' AND t3 = 'view'
+  AND epoch_us(ts2) - epoch_us(ts) <= 21600000000
+  AND epoch_us(ts3) - epoch_us(ts2) <= 21600000000
+ORDER BY 1, 2, 4
 """
 
 # GPT-style sequence packing: concatenate docs in doc_id order, cut every 512

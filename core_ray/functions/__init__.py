@@ -34,6 +34,8 @@ from .similarity import (
     dedup_semantic,
 )
 from .join import hash_join
+from .temporal import asof_join, interval_join
+from .cep import match_pattern
 from .training import (
     decontaminate,
     pack_sequences,
@@ -69,6 +71,9 @@ __all__ = [
     "knn_ivf_indexed",
     "cosine_dup_pairs",
     "hash_join",
+    "asof_join",
+    "interval_join",
+    "match_pattern",
     "pack_sequences",
     "vocab_topk",
     "decontaminate",
