@@ -544,6 +544,69 @@ def _q_ev_match_pattern(sf):
     )
 
 
+def _q_ev_stream_pattern(sf):
+    """The STREAMING CEP path end to end: events staged as a ts-ordered file
+    stream, hash-routed to the pattern-actor pool, matches finalized as the
+    watermark passes them, state evicted at the horizon, committed
+    exactly-once, flushed at stream end — then the manifested output read
+    back.  Oracle: the same LEAD-window SQL as the batch op (the two paths
+    share the match kernel and must agree row for row)."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from core_ray.streaming import PatternConfig, StreamPatternJob, read_matches
+
+    tmp = "/tmp/graft_stream_pattern"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    ).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev[["user_id", "ts_us", "event_type", "event_id"]].sort_values(
+        "ts_us", kind="mergesort"
+    )
+    ind = f"{tmp}/in"
+    import os
+
+    os.makedirs(ind)
+    n_files = 6
+    step = (len(ev) + n_files - 1) // n_files
+    for i in range(n_files):
+        pq.write_table(
+            pa.Table.from_pandas(ev.iloc[i * step : (i + 1) * step], preserve_index=False),
+            f"{ind}/f{i:03d}.parquet",
+        )
+    StreamPatternJob(
+        PatternConfig(
+            in_dir=ind,
+            out_dir=f"{tmp}/out",
+            pattern=["view", "purchase", "view"],
+            within_us=6 * 3_600_000_000,
+            key_col="user_id",
+            ts_col="ts_us",
+            type_col="event_type",
+            tiebreak_col="event_id",
+            num_partitions=8,
+        )
+    ).run(resume=False)
+    df = read_matches(f"{tmp}/out").to_pandas()
+    out = pd.DataFrame(
+        {
+            "user_id": df["user_id"].astype("int64"),
+            "start_ts": df["start_ts_us"].astype("datetime64[us]"),
+            "end_ts": df["end_ts_us"].astype("datetime64[us]"),
+            "event_id_1": df["event_id_1"].astype("int64"),
+            "event_id_2": df["event_id_2"].astype("int64"),
+            "event_id_3": df["event_id_3"].astype("int64"),
+        }
+    ).sort_values(["user_id", "start_ts", "event_id_1"]).reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
 def _q_tok_pack_sequences(sf):
     from core_ray.functions import pack_sequences
 
@@ -1629,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_asof_join": _q_ev_asof_join,
         "ev_interval_join": _q_ev_interval_join,
         "ev_match_pattern": _q_ev_match_pattern,
+        "ev_stream_pattern": _q_ev_stream_pattern,
         "tok_pack_sequences": _q_tok_pack_sequences,
         "doc_vocab_topk": _q_doc_vocab_topk,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -3107,6 +3171,10 @@ WHERE event_type = 'view' AND t2 = 'purchase' AND t3 = 'view'
   AND epoch_us(ts3) - epoch_us(ts2) <= 21600000000
 ORDER BY 1, 2, 4
 """
+
+# The streaming CEP job over the staged monotone stream emits exactly the
+# batch match set (no late rows; terminal flush closes trailing matches).
+_ORACLE["ev_stream_pattern"] = _ORACLE["ev_match_pattern"]
 
 # GPT-style sequence packing: concatenate docs in doc_id order, cut every 512
 # tokens; one row per (doc, pack) span.  The engine's two-pass bucket prefix

@@ -28,6 +28,7 @@ Architecture (SURVEY.md §3, §7.2 step 3-5):
 
 from .job import StreamingJob, StreamConfig
 from .join import JoinConfig, StreamJoinJob, read_joined
+from .pattern import PatternConfig, StreamPatternJob, read_matches
 
 __all__ = [
     "StreamingJob",
@@ -35,4 +36,7 @@ __all__ = [
     "JoinConfig",
     "StreamJoinJob",
     "read_joined",
+    "PatternConfig",
+    "StreamPatternJob",
+    "read_matches",
 ]

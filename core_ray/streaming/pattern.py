@@ -327,4 +327,5 @@ def read_matches(out_dir: str):
                 files.append(os.path.join(part_dir, entry["file"]))
     if not files:
         return ray.data.from_items([])
-    return ray.data.read_parquet(files)
+    # partitioning=None: the part=N sink layout must not leak a hive column
+    return ray.data.read_parquet(files, partitioning=None)
