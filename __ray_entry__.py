@@ -615,6 +615,19 @@ def _q_tok_pack_sequences(sf):
     return pack_sequences(sf, cap=512)
 
 
+def _q_doc_lang_freq_sketch(sf):
+    """Misra-Gries heavy hitters over documents.lang with k=64 — more
+    counters than distinct languages, so no decrement fires and the summary
+    is PROVABLY exact (count_lo == count_hi == true count); the approximate
+    regime's guarantee is pinned by tests/test_sketches.py instead."""
+    import ray.data
+
+    from core_ray.functions import heavy_hitters
+
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["lang"])
+    return heavy_hitters(docs, "lang", k=64)
+
+
 def _q_doc_vocab_topk(sf):
     from core_ray.functions import vocab_topk
 
@@ -1695,6 +1708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_stream_pattern": _q_ev_stream_pattern,
         "tok_pack_sequences": _q_tok_pack_sequences,
         "doc_vocab_topk": _q_doc_vocab_topk,
+        "doc_lang_freq_sketch": _q_doc_lang_freq_sketch,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_sample_quota": _q_doc_sample_quota,
@@ -3190,6 +3204,14 @@ SELECT doc_id, CAST(p AS BIGINT) AS pack_id,
        CAST(LEAST((p+1)*512, cum) - GREATEST(p*512, cum - n_tok) AS BIGINT) AS n_in_pack
 FROM c, unnest(generate_series((cum - n_tok)//512, (cum-1)//512)) AS t(p)
 ORDER BY doc_id, pack_id
+"""
+
+# k=64 Misra-Gries with < 64 distinct values never decrements -> exact.
+_ORACLE["doc_lang_freq_sketch"] = """
+SELECT lang AS value, CAST(count(*) AS BIGINT) AS count_lo,
+       CAST(count(*) AS BIGINT) AS count_hi,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows
+FROM documents GROUP BY lang ORDER BY count_lo DESC, value
 """
 
 # Arrow utf8_split_whitespace == RE2 \s+ split on this corpus (ASCII); ties

@@ -36,6 +36,12 @@ from .similarity import (
 from .join import hash_join
 from .temporal import asof_join, interval_join
 from .cep import match_pattern
+from .sketches import (
+    approx_distinct,
+    approx_distinct_by,
+    approx_quantiles,
+    heavy_hitters,
+)
 from .training import (
     decontaminate,
     pack_sequences,
@@ -74,6 +80,10 @@ __all__ = [
     "asof_join",
     "interval_join",
     "match_pattern",
+    "approx_distinct",
+    "approx_distinct_by",
+    "approx_quantiles",
+    "heavy_hitters",
     "pack_sequences",
     "vocab_topk",
     "decontaminate",
