@@ -544,6 +544,32 @@ def _q_ev_match_pattern(sf):
     )
 
 
+def _q_ev_window_funcs(sf):
+    """Keyed analytic functions over the event stream: ROW_NUMBER, LAG,
+    running SUM and a 3-row rolling SUM per user — one hash shuffle, pandas
+    C groupby kernels per bucket.  Integer running/rolling sums keep the
+    oracle exact (< 2^53)."""
+    import ray.data
+
+    from core_ray.functions import keyed_window
+
+    ev = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return keyed_window(
+        ev,
+        key="user_id",
+        order="ts",
+        tiebreak="event_id",
+        specs=[
+            {"fn": "row_number", "name": "rn"},
+            {"fn": "lag", "col": "value", "n": 1, "name": "prev_value"},
+            {"fn": "cumsum", "col": "event_id", "name": "cum_eid"},
+            {"fn": "rolling_sum", "col": "event_id", "n": 3, "name": "roll3"},
+        ],
+    )
+
+
 def _q_ev_stream_pattern(sf):
     """The STREAMING CEP path end to end: events staged as a ts-ordered file
     stream, hash-routed to the pattern-actor pool, matches finalized as the
@@ -1706,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_interval_join": _q_ev_interval_join,
         "ev_match_pattern": _q_ev_match_pattern,
         "ev_stream_pattern": _q_ev_stream_pattern,
+        "ev_window_funcs": _q_ev_window_funcs,
         "tok_pack_sequences": _q_tok_pack_sequences,
         "doc_vocab_topk": _q_doc_vocab_topk,
         "doc_lang_freq_sketch": _q_doc_lang_freq_sketch,
@@ -3184,6 +3211,19 @@ WHERE event_type = 'view' AND t2 = 'purchase' AND t3 = 'view'
   AND epoch_us(ts2) - epoch_us(ts) <= 21600000000
   AND epoch_us(ts3) - epoch_us(ts2) <= 21600000000
 ORDER BY 1, 2, 4
+"""
+
+# Window frames: SQL's default growing frame at the partition head equals
+# rolling(min_periods=1); integer sums keep every value exact.
+_ORACLE["ev_window_funcs"] = """
+SELECT event_id, ts, user_id, value,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       lag(value, 1) OVER w AS prev_value,
+       CAST(SUM(event_id) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_eid,
+       CAST(SUM(event_id) OVER (w ROWS 2 PRECEDING) AS DOUBLE) AS roll3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
 """
 
 # The streaming CEP job over the staged monotone stream emits exactly the

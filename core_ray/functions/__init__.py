@@ -36,6 +36,7 @@ from .similarity import (
 from .join import hash_join
 from .temporal import asof_join, interval_join
 from .cep import match_pattern
+from .window import keyed_window
 from .sketches import (
     approx_distinct,
     approx_distinct_by,
@@ -80,6 +81,7 @@ __all__ = [
     "asof_join",
     "interval_join",
     "match_pattern",
+    "keyed_window",
     "approx_distinct",
     "approx_distinct_by",
     "approx_quantiles",

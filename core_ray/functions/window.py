@@ -1,0 +1,101 @@
+"""Generic keyed analytic (window) functions — the distributed form of SQL's
+``fn() OVER (PARTITION BY key ORDER BY order, tiebreak)``.
+
+Same partitioning scheme as `asof_join`/`match_pattern`: ONE Arrow-tagged
+hash shuffle co-locates each key's full history in one bucket task; inside
+the bucket every kernel is a pandas C groupby primitive (cumsum / cummax /
+shift / rolling) over the factorized key codes — no per-row Python.
+
+Supported specs (dicts):
+  {"fn": "row_number",            "name": ...}
+  {"fn": "lag"|"lead", "col": c, "n": 1, "name": ...}
+  {"fn": "cumsum"|"cummax"|"cummin"|"cumcount", "col": c, "name": ...}
+  {"fn": "rolling_sum"|"rolling_mean", "col": c, "n": N, "name": ...}
+    (ROWS N-1 PRECEDING .. CURRENT ROW, min_periods=1 — SQL's default
+     growing frame at the partition head)
+
+Partitioning assumption: one key's history fits in one bucket task — raise
+``num_buckets`` for smaller buckets; a single pathological hot key needs the
+time-sliced carry-in treatment documented in `temporal.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_FNS = {
+    "row_number",
+    "lag",
+    "lead",
+    "cumsum",
+    "cummax",
+    "cummin",
+    "cumcount",
+    "rolling_sum",
+    "rolling_mean",
+}
+
+
+def keyed_window(
+    ds: ray.data.Dataset,
+    key: str,
+    order: str,
+    specs: list[dict],
+    tiebreak: str | None = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Append analytic columns per ``specs``; input rows pass through with
+    their original columns plus one new column per spec."""
+    for s in specs:
+        if s.get("fn") not in _FNS:
+            raise ValueError(f"unknown window fn {s.get('fn')!r}")
+        if "name" not in s:
+            raise ValueError(f"spec needs a name: {s}")
+        if s["fn"] != "row_number" and "col" not in s:
+            raise ValueError(f"spec needs col: {s}")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (
+            pd.util.hash_pandas_object(
+                pd.Series(t[key].to_numpy(zero_copy_only=False)), index=False
+            ).to_numpy()
+            % num_buckets
+        ).astype(np.int64)
+        return t.append_column("_bucket", pa.array(b))
+
+    sort_cols = [key, order] + ([tiebreak] if tiebreak else [])
+
+    def compute(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_bucket"]).sort_by([(c, "ascending") for c in sort_cols])
+        df = t.to_pandas()
+        kcodes, _ = pd.factorize(df[key].to_numpy())
+        g = df.groupby(kcodes, sort=False)
+        for s in specs:
+            fn, name = s["fn"], s["name"]
+            if fn == "row_number":
+                df[name] = g.cumcount().to_numpy() + 1
+            elif fn in ("lag", "lead"):
+                n = int(s.get("n", 1))
+                df[name] = g[s["col"]].shift(n if fn == "lag" else -n).to_numpy()
+            elif fn == "cumcount":
+                df[name] = g[s["col"]].cumcount().to_numpy() + 1
+            elif fn in ("cumsum", "cummax", "cummin"):
+                df[name] = getattr(g[s["col"]], fn)().to_numpy()
+            else:  # rolling_sum / rolling_mean
+                n = int(s["n"])
+                r = g[s["col"]].rolling(n, min_periods=1)
+                vals = (r.sum() if fn == "rolling_sum" else r.mean()).reset_index(
+                    level=0, drop=True
+                )
+                df[name] = vals.sort_index().to_numpy()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(compute, batch_format="pyarrow")
+    )

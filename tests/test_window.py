@@ -1,0 +1,78 @@
+"""keyed_window: SQL-window semantics per kernel, key-boundary isolation,
+partitioning invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from core_ray.functions import keyed_window
+
+
+def _df():
+    return pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3],
+            "o": [10, 20, 30, 10, 20, 10],
+            "id": [0, 1, 2, 3, 4, 5],
+            "v": [2.0, 4.0, 6.0, 10.0, 20.0, 7.0],
+        }
+    )
+
+
+def _run(specs, blocks=3):
+    ds = ray.data.from_pandas(_df()).repartition(blocks)
+    out = keyed_window(ds, key="k", order="o", tiebreak="id", specs=specs)
+    return out.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+
+
+def test_row_number_and_lag_lead_respect_keys():
+    out = _run(
+        [
+            {"fn": "row_number", "name": "rn"},
+            {"fn": "lag", "col": "v", "n": 1, "name": "prev"},
+            {"fn": "lead", "col": "v", "n": 1, "name": "nxt"},
+        ]
+    )
+    assert out["rn"].tolist() == [1, 2, 3, 1, 2, 1]
+    assert out["prev"].tolist()[:3] == [pytest.approx(np.nan, nan_ok=True), 2.0, 4.0]
+    assert np.isnan(out["prev"].iloc[3])  # key 2 head: no spill from key 1
+    assert out["nxt"].tolist()[0:2] == [4.0, 6.0]
+    assert np.isnan(out["nxt"].iloc[2])  # key 1 tail: no spill from key 2
+
+
+def test_cumulatives_and_rolling():
+    out = _run(
+        [
+            {"fn": "cumsum", "col": "v", "name": "cs"},
+            {"fn": "cummax", "col": "v", "name": "cm"},
+            {"fn": "cummin", "col": "v", "name": "cn"},
+            {"fn": "rolling_sum", "col": "v", "n": 2, "name": "r2"},
+            {"fn": "rolling_mean", "col": "v", "n": 2, "name": "m2"},
+        ]
+    )
+    assert out["cs"].tolist() == [2.0, 6.0, 12.0, 10.0, 30.0, 7.0]
+    assert out["cm"].tolist() == [2.0, 4.0, 6.0, 10.0, 20.0, 7.0]
+    assert out["cn"].tolist() == [2.0, 2.0, 2.0, 10.0, 10.0, 7.0]
+    # growing frame at the head (min_periods=1), then 2-row window
+    assert out["r2"].tolist() == [2.0, 6.0, 10.0, 10.0, 30.0, 7.0]
+    assert out["m2"].tolist() == [2.0, 3.0, 5.0, 10.0, 15.0, 7.0]
+
+
+def test_partitioning_invariant():
+    specs = [
+        {"fn": "row_number", "name": "rn"},
+        {"fn": "cumsum", "col": "v", "name": "cs"},
+        {"fn": "rolling_sum", "col": "v", "n": 3, "name": "r3"},
+    ]
+    a = _run(specs, blocks=1)
+    b = _run(specs, blocks=6)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bad_spec_raises():
+    ds = ray.data.from_pandas(_df())
+    with pytest.raises(ValueError, match="unknown window fn"):
+        keyed_window(ds, "k", "o", [{"fn": "median", "name": "x"}])
+    with pytest.raises(ValueError, match="needs col"):
+        keyed_window(ds, "k", "o", [{"fn": "lag", "name": "x"}])
