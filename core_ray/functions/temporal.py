@@ -55,6 +55,7 @@ def asof_join(
     keep_right_on: str | None = None,
     right_tiebreak: str | None = None,
     num_buckets: int = 32,
+    broadcast_threshold_bytes: int = 64 << 20,
 ) -> ray.data.Dataset:
     """Distributed as-of join: for each left row, attach the right row with
     equal ``by`` and the nearest ``on`` in ``direction`` (backward = greatest
@@ -75,6 +76,12 @@ def asof_join(
     wins, matching a ``QUALIFY row_number() OVER (PARTITION BY by, on ORDER
     BY tiebreak DESC) = 1`` pre-dedup in SQL) — without it, ties resolve by
     input block order.
+
+    Broadcast fast path (hash_join's autoBroadcast rule): a right side whose
+    metadata size is provably under ``broadcast_threshold_bytes`` is sorted
+    once, shipped via ``ray.put``, and merge_asof'd inside ``map_batches``
+    with NO shuffle — the reference-curve-lookup shape (huge probe stream x
+    small calibration table).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"bad direction {direction!r}")
@@ -101,6 +108,61 @@ def asof_join(
     types.update(_types(right))
     all_cols = lcols + [c for c in rcols if c not in lcols]
 
+    on_is_ts = pa.types.is_timestamp(types[on])
+    tol = None
+    if tolerance_us is not None:
+        tol = pd.Timedelta(tolerance_us, _US) if on_is_ts else tolerance_us
+    r_payload = [c for c in rcols if c not in (on, by)]
+
+    def _prep_right(rf: pd.DataFrame) -> pd.DataFrame:
+        rf = rf.sort_values(
+            [on] + ([right_tiebreak] if right_tiebreak else []),
+            kind="stable",
+            ignore_index=True,
+        )
+        if keep_right_on is not None:
+            rf[keep_right_on] = rf[on]
+        rf["_matched"] = np.int8(1)
+        return rf
+
+    def _merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pa.Table:
+        """lf pre-sorted by on; rf through _prep_right."""
+        if lf.empty:
+            out = lf.copy()
+            for c in ([keep_right_on] if keep_right_on else []) + r_payload:
+                out[c] = rf[c].iloc[:0]
+            return pa.Table.from_pandas(out, preserve_index=False)
+        merged = pd.merge_asof(
+            lf,
+            rf,
+            on=on,
+            by=by,
+            direction=direction,
+            tolerance=tol,
+            allow_exact_matches=True,
+        )
+        if how == "inner":
+            merged = merged[merged["_matched"].notna()]
+        return pa.Table.from_pandas(
+            merged.drop(columns=["_matched"]), preserve_index=False
+        )
+
+    try:
+        rsize = right.size_bytes()
+    except Exception:
+        rsize = None
+    if rsize is not None and 0 < rsize <= broadcast_threshold_bytes:
+        import ray as _ray
+
+        rf_b = _prep_right(right.to_pandas())
+        ref = _ray.put(rf_b)
+
+        def bcast(t: pa.Table) -> pa.Table:
+            lf = t.to_pandas().sort_values(on, kind="stable", ignore_index=True)
+            return _merge(lf, _ray.get(ref))
+
+        return left.map_batches(bcast, batch_format="pyarrow")
+
     def tag(side: int, cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             n = len(t)
@@ -122,12 +184,6 @@ def asof_join(
         right.map_batches(tag(1, rcols), batch_format="pyarrow")
     )
 
-    on_is_ts = pa.types.is_timestamp(types[on])
-    tol = None
-    if tolerance_us is not None:
-        tol = pd.Timedelta(tolerance_us, _US) if on_is_ts else tolerance_us
-    r_payload = [c for c in rcols if c not in (on, by)]
-
     def join_bucket(t: pa.Table) -> pa.Table:
         lf = (
             t.filter(pc.equal(t["_side"], 0))
@@ -135,39 +191,8 @@ def asof_join(
             .to_pandas()
             .sort_values(on, kind="stable", ignore_index=True)
         )
-        rf = (
-            t.filter(pc.equal(t["_side"], 1))
-            .select(rcols)
-            .to_pandas()
-            .sort_values(
-                [on] + ([right_tiebreak] if right_tiebreak else []),
-                kind="stable",
-                ignore_index=True,
-            )
-        )
-        if keep_right_on is not None:
-            rf[keep_right_on] = rf[on]
-        if lf.empty:
-            # merge_asof output schema for zero left rows, built explicitly
-            out = lf.copy()
-            for c in ([keep_right_on] if keep_right_on else []) + r_payload:
-                out[c] = rf[c].iloc[:0]
-            return pa.Table.from_pandas(out, preserve_index=False)
-        rf["_matched"] = np.int8(1)
-        merged = pd.merge_asof(
-            lf,
-            rf,
-            on=on,
-            by=by,
-            direction=direction,
-            tolerance=tol,
-            allow_exact_matches=True,
-        )
-        if how == "inner":
-            merged = merged[merged["_matched"].notna()]
-        return pa.Table.from_pandas(
-            merged.drop(columns=["_matched"]), preserve_index=False
-        )
+        rf = _prep_right(t.filter(pc.equal(t["_side"], 1)).select(rcols).to_pandas())
+        return _merge(lf, rf)
 
     return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
@@ -185,6 +210,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     granularity_us: int,
+    broadcast_threshold_bytes: int = 64 << 20,
 ) -> ray.data.Dataset:
     """Distributed inner interval join: point rows matched to every interval
     row with ``start <= t <= end`` (inclusive both ends, ``BETWEEN`` parity).
@@ -201,6 +227,12 @@ def interval_join(
     Empty-side cells short-circuit.  Inclusive-end note: an interval whose
     end lands exactly on a cell boundary is replicated into that boundary
     cell so ``t == end`` still meets it.
+
+    Broadcast fast path: an interval side provably under
+    ``broadcast_threshold_bytes`` is expanded to a sorted (cell ->
+    interval-index) map once, shipped via ``ray.put``, and probed per point
+    batch with two searchsorteds — NO shuffle (the maintenance-windows /
+    calendar-dimension shape).
     """
     if granularity_us <= 0:
         raise ValueError("granularity_us must be positive")
@@ -211,6 +243,49 @@ def interval_join(
         raise ValueError(f"column collision across sides: {sorted(overlap)}")
 
     g = granularity_us
+
+    try:
+        isize = intervals.size_bytes()
+    except Exception:
+        isize = None
+    if isize is not None and 0 < isize <= broadcast_threshold_bytes:
+        import ray as _ray
+
+        itab = pa.Table.from_pandas(intervals.to_pandas(), preserve_index=False)
+        s_all = _to_us(itab[start_col])
+        e_all = _to_us(itab[end_col])
+        cs, ce = s_all // g, e_all // g
+        n_cells = np.maximum(ce - cs + 1, 0)
+        rep_idx = np.repeat(np.arange(len(itab), dtype=np.int64), n_cells)
+        if len(rep_idx):
+            starts = np.repeat(cs, n_cells)
+            run_base = np.repeat(np.cumsum(n_cells) - n_cells, n_cells)
+            rep_cell = starts + (np.arange(len(rep_idx)) - run_base)
+            order = np.argsort(rep_cell, kind="stable")
+            rep_cell, rep_idx = rep_cell[order], rep_idx[order]
+        else:
+            rep_cell = rep_idx
+        ref = _ray.put((rep_cell, rep_idx, s_all, e_all, itab))
+
+        def probe(t: pa.Table) -> pa.Table:
+            rc, ri, s_a, e_a, it = _ray.get(ref)
+            tv = _to_us(t[point_ts])
+            cell = tv // g
+            lo = np.searchsorted(rc, cell, "left")
+            hi = np.searchsorted(rc, cell, "right")
+            cnt = hi - lo
+            pi = np.repeat(np.arange(len(t), dtype=np.int64), cnt)
+            base = np.repeat(np.cumsum(cnt) - cnt, cnt)
+            pos = np.repeat(lo, cnt) + (np.arange(len(pi)) - base)
+            ii = ri[pos]
+            ok = (tv[pi] >= s_a[ii]) & (tv[pi] <= e_a[ii])
+            pi, ii = pi[ok], ii[ok]
+            out = t.take(pa.array(pi))
+            for c in icols:
+                out = out.append_column(c, it[c].take(pa.array(ii)))
+            return out
+
+        return points.map_batches(probe, batch_format="pyarrow")
 
     def tag_points(t: pa.Table) -> pa.Table:
         cell = _to_us(t[point_ts]) // g

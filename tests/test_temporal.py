@@ -39,10 +39,12 @@ def sides():
     return left, right
 
 
-def test_asof_backward_left(sides):
+@pytest.mark.parametrize("thresh", [0, 64 << 20], ids=["shuffle", "broadcast"])
+def test_asof_backward_left(sides, thresh):
     left, right = sides
     out = (
-        asof_join(_ds(left), _ds(right), on="ts", by="k", keep_right_on="rts")
+        asof_join(_ds(left), _ds(right), on="ts", by="k", keep_right_on="rts",
+                  broadcast_threshold_bytes=thresh)
         .to_pandas()
         .sort_values("lid")
         .reset_index(drop=True)
@@ -108,7 +110,8 @@ def test_asof_collision_raises(sides):
         asof_join(_ds(left), _ds(bad), on="ts", by="k")
 
 
-def test_interval_join_inclusive_bounds_and_overlap():
+@pytest.mark.parametrize("thresh", [0, 64 << 20], ids=["shuffle", "broadcast"])
+def test_interval_join_inclusive_bounds_and_overlap(thresh):
     points = pd.DataFrame(
         {
             "pid": [1, 2, 3, 4],
@@ -132,6 +135,7 @@ def test_interval_join_inclusive_bounds_and_overlap():
     out = interval_join(
         _ds(points), _ds(intervals, blocks=2), "t", "s", "e",
         granularity_us=15 * 60 * 1_000_000,  # cells smaller than intervals
+        broadcast_threshold_bytes=thresh,
     ).to_pandas()
     pairs = set(zip(out["pid"], out["iid"]))
     # pid1: start boundary of 100 only; pid2: inside both; pid3: END boundary
@@ -157,6 +161,55 @@ def test_interval_join_empty_sides():
         "t", "s", "e", granularity_us=3_600_000_000,
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_broadcast_equals_shuffle_random():
+    """Both asof paths and both interval paths agree on random data."""
+    rng = np.random.default_rng(12)
+    n = 3000
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, n),
+            "ts": rng.integers(0, 10_000_000, n).astype("int64"),
+            "lid": np.arange(n),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 30, 500),
+            "ts": rng.integers(0, 10_000_000, 500).astype("int64"),
+            "v": rng.normal(size=500),
+        }
+    )
+
+    def run_asof(th):
+        out = asof_join(
+            _ds(left), _ds(right), on="ts", by="k", how="inner",
+            right_tiebreak="v", broadcast_threshold_bytes=th,
+        ).to_pandas()
+        return out.sort_values(["lid"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run_asof(0), run_asof(64 << 20))
+
+    pts = pd.DataFrame({"pid": np.arange(n), "t": left["ts"].to_numpy()})
+    ivs = pd.DataFrame(
+        {
+            "iid": np.arange(200),
+            "s": rng.integers(0, 9_000_000, 200).astype("int64"),
+        }
+    )
+    ivs["e"] = ivs["s"] + rng.integers(1, 400_000, 200)
+
+    def run_iv(th):
+        out = interval_join(
+            _ds(pts), _ds(ivs, blocks=2), "t", "s", "e",
+            granularity_us=250_000, broadcast_threshold_bytes=th,
+        ).to_pandas()
+        return out.sort_values(["pid", "iid"]).reset_index(drop=True)
+
+    a, b = run_iv(0), run_iv(64 << 20)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_match_pattern_contiguity_within_overlap():
