@@ -480,6 +480,8 @@ def _q_ev_asof_join(sf):
     purch = _ev_typed(
         sf, "purchase", ["user_id", "ts", "value"], {"value": "p_value"}
     )
+    # threshold 0: grade the SHUFFLE path (the 100-TB shape); the broadcast
+    # fast path is pinned equivalent in tests/test_temporal.py
     return asof_join(
         clicks,
         purch,
@@ -488,6 +490,7 @@ def _q_ev_asof_join(sf):
         how="inner",
         keep_right_on="p_ts",
         right_tiebreak="p_value",
+        broadcast_threshold_bytes=0,
     )
 
 
@@ -517,8 +520,11 @@ def _q_ev_interval_join(sf):
         return t.select(["window_id", "start_ts", "end_ts"])
 
     intervals = errs.map_batches(widen, batch_format="pyarrow")
+    # threshold 0: grade the SHUFFLE path (the 100-TB shape); broadcast
+    # equivalence is pinned in tests/test_temporal.py
     return interval_join(
-        points, intervals, "p_ts", "start_ts", "end_ts", granularity_us=30 * 60 * 1_000_000
+        points, intervals, "p_ts", "start_ts", "end_ts",
+        granularity_us=30 * 60 * 1_000_000, broadcast_threshold_bytes=0,
     )
 
 
@@ -639,6 +645,26 @@ def _q_tok_pack_sequences(sf):
     # concat-and-cut packing over the doc stream (n_chars as the per-doc
     # token count); two-pass exclusive prefix scan, one shuffle
     return pack_sequences(sf, cap=512)
+
+
+def _q_doc_byte_pair_counts(sf):
+    """One BPE counting round over the corpus at byte level: text -> byte
+    tokens straight off the string buffers, adjacent-pair partials per
+    batch, small pair-key groupby, top 50.  Exact oracle: the corpus is
+    pure ASCII, so DuckDB's char-wise ascii(substring(...)) equals the
+    engine's byte pairs."""
+    import ray.data
+
+    from core_ray.functions import pair_counts, text_to_byte_tokens
+
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+
+    def tok(t):
+        import pyarrow as pa
+
+        return pa.table({"tokens": text_to_byte_tokens(t["text"])})
+
+    return pair_counts(docs.map_batches(tok, batch_format="pyarrow"), "tokens", k=50)
 
 
 def _q_doc_lang_freq_sketch(sf):
@@ -1736,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tok_pack_sequences": _q_tok_pack_sequences,
         "doc_vocab_topk": _q_doc_vocab_topk,
         "doc_lang_freq_sketch": _q_doc_lang_freq_sketch,
+        "doc_byte_pair_counts": _q_doc_byte_pair_counts,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_sample_quota": _q_doc_sample_quota,
@@ -3244,6 +3271,19 @@ SELECT doc_id, CAST(p AS BIGINT) AS pack_id,
        CAST(LEAST((p+1)*512, cum) - GREATEST(p*512, cum - n_tok) AS BIGINT) AS n_in_pack
 FROM c, unnest(generate_series((cum - n_tok)//512, (cum-1)//512)) AS t(p)
 ORDER BY doc_id, pack_id
+"""
+
+# Corpus is pure ASCII (length == strlen for every row), so char-wise
+# ascii(substring) == the engine's byte pairs; ties cut by (first, second).
+_ORACLE["doc_byte_pair_counts"] = """
+WITH p AS (
+  SELECT ascii(substring(text, i, 1)) AS f, ascii(substring(text, i + 1, 1)) AS s
+  FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 2
+)
+SELECT CAST(f AS BIGINT) AS first, CAST(s AS BIGINT) AS second,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY 1, 2 ORDER BY cnt DESC, first, second LIMIT 50
 """
 
 # k=64 Misra-Gries with < 64 distinct values never decrements -> exact.

@@ -37,6 +37,13 @@ from .join import hash_join
 from .temporal import asof_join, interval_join
 from .cep import match_pattern
 from .window import keyed_window
+from .bpe import (
+    apply_merge,
+    pair_counts,
+    text_to_byte_tokens,
+    top_pair,
+    train_merges,
+)
 from .sketches import (
     approx_distinct,
     approx_distinct_by,
@@ -82,6 +89,11 @@ __all__ = [
     "interval_join",
     "match_pattern",
     "keyed_window",
+    "pair_counts",
+    "top_pair",
+    "apply_merge",
+    "train_merges",
+    "text_to_byte_tokens",
     "approx_distinct",
     "approx_distinct_by",
     "approx_quantiles",
