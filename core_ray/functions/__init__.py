@@ -34,6 +34,7 @@ from .similarity import (
     dedup_semantic,
 )
 from .join import hash_join
+from .quantization import knn_pq, knn_pq_refined, pq_encode, train_pq
 from .temporal import asof_join, interval_join
 from .cep import match_pattern
 from .window import keyed_window
@@ -84,6 +85,10 @@ __all__ = [
     "load_ivf_centroids",
     "knn_ivf_indexed",
     "cosine_dup_pairs",
+    "train_pq",
+    "pq_encode",
+    "knn_pq",
+    "knn_pq_refined",
     "hash_join",
     "asof_join",
     "interval_join",
