@@ -647,6 +647,44 @@ def _q_tok_pack_sequences(sf):
     return pack_sequences(sf, cap=512)
 
 
+def _q_rel_bucketed_join(sf):
+    """The persisted-bucket-layout join: orders and customer written
+    hash-bucketed by custkey ONCE (the layout a 100-TB fact table keeps),
+    then joined with ZERO shuffle — the work plan is just the bucket-id
+    list, each task reads its two co-located bucket dirs and runs one local
+    C join.  Oracle: the plain SQL equi-join."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from core_ray.functions import bucketed_join, write_bucketed
+
+    tmp = "/tmp/graft_bucketed"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def renamed(path, cols, key_from):
+        ds = ray.data.read_parquet(path, columns=cols)
+        return ds.map_batches(
+            lambda t: t.rename_columns(
+                ["custkey" if c == key_from else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+
+    orders = renamed(
+        f"{sf}/orders.parquet", ["o_custkey", "o_orderkey", "o_totalprice"],
+        "o_custkey",
+    )
+    cust = renamed(
+        f"{sf}/customer.parquet", ["c_custkey", "c_name", "c_acctbal"], "c_custkey"
+    )
+    write_bucketed(orders, f"{tmp}/orders", "custkey", num_buckets=16)
+    write_bucketed(cust, f"{tmp}/customer", "custkey", num_buckets=16)
+    return bucketed_join(f"{tmp}/orders", f"{tmp}/customer", how="inner")
+
+
 def _q_doc_byte_pair_counts(sf):
     """One BPE counting round over the corpus at byte level: text -> byte
     tokens straight off the string buffers, adjacent-pair partials per
@@ -1763,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_topk": _q_doc_vocab_topk,
         "doc_lang_freq_sketch": _q_doc_lang_freq_sketch,
         "doc_byte_pair_counts": _q_doc_byte_pair_counts,
+        "rel_bucketed_join": _q_rel_bucketed_join,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_sample_quota": _q_doc_sample_quota,
@@ -3271,6 +3310,13 @@ SELECT doc_id, CAST(p AS BIGINT) AS pack_id,
        CAST(LEAST((p+1)*512, cum) - GREATEST(p*512, cum - n_tok) AS BIGINT) AS n_in_pack
 FROM c, unnest(generate_series((cum - n_tok)//512, (cum-1)//512)) AS t(p)
 ORDER BY doc_id, pack_id
+"""
+
+_ORACLE["rel_bucketed_join"] = """
+SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
+       c.c_name, c.c_acctbal
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY 1, 2
 """
 
 # Corpus is pure ASCII (length == strlen for every row), so char-wise

@@ -35,6 +35,7 @@ from .similarity import (
 )
 from .join import hash_join
 from .quantization import knn_pq, knn_pq_refined, pq_encode, train_pq
+from .bucketed import bucketed_join, read_bucket_meta, write_bucketed
 from .temporal import asof_join, interval_join
 from .cep import match_pattern
 from .window import keyed_window
@@ -90,6 +91,9 @@ __all__ = [
     "knn_pq",
     "knn_pq_refined",
     "hash_join",
+    "write_bucketed",
+    "bucketed_join",
+    "read_bucket_meta",
     "asof_join",
     "interval_join",
     "match_pattern",
