@@ -746,6 +746,15 @@ def _q_doc_pii_scrub(sf):
     return pii_scrub(sf, patterns=_PII_PATTERNS_Q)
 
 
+def _q_doc_sample_mink(sf):
+    """Deterministic bottom-k uniform sample: k smallest DuckDB-hash
+    priorities win — identical across reruns, shardings and cluster sizes,
+    and SQL-verifiable by construction."""
+    from core_ray.functions import sample_min_k
+
+    return sample_min_k(sf, k=100, columns=["doc_id", "source"])
+
+
 def _q_doc_sample_quota(sf):
     from core_ray.functions import sample_quota
 
@@ -1805,6 +1814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_sample_quota": _q_doc_sample_quota,
+        "doc_sample_mink": _q_doc_sample_mink,
     }
 
 
@@ -3336,9 +3346,10 @@ FROM p GROUP BY 1, 2 ORDER BY cnt DESC, first, second LIMIT 50
 _ORACLE["doc_lang_freq_sketch"] = """
 SELECT lang AS value, CAST(count(*) AS BIGINT) AS count_lo,
        CAST(count(*) AS BIGINT) AS count_hi,
-       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows
+       (SELECT CAST(count(lang) AS BIGINT) FROM documents) AS n_rows
 FROM documents GROUP BY lang ORDER BY count_lo DESC, value
 """
+# count(lang), not count(*): the Misra-Gries n counts ITEMS (non-null)
 
 # Arrow utf8_split_whitespace == RE2 \s+ split on this corpus (ASCII); ties
 # below rank k cut deterministically by (cnt DESC, word ASC) on both sides
@@ -3393,6 +3404,12 @@ _ORACLE["doc_sample_quota"] = """
 SELECT doc_id, source FROM documents
 WHERE hash(doc_id) % 1000 < (CAST(substr(source, 4) AS BIGINT) * 53) % 1000
 ORDER BY doc_id
+"""
+
+# bottom-k by DuckDB's own hash: both sides compare UNSIGNED priorities
+_ORACLE["doc_sample_mink"] = """
+SELECT doc_id, source FROM documents
+ORDER BY hash(doc_id), doc_id LIMIT 100
 """
 
 

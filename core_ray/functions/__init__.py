@@ -56,6 +56,7 @@ from .training import (
     decontaminate,
     pack_sequences,
     pii_scrub,
+    sample_min_k,
     sample_quota,
     vocab_topk,
 )
@@ -112,4 +113,5 @@ __all__ = [
     "decontaminate",
     "pii_scrub",
     "sample_quota",
+    "sample_min_k",
 ]

@@ -51,7 +51,13 @@ def text_to_byte_tokens(col: pa.ChunkedArray | pa.Array) -> pa.ListArray:
     tokenization every BPE vocabulary starts from, zero row loops."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
+        off_dtype = np.int64  # large_* offsets are 64-bit
+    elif pa.types.is_string(col.type) or pa.types.is_binary(col.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"expected a (large_)string/binary column, got {col.type}")
+    off = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
         col.offset : col.offset + len(col) + 1
     ].astype(np.int64)
     data = np.frombuffer(col.buffers()[2], dtype=np.uint8)

@@ -26,14 +26,10 @@ import pyarrow as pa
 
 import ray.data
 
+from .temporal import _bucket_of  # the ONE bucket hash all layouts share
+
 _META = "_bucket_meta.json"
 _HASH_KIND = "pandas_hash_v1"
-
-
-def _bucket_of(series: pd.Series, num_buckets: int) -> np.ndarray:
-    return (
-        pd.util.hash_pandas_object(series, index=False).to_numpy() % num_buckets
-    ).astype(np.int64)
 
 
 def write_bucketed(
@@ -82,7 +78,13 @@ def bucketed_join(
 
     Skew note: a hot key concentrates one bucket's task; re-bucket with a
     larger ``num_buckets`` (one shuffle) if a bucket outgrows task memory.
+
+    ``how`` is inner or left; for a right join swap the arguments, for full
+    outer compose left + an anti-joined right (kept explicit rather than
+    silently mishandling buckets absent on one side).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     lm, rm = read_bucket_meta(left_dir), read_bucket_meta(right_dir)
     if (
         lm["key"] != rm["key"]
@@ -106,6 +108,7 @@ def bucketed_join(
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
     out_fields = list(ls) + [f for f in rs if f.name != key]
+    out_schema = pa.schema(out_fields)
     empty = pa.table({f.name: pa.nulls(0, f.type) for f in out_fields})
     r_null_cols = {f.name: f.type for f in rs if f.name != key}
 
@@ -116,20 +119,25 @@ def bucketed_join(
             rf = _bucket_files(right_dir, b)
             if not lf or (how == "inner" and not rf):
                 continue
-            ldf = pa.concat_tables([pq.read_table(f) for f in lf]).to_pandas()
+            lt = pa.concat_tables([pq.read_table(f) for f in lf])
             if rf:
-                rdf = pa.concat_tables([pq.read_table(f) for f in rf]).to_pandas()
-                m = ldf.merge(rdf, on=key, how=how)
-            else:  # left join, absent right bucket: null right columns
-                m = ldf.copy()
-                for c, ty in r_null_cols.items():
-                    m[c] = pa.nulls(len(m), ty).to_pandas()
-            if len(m):
-                outs.append(
-                    pa.Table.from_pandas(m, preserve_index=False).select(
-                        [f.name for f in out_fields]
+                rt = pa.concat_tables([pq.read_table(f) for f in rf])
+                if how == "left":
+                    # ArrowDtype keeps int payloads nullable through the
+                    # merge: unmatched rows get real nulls, not float NaN
+                    m = lt.to_pandas(types_mapper=pd.ArrowDtype).merge(
+                        rt.to_pandas(types_mapper=pd.ArrowDtype), on=key, how="left"
                     )
-                )
+                else:
+                    m = lt.to_pandas().merge(rt.to_pandas(), on=key, how="inner")
+                if not len(m):
+                    continue
+                t = pa.Table.from_pandas(m, preserve_index=False)
+            else:  # left join, absent right bucket: null right columns IN ARROW
+                t = lt
+                for c, ty in r_null_cols.items():
+                    t = t.append_column(c, pa.nulls(len(t), ty))
+            outs.append(t.select(out_schema.names).cast(out_schema))
         return pa.concat_tables(outs) if outs else empty
 
     plan = ray.data.from_items([{"b": b} for b in range(nb)]).repartition(nb)

@@ -96,7 +96,9 @@ def _adc_table(query: np.ndarray, books: np.ndarray) -> np.ndarray:
 def _codes_matrix(t: pa.Table) -> np.ndarray:
     col = t["code"].combine_chunks()
     m = len(col[0])
-    return col.values.to_numpy(zero_copy_only=False).reshape(len(t), m)
+    # flatten() windows a sliced ListArray to its own values (plain .values
+    # would cover the parent block and break the reshape)
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(len(t), m)
 
 
 def knn_pq(
@@ -120,9 +122,11 @@ def knn_pq(
         lut = ray.get(lut_ref)
         c = _codes_matrix(t)
         d = lut[np.arange(c.shape[1])[None, :], c].sum(axis=1)
-        keep = np.argsort(d, kind="stable")[:k]
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)[keep]
-        return pa.table({"vec_id": pa.array(ids), "adc": pa.array(d[keep])})
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        # ADC is discrete over 2^nbits codes, so k-th-boundary ties are
+        # common: break by vec_id so the cut is partition-order invariant
+        keep = np.lexsort((ids, d))[:k]
+        return pa.table({"vec_id": pa.array(ids[keep]), "adc": pa.array(d[keep])})
 
     return (
         codes.map_batches(score, batch_format="pyarrow")

@@ -240,7 +240,8 @@ def approx_quantiles(
 
 class MGSummary:
     """Misra-Gries summary: at most k counters; decrement-all when full.
-    After processing n rows, every value with true frequency > n/(k+1) is
+    After processing n ITEMS (non-null values — nulls are not items and do
+    not count toward n), every value with true frequency > n/(k+1) is
     present, and true_count ∈ [count, count + err]."""
 
     __slots__ = ("k", "counts", "decremented", "n")

@@ -147,10 +147,14 @@ def asof_join(
             merged.drop(columns=["_matched"]), preserve_index=False
         )
 
-    try:
-        rsize = right.size_bytes()
-    except Exception:
-        rsize = None
+    # threshold 0 must not probe: Dataset.size_bytes() can EXECUTE a derived
+    # pipeline just to answer, which defeats the explicit shuffle opt-out
+    rsize = None
+    if broadcast_threshold_bytes > 0:
+        try:
+            rsize = right.size_bytes()
+        except Exception:
+            rsize = None
     if rsize is not None and 0 < rsize <= broadcast_threshold_bytes:
         import ray as _ray
 
@@ -244,10 +248,12 @@ def interval_join(
 
     g = granularity_us
 
-    try:
-        isize = intervals.size_bytes()
-    except Exception:
-        isize = None
+    isize = None
+    if broadcast_threshold_bytes > 0:  # same no-probe rule as asof_join
+        try:
+            isize = intervals.size_bytes()
+        except Exception:
+            isize = None
     if isize is not None and 0 < isize <= broadcast_threshold_bytes:
         import ray as _ray
 

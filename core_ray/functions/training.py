@@ -414,3 +414,43 @@ def sample_quota(
     return _read_docs(source, ["doc_id", "source"]).map_batches(
         fn, batch_format="pyarrow"
     ).sort("doc_id")
+
+
+def sample_min_k(
+    source: str | ray.data.Dataset,
+    k: int = 100,
+    columns: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic uniform-without-replacement sample of EXACTLY k rows:
+    keep the k smallest ``hash(id)`` (bottom-k / KMV sampling).  One
+    streaming pass — each batch contributes at most k (id, priority) rows to
+    the final cut, so the shuffle is k rows per batch regardless of corpus
+    size, and the result is identical across reruns, partitionings and
+    cluster sizes.  The hash is DuckDB's own kernel, so the sample is
+    SQL-verifiable (``ORDER BY hash(id) LIMIT k``).
+
+    Contrast ``Dataset.random_sample`` (per-row Bernoulli, approximate size,
+    seed-and-partitioning dependent): a training-data pipeline wants the
+    SAME eval holdout no matter how the corpus was sharded that day.
+    """
+    cols = columns or [id_col]
+    if id_col not in cols:
+        cols = [id_col] + cols
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pri = _duckdb_hash_i64(ids)  # uint64
+        keep = np.argsort(pri, kind="stable")[:k]
+        out = batch.select(cols).take(pa.array(keep))
+        return out.append_column("_pri", pa.array(pri[keep], pa.uint64()))
+
+    # the priority stays UNSIGNED end to end: numpy uint64 argsort per batch,
+    # Arrow uint64 sort globally, UBIGINT ORDER BY in the oracle — one order
+    return (
+        _read_docs(source, cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .sort(["_pri", id_col])
+        .limit(k)
+        .drop_columns(["_pri"])
+    )

@@ -58,13 +58,12 @@ def keyed_window(
         if s["fn"] != "row_number" and "col" not in s:
             raise ValueError(f"spec needs col: {s}")
 
+    from .temporal import _bucket_of  # the shared bucket hash
+
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = (
-            pd.util.hash_pandas_object(
-                pd.Series(t[key].to_numpy(zero_copy_only=False)), index=False
-            ).to_numpy()
-            % num_buckets
-        ).astype(np.int64)
+        b = _bucket_of(
+            pd.Series(t[key].to_numpy(zero_copy_only=False)), num_buckets
+        )
         return t.append_column("_bucket", pa.array(b))
 
     sort_cols = [key, order] + ([tiebreak] if tiebreak else [])

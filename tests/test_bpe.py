@@ -100,6 +100,11 @@ def test_text_to_byte_tokens_sliced():
     assert tok.to_pylist() == [[], [120, 121]]
     full = text_to_byte_tokens(col)
     assert full.to_pylist()[0] == [97, 98, 99]
+    # large_string has int64 offsets — must decode identically, not garbage
+    big = pa.array(["abc", "", "xy"], pa.large_string())
+    assert text_to_byte_tokens(big).to_pylist() == full.to_pylist()
+    with pytest.raises(TypeError, match="string"):
+        text_to_byte_tokens(pa.array([1, 2]))
 
 
 def test_train_merges_matches_python(corpus):

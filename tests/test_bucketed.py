@@ -50,17 +50,33 @@ def test_bucketed_join_equals_hash_join(tmp_path):
 
 
 def test_bucketed_left_join_null_fill(tmp_path):
+    # INT right payload: unmatched rows must be real nulls and every output
+    # block must keep the int64 schema (no float64 NaN promotion divergence)
     left = pd.DataFrame({"k": np.array([1, 2, 3], dtype="int64"),
                          "lv": [1.0, 2.0, 3.0]})
     right = pd.DataFrame({"k": np.array([2], dtype="int64"),
-                          "rv": np.array([9.0])})
+                          "rv": np.array([9], dtype="int64")})
     ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
     write_bucketed(ray.data.from_pandas(left), ld, "k", 4)
     write_bucketed(ray.data.from_pandas(right), rd, "k", 4)
-    out = _sorted(bucketed_join(ld, rd, how="left").to_pandas())
+    ds = bucketed_join(ld, rd, how="left")
+    import pyarrow as pa
+
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        assert b.schema.field("rv").type == pa.int64()
+    out = _sorted(ds.to_pandas())
     assert len(out) == 3
-    assert out.loc[out["k"] == 2, "rv"].iloc[0] == 9.0
+    assert out.loc[out["k"] == 2, "rv"].iloc[0] == 9
     assert out.loc[out["k"] != 2, "rv"].isna().all()
+
+
+def test_bucketed_join_rejects_right_outer(tmp_path):
+    left, right = _frames(n=100)
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed(ray.data.from_pandas(left), ld, "k", 4)
+    write_bucketed(ray.data.from_pandas(right.rename(columns={"rv": "x"})), rd, "k", 4)
+    with pytest.raises(ValueError, match="inner.*left"):
+        bucketed_join(ld, rd, how="right")
 
 
 def test_incompatible_layouts_raise(tmp_path):

@@ -55,6 +55,41 @@ def test_refined_recall_near_exact(books):
     assert len(brute & ref) / 10 >= 0.9
 
 
+def test_adc_tie_break_partition_invariant(books):
+    # many vectors sharing one PQ code tie exactly on ADC: the top-k cut
+    # must break by vec_id, not input order
+    import pyarrow as pa
+
+    base = np.random.default_rng(5).normal(size=64)
+    rows = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40, dtype="int64")),
+            "embedding": pa.array([base.astype("float32") for _ in range(40)]),
+        }
+    )
+    fwd = ray.data.from_arrow(rows)
+    rev = ray.data.from_arrow(rows.take(list(range(39, -1, -1))))
+    q = _query(seed=30)
+    a = [r["vec_id"] for r in knn_pq(pq_encode(fwd, books), books, q, k=10).take(10)]
+    b = [r["vec_id"] for r in knn_pq(pq_encode(rev, books), books, q, k=10).take(10)]
+    assert a == b == list(range(10))
+
+
+def test_codes_matrix_sliced_batch(books):
+    from core_ray.functions.quantization import _codes_matrix
+
+    t = pq_encode(SF, books).materialize().to_arrow_refs()
+    import pyarrow as pa
+    import ray as _ray
+
+    full = pa.concat_tables(_ray.get(t))
+    sl = full.slice(3, 7).combine_chunks()  # zero-copy sliced list column
+    m = _codes_matrix(sl)
+    assert m.shape == (7, 8)
+    ref = _codes_matrix(full)
+    assert np.array_equal(m, ref[3:10])
+
+
 def test_dim_not_divisible_raises():
     with pytest.raises(ValueError, match="not divisible"):
         train_pq(SF, m=7)

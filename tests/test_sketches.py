@@ -101,6 +101,14 @@ def test_mg_heavy_hitters_guarantee():
     assert (out["n_rows"] == n).all()
 
 
+def test_mg_nulls_are_not_items():
+    out = heavy_hitters(
+        _ds(pd.DataFrame({"v": ["a", None, "a", None, "b"]}), blocks=2), "v", k=8
+    ).to_pandas()
+    assert (out["n_rows"] == 3).all()  # n counts non-null items only
+    assert set(out["value"]) == {"a", "b"}
+
+
 def test_sketch_units_merge_equals_bulk():
     rng = np.random.default_rng(5)
     a, b = rng.integers(0, 9_000, 40_000), rng.integers(0, 9_000, 40_000)

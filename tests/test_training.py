@@ -161,3 +161,18 @@ def test_pack_sequences_matches_duckdb(sf_dir):
         """
     ).fetchdf()
     pd.testing.assert_frame_equal(mine.reset_index(drop=True), oracle)
+
+
+def test_sample_min_k_exact_and_partition_invariant(sf_dir):
+    from core_ray.functions import sample_min_k
+
+    a = sample_min_k(sf_dir, k=25).to_pandas()
+    assert len(a) == 25
+    # rerun over a different sharding of the same rows: identical sample
+    import pyarrow.parquet as pq
+
+    docs = ray.data.from_arrow(
+        pq.read_table(f"{sf_dir}/documents.parquet")
+    ).repartition(7)
+    b = sample_min_k(docs, k=25).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
