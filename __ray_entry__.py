@@ -755,6 +755,21 @@ def _q_doc_sample_mink(sf):
     return sample_min_k(sf, k=100, columns=["doc_id", "source"])
 
 
+def _q_doc_clean_text(sf):
+    """Whitespace-normalization cleaning stage (RE2 on both sides)."""
+    from core_ray.functions import clean_text
+
+    return clean_text(sf)
+
+
+def _q_doc_sample_mink_by(sf):
+    """Stratified deterministic holdout: bottom-k hash priorities WITHIN
+    each source (QUALIFY row_number oracle)."""
+    from core_ray.functions import sample_min_k_by
+
+    return sample_min_k_by(sf, group_col="source", k=10)
+
+
 def _q_doc_sample_quota(sf):
     from core_ray.functions import sample_quota
 
@@ -1815,6 +1830,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_sample_quota": _q_doc_sample_quota,
         "doc_sample_mink": _q_doc_sample_mink,
+        "doc_sample_mink_by": _q_doc_sample_mink_by,
+        "doc_clean_text": _q_doc_clean_text,
     }
 
 
@@ -3410,6 +3427,21 @@ ORDER BY doc_id
 _ORACLE["doc_sample_mink"] = """
 SELECT doc_id, source FROM documents
 ORDER BY hash(doc_id), doc_id LIMIT 100
+"""
+
+_ORACLE["doc_clean_text"] = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', ' ', 'g'),
+                           '\s+', ' ', 'g')) AS text,
+       CAST(strlen(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', ' ', 'g'),
+                                       '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+_ORACLE["doc_sample_mink_by"] = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY hash(doc_id), doc_id) <= 10
+ORDER BY source, doc_id
 """
 
 

@@ -3,6 +3,7 @@ similarity search, multimodal plumbing — first-class large-scale components
 alongside the time-series operators."""
 
 from .text import (
+    clean_text,
     corpus_filter,
     corpus_stats,
     fingerprint,
@@ -57,11 +58,13 @@ from .training import (
     pack_sequences,
     pii_scrub,
     sample_min_k,
+    sample_min_k_by,
     sample_quota,
     vocab_topk,
 )
 
 __all__ = [
+    "clean_text",
     "token_count",
     "token_count_bpe",
     "quality_score",
@@ -114,4 +117,5 @@ __all__ = [
     "pii_scrub",
     "sample_quota",
     "sample_min_k",
+    "sample_min_k_by",
 ]

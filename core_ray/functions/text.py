@@ -387,3 +387,29 @@ def lang_id(source: str | ray.data.Dataset, concurrency: int | None = None) -> r
         batch_size=1024,
         concurrency=concurrency or pool_size(),
     )
+
+
+def clean_text(source: str | ray.data.Dataset) -> ray.data.Dataset:
+    """Whitespace-normalization cleaning stage: control characters become
+    spaces, runs of whitespace collapse to one space, ends trimmed — the
+    canonicalization step before hashing/dedup/tokenization.  Pure RE2
+    kernels (`pc.replace_substring_regex` replaces ALL occurrences), so the
+    DuckDB `regexp_replace(..., 'g')` oracle reproduces it exactly.
+    Output: doc_id, text (cleaned), n_chars (cleaned length in bytes)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t["text"]
+        s = pc.replace_substring_regex(s, pattern=r"[\x00-\x1f]", replacement=" ")
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": s,
+                "n_chars": pc.binary_length(s).cast(pa.int64()),
+            }
+        )
+
+    return _read_docs(source, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    ).sort("doc_id")

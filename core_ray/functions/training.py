@@ -454,3 +454,51 @@ def sample_min_k(
         .limit(k)
         .drop_columns(["_pri"])
     )
+
+
+def sample_min_k_by(
+    source: str | ray.data.Dataset,
+    group_col: str = "source",
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Stratified bottom-k: the k smallest ``hash(id)`` WITHIN each group —
+    the deterministic per-source eval holdout.  Per batch each group
+    contributes at most k candidate rows, so the groupby shuffle moves
+    O(groups * k) rows per batch, never the corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        grp = batch[group_col].to_numpy(zero_copy_only=False)
+        pri = _duckdb_hash_i64(ids)
+        # order by (group, pri, id); first k of each group's run survive
+        order = np.lexsort((ids, pri, grp))
+        g_sorted = grp[order]
+        starts = np.ones(len(order), dtype=bool)
+        starts[1:] = g_sorted[1:] != g_sorted[:-1]
+        run_first = np.nonzero(starts)[0][np.cumsum(starts) - 1]
+        keep = order[(np.arange(len(order)) - run_first) < k]
+        out = pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(keep)),
+                group_col: batch[group_col].take(pa.array(keep)),
+            }
+        )
+        return out.append_column("_pri", pa.array(pri[keep], pa.uint64()))
+
+    def cut(t: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                t[id_col].to_numpy(zero_copy_only=False),
+                t["_pri"].to_numpy(zero_copy_only=False),
+            )
+        )[:k]
+        return t.select([id_col, group_col]).take(pa.array(np.sort(order)))
+
+    return (
+        _read_docs(source, [id_col, group_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(cut, batch_format="pyarrow")
+        .sort([group_col, id_col])
+    )

@@ -176,3 +176,34 @@ def test_sample_min_k_exact_and_partition_invariant(sf_dir):
     ).repartition(7)
     b = sample_min_k(docs, k=25).to_pandas()
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
+
+
+def test_sample_min_k_by_stratified(sf_dir):
+    from core_ray.functions import sample_min_k_by
+
+    out = sample_min_k_by(sf_dir, group_col="source", k=5).to_pandas()
+    assert (out.groupby("source").size() <= 5).all()
+    # per-group winners are the globally smallest hash priorities: rerun
+    # over a different sharding agrees
+    import pyarrow.parquet as pq
+
+    docs = ray.data.from_arrow(
+        pq.read_table(f"{sf_dir}/documents.parquet")
+    ).repartition(9)
+    again = sample_min_k_by(docs, group_col="source", k=5).to_pandas()
+    pd.testing.assert_frame_equal(out, again)
+
+
+def test_clean_text_planted():
+    from core_ray.functions import clean_text
+
+    t = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "  a\tb\n\nc  "},
+            {"doc_id": 2, "text": "x\x00y"},
+            {"doc_id": 3, "text": ""},
+        ]
+    )
+    out = clean_text(t).to_pandas().sort_values("doc_id")
+    assert out["text"].tolist() == ["a b c", "x y", ""]
+    assert out["n_chars"].tolist() == [5, 3, 0]
