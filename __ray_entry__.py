@@ -755,6 +755,14 @@ def _q_doc_sample_mink(sf):
     return sample_min_k(sf, k=100, columns=["doc_id", "source"])
 
 
+def _q_doc_tfidf(sf):
+    """Top-5 TF-IDF terms per document; ranking on the raw double score
+    (DuckDB ln on both sides), round4 only on the emitted column."""
+    from core_ray.functions import tfidf_top_terms
+
+    return tfidf_top_terms(sf, k=5)
+
+
 def _q_doc_clean_text(sf):
     """Whitespace-normalization cleaning stage (RE2 on both sides)."""
     from core_ray.functions import clean_text
@@ -1832,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_mink": _q_doc_sample_mink,
         "doc_sample_mink_by": _q_doc_sample_mink_by,
         "doc_clean_text": _q_doc_clean_text,
+        "doc_tfidf": _q_doc_tfidf,
     }
 
 
@@ -3436,6 +3445,28 @@ SELECT doc_id,
        CAST(strlen(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', ' ', 'g'),
                                        '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
 FROM documents ORDER BY doc_id
+"""
+
+# word split parity with doc_vocab_topk's oracle; rank by the RAW double
+# score (same ln kernel both sides), round only the emitted column
+_ORACLE["doc_tfidf"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT doc_id, word, tf,
+       round_even(tf * ln((SELECT n FROM n) / CAST(df.df AS DOUBLE)), 4) AS score
+FROM tf JOIN df USING (word)
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id
+  ORDER BY tf * ln((SELECT n FROM n) / CAST(df.df AS DOUBLE)) DESC, word
+) <= 5
+ORDER BY doc_id, word
 """
 
 _ORACLE["doc_sample_mink_by"] = """

@@ -10,6 +10,7 @@ from .text import (
     lang_id,
     quality_score,
     repetition_stats,
+    tfidf_top_terms,
     token_count,
     token_count_bpe,
 )
@@ -65,6 +66,7 @@ from .training import (
 
 __all__ = [
     "clean_text",
+    "tfidf_top_terms",
     "token_count",
     "token_count_bpe",
     "quality_score",

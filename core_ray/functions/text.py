@@ -413,3 +413,113 @@ def clean_text(source: str | ray.data.Dataset) -> ray.data.Dataset:
     return _read_docs(source, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
     ).sort("doc_id")
+
+
+def _duckdb_ln(x: np.ndarray) -> np.ndarray:
+    """ln() via the in-process DuckDB kernel (the round4 rule applied to the
+    transcendental: the oracle ranks by tf*ln(N/df), so the engine takes ln
+    from the SAME library to make the ranking bitwise identical)."""
+    from .dedup import _duckdb_hash_con
+
+    con = _duckdb_hash_con()
+    t = pa.table({"v": pa.array(np.asarray(x, dtype=np.float64))})
+    con.register("_ln_in", t)
+    out = con.execute("SELECT ln(v) AS v FROM _ln_in").fetch_arrow_table()
+    con.unregister("_ln_in")
+    return out["v"].to_numpy(zero_copy_only=False)
+
+
+def tfidf_top_terms(source: str | ray.data.Dataset, k: int = 5) -> ray.data.Dataset:
+    """Top-k TF-IDF terms per document: score = tf * ln(N / df).
+
+    Two passes, both shuffle-light: (1) per-batch per-word document-frequency
+    partials -> one vocabulary-sized groupby -> idf computed once and
+    broadcast via ``ray.put`` (vocabulary is the corpus's distinct-word set —
+    control-plane sized next to the corpus; swap the broadcast for a
+    `hash_join` if a corpus's vocabulary outgrows worker memory); (2) a
+    single streamed pass computing per-doc tf (documents are whole rows, so
+    tf completes inside one batch — NO (doc, word) shuffle exists anywhere),
+    scoring against the broadcast idf, and cutting top-k per doc with
+    (score desc, word asc) ties.  Ranking uses the raw double score; only
+    the emitted column is round4'd, matching the oracle's QUALIFY."""
+    import pandas as pd
+
+    from ..ops.common import round4
+
+    docs = _read_docs(source, ["doc_id", "text"])
+
+    def _doc_words(t: pa.Table):
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        off = lists.offsets.to_numpy().astype(np.int64)
+        words = lists.flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(
+            np.arange(len(t), dtype=np.int64), np.diff(off - off[0])
+        )
+        keep = words != ""
+        return doc_idx[keep], words[keep]
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        doc_idx, words = _doc_words(t)
+        pairs = pd.DataFrame({"d": doc_idx, "w": words}).drop_duplicates()
+        vc = pairs["w"].value_counts()
+        return pa.table(
+            {
+                "word": pa.array(vc.index.to_numpy().astype(str)),
+                "df": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    df_pd = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("df")
+        .to_pandas()
+    )
+    n_docs = docs.count()
+    idf_vals = _duckdb_ln(n_docs / df_pd["sum(df)"].to_numpy().astype(np.float64))
+    idf_ref = ray.put(
+        {w: v for w, v in zip(df_pd["word"].to_numpy(), idf_vals)}
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        doc_idx, words = _doc_words(t)
+        if not len(doc_idx):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        g = (
+            pd.DataFrame({"d": doc_idx, "w": words})
+            .groupby(["d", "w"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        idf_map = ray.get(idf_ref)
+        idf = g["w"].map(idf_map).to_numpy(dtype=np.float64)
+        tf = g["tf"].to_numpy(dtype=np.int64)
+        raw = tf.astype(np.float64) * idf
+        # top-k per doc on the RAW score, ties by word asc (the run trick)
+        order = np.lexsort((g["w"].to_numpy(), -raw, g["d"].to_numpy()))
+        d_sorted = g["d"].to_numpy()[order]
+        starts = np.ones(len(order), dtype=bool)
+        starts[1:] = d_sorted[1:] != d_sorted[:-1]
+        run_first = np.nonzero(starts)[0][np.cumsum(starts) - 1]
+        keep = order[(np.arange(len(order)) - run_first) < k]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[g["d"].to_numpy()[keep]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "word": pa.array(g["w"].to_numpy()[keep].astype(str)),
+                "tf": pa.array(tf[keep]),
+                "score": pa.array(round4(raw[keep])),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort(["doc_id", "word"])

@@ -207,3 +207,26 @@ def test_clean_text_planted():
     out = clean_text(t).to_pandas().sort_values("doc_id")
     assert out["text"].tolist() == ["a b c", "x y", ""]
     assert out["n_chars"].tolist() == [5, 3, 0]
+
+
+def test_tfidf_planted():
+    from core_ray.functions import tfidf_top_terms
+
+    t = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "apple apple banana common"},
+            {"doc_id": 2, "text": "banana cherry common"},
+            {"doc_id": 3, "text": "cherry cherry cherry common"},
+        ]
+    ).repartition(2)
+    out = tfidf_top_terms(t, k=2).to_pandas()
+    byd = {d: g for d, g in out.groupby("doc_id")}
+    # 'common' appears in every doc: idf = ln(1) = 0 -> never a top term
+    # unless ties run out; doc 1's top terms are apple (tf=2) then banana
+    assert byd[1]["word"].tolist()[0] == "apple"
+    assert byd[1].loc[byd[1]["word"] == "apple", "tf"].iloc[0] == 2
+    assert byd[3]["word"].tolist()[0] == "cherry"
+    # scores of idf-0 words are exactly 0
+    zero = out[out["word"] == "common"]
+    assert (zero["score"] == 0).all()
+    assert (out.groupby("doc_id").size() <= 2).all()
