@@ -361,6 +361,11 @@ def _norm_transform(params: dict, invert: bool):
         tags = batch[TS.TAG].to_numpy(zero_copy_only=False)
         v = batch[TS.VALUE].to_numpy().astype(np.float64)
         pos = a["index"].get_indexer(tags)
+        if (pos < 0).any():
+            # -1 would silently gather the LAST tag's stats; the per-row
+            # dict lookup this replaced raised for unknown tags — keep that
+            missing = sorted(set(tags[pos < 0].tolist()))[:5]
+            raise KeyError(f"no stats for tag(s) {missing}")
         if method == "zscore":
             mean, std = a["mean"][pos], a["std"][pos]
             nv = v * std + mean if invert else (v - mean) / std

@@ -389,7 +389,12 @@ def minhash_pairs(
     # by the near-dup set).  For a near-dup set too big for a worker's heap,
     # route the attach through two `hash_join` passes instead — the
     # documented large-side path.
-    from .join import collect_key_set, fetch_broadcast_table, object_store_table
+    from .join import (
+        collect_key_set,
+        fetch_broadcast_table,
+        object_store_table,
+        semi_join_filter,
+    )
 
     keep = collect_key_set(cand, ["doc_a", "doc_b"])
     if isinstance(source, str):
@@ -402,14 +407,13 @@ def minhash_pairs(
             filter=pads.field("doc_id").isin(keep.to_pylist()),
         )
     else:
-        import ray as _ray
-
-        keep_ref = _ray.put(keep)
-        texts_cand = ds.map_batches(
-            lambda t: t.select(["doc_id", "text"]).filter(
-                pc.is_in(t["doc_id"], value_set=_ray.get(keep_ref))
+        texts_cand = semi_join_filter(
+            ds.map_batches(
+                lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
             ),
-            batch_format="pyarrow",
+            None,
+            "doc_id",
+            key_set=keep,
         )
     texts_refs = object_store_table(texts_cand)
 
@@ -932,6 +936,13 @@ def component_labels_distributed(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exiting via max_rounds with labels still moving would silently
+        # mislabel long chains (survivor rule keeps BOTH ends of the chain)
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds"
+        )
     return labels
 
 

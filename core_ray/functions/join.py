@@ -117,9 +117,10 @@ def hash_join(
 
 def semi_join_filter(
     ds: ray.data.Dataset,
-    keys: ray.data.Dataset,
+    keys: ray.data.Dataset | None,
     on: str,
     key_cols: list[str] | None = None,
+    key_set: pa.Array | None = None,
 ) -> ray.data.Dataset:
     """Filter ``ds`` to rows whose ``on`` value appears in any of ``keys``'
     ``key_cols`` — the dynamic-partition-pruning / broadcast-semi-join
@@ -130,11 +131,12 @@ def semi_join_filter(
     is then pruned in ONE vectorized Arrow scan with no shuffle.  Use this
     before a ``hash_join`` whose probe side is a large table but whose
     matching row set is known to be small — the join then runs against the
-    pruned side instead of shuffling the full table.
+    pruned side instead of shuffling the full table.  Pass ``key_set`` when
+    the keys were already collected (skips the extra pass).
     """
     import pyarrow.compute as pc
 
-    keep = collect_key_set(keys, key_cols or [on])
+    keep = key_set if key_set is not None else collect_key_set(keys, key_cols or [on])
 
     import ray as _ray
 

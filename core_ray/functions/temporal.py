@@ -125,13 +125,20 @@ def asof_join(
         rf["_matched"] = np.int8(1)
         return rf
 
+    # one canonical output schema for EVERY block: merge_asof's natural
+    # column order (lcols, then rf-only columns in rf order), with int
+    # right-payload columns restored to nullable ints — otherwise blocks
+    # with unmatched rows upcast to float64 while fully-matched and
+    # empty-left blocks keep int64, and the Dataset's schemas diverge
+    out_cols = lcols + r_payload + ([keep_right_on] if keep_right_on else [])
+
+    def _target(c: str) -> pa.DataType:
+        return types[c] if c in types else types[on]  # keep_right_on -> on
+
     def _merge(lf: pd.DataFrame, rf: pd.DataFrame) -> pa.Table:
         """lf pre-sorted by on; rf through _prep_right."""
         if lf.empty:
-            out = lf.copy()
-            for c in ([keep_right_on] if keep_right_on else []) + r_payload:
-                out[c] = rf[c].iloc[:0]
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return pa.table({c: pa.nulls(0, _target(c)) for c in out_cols})
         merged = pd.merge_asof(
             lf,
             rf,
@@ -143,9 +150,14 @@ def asof_join(
         )
         if how == "inner":
             merged = merged[merged["_matched"].notna()]
-        return pa.Table.from_pandas(
-            merged.drop(columns=["_matched"]), preserve_index=False
-        )
+        arrays = {}
+        for c in out_cols:
+            s = merged[c]
+            t = _target(c)
+            if pa.types.is_integer(t) and s.dtype.kind == "f":
+                s = s.astype("Int64")  # NaN -> real nulls, values integral
+            arrays[c] = pa.Array.from_pandas(s, type=t)
+        return pa.table(arrays)
 
     # threshold 0 must not probe: Dataset.size_bytes() can EXECUTE a derived
     # pipeline just to answer, which defeats the explicit shuffle opt-out

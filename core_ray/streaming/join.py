@@ -190,7 +190,11 @@ class JoinPartitionActor:
         }
         self.sink.commit_epoch(epoch, {"joined": table}, counters)
         self._write_snapshot(epoch)
-        self.sink.gc_snapshots(epoch)
+        # keep epoch-1 AND epoch (state_actor.py convention): a mid-barrier
+        # crash leaves partitions at different committed epochs, and resume
+        # loads min(committed) — which is epoch-1 for the partitions that
+        # already committed epoch
+        self.sink.gc_snapshots(epoch - 1)
         return counters
 
     def _band_join(self, lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:

@@ -182,7 +182,9 @@ class PatternPartitionActor:
         }
         self.sink.commit_epoch(epoch, {"matches": table}, counters)
         self._write_snapshot(epoch)
-        self.sink.gc_snapshots(epoch)
+        # keep epoch-1 AND epoch — mid-barrier crash resume loads
+        # min(committed), see join.py / state_actor.py:500
+        self.sink.gc_snapshots(epoch - 1)
         return counters
 
     # -- snapshots ----------------------------------------------------------

@@ -205,3 +205,21 @@ def test_check_value_ranges_global_and_per_tag():
 
     glob = check_value_ranges(_ds(rows), lo=0.0, hi=100.0).to_pandas()
     assert set(glob["Value"]) == {-5.0, 999.0}
+
+
+def test_denormalize_unknown_tag_raises():
+    """get_indexer's -1 must not silently gather the last tag's stats."""
+    import pytest as _pytest
+
+    from core_ray.dq import normalize, denormalize
+
+    base = ray.data.from_items(
+        [{"TagName": "a", "EventTime": i, "Status": "Good", "Value": float(i)}
+         for i in range(10)]
+    )
+    _, params = normalize(base, method="zscore")
+    alien = ray.data.from_items(
+        [{"TagName": "zz", "EventTime": 1, "Status": "Good", "Value": 1.0}]
+    )
+    with _pytest.raises(Exception, match="no stats"):
+        denormalize(alien, params).materialize()

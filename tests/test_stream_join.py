@@ -223,3 +223,22 @@ def test_join_drops_late_rows(tmp_path):
     assert res["totals"]["late"] == 1
     got = _read_out(out)
     assert 2 not in set(got["l_l_id"])  # the stale row joined nothing
+
+
+def test_join_mid_barrier_crash_resume(tmp_path):
+    """Partitions at different committed epochs after a barrier crash:
+    resume must find the previous-epoch snapshot on the partitions that DID
+    commit (gc keeps epoch-1 and epoch, state_actor convention)."""
+    from core_ray.streaming import StreamJoinJob
+
+    ld, rd, _, _ = _mk_streams(tmp_path, seed=19)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    StreamJoinJob(_cfg(ld, rd, out_a)).run(resume=False)
+    StreamJoinJob(_cfg(ld, rd, out_b)).run(resume=False, stop_after_epoch=2)
+    p0 = os.path.join(out_b, "part=0000")
+    os.remove(os.path.join(out_b, "manifests", "part=0000", "epoch-000002.json"))
+    for n in os.listdir(p0):
+        if "epoch-000002" in n:
+            os.remove(os.path.join(p0, n))
+    StreamJoinJob(_cfg(ld, rd, out_b)).run(resume=True)
+    assert _sink_hash(out_a) == _sink_hash(out_b)

@@ -189,3 +189,28 @@ def test_stream_drops_late_rows(tmp_path):
     got = _read_out(out)
     # the in-time D (event 3) DID break the contiguity: no match emitted
     assert len(got) == 0
+
+
+def test_stream_mid_barrier_crash_resume(tmp_path):
+    """A crash DURING the barrier leaves partitions at different committed
+    epochs; resume loads min(committed) — so every partition must retain its
+    previous-epoch snapshot (gc keeps epoch-1 AND epoch)."""
+    import shutil
+
+    from core_ray.streaming import StreamPatternJob
+
+    df = _mk_stream(seed=17)
+    ind = str(tmp_path / "in")
+    _write_stream(ind, df, 6)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    StreamPatternJob(_cfg(ind, out_a)).run(resume=False)
+    StreamPatternJob(_cfg(ind, out_b)).run(resume=False, stop_after_epoch=2)
+    # simulate partition 0 crashing before its epoch-2 commit: drop its
+    # epoch-2 manifest, data files and snapshot
+    p0 = os.path.join(out_b, "part=0000")
+    os.remove(os.path.join(out_b, "manifests", "part=0000", "epoch-000002.json"))
+    for n in os.listdir(p0):
+        if "epoch-000002" in n:
+            os.remove(os.path.join(p0, n))
+    StreamPatternJob(_cfg(ind, out_b)).run(resume=True)
+    assert _sink_hash(out_a) == _sink_hash(out_b)

@@ -265,3 +265,31 @@ def test_match_pattern_tie_order():
     # order by (ts, id): A(1) B(2) B(3) -> matches (1,2) only
     assert out["event_id_1"].tolist() == [1]
     assert out["event_id_2"].tolist() == [2]
+
+
+def test_asof_left_int_payload_schema_stable():
+    """Blocks with unmatched rows must not upcast int right payloads to
+    float64 while other blocks keep int64 — one canonical schema."""
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 3],
+            "ts": np.array([100, 200, 100, 100], dtype="int64"),
+            "lid": [0, 1, 2, 3],
+        }
+    )
+    right = pd.DataFrame(
+        {"k": [1, 2], "ts": np.array([50, 500], dtype="int64"), "rv": [7, 9]}
+    )
+    out = asof_join(
+        _ds(left, blocks=3), _ds(right, blocks=2), on="ts", by="k",
+        broadcast_threshold_bytes=0,
+    )
+    types = set()
+    for b in out.iter_batches(batch_format="pyarrow"):
+        types.add(str(b.schema.field("rv").type))
+        # column order is canonical in every block
+        assert b.column_names == ["k", "ts", "lid", "rv"]
+    assert types == {"int64"}
+    df = out.to_pandas().sort_values("lid")
+    assert df["rv"].tolist()[:2] == [7, 7]
+    assert df["rv"].isna().tolist() == [False, False, True, True]
