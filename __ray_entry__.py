@@ -755,6 +755,20 @@ def _q_doc_sample_mink(sf):
     return sample_min_k(sf, k=100, columns=["doc_id", "source"])
 
 
+def _q_doc_search_and(sf):
+    """Persisted inverted-index boolean retrieval: build the word-bucketed
+    postings layout once, serve the AND query by reading ONLY the buckets
+    the three query words hash into."""
+    import shutil
+
+    from core_ray.functions import build_text_index, search_index
+
+    tmp = "/tmp/graft_text_index"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_text_index(sf, tmp, num_buckets=16)
+    return search_index(tmp, ["window", "column", "scan"], mode="and")
+
+
 def _q_doc_tfidf(sf):
     """Top-5 TF-IDF terms per document; ranking on the raw double score
     (DuckDB ln on both sides), round4 only on the emitted column."""
@@ -1841,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_mink_by": _q_doc_sample_mink_by,
         "doc_clean_text": _q_doc_clean_text,
         "doc_tfidf": _q_doc_tfidf,
+        "doc_search_and": _q_doc_search_and,
     }
 
 
@@ -3445,6 +3460,17 @@ SELECT doc_id,
        CAST(strlen(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', ' ', 'g'),
                                        '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
 FROM documents ORDER BY doc_id
+"""
+
+_ORACLE["doc_search_and"] = r"""
+WITH w AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+SELECT doc_id FROM w WHERE word IN ('window', 'column', 'scan')
+GROUP BY doc_id HAVING count(DISTINCT word) = 3 ORDER BY doc_id
 """
 
 # word split parity with doc_vocab_topk's oracle; rank by the RAW double

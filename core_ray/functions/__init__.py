@@ -38,6 +38,7 @@ from .similarity import (
 from .join import hash_join
 from .quantization import knn_pq, knn_pq_refined, pq_encode, train_pq
 from .bucketed import bucketed_join, read_bucket_meta, write_bucketed
+from .text_index import build_text_index, search_index
 from .temporal import asof_join, interval_join
 from .cep import match_pattern
 from .window import keyed_window
@@ -100,6 +101,8 @@ __all__ = [
     "write_bucketed",
     "bucketed_join",
     "read_bucket_meta",
+    "build_text_index",
+    "search_index",
     "asof_join",
     "interval_join",
     "match_pattern",
