@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--out-dir", required=True)
+
+    pl = sub.add_parser(
+        "pipeline", help="run a reference-format pipeline-job JSON spec"
+    )
+    pl.add_argument("spec", help="path to the pipeline JSON")
     return ap
 
 
@@ -140,6 +145,15 @@ def main(argv: list[str] | None = None) -> dict:
             files_per_epoch=args.files_per_epoch,
         )
         res = StreamPatternJob(cfg).run(resume=args.resume)
+    elif args.cmd == "pipeline":
+        from .pipelines.converters import PipelineJobFromJsonConverter
+
+        from .pipelines.framework import PipelineJobExecute
+
+        with open(args.spec) as f:
+            job = PipelineJobFromJsonConverter(f.read()).convert()
+        results = PipelineJobExecute(job).run()
+        res = {"name": job.name, "steps": sorted(results), "ok": True}
     else:  # query
         import importlib.util
         import os

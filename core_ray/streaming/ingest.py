@@ -94,7 +94,11 @@ class StreamingPCDMIngest:
         simulates a crash: the checkpoint then points mid-stream)."""
         ck = self.load_checkpoint()
         start = ck["offsets"] if ck["offsets"] is not None else "earliest"
-        source = KafkaFixtureSource(self.bus_path, starting_offsets=start)
+        # project to the value payload only: the wire key/headers/timestamp
+        # columns would be read every epoch just for wire_to_bodies to drop
+        source = KafkaFixtureSource(
+            self.bus_path, starting_offsets=start, columns=["value"]
+        )
         epoch = ck["epoch"]
         done = 0
         for epoch_ds, next_offsets in source.read_stream(self.max_offsets_per_trigger):

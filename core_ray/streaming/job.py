@@ -34,11 +34,13 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..synth import event_time_us, row_status, _hash2
+from ..synth import T0_US as _SYNTH_T0, event_time_us, _hash2
 from .sink import EpochSink
 from .state_actor import StreamPartitionActor
 
-T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+# window anchor == the event-time epoch of the generator: ONE definition
+# (diverging silently would shift every window against the event times)
+T0_US = int(_SYNTH_T0)
 AGG_PARTITION_ID = 9999  # pseudo-partition for the driver-side aggregate sink
 
 
@@ -162,13 +164,17 @@ def _consume_block(files: list, cols, normalize_fn, router_fn) -> int:
     return int(out["routed"][0].as_py()) if len(out) else 0
 
 
-def make_router(actors: list, epoch: int):
+def make_router(actors: list, epoch: int, block_tag: int = 0):
     """map_batches fn: slice the batch per partition and push to actors.
 
     Blocks on the actor acks (backpressure); returns per-batch lineage
-    counters. Batch id = min doc_idx (deterministic) so actor-side dedup
-    absorbs Ray task retries.
-    """
+    counters.  Batch id = (block_tag, per-task batch counter) — stable under
+    Ray task retries (a retried task re-iterates the same batches in the
+    same order) but UNIQUE across the epoch's consume blocks, so two blocks
+    that happen to route the same leading key are never conflated as a
+    retry (a first-doc_idx id would drop a whole distinct slice when
+    at-least-once sources re-send rows)."""
+    seq = {"i": 0}
 
     def fn(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -188,8 +194,9 @@ def make_router(actors: list, epoch: int):
                 # route into num_partitions full-batch copies; take() emits a
                 # compact table, so exactly one payload copy leaves this task.
                 sl = payload.take(pa.array(order[lo:hi]))
-                batch_id = int(sl["doc_idx"][0].as_py())
+                batch_id = block_tag * 1_000_000 + seq["i"]
                 refs.append(actors[p].ingest.remote(epoch, batch_id, sl))
+        seq["i"] += 1
         routed = sum(ray.get(refs)) if refs else 0
         return pa.table({"routed": pa.array([routed], pa.int64())})
 
@@ -418,134 +425,161 @@ class StreamingJob:
             ray.get([a.reset.remote() for a in actors])
         else:
             actors = spawn_actors(cfg)
-        start_epoch = 0
-        sessions: dict = {}
-        if resume:
-            committed = [EpochSink(cfg.out_dir, p).last_committed_epoch()
-                         for p in range(cfg.num_partitions)]
-            committed.append(self.agg_sink.last_committed_epoch())
-            start_epoch = min(committed) + 1
-            if start_epoch > 0:
-                ray.get([a.load_snapshot.remote(start_epoch - 1) for a in actors])
-                sessions = _sessions_from_snapshot(
-                    self.agg_sink.read_snapshot(start_epoch - 1, "sessions")
-                )
+        try:
+            start_epoch = 0
+            sessions: dict = {}
+            if resume:
+                committed = [EpochSink(cfg.out_dir, p).last_committed_epoch()
+                             for p in range(cfg.num_partitions)]
+                committed.append(self.agg_sink.last_committed_epoch())
+                start_epoch = min(committed) + 1
+                if start_epoch > 0:
+                    oks = ray.get([a.load_snapshot.remote(start_epoch - 1) for a in actors])
+                    if not all(oks):
+                        # every partition committed start_epoch-1 (that's how
+                        # start_epoch was derived), so its snapshot MUST exist;
+                        # proceeding with empty state would silently re-emit rows
+                        # and corrupt aggregates
+                        missing = [p for p, ok in enumerate(oks) if not ok]
+                        raise RuntimeError(
+                            f"resume: state snapshot for epoch {start_epoch - 1} "
+                            f"missing on partition(s) {missing}"
+                        )
+                    sessions = _sessions_from_snapshot(
+                        self.agg_sink.read_snapshot(start_epoch - 1, "sessions")
+                    )
 
-        totals = {"rows": 0, "tokens": 0, "late": 0, "dupes": 0}
-        phase_s = {}  # summed across actors/epochs: where barrier time goes
+            totals = {"rows": 0, "tokens": 0, "late": 0, "dupes": 0}
+            phase_s = {}  # summed across actors/epochs: where barrier time goes
 
-        # Task sizing: group the epoch's files into ~2 blocks per CPU so
-        # per-task fixed overhead amortizes at any cluster size (the key
-        # routing is row-deterministic, so block layout never affects output).
-        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            # Task sizing: group the epoch's files into ~2 blocks per CPU so
+            # per-task fixed overhead amortizes at any cluster size (the key
+            # routing is row-deterministic, so block layout never affects output).
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
 
-        norm_fn = normalize_tokens(
-            cfg.num_partitions,
-            cfg.route_seed,
-            with_payload=cfg.sink_payload_rows,
-            token_stats=cfg.token_stats,
-        )
-        cols = (
-            None
-            if (cfg.sink_payload_rows or cfg.token_stats)
-            else ["doc_id", "n_tok", "source"]
-        )
-        block_target = cfg.epoch_blocks or int(
-            os.environ.get("GRAFT_EPOCH_BLOCKS", str(n_cpus * 2))
-        )
-
-        def submit_epoch(e: int) -> list:
-            """Launch one raw _consume_block task per contiguous file group
-            (contiguous → each routed slice covers a doc_idx range, keeping
-            the sink's zero-copy ordered fast path)."""
-            files = self.epochs[e]
-            blocks = max(1, min(len(files), block_target))
-            sz = (len(files) + blocks - 1) // blocks
-            groups = [files[i : i + sz] for i in range(0, len(files), sz)]
-            router = make_router(actors, e)
-            return [_consume_block.remote(g, cols, norm_fn, router) for g in groups]
-
-        # Epoch prefetch: epochs <= e+prefetch have their consume tasks in
-        # flight while epoch e's barrier runs.  Safe because actor ingest
-        # buffers are keyed by epoch and the watermark only counts epochs <= e.
-        n_epochs = len(self.epochs)
-        last = stop_after_epoch if stop_after_epoch is not None else n_epochs - 1
-        last = min(last, n_epochs - 1)
-        import time as _time
-
-        timeline = []
-        prefetch = max(0, cfg.prefetch)
-        pending: dict[int, list] = {}
-        if start_epoch <= last:
-            pending[start_epoch] = submit_epoch(start_epoch)
-        for e in range(start_epoch, last + 1):
-            if e not in pending:  # prefetch=0
-                pending[e] = submit_epoch(e)
-            for k in range(1, prefetch + 1):
-                if e + k <= last and e + k not in pending:
-                    pending[e + k] = submit_epoch(e + k)
-            t0 = _time.monotonic()
-            ray.get(pending.pop(e))
-            t_wait = _time.monotonic() - t0
-
-            t0 = _time.monotonic()
-            maxes = ray.get([a.epoch_max_ts.remote(e) for a in actors])
-            wm = conservative_watermark(maxes, cfg.lateness_s * 1_000_000)
-            results = ray.get([a.end_epoch.remote(e, wm) for a in actors])
-            t_barrier = _time.monotonic() - t0
-            t0 = _time.monotonic()
-            streams = {"agg": merge_closed(results, cfg.token_stats)}
-            if cfg.window_kind == "session":
-                for r in results:
-                    merge_fragments(sessions, r.get("fragments", []), cfg.gap_s * 1_000_000)
-                streams["sessions"] = close_sessions(sessions, wm, cfg.gap_s * 1_000_000)
-            self.agg_sink.commit_epoch(
-                e,
-                streams,
-                {"watermark": wm, "windows_closed": len(streams["agg"])},
+            norm_fn = normalize_tokens(
+                cfg.num_partitions,
+                cfg.route_seed,
+                with_payload=cfg.sink_payload_rows,
+                token_stats=cfg.token_stats,
             )
-            if cfg.window_kind == "session":
-                self.agg_sink.write_snapshot(e, "sessions", _sessions_snapshot_table(sessions))
-                self.agg_sink.gc_snapshots(e - 1)
-            for r in results:
-                c = r["counters"]
-                totals["rows"] += c["rows_emitted"]
-                totals["tokens"] += c["tokens_emitted"]
-                totals["late"] += c["late_rows"]
-                totals["dupes"] += c["dupes_dropped"]
-                for k, v in r.get("timings", {}).items():
-                    phase_s[k] = phase_s.get(k, 0.0) + v
-            timeline.append({"epoch": e, "consume_wait_s": round(t_wait, 2),
-                             "barrier_s": round(t_barrier, 2),
-                             "post_s": round(_time.monotonic() - t0, 2)})
+            cols = (
+                None
+                if (cfg.sink_payload_rows or cfg.token_stats)
+                else ["doc_id", "n_tok", "source"]
+            )
+            block_target = cfg.epoch_blocks or int(
+                os.environ.get("GRAFT_EPOCH_BLOCKS", str(n_cpus * 2))
+            )
 
-        for refs in pending.values():  # stop_after_epoch may leave prefetches
-            ray.get(refs)
-        if stop_after_epoch is not None and last < n_epochs - 1:
+            def submit_epoch(e: int) -> list:
+                """Launch one raw _consume_block task per contiguous file group
+                (contiguous → each routed slice covers a doc_idx range, keeping
+                the sink's zero-copy ordered fast path)."""
+                files = self.epochs[e]
+                blocks = max(1, min(len(files), block_target))
+                sz = (len(files) + blocks - 1) // blocks
+                groups = [files[i : i + sz] for i in range(0, len(files), sz)]
+                return [
+                    _consume_block.remote(g, cols, norm_fn, make_router(actors, e, gi))
+                    for gi, g in enumerate(groups)
+                ]
+
+            # Epoch prefetch: epochs <= e+prefetch have their consume tasks in
+            # flight while epoch e's barrier runs.  Safe because actor ingest
+            # buffers are keyed by epoch and the watermark only counts epochs <= e.
+            n_epochs = len(self.epochs)
+            last = stop_after_epoch if stop_after_epoch is not None else n_epochs - 1
+            last = min(last, n_epochs - 1)
+            import time as _time
+
+            timeline = []
+            prefetch = max(0, cfg.prefetch)
+            pending: dict[int, list] = {}
+            if start_epoch <= last:
+                pending[start_epoch] = submit_epoch(start_epoch)
+            for e in range(start_epoch, last + 1):
+                if e not in pending:  # prefetch=0
+                    pending[e] = submit_epoch(e)
+                for k in range(1, prefetch + 1):
+                    if e + k <= last and e + k not in pending:
+                        pending[e + k] = submit_epoch(e + k)
+                t0 = _time.monotonic()
+                ray.get(pending.pop(e))
+                t_wait = _time.monotonic() - t0
+
+                t0 = _time.monotonic()
+                maxes = ray.get([a.epoch_max_ts.remote(e) for a in actors])
+                wm = conservative_watermark(maxes, cfg.lateness_s * 1_000_000)
+                results = ray.get([a.end_epoch.remote(e, wm) for a in actors])
+                t_barrier = _time.monotonic() - t0
+                t0 = _time.monotonic()
+                streams = {"agg": merge_closed(results, cfg.token_stats)}
+                if cfg.window_kind == "session":
+                    for r in results:
+                        merge_fragments(sessions, r.get("fragments", []), cfg.gap_s * 1_000_000)
+                    streams["sessions"] = close_sessions(sessions, wm, cfg.gap_s * 1_000_000)
+                if cfg.window_kind == "session":
+                    # snapshot BEFORE the manifest: the manifest is the commit
+                    # point resume keys on, so the state it implies must already
+                    # be durable (a crash between them would otherwise silently
+                    # drop every open session on resume)
+                    self.agg_sink.write_snapshot(e, "sessions", _sessions_snapshot_table(sessions))
+                self.agg_sink.commit_epoch(
+                    e,
+                    streams,
+                    {"watermark": wm, "windows_closed": len(streams["agg"])},
+                )
+                if cfg.window_kind == "session":
+                    self.agg_sink.gc_snapshots(e - 1)
+                for r in results:
+                    c = r["counters"]
+                    totals["rows"] += c["rows_emitted"]
+                    totals["tokens"] += c["tokens_emitted"]
+                    totals["late"] += c["late_rows"]
+                    totals["dupes"] += c["dupes_dropped"]
+                    for k, v in r.get("timings", {}).items():
+                        phase_s[k] = phase_s.get(k, 0.0) + v
+                timeline.append({"epoch": e, "consume_wait_s": round(t_wait, 2),
+                                 "barrier_s": round(t_barrier, 2),
+                                 "post_s": round(_time.monotonic() - t0, 2)})
+
+            for refs in pending.values():  # stop_after_epoch may leave prefetches
+                ray.get(refs)
+            if stop_after_epoch is not None and last < n_epochs - 1:
+                if self.external_actors is None:
+                    for a in actors:
+                        ray.kill(a)
+                return {"stopped_after": last, "totals": totals}
+
+            # end of stream: flush remaining windows + sessions + latest registers
+            final_epoch = len(self.epochs)
+            if not self.agg_sink.committed(final_epoch):
+                results = ray.get([a.flush_final.remote(final_epoch) for a in actors])
+                streams = {
+                    "agg": merge_closed(results, cfg.token_stats),
+                    "latest": merge_latest(results),
+                }
+                if cfg.window_kind == "session":
+                    streams["sessions"] = close_sessions(
+                        sessions, 1 << 62, cfg.gap_s * 1_000_000
+                    )
+                self.agg_sink.commit_epoch(final_epoch, streams, {"final": True})
             if self.external_actors is None:
                 for a in actors:
                     ray.kill(a)
-            return {"stopped_after": last, "totals": totals}
-
-        # end of stream: flush remaining windows + sessions + latest registers
-        final_epoch = len(self.epochs)
-        if not self.agg_sink.committed(final_epoch):
-            results = ray.get([a.flush_final.remote(final_epoch) for a in actors])
-            streams = {
-                "agg": merge_closed(results, cfg.token_stats),
-                "latest": merge_latest(results),
+            return {
+                "epochs": len(self.epochs),
+                "totals": totals,
+                "actor_phase_seconds": {k: round(v, 2) for k, v in phase_s.items()},
+                "timeline": timeline,
             }
-            if cfg.window_kind == "session":
-                streams["sessions"] = close_sessions(
-                    sessions, 1 << 62, cfg.gap_s * 1_000_000
-                )
-            self.agg_sink.commit_epoch(final_epoch, streams, {"final": True})
-        if self.external_actors is None:
-            for a in actors:
-                ray.kill(a)
-        return {
-            "epochs": len(self.epochs),
-            "totals": totals,
-            "actor_phase_seconds": {k: round(v, 2) for k, v in phase_s.items()},
-            "timeline": timeline,
-        }
+        finally:
+            # never leak the internally-spawned actor pool (and its
+            # buffered payload tables) when the loop raises mid-epoch
+            if self.external_actors is None:
+                for a in actors:
+                    try:
+                        ray.kill(a)
+                    except Exception:
+                        pass

@@ -107,6 +107,8 @@ class EpochSink:
         disk; the newest snapshot is all resume needs)."""
         for name in os.listdir(self.data_dir):
             if name.startswith("state-") and name.endswith(".parquet"):
-                ep = int(name[-14:-8])
+                # parse from the tail, not a fixed slice: %06d grows past
+                # six digits and a fixed [-14:-8] would misread epoch 1e6+
+                ep = int(name[:-8].rsplit("-", 1)[1])
                 if ep < keep_epoch:
                     os.remove(os.path.join(self.data_dir, name))

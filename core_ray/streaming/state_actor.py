@@ -71,7 +71,6 @@ def _merge_partials(frames: list[pd.DataFrame]) -> pd.DataFrame:
         st=("st", "sum"),
     )
 
-TOKENS_COLS = ["doc_id", "tokens", "n_tok", "source", "doc_idx", "ts_us", "Status"]
 
 
 def _empty_rows_table() -> pa.Table:
@@ -141,8 +140,6 @@ class StreamPartitionActor:
         self._epoch_rows: dict[int, list[pa.Table]] = {}
         self._epoch_batch_ids: dict[int, set[int]] = {}
         self._epoch_max: dict[int, int] = {}
-        self._late = 0
-        self._dupes = 0
         self.watermark = -(1 << 62)
         return True
 
@@ -187,19 +184,17 @@ class StreamPartitionActor:
                 "st": part_rows["st"].to_numpy(),
             }
         )
-        kind = t["kind"].to_pylist()
-        for i in range(len(t)):
-            k = kind[i]
-            if k in ("partial", "seen"):
-                pass  # handled vectorized above
-            elif k == "latest":
-                self.latest[t["skey"][i].as_py()] = {
-                    "ts": t["ws"][i].as_py(),
-                    "value": t["cnt"][i].as_py(),
-                    "status": t["status"][i].as_py(),
-                    "good_ts": t["sum_n_tok"][i].as_py(),
-                    "good_value": t["good_value"][i].as_py(),
-                }
+        # the seen band dominates the snapshot when lateness is large: prune
+        # to the handful of latest rows BEFORE any per-row Python
+        lt = t.filter(pc.equal(t["kind"], "latest"))
+        for i in range(len(lt)):
+            self.latest[lt["skey"][i].as_py()] = {
+                "ts": lt["ws"][i].as_py(),
+                "value": lt["cnt"][i].as_py(),
+                "status": lt["status"][i].as_py(),
+                "good_ts": lt["sum_n_tok"][i].as_py(),
+                "good_value": lt["good_value"][i].as_py(),
+            }
         return True
 
     def _persist_codes(self, cats: np.ndarray) -> np.ndarray:

@@ -70,3 +70,43 @@ def test_cli_emits_json_line(tmp_path, capsys):
     main(["query", "ts_metadata", "--out-dir", out])
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(line)["rows"] > 0
+
+
+def test_cli_pipeline_spec(tmp_path):
+    spec = {
+        "name": "clean-count",
+        "description": "token counts over the docs table",
+        "task_list": [
+            {
+                "name": "t1",
+                "step_list": [
+                    {
+                        "name": "src",
+                        "component": "ParquetSource",
+                        "component_parameters": {
+                            "path": "/root/testdata/sf0.001/documents.parquet",
+                            "columns": ["doc_id", "text"],
+                        },
+                    },
+                    {
+                        "name": "counts",
+                        "component": "FunctionTransformer",
+                        "component_parameters": {"fn": "token_count"},
+                        "depends_on_step": ["src"],
+                    },
+                    {
+                        "name": "sink",
+                        "component": "ParquetDestination",
+                        "component_parameters": {"path": str(tmp_path / "out")},
+                        "depends_on_step": ["counts"],
+                    },
+                ],
+            }
+        ],
+    }
+    sp = tmp_path / "spec.json"
+    sp.write_text(json.dumps(spec))
+    res = main(["pipeline", str(sp)])
+    assert res["ok"] and res["steps"] == ["counts", "sink", "src"]
+    files = glob.glob(str(tmp_path / "out" / "*.parquet"))
+    assert files and sum(pq.read_table(f).num_rows for f in files) == 500

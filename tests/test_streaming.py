@@ -526,3 +526,43 @@ def test_optimize_and_vacuum_sink(stream_dirs):
     assert removed["tmp"] >= 1
     assert not glob.glob(f"{out_dir}/**/*.tmp", recursive=True)
     pd.testing.assert_frame_equal(canon(_read_rows(out_dir)), before)
+
+
+def test_duplicate_leading_key_across_blocks_not_conflated(tmp_path):
+    """Two consume blocks of ONE epoch whose routed slices share the same
+    leading key must not be conflated as a Ray-task retry: the second
+    block's distinct rows survive (batch ids carry a block tag), while the
+    re-sent row itself is dropped once by the KEYED dedup register."""
+    import pyarrow.parquet as pq_
+
+    from core_ray.synth import make_chunk
+
+    ind = tmp_path / "in"
+    os.makedirs(ind)
+    a = make_chunk(100, 100)
+    b = pa.concat_tables([make_chunk(100, 1), make_chunk(300, 100)])
+    pq_.write_table(a, str(ind / "f0.parquet"))
+    pq_.write_table(b, str(ind / "f1.parquet"))
+    out = str(tmp_path / "out")
+    cfg = StreamConfig(
+        input_dir=str(ind), out_dir=out, num_partitions=1,
+        files_per_epoch=2, epoch_blocks=2, window_s=60,
+    )
+    res = StreamingJob(cfg).run(resume=False)
+    got = _read_rows(out)
+    ids = sorted(got["doc_idx"].to_pylist())
+    assert ids == sorted(set(range(100, 200)) | set(range(300, 400)))
+    assert res["totals"]["dupes"] == 1  # the re-sent doc-100, keyed dedup
+
+
+def test_gc_snapshots_seven_digit_epoch(tmp_path):
+    """Epoch numbers past %06d must parse from the marker, not a fixed
+    slice — a misparse would delete the LIVE snapshot."""
+    from core_ray.streaming.sink import EpochSink
+
+    sink = EpochSink(str(tmp_path / "o"), 0)
+    sink.write_snapshot(1_000_000, "state", pa.table({"x": pa.array([1])}))
+    sink.write_snapshot(999_999, "state", pa.table({"x": pa.array([0])}))
+    sink.gc_snapshots(1_000_000)
+    assert sink.read_snapshot(1_000_000, "state") is not None
+    assert sink.read_snapshot(999_999, "state") is None
