@@ -572,6 +572,10 @@ def _q_ev_window_funcs(sf):
             {"fn": "lag", "col": "value", "n": 1, "name": "prev_value"},
             {"fn": "cumsum", "col": "event_id", "name": "cum_eid"},
             {"fn": "rolling_sum", "col": "event_id", "n": 3, "name": "roll3"},
+            # event-time RANGE frame (peers included, SQL RANGE parity)
+            {"fn": "range_count", "range_us": 1_800_000_000, "name": "rc30"},
+            {"fn": "range_sum", "col": "event_id", "range_us": 1_800_000_000,
+             "name": "rs30"},
         ],
     )
 
@@ -3337,9 +3341,13 @@ SELECT event_id, ts, user_id, value,
        CAST(row_number() OVER w AS BIGINT) AS rn,
        lag(value, 1) OVER w AS prev_value,
        CAST(SUM(event_id) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_eid,
-       CAST(SUM(event_id) OVER (w ROWS 2 PRECEDING) AS DOUBLE) AS roll3
+       CAST(SUM(event_id) OVER (w ROWS 2 PRECEDING) AS DOUBLE) AS roll3,
+       CAST(count(*) OVER w2 AS BIGINT) AS rc30,
+       CAST(SUM(event_id) OVER w2 AS BIGINT) AS rs30
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w2 AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
 ORDER BY user_id, ts, event_id
 """
 

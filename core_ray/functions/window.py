@@ -13,6 +13,10 @@ Supported specs (dicts):
   {"fn": "rolling_sum"|"rolling_mean", "col": c, "n": N, "name": ...}
     (ROWS N-1 PRECEDING .. CURRENT ROW, min_periods=1 — SQL's default
      growing frame at the partition head)
+  {"fn": "range_sum"|"range_count", "col": c, "range_us": R, "name": ...}
+    (RANGE BETWEEN R PRECEDING AND CURRENT ROW over the order column —
+     the event-time frame; rows tying on the order value all see the
+     frame of that value, exactly like SQL RANGE frames)
 
 Partitioning assumption: one key's history fits in one bucket task — raise
 ``num_buckets`` for smaller buckets; a single pathological hot key needs the
@@ -37,6 +41,8 @@ _FNS = {
     "cumcount",
     "rolling_sum",
     "rolling_mean",
+    "range_sum",
+    "range_count",
 }
 
 
@@ -55,8 +61,10 @@ def keyed_window(
             raise ValueError(f"unknown window fn {s.get('fn')!r}")
         if "name" not in s:
             raise ValueError(f"spec needs a name: {s}")
-        if s["fn"] != "row_number" and "col" not in s:
+        if s["fn"] not in ("row_number", "range_count") and "col" not in s:
             raise ValueError(f"spec needs col: {s}")
+        if s["fn"].startswith("range_") and "range_us" not in s:
+            raise ValueError(f"spec needs range_us: {s}")
 
     from .temporal import _bucket_of  # the shared bucket hash
 
@@ -73,8 +81,50 @@ def keyed_window(
         df = t.to_pandas()
         kcodes, _ = pd.factorize(df[key].to_numpy())
         g = df.groupby(kcodes, sort=False)
+        ts64 = None
+
+        def _order_us() -> np.ndarray:
+            nonlocal ts64
+            if ts64 is None:
+                v = df[order].to_numpy()
+                ts64 = (
+                    v.astype("datetime64[us]").astype(np.int64)
+                    if v.dtype.kind == "M"
+                    else v.astype(np.int64)
+                )
+            return ts64
+
         for s in specs:
             fn, name = s["fn"], s["name"]
+            if fn in ("range_sum", "range_count"):
+                # SQL RANGE R PRECEDING .. CURRENT ROW, peers included: rows
+                # are (key, ts)-sorted, so encode (key, ts) into one int64
+                # and binary-search the frame bounds for ALL rows at once
+                rng = int(s["range_us"])
+                t = _order_us()
+                tmin = int(t.min()) if len(t) else 0
+                rel = t - tmin
+                span = int(rel.max()) + 1 if len(rel) else 1
+                if len(kcodes) and int(kcodes.max()) >= (1 << 62) // max(span, 1):
+                    raise OverflowError(
+                        "range frame: key-count x time-span too large for the "
+                        "int64 composite; shrink batches or bucket the time axis"
+                    )
+                z = kcodes.astype(np.int64) * span + rel
+                lo = np.searchsorted(z, kcodes * span + np.maximum(rel - rng, 0),
+                                     side="left")
+                hi = np.searchsorted(z, z, side="right")  # last peer + 1
+                if fn == "range_count":
+                    df[name] = (hi - lo).astype(np.int64)
+                else:
+                    v = df[s["col"]].to_numpy()
+                    if v.dtype.kind in "iu":
+                        c = np.concatenate(([0], np.cumsum(v.astype(np.int64))))
+                        df[name] = (c[hi] - c[lo]).astype(np.int64)
+                    else:
+                        c = np.concatenate(([0.0], np.cumsum(v.astype(np.float64))))
+                        df[name] = c[hi] - c[lo]
+                continue
             if fn == "row_number":
                 df[name] = g.cumcount().to_numpy() + 1
             elif fn in ("lag", "lead"):

@@ -205,3 +205,36 @@ def test_find_pattern_starts_fuzz(rows, within):
     ts = np.array([r[2] for r in rows], dtype=np.int64)
     got = find_pattern_starts(kc, ty, ts, ["A", "B"], within).tolist()
     assert got == _brute_starts(kc, ty, ts, ["A", "B"], within)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_range_frames_random_vs_duckdb(seed):
+    rng = np.random.default_rng(seed + 40)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, n),
+            "ts": rng.integers(0, 200, n).astype("int64"),  # dense peers
+            "id": np.arange(n, dtype="int64"),
+            "v": rng.integers(0, 50, n).astype("int64"),
+        }
+    )
+    got = keyed_window(
+        ray.data.from_pandas(df).repartition(4),
+        key="k", order="ts", tiebreak="id",
+        specs=[
+            {"fn": "range_count", "range_us": 30, "name": "rc"},
+            {"fn": "range_sum", "col": "v", "range_us": 30, "name": "rs"},
+        ],
+    ).to_pandas()
+    con = _duck(t=df)
+    want = con.execute(
+        """
+        SELECT k, ts, id, v,
+               CAST(count(*) OVER w AS BIGINT) AS rc,
+               CAST(SUM(v) OVER w AS BIGINT) AS rs
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY ts
+                            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))

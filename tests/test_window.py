@@ -76,3 +76,35 @@ def test_bad_spec_raises():
         keyed_window(ds, "k", "o", [{"fn": "median", "name": "x"}])
     with pytest.raises(ValueError, match="needs col"):
         keyed_window(ds, "k", "o", [{"fn": "lag", "name": "x"}])
+
+
+def test_range_frames_peers_and_bounds():
+    """RANGE R PRECEDING .. CURRENT ROW includes the t-R boundary AND all
+    peers of the current order value, even those later in tiebreak order."""
+    df = pd.DataFrame(
+        {
+            "k": [1] * 5,
+            "o": [0, 100, 100, 150, 301],
+            "id": [0, 1, 2, 3, 4],
+            "v": [1.0, 10.0, 100.0, 1000.0, 7.0],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (
+        keyed_window(
+            ds, key="k", order="o", tiebreak="id",
+            specs=[
+                {"fn": "range_count", "range_us": 100, "name": "rc"},
+                {"fn": "range_sum", "col": "v", "range_us": 100, "name": "rs"},
+            ],
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # id0 (t=0): frame [−100,0] -> itself
+    # id1,id2 (t=100): frame [0,100] includes t=0 AND BOTH peers -> count 3
+    # id3 (t=150): frame [50,150] -> the two t=100 rows + itself
+    # id4 (t=301): frame [201,301] -> itself only (300 < 201? no: no rows)
+    assert out["rc"].tolist() == [1, 3, 3, 3, 1]
+    assert out["rs"].tolist() == [1.0, 111.0, 111.0, 1110.0, 7.0]
