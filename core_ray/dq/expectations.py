@@ -156,7 +156,15 @@ def validate(ds: ray.data.Dataset, suite: ExpectationSuite) -> pd.DataFrame:
             }
     for i in uniq_idx:
         column = exps[i].kwargs["column"]
-        counts = ds.groupby(column).count().to_pandas()
+        # GE semantics: nulls are excluded from uniqueness — and Ray's
+        # sort-based groupby cannot order null keys anyway
+        import pyarrow.compute as _pc
+
+        nn = ds.map_batches(
+            lambda t, c=column: t.filter(_pc.is_valid(t[c])),
+            batch_format="pyarrow",
+        )
+        counts = nn.groupby(column).count().to_pandas()
         dup_rows = int(counts.loc[counts["count()"] > 1, "count()"].sum())
         rows[i] = {"elem": int(counts["count()"].sum()), "bad": dup_rows, "sum": 0.0}
 

@@ -28,13 +28,7 @@ import ray
 import ray.data
 
 from .dedup import _ragged_range, _duckdb_word_hash
-
-
-def _read_docs(source: str | ray.data.Dataset, columns: list[str]) -> ray.data.Dataset:
-    if isinstance(source, str):
-        path = source if source.endswith(".parquet") else f"{source}/documents.parquet"
-        return ray.data.read_parquet(path, columns=columns)
-    return source
+from .text import _read_docs  # one source-to-Dataset resolver for doc ops
 
 
 # ---------------------------------------------------------------------------
@@ -94,6 +88,17 @@ def pack_sequences(
         hi = _id_hi_from_parquet(path, id_col)
     if hi is None:
         hi = ds.max(id_col)
+    if hi is None:  # zero-row input: no spans
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pack_id": pa.array([], pa.int64()),
+                    "pack_offset": pa.array([], pa.int64()),
+                    "n_in_pack": pa.array([], pa.int64()),
+                }
+            )
+        )
     width = max(1, (int(hi) + n_buckets) // n_buckets)
 
     def partial_sums(batch: pa.Table) -> pa.Table:
@@ -297,8 +302,13 @@ def decontaminate(
         h, counts = _shingle_hashes(texts.filter(pa.array(mask)), n)
         parent = np.repeat(np.arange(len(ids)), counts)
         ev_sorted = ray.get(ev_ref)
-        pos = np.searchsorted(ev_sorted, h)
-        member = (pos < len(ev_sorted)) & (ev_sorted[np.minimum(pos, len(ev_sorted) - 1)] == h)
+        if len(ev_sorted) == 0:  # empty eval set: nothing can overlap
+            member = np.zeros(len(h), dtype=bool)
+        else:
+            pos = np.searchsorted(ev_sorted, h)
+            member = (pos < len(ev_sorted)) & (
+                ev_sorted[np.minimum(pos, len(ev_sorted) - 1)] == h
+            )
         # distinct shared shingles per doc: unique (parent, hash) pairs
         if member.any():
             pair = np.stack([parent[member], h[member].astype(np.int64)], axis=1)
@@ -441,7 +451,10 @@ def sample_min_k(
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         pri = _duckdb_hash_i64(ids)  # uint64
-        keep = np.argsort(pri, kind="stable")[:k]
+        # tie-break by id at the batch cut too: on equal priorities (dup
+        # ids, hash collisions) the global (hash, id) order must already
+        # hold, or a true bottom-k row can be evicted here
+        keep = np.lexsort((ids, pri))[:k]
         out = batch.select(cols).take(pa.array(keep))
         return out.append_column("_pri", pa.array(pri[keep], pa.uint64()))
 

@@ -173,11 +173,20 @@ def interpolation_at_time(
     timestamps: list[str],
     tags: list[str] | None = None,
     include_bad: bool = True,
+    window_days: int | None = None,
     spec: SeriesSpec = EVENTS_SPEC,
 ) -> ray.data.Dataset:
+    """``window_days`` bounds the scan to [min(ts) - w, max(ts) + w] days —
+    the reference's ``window_length`` lookback knob (its raw-data window is
+    widened by window_length days around the requested timestamps); None
+    scans the full series."""
     req_us = np.array(sorted(ts_to_us(t) for t in timestamps), dtype=np.int64)
     ds = read_events(source, spec) if isinstance(source, str) else source
-    ds = normalize(ds, spec, tags=tags, include_bad=include_bad)
+    bounds = {}
+    if window_days is not None and len(req_us):
+        w = int(window_days) * 86_400_000_000
+        bounds = {"start_us": int(req_us[0]) - w, "end_us": int(req_us[-1]) + w}
+    ds = normalize(ds, spec, tags=tags, include_bad=include_bad, **bounds)
     partials = ds.map_batches(_dedup_partials, batch_format="pyarrow")
     from .common import grouped_map
 

@@ -210,11 +210,20 @@ class PipelineJobToJsonConverter:
         params = getattr(comp, "_component_parameters", None)
         if params is None:
             sig = inspect.signature(type(comp).__init__)
-            params = {
-                k: v
-                for k, v in vars(comp).items()
-                if k in sig.parameters and _jsonable(v)
-            }
+            params = {}
+            for k, v in vars(comp).items():
+                p = sig.parameters.get(k)
+                if p is None or not _jsonable(v):
+                    continue
+                if p.kind is inspect.Parameter.VAR_KEYWORD:
+                    # a stored **kwargs dict must FLATTEN back into the
+                    # parameters, not nest under the kwargs name — nesting
+                    # round-trips into component(**{name: {...}}) and the
+                    # component then passes a dict where scalars belong
+                    if isinstance(v, dict):
+                        params.update({kk: vv for kk, vv in v.items() if _jsonable(vv)})
+                    continue
+                params[k] = v
         out = {
             "name": step.name,
             "component": name,

@@ -132,9 +132,14 @@ class RuntimeLogCollector:
 
     def attach_dataset_handler_to_logger(self, logger_name: str) -> DatasetLogHandler:
         logger = self.logger_manager.get_logger(logger_name)
+        if logger is None:
+            # returning an unattached handler would silently collect nothing
+            raise ValueError(
+                f"no managed logger {logger_name!r}; create it with "
+                "LoggerManager.create_logger first"
+            )
         handler = DatasetLogHandler()
-        if logger is not None and handler not in logger.handlers:
-            logger.addHandler(handler)
+        logger.addHandler(handler)
         return handler
 
     def attach_file_handler_to_loggers(

@@ -38,7 +38,9 @@ def parse_query_date(dt, is_end_date: bool = False, exclude_date_format: bool = 
             else:
                 dt = str(dt.date())
         else:
-            dt = datetime.strftime(dt, "%Y-%m-%dT%H:%M:%S%z" if dt.tzinfo else "%Y-%m-%dT%H:%M:%S")
+            # isoformat keeps sub-second precision (strftime without %f
+            # silently truncated microseconds, shifting bounds by up to 1s)
+            dt = dt.isoformat()
     dt = str(dt)
 
     day_bound = "T23:59:59" if is_end_date else "T00:00:00"

@@ -180,6 +180,10 @@ def resample_get(connection=None, parameters_dict=None):
 def plot_get(connection=None, parameters_dict=None):
     from ...ops import plot as _op_plot
 
+    # include_bad_data is accepted for signature parity but has no effect BY
+    # DESIGN: plot always consumes both statuses (Good -> min/max/first/last,
+    # Bad -> the Exception arm), exactly like the reference's plot SQL, so
+    # there is nothing for the flag to include or exclude.
     p = _params(connection, parameters_dict)
     rate, unit = _interval(p)
     ds = _op_plot(
@@ -219,6 +223,7 @@ def interpolation_at_time_get(connection=None, parameters_dict=None):
         timestamps=p["timestamps"],
         tags=p.get("tag_names"),
         include_bad=bool(p.get("include_bad_data", False)),
+        window_days=int(p.get("window_length", 1)),
         spec=_spec(p),
     )
     return _finish(ds, p, sort_cols=["TagName", "EventTime"])

@@ -126,3 +126,36 @@ def test_unknown_component_and_secret_rejected():
     )
     with pytest.raises(ValueError, match="pipeline_secret"):
         PipelineJobFromJsonConverter(secret).convert()
+
+
+def test_hand_built_function_transformer_roundtrips(sf_dir):
+    """A **kwargs component must flatten its stored params back into
+    component_parameters — nesting them under the kwargs name used to
+    produce a component that crashed at transform time."""
+    import json as _json
+
+    import ray.data
+
+    from core_ray.pipelines.converters import (
+        FunctionTransformer,
+        ParquetSource,
+        PipelineJobFromJsonConverter,
+        PipelineJobToJsonConverter,
+    )
+    from core_ray.pipelines.framework import PipelineJob, PipelineJobExecute, PipelineStep
+
+    job = PipelineJob(
+        name="rt",
+        steps=[
+            PipelineStep("src", ParquetSource(sf_dir + "/documents.parquet",
+                                              columns=["doc_id", "text"])),
+            PipelineStep("f", FunctionTransformer("corpus_filter", min_words=10),
+                         depends_on=["src"]),
+        ],
+    )
+    j = PipelineJobToJsonConverter(job).convert()
+    params = _json.loads(j)["task_list"][0]["step_list"][1]["component_parameters"]
+    assert params == {"fn": "corpus_filter", "min_words": 10}
+    job2 = PipelineJobFromJsonConverter(j).convert()
+    out = PipelineJobExecute(job2).run()["f"]
+    assert out.count() > 0  # runs, rather than TypeError at transform time

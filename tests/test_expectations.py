@@ -70,3 +70,22 @@ def test_unknown_expectation_rejected():
 
     with pytest.raises(ValueError, match="unsupported expectation"):
         ExpectationSuite("t").add_expectation("expect_nonsense", column="v")
+
+
+def test_unique_expectation_ignores_nulls():
+    """GE semantics: nulls are not uniqueness violations — and must not
+    crash the groupby."""
+    import ray.data
+
+    from core_ray.dq.expectations import ExpectationSuite, validate
+
+    ds = ray.data.from_items(
+        [{"k": "a"}, {"k": None}, {"k": "b"}, {"k": None}, {"k": "a"}]
+    )
+    suite = ExpectationSuite("nulls").add_expectation(
+        "expect_column_values_to_be_unique", column="k"
+    )
+    out = validate(ds, suite)
+    r = out.iloc[0]
+    assert not bool(r["success"])  # 'a' duplicates
+    assert int(r["element_count"]) == 3  # nulls excluded

@@ -383,3 +383,16 @@ def test_builder_end_date_is_end_of_day(sf_dir):
     )
     got = got.to_pandas() if hasattr(got, "to_pandas") else got
     assert sorted(got["Value"].tolist()) == [1.0, 2.0]
+
+
+def test_parse_query_date_keeps_microseconds():
+    from datetime import datetime
+
+    from core_ray.queries._dates import parse_query_date
+
+    got = parse_query_date(datetime(2024, 1, 1, 12, 0, 0, 500000))
+    assert got == "2024-01-01T12:00:00.500000"
+    # zero-microsecond datetimes keep the second-precision form
+    assert parse_query_date(datetime(2024, 1, 1, 12, 0, 0)) == (
+        "2024-01-01T12:00:00+00:00"
+    )

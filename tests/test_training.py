@@ -230,3 +230,30 @@ def test_tfidf_planted():
     zero = out[out["word"] == "common"]
     assert (zero["score"] == 0).all()
     assert (out.groupby("doc_id").size() <= 2).all()
+
+
+def test_decontaminate_empty_eval_set():
+    from core_ray.functions import decontaminate
+
+    # no doc_id divisible by eval_mod -> empty eval shingle set; every doc
+    # must come back with zero overlap instead of crashing
+    t = ray.data.from_items(
+        [{"doc_id": i, "text": "alpha beta gamma delta"} for i in (1, 2, 3)]
+    )
+    out = decontaminate(t, eval_mod=25).to_pandas()
+    assert len(out) == 3 and (out["n_overlap"] == 0).all()
+    assert (~out["contaminated"]).all()
+
+
+def test_pack_sequences_empty_input():
+    from core_ray.functions import pack_sequences
+
+    import pyarrow as pa_
+
+    empty = ray.data.from_arrow(
+        pa_.table({"doc_id": pa_.array([], pa_.int64()),
+                   "n_chars": pa_.array([], pa_.int64())})
+    )
+    ds_out = pack_sequences(empty)
+    assert ds_out.count() == 0
+    assert ds_out.schema().names == ["doc_id", "pack_id", "pack_offset", "n_in_pack"]
