@@ -17,6 +17,10 @@ Supported specs (dicts):
     (RANGE BETWEEN R PRECEDING AND CURRENT ROW over the order column —
      the event-time frame; rows tying on the order value all see the
      frame of that value, exactly like SQL RANGE frames)
+  {"fn": "ewm_mean", "col": c, "alpha": a, "name": ...}
+    (exponentially weighted mean per key in (order, tiebreak) sequence —
+     pandas' C groupby-ewm kernel; no SQL analog, pinned by tests against
+     the sequential recurrence)
 
 Partitioning assumption: one key's history fits in one bucket task — raise
 ``num_buckets`` for smaller buckets; a single pathological hot key needs the
@@ -43,6 +47,7 @@ _FNS = {
     "rolling_mean",
     "range_sum",
     "range_count",
+    "ewm_mean",
 }
 
 
@@ -65,6 +70,8 @@ def keyed_window(
             raise ValueError(f"spec needs col: {s}")
         if s["fn"].startswith("range_") and "range_us" not in s:
             raise ValueError(f"spec needs range_us: {s}")
+        if s["fn"] == "ewm_mean" and "alpha" not in s:
+            raise ValueError(f"spec needs alpha: {s}")
 
     from .temporal import _bucket_of  # the shared bucket hash
 
@@ -134,6 +141,12 @@ def keyed_window(
                 df[name] = g[s["col"]].cumcount().to_numpy() + 1
             elif fn in ("cumsum", "cummax", "cummin"):
                 df[name] = getattr(g[s["col"]], fn)().to_numpy()
+            elif fn == "ewm_mean":
+                a = float(s["alpha"])
+                vals = g[s["col"]].ewm(alpha=a).mean().reset_index(
+                    level=0, drop=True
+                )
+                df[name] = vals.sort_index().to_numpy()
             else:  # rolling_sum / rolling_mean
                 n = int(s["n"])
                 r = g[s["col"]].rolling(n, min_periods=1)

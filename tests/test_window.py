@@ -108,3 +108,34 @@ def test_range_frames_peers_and_bounds():
     # id4 (t=301): frame [201,301] -> itself only (300 < 201? no: no rows)
     assert out["rc"].tolist() == [1, 3, 3, 3, 1]
     assert out["rs"].tolist() == [1.0, 111.0, 111.0, 1110.0, 7.0]
+
+
+def test_ewm_mean_matches_recurrence():
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n),
+            "o": np.arange(n, dtype="int64"),
+            "id": np.arange(n, dtype="int64"),
+            "v": rng.normal(size=n),
+        }
+    )
+    out = (
+        keyed_window(
+            ray.data.from_pandas(df).repartition(4),
+            key="k", order="o", tiebreak="id",
+            specs=[{"fn": "ewm_mean", "col": "v", "alpha": 0.3, "name": "e"}],
+        )
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    # sequential reference: pandas' adjusted EWM recurrence per key
+    want = (
+        df.sort_values("o")
+        .groupby("k")["v"]
+        .transform(lambda s: s.ewm(alpha=0.3).mean())
+        .to_numpy()
+    )
+    np.testing.assert_allclose(out["e"].to_numpy(), want, rtol=1e-12)
