@@ -759,6 +759,24 @@ def _q_doc_sample_mink(sf):
     return sample_min_k(sf, k=100, columns=["doc_id", "source"])
 
 
+def _q_doc_split_assign(sf):
+    from core_ray.functions import split_assign
+
+    return split_assign(sf, val_permille=50, test_permille=50)
+
+
+def _q_doc_shuffle_rank(sf):
+    from core_ray.functions import shuffle_rank
+
+    return shuffle_rank(sf)
+
+
+def _q_doc_length_curriculum(sf):
+    from core_ray.functions import length_curriculum
+
+    return length_curriculum(sf, boundaries=(200, 500, 1000), batch_size=32)
+
+
 def _q_doc_search_and(sf):
     """Persisted inverted-index boolean retrieval: build the word-bucketed
     postings layout once, serve the AND query by reading ONLY the buckets
@@ -1860,6 +1878,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_clean_text": _q_doc_clean_text,
         "doc_tfidf": _q_doc_tfidf,
         "doc_search_and": _q_doc_search_and,
+        "doc_split_assign": _q_doc_split_assign,
+        "doc_shuffle_rank": _q_doc_shuffle_rank,
+        "doc_length_curriculum": _q_doc_length_curriculum,
     }
 
 
@@ -3507,6 +3528,39 @@ _ORACLE["doc_sample_mink_by"] = """
 SELECT doc_id, source FROM documents
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY hash(doc_id), doc_id) <= 10
 ORDER BY source, doc_id
+"""
+
+# deterministic hash split: assignment is a pure function of doc_id
+_ORACLE["doc_split_assign"] = """
+SELECT doc_id,
+       CASE WHEN hash(doc_id) % 1000 < 50  THEN 'test'
+            WHEN hash(doc_id) % 1000 < 100 THEN 'val'
+            ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+# the deterministic global shuffle permutation: position in (hash, id) order
+_ORACLE["doc_shuffle_rank"] = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY hash(doc_id), doc_id) - 1 AS BIGINT) AS pos
+FROM documents ORDER BY doc_id
+"""
+
+# length-bucketed batching: within-bucket (hash, id) order cut every 32 rows
+_ORACLE["doc_length_curriculum"] = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n_chars < 200 THEN 0
+                   WHEN n_chars < 500 THEN 1
+                   WHEN n_chars < 1000 THEN 2
+                   ELSE 3 END AS BIGINT) AS length_bucket
+  FROM documents
+)
+SELECT doc_id, length_bucket,
+       CAST((row_number() OVER (PARTITION BY length_bucket
+                                ORDER BY hash(doc_id), doc_id) - 1) // 32
+            AS BIGINT) AS batch_idx
+FROM b ORDER BY doc_id
 """
 
 

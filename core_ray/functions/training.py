@@ -515,3 +515,221 @@ def sample_min_k_by(
         .map_groups(cut, batch_format="pyarrow")
         .sort([group_col, id_col])
     )
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split, deterministic shuffle order, length curriculum
+# ---------------------------------------------------------------------------
+
+
+def split_assign(
+    source: str | ray.data.Dataset,
+    val_permille: int = 50,
+    test_permille: int = 50,
+    id_col: str = "doc_id",
+    mod: int = 1000,
+) -> ray.data.Dataset:
+    """Deterministic train/val/test split assignment: ``hash(id) % mod``
+    lands in ``[0, test)`` -> test, ``[test, test+val)`` -> val, else train.
+
+    The assignment is a pure function of the id (DuckDB's hash kernel, so
+    SQL-verifiable) — stable across reruns, shard layouts and cluster sizes,
+    which is the property a 100 TB corpus split must have: re-ingesting a
+    source can never move a document across the eval boundary.  One streamed
+    ``map_batches``, no shuffle.  Output: ``(id, split)``.
+    """
+    t_hi = int(test_permille)
+    v_hi = t_hi + int(val_permille)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        r = (_duckdb_hash_i64(ids) % np.uint64(mod)).astype(np.int64)
+        split = np.where(r < t_hi, "test", np.where(r < v_hi, "val", "train"))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return _read_docs(source, [id_col]).map_batches(
+        fn, batch_format="pyarrow"
+    ).sort(id_col)
+
+
+def _bucket_prefix_counts(
+    ds: ray.data.Dataset,
+    key_of,  # batch -> (int64 composite bucket array, n_slots)
+    n_slots: int,
+) -> np.ndarray:
+    """Pass 1 of a distributed prefix scan: exclusive prefix sums of
+    per-composite-bucket row counts.  Driver state is ``n_slots`` integers."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = key_of(batch)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").groupby("bucket").sum(
+        "cnt"
+    ).take_all()  # bounded: <= n_slots rows
+    tot = np.zeros(n_slots + 1, dtype=np.int64)
+    for r in rows:
+        tot[int(r["bucket"])] = int(r["sum(cnt)"])
+    return np.concatenate(([0], np.cumsum(tot)[:-1]))
+
+
+def shuffle_rank(
+    source: str | ray.data.Dataset,
+    id_col: str = "doc_id",
+    bits: int = 8,
+) -> ray.data.Dataset:
+    """Deterministic global shuffle order: ``rank`` = position of the row in
+    ``(hash(id), id)`` order, 0-based — the reproducible corpus permutation a
+    training run shards by (read back ``ORDER BY pos`` or route
+    ``pos % n_shards``).
+
+    Contrast ``Dataset.random_shuffle()``: a full materializing all-to-all
+    whose order depends on partitioning and seed plumbing.  Here the
+    permutation is a pure function of the ids, and it is computed as a
+    two-pass prefix scan: (1) row counts per hash-prefix bucket (top ``bits``
+    bits of the hash — bucket order IS hash order) with ``2**bits`` integers
+    to the driver; (2) each bucket independently sorts its rows by
+    ``(hash, id)`` and offsets by the bucket's exclusive prefix.  One shuffle
+    (the bucket co-group); no global sort.  Output: ``(id, pos)``.
+    """
+    n_buckets = 1 << bits
+    ds = _read_docs(source, [id_col])
+    shift = np.uint64(64 - bits)
+
+    def key_of(batch: pa.Table) -> np.ndarray:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return (_duckdb_hash_i64(ids) >> shift).astype(np.int64)
+
+    prefix_ref = ray.put(_bucket_prefix_counts(ds, key_of, n_buckets))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pri = _duckdb_hash_i64(ids)
+        b = (pri >> shift).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "_pri": pa.array(pri, pa.uint64()),
+                "_bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        bucket = int(g["_bucket"][0].as_py())
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        pri = g["_pri"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, pri))
+        base = ray.get(prefix_ref)[bucket]
+        rank = np.empty(len(ids), np.int64)
+        rank[order] = base + np.arange(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "pos": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank_group, batch_format="pyarrow")
+        .sort(id_col)
+    )
+
+
+def length_curriculum(
+    source: str | ray.data.Dataset,
+    boundaries: tuple[int, ...] = (200, 500, 1000),
+    batch_size: int = 32,
+    count_col: str = "n_chars",
+    id_col: str = "doc_id",
+    bits: int = 6,
+) -> ray.data.Dataset:
+    """Length-bucketed batch assignment (curriculum / padding-efficiency
+    batching): documents are binned by ``count_col`` against ``boundaries``
+    (bucket b holds boundaries[b-1] <= n < boundaries[b]), then WITHIN each
+    length bucket ordered by the deterministic shuffle ``(hash(id), id)`` and
+    cut into batches of ``batch_size``.  Batches therefore contain
+    similarly-sized documents (minimal padding waste) in a reproducible,
+    shard-independent order.
+
+    Distributed as the same two-pass prefix scan as :func:`shuffle_rank`,
+    with the composite bucket ``(length_bucket, hash_prefix)`` so the
+    within-length-bucket rank needs no global sort.  Output: ``(id,
+    length_bucket, batch_idx)``.
+    """
+    bounds = np.asarray(boundaries, dtype=np.int64)
+    n_lb = len(bounds) + 1
+    n_hb = 1 << bits
+    shift = np.uint64(64 - bits)
+    ds = _read_docs(source, [id_col, count_col])
+
+    def lb_of(batch: pa.Table) -> np.ndarray:
+        n = batch[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.searchsorted(bounds, n, side="right").astype(np.int64)
+
+    def key_of(batch: pa.Table) -> np.ndarray:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hb = (_duckdb_hash_i64(ids) >> shift).astype(np.int64)
+        return lb_of(batch) * n_hb + hb
+
+    prefix = _bucket_prefix_counts(ds, key_of, n_lb * n_hb)
+    # re-base each length bucket's prefix to ITS OWN first slot so the rank
+    # restarts at 0 per length bucket (PARTITION BY semantics)
+    slot_prefix = prefix[: n_lb * n_hb].reshape(n_lb, n_hb)
+    slot_prefix = slot_prefix - slot_prefix[:, :1]
+    prefix_ref = ray.put(slot_prefix.reshape(-1))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pri = _duckdb_hash_i64(ids)
+        hb = (pri >> shift).astype(np.int64)
+        lb = lb_of(batch)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "_pri": pa.array(pri, pa.uint64()),
+                "_lb": pa.array(lb, pa.int64()),
+                "_bucket": pa.array(lb * n_hb + hb, pa.int64()),
+            }
+        )
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        bucket = int(g["_bucket"][0].as_py())
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        pri = g["_pri"].to_numpy(zero_copy_only=False)
+        lb = g["_lb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, pri))
+        base = ray.get(prefix_ref)[bucket]
+        rank = np.empty(len(ids), np.int64)
+        rank[order] = base + np.arange(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "length_bucket": pa.array(lb, pa.int64()),
+                "batch_idx": pa.array(rank // batch_size, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank_group, batch_format="pyarrow")
+        .sort(id_col)
+    )

@@ -257,3 +257,80 @@ def test_pack_sequences_empty_input():
     ds_out = pack_sequences(empty)
     assert ds_out.count() == 0
     assert ds_out.schema().names == ["doc_id", "pack_id", "pack_offset", "n_in_pack"]
+
+
+def test_split_assign_deterministic_partition():
+    """Split assignment is a pure function of the id: identical at any
+    partitioning, covers every row exactly once, and the three arms respect
+    the permille thresholds against the same DuckDB hash."""
+    import duckdb
+
+    from core_ray.functions import split_assign
+
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype="int64")})
+    df["text"] = "w"
+    a = (
+        split_assign(ray.data.from_pandas(df).repartition(1), 100, 200)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        split_assign(ray.data.from_pandas(df).repartition(7), 100, 200)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 1000 and set(a["split"]) == {"train", "val", "test"}
+    r = duckdb.connect().execute(
+        "SELECT hash(v) % 1000 FROM (SELECT unnest(range(1000)) v)"
+    ).fetchnumpy()
+    mod = list(r.values())[0].astype("int64")
+    want = np.where(mod < 200, "test", np.where(mod < 300, "val", "train"))
+    assert (a["split"].to_numpy() == want).all()
+
+
+def test_shuffle_rank_is_a_permutation():
+    """shuffle_rank emits each rank exactly once and orders rows by
+    (hash, id) — verified against a driver-side argsort of the same hash."""
+    from core_ray.functions import shuffle_rank
+    from core_ray.functions.training import _duckdb_hash_i64
+
+    ids = np.arange(777, dtype="int64")
+    df = pd.DataFrame({"doc_id": ids, "text": "w"})
+    out = (
+        shuffle_rank(ray.data.from_pandas(df).repartition(5), bits=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pri = _duckdb_hash_i64(ids)
+    want = np.empty(len(ids), np.int64)
+    want[np.lexsort((ids, pri))] = np.arange(len(ids))
+    assert (out["pos"].to_numpy() == want).all()
+    assert sorted(out["pos"]) == list(range(777))
+
+
+def test_length_curriculum_batches_by_bucket():
+    """Within each length bucket the batch index follows the deterministic
+    (hash, id) order in contiguous cuts of batch_size; batch sizes are full
+    except the last per bucket."""
+    from core_ray.functions import length_curriculum
+    from core_ray.functions.training import _duckdb_hash_i64
+
+    rng = np.random.default_rng(11)
+    n = rng.integers(0, 1500, size=400).astype("int64")
+    df = pd.DataFrame(
+        {"doc_id": np.arange(400, dtype="int64"), "n_chars": n, "text": "w"}
+    )
+    out = (
+        length_curriculum(
+            ray.data.from_pandas(df).repartition(6),
+            boundaries=(200, 500, 1000), batch_size=10, bits=3,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    lb = np.searchsorted(np.array([200, 500, 1000]), n, side="right")
+    assert (out["length_bucket"].to_numpy() == lb).all()
+    pri = _duckdb_hash_i64(df["doc_id"].to_numpy())
+    for b in np.unique(lb):
+        mask = lb == b
+        ids_b = df["doc_id"].to_numpy()[mask]
+        rank = np.empty(mask.sum(), np.int64)
+        rank[np.lexsort((ids_b, pri[mask]))] = np.arange(mask.sum())
+        assert (out.loc[mask, "batch_idx"].to_numpy() == rank // 10).all()
