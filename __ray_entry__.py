@@ -759,6 +759,18 @@ def _q_doc_sample_mink(sf):
     return sample_min_k(sf, k=100, columns=["doc_id", "source"])
 
 
+def _q_doc_bloom_novel(sf):
+    from core_ray.functions import bloom_novel
+
+    return bloom_novel(sf, ref_mod=5, m_bits=65536, k=3)
+
+
+def _q_doc_lm_score(sf):
+    from core_ray.functions import lm_score
+
+    return lm_score(sf, ref_mod=5, vocab_size=1000)
+
+
 def _q_doc_split_assign(sf):
     from core_ray.functions import split_assign
 
@@ -1881,6 +1893,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_assign": _q_doc_split_assign,
         "doc_shuffle_rank": _q_doc_shuffle_rank,
         "doc_length_curriculum": _q_doc_length_curriculum,
+        "doc_lm_score": _q_doc_lm_score,
+        "doc_bloom_novel": _q_doc_bloom_novel,
     }
 
 
@@ -3528,6 +3542,87 @@ _ORACLE["doc_sample_mink_by"] = """
 SELECT doc_id, source FROM documents
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY hash(doc_id), doc_id) <= 10
 ORDER BY source, doc_id
+"""
+
+# bigram-LM quality score: add-one-smoothed bigram model trained on the
+# doc_id%5==0 reference slice; per-bigram log-probs become scaled integers
+# (round_even(ln P * 1e6)) so per-doc sums are order-independent and exact
+_ORACLE["doc_lm_score"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+refw AS (SELECT unnest(arr) AS word FROM d WHERE doc_id % 5 = 0),
+vocab AS (
+  SELECT word FROM refw GROUP BY word
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, word) <= 1000
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_zip(arr[1:length(arr)-1], arr[2:length(arr)])) AS p
+  FROM d WHERE length(arr) >= 2
+),
+pairs AS (
+  SELECT bg.doc_id,
+         CASE WHEN v1.word IS NULL THEN '' ELSE p[1] END AS w1,
+         CASE WHEN v2.word IS NULL THEN '' ELSE p[2] END AS w2
+  FROM bg
+  LEFT JOIN vocab v1 ON v1.word = p[1]
+  LEFT JOIN vocab v2 ON v2.word = p[2]
+),
+c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM pairs WHERE doc_id % 5 = 0 GROUP BY 1, 2
+),
+c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round_even(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+                            / CAST(COALESCE(c1.c1, 0) + 1001 AS DOUBLE))
+                         * 1000000, 0) AS BIGINT) AS lp
+  FROM pairs p
+  LEFT JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+  LEFT JOIN c1 ON c1.w1 = p.w1
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(-sum(lp) AS BIGINT) AS nll_e6
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       COALESCE(agg.nll_e6, 0) AS nll_e6
+FROM d LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+# Bloom incremental dedup: double-hashed bit positions from DuckDB's hash
+# kernel, so even the filter's false positives reproduce exactly in SQL
+_ORACLE["doc_bloom_novel"] = """
+WITH h AS (
+  SELECT doc_id, hash(text) % 65536 AS h1, hash(text || chr(1)) % 65536 AS h2
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, (h1 + j * h2) % 65536 AS p
+  FROM h, (SELECT unnest([0, 1, 2]) AS j) t
+),
+refbits AS (
+  SELECT p // 64 AS w, bit_or(CAST(1 AS UBIGINT) << CAST(p % 64 AS INTEGER)) AS bits
+  FROM pos WHERE doc_id % 5 = 0 GROUP BY 1
+),
+probe AS (
+  SELECT pos.doc_id,
+         max(CASE WHEN refbits.bits IS NULL THEN 1
+                  WHEN (refbits.bits >> CAST(pos.p % 64 AS INTEGER))
+                       & CAST(1 AS UBIGINT) = 0 THEN 1
+                  ELSE 0 END) AS any_unset
+  FROM pos LEFT JOIN refbits ON refbits.w = pos.p // 64
+  WHERE pos.doc_id % 5 <> 0 GROUP BY 1
+)
+SELECT doc_id, any_unset = 1 AS novel FROM probe ORDER BY doc_id
 """
 
 # deterministic hash split: assignment is a pure function of doc_id

@@ -733,3 +733,252 @@ def length_curriculum(
         .map_groups(rank_group, batch_format="pyarrow")
         .sort(id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM quality scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+
+def _word_indices(texts, vocab_idx) -> tuple[np.ndarray, np.ndarray]:
+    """Lower/whitespace-split a batch of texts (the corpus-wide word
+    contract shared with ``vocab_topk``) and map each word to its vocab
+    index, V for out-of-vocabulary.  Returns ``(flat_idx, parent)``."""
+    import pandas as pd
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    flat = words.flatten()
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, parent = flat.filter(pa.array(keep)), parent[keep]
+    V = len(vocab_idx)
+    if len(flat) == 0:
+        return np.zeros(0, np.int64), parent
+    # C-level hash lookup (pandas Index), not a Python loop over words
+    idx = vocab_idx.get_indexer(flat.to_numpy(zero_copy_only=False))
+    return np.where(idx < 0, V, idx).astype(np.int64), parent
+
+
+def _lp_e6(c2p: np.ndarray, denom: np.ndarray) -> np.ndarray:
+    """``round_even(ln(c2p/denom)*1e6, 0)`` as int64, computed by DuckDB's
+    own ln/round kernels (the ``round4`` pattern): numpy's SIMD log can
+    differ from libm by an ulp, and a scaled-integer score must match the
+    SQL oracle bit-for-bit."""
+    from .dedup import _duckdb_hash_con
+
+    if len(c2p) == 0:
+        return np.zeros(0, np.int64)
+    con = _duckdb_hash_con()
+    t = pa.table(
+        {"a": pa.array(c2p, pa.int64()), "b": pa.array(denom, pa.int64())}
+    )
+    con.register("_lm_lp_in", t)
+    out = con.execute(
+        "SELECT CAST(round_even(ln(CAST(a AS DOUBLE)/CAST(b AS DOUBLE))"
+        "*1000000, 0) AS BIGINT) AS lp FROM _lm_lp_in"
+    ).fetch_arrow_table()
+    con.unregister("_lm_lp_in")
+    return out["lp"].to_numpy(zero_copy_only=False)
+
+
+def lm_score(
+    source: str | ray.data.Dataset,
+    ref_mod: int = 5,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """CCNet-style bigram language-model quality score: train an add-one-
+    smoothed bigram LM on the reference slice (``doc_id % ref_mod == 0`` — a
+    deterministic stand-in for the "clean" target-domain corpus) and score
+    EVERY document's negative log-likelihood under it.  High NLL per bigram
+    = far from the reference distribution = low-quality / out-of-domain —
+    the standard web-corpus quality gate.
+
+    Output: ``(doc_id, n_bigrams, nll_e6)`` where ``nll_e6`` is the negated
+    SUM of per-bigram ``round_even(ln P * 1e6)`` INTEGERS — scaled-integer
+    log-probs make the per-document sum order-independent, so the score is
+    exactly SQL-reproducible (float sums are not, under reassociation).
+
+    Model: ``P(w2|w1) = (c2(w1,w2)+1) / (c1(w1) + V+1)`` with ``c1`` the
+    bigram-left occurrence count, both over the reference slice after
+    mapping non-vocab words to the single ``<unk>`` class (vocab = top
+    ``vocab_size`` reference words by count desc, word asc).
+
+    Scale shape: vocabulary and bigram-count build are per-batch partial
+    counts + one bounded ``groupby`` each (distinct observed bigrams ≤
+    (V+1)², ~16 MB at V=1000); the model broadcasts once via ``ray.put``;
+    scoring is a single streamed ``map_batches`` over the corpus — no
+    shuffle touches full rows.
+    """
+    import pandas as pd
+
+    ds = _read_docs(source, [id_col, "text"])
+    V = int(vocab_size)
+    Vp1 = V + 1
+
+    def ref_only(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % ref_mod == 0))
+
+    ref = ds.map_batches(ref_only, batch_format="pyarrow")
+    vocab_tbl = vocab_topk(ref.select_columns(["text"]), k=V).to_pandas()
+    vocab_idx = pd.Index(vocab_tbl["word"].to_numpy())
+    vocab_ref = ray.put(vocab_idx)
+
+    def ref_bigram_counts(batch: pa.Table) -> pa.Table:
+        idx, parent = _word_indices(batch["text"], ray.get(vocab_ref))
+        if len(idx) < 2:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        same = parent[:-1] == parent[1:]
+        keys = idx[:-1][same] * Vp1 + idx[1:][same]
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    c2_rows = (
+        ref.map_batches(ref_bigram_counts, batch_format="pyarrow")
+        .groupby("key")
+        .sum("cnt")
+        .to_pandas()  # bounded: distinct observed reference bigrams
+    )
+    c2_keys = c2_rows["key"].to_numpy().astype(np.int64)
+    c2_cnts = c2_rows["sum(cnt)"].to_numpy().astype(np.int64)
+    order = np.argsort(c2_keys)
+    c2_keys, c2_cnts = c2_keys[order], c2_cnts[order]
+    c1 = np.zeros(Vp1, np.int64)
+    np.add.at(c1, c2_keys // Vp1, c2_cnts)
+    model_ref = ray.put((c2_keys, c2_cnts, c1))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        idx, parent = _word_indices(batch["text"], ray.get(vocab_ref))
+        n_docs = len(ids)
+        if len(idx) < 2:
+            zero = np.zeros(n_docs, np.int64)
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "n_bigrams": pa.array(zero),
+                             "nll_e6": pa.array(zero)})
+        keys_sorted, cnts_sorted, c1_arr = ray.get(model_ref)
+        same = parent[:-1] == parent[1:]
+        i1 = idx[:-1][same]
+        keys = i1 * Vp1 + idx[1:][same]
+        bg_parent = parent[:-1][same]
+        if len(keys_sorted):
+            pos = np.minimum(np.searchsorted(keys_sorted, keys),
+                             len(keys_sorted) - 1)
+            c2 = np.where(keys_sorted[pos] == keys, cnts_sorted[pos], 0)
+        else:
+            c2 = np.zeros(len(keys), np.int64)
+        lp = _lp_e6(c2 + 1, c1_arr[i1] + Vp1)
+        n_bg = np.bincount(bg_parent, minlength=n_docs).astype(np.int64)
+        s = np.bincount(bg_parent, weights=lp.astype(np.float64),
+                        minlength=n_docs)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_bigrams": pa.array(n_bg),
+                         "nll_e6": pa.array((-s).astype(np.int64))})
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def bloom_novel(
+    source: str | ray.data.Dataset,
+    ref_mod: int = 5,
+    m_bits: int = 65536,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Incremental-ingest dedup: probe each NEW document against a Bloom
+    filter built over the already-ingested reference slice (``doc_id %
+    ref_mod == 0`` — the stand-in for yesterday's corpus).  ``novel=false``
+    means "probably seen" (all ``k`` bits set); false positives are the
+    filter's usual price and — because the bit positions come from DuckDB's
+    own hash kernel via double hashing ``(h1 + j*h2) % m`` — they are
+    deterministic and exactly SQL-reproducible, so even the FP outcomes are
+    oracle-checkable.
+
+    Scale shape: this is how a 100 TB daily ingest asks "which of today's
+    documents did any previous day already contain" WITHOUT a shuffle join
+    against the historical corpus — the historical side is compressed to
+    ``m_bits`` once (per-batch partial bitmaps of <= m_bits/64 uint64 words,
+    a bounded ``groupby`` OR-merge of <= m_bits/64 rows, one ``ray.put``),
+    and the probe is a single streamed ``map_batches``.  Size ``m_bits`` to
+    the FP budget (~0.1% at m/n=15, k=3).
+
+    Output: ``(doc_id, novel)`` for every non-reference document.
+    """
+    m = int(m_bits)
+    n_words = m // 64
+    ds = _read_docs(source, [id_col, "text"])
+
+    def _positions(texts) -> np.ndarray:
+        """(n, k) bit positions via double hashing of the document text."""
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        h1 = _duckdb_word_hash(texts) % np.uint64(m)
+        salted = pc.binary_join_element_wise(texts, "\x01", "")
+        h2 = _duckdb_word_hash(salted) % np.uint64(m)
+        j = np.arange(k, dtype=np.uint64)[None, :]
+        return (h1[:, None] + j * h2[:, None]) % np.uint64(m)
+
+    def ref_bits(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = ids % ref_mod == 0
+        if not mask.any():
+            return pa.table({"w": pa.array([], pa.int64()),
+                             "bits": pa.array([], pa.uint64())})
+        pos = _positions(batch["text"].filter(pa.array(mask))).ravel()
+        bitmap = np.zeros(n_words, np.uint64)
+        np.bitwise_or.at(bitmap, (pos // 64).astype(np.int64),
+                         np.uint64(1) << (pos % np.uint64(64)))
+        nz = np.nonzero(bitmap)[0]
+        return pa.table({"w": pa.array(nz, pa.int64()),
+                         "bits": pa.array(bitmap[nz], pa.uint64())})
+
+    def or_merge(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        bits = np.bitwise_or.reduce(
+            g["bits"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return pa.table({"w": g["w"].slice(0, 1),
+                         "bits": pa.array([bits], pa.uint64())})
+
+    rows = (
+        ds.map_batches(ref_bits, batch_format="pyarrow")
+        .groupby("w")
+        .map_groups(or_merge, batch_format="pyarrow")
+        .to_pandas()  # bounded: <= m_bits/64 rows
+    )
+    bitmap = np.zeros(n_words, np.uint64)
+    if len(rows):
+        bitmap[rows["w"].to_numpy().astype(np.int64)] = rows["bits"].to_numpy().astype(
+            np.uint64
+        )
+    bitmap_ref = ray.put(bitmap)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = ids % ref_mod != 0
+        ids = ids[mask]
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "novel": pa.array([], pa.bool_())})
+        pos = _positions(batch["text"].filter(pa.array(mask)))
+        bm = ray.get(bitmap_ref)
+        set_ = (bm[(pos // 64).astype(np.int64)]
+                >> (pos % np.uint64(64))) & np.uint64(1)
+        novel = (set_ == 0).any(axis=1)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "novel": pa.array(novel)})
+
+    return ds.map_batches(probe, batch_format="pyarrow").sort(id_col)

@@ -334,3 +334,83 @@ def test_length_curriculum_batches_by_bucket():
         rank = np.empty(mask.sum(), np.int64)
         rank[np.lexsort((ids_b, pri[mask]))] = np.arange(mask.sum())
         assert (out.loc[mask, "batch_idx"].to_numpy() == rank // 10).all()
+
+
+def test_lm_score_tiny_model_by_hand():
+    """4 docs, ref slice = ids 0 (mod 5): model trained on 'a b a b a';
+    bigrams ab x2, ba x2 -> c1(a)=2, c1(b)=2.  With V=10 (all words in
+    vocab, unk unused): P(b|a)=(2+1)/(2+11), P(a|b)=3/13, unseen P(c|b)=
+    1/13 from c1(b)=2 -> (0+1)/(2+11).  Scores are scaled-integer sums."""
+    import duckdb
+
+    from core_ray.functions import lm_score
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b a b a", "a b", "b c", "x"],
+        }
+    )
+    out = (
+        lm_score(ray.data.from_pandas(df), ref_mod=5, vocab_size=10)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    lp = lambda a, b: con.execute(
+        f"SELECT CAST(round_even(ln(CAST({a} AS DOUBLE)/CAST({b} AS DOUBLE))*1000000,0) AS BIGINT)"
+    ).fetchone()[0]
+    p_ab, p_ba = lp(3, 13), lp(3, 13)
+    want = [
+        -(p_ab + p_ba + p_ab + p_ba),  # doc0: ab ba ab ba
+        -p_ab,                          # doc1: ab
+        -lp(1, 13),                     # doc2: bc unseen, c1(b)=2
+        0,                              # doc3: single word
+    ]
+    assert out["n_bigrams"].tolist() == [4, 1, 1, 0]
+    assert out["nll_e6"].tolist() == want
+
+
+def test_lm_score_partitioning_invariant():
+    from core_ray.functions import lm_score
+
+    rng = np.random.default_rng(5)
+    words = np.array(["aa", "bb", "cc", "dd", "ee", "ff"])
+    texts = [" ".join(rng.choice(words, size=rng.integers(0, 12))) for _ in range(120)]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype="int64"), "text": texts})
+    a = (
+        lm_score(ray.data.from_pandas(df).repartition(1), ref_mod=3, vocab_size=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        lm_score(ray.data.from_pandas(df).repartition(9), ref_mod=3, vocab_size=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.loc[a["n_bigrams"] > 0, "nll_e6"] > 0).all()
+
+
+def test_bloom_novel_planted_duplicates():
+    """Docs repeating a reference text probe all-bits-set -> novel=false;
+    unique texts are novel (m/n large enough that no FP fires here), and the
+    output is partitioning-invariant."""
+    from core_ray.functions import bloom_novel
+
+    texts = [f"unique text {i}" for i in range(60)]
+    # ids 0,5,10,... are the reference slice; make ids 7 and 13 repeat
+    # reference texts (ids 5 and 10), id 21 repeat a NON-reference text (9)
+    texts[7], texts[13], texts[21] = texts[5], texts[10], texts[9]
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype="int64"), "text": texts})
+    outs = []
+    for parts in (1, 6):
+        out = (
+            bloom_novel(ray.data.from_pandas(df).repartition(parts),
+                        ref_mod=5, m_bits=65536, k=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].set_index("doc_id")["novel"]
+    assert len(out) == 48  # 60 minus the 12 reference docs
+    assert not out[7] and not out[13]  # texts already in the reference slice
+    assert out[21] and out[9]  # non-reference duplicate pair stays novel
+    assert out.drop([7, 13]).all()
