@@ -559,7 +559,7 @@ def split_assign(
 
 def _bucket_prefix_counts(
     ds: ray.data.Dataset,
-    key_of,  # batch -> (int64 composite bucket array, n_slots)
+    key_of,  # batch -> int64 composite bucket array (one slot per row)
     n_slots: int,
 ) -> np.ndarray:
     """Pass 1 of a distributed prefix scan: exclusive prefix sums of
@@ -600,25 +600,60 @@ def shuffle_rank(
     ``(hash, id)`` and offsets by the bucket's exclusive prefix.  One shuffle
     (the bucket co-group); no global sort.  Output: ``(id, pos)``.
     """
-    n_buckets = 1 << bits
     ds = _read_docs(source, [id_col])
+    ranked = _prefix_scan_rank(ds, id_col, bits)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[id_col], "pos": batch["_rank"]})
+
+    return ranked.map_batches(emit, batch_format="pyarrow").sort(id_col)
+
+
+def _prefix_scan_rank(
+    ds: ray.data.Dataset,
+    id_col: str,
+    bits: int,
+    lb_of=None,
+    n_lb: int = 1,
+) -> ray.data.Dataset:
+    """Shared core of :func:`shuffle_rank` / :func:`length_curriculum`: the
+    rank of every row within its ``lb_of`` partition (globally when
+    ``lb_of`` is None) in ``(hash(id), id)`` order, as a two-pass prefix
+    scan over composite ``(partition, hash-prefix)`` buckets.  Returns a
+    Dataset with ``(id_col, _lb, _rank)``; driver state is
+    ``n_lb * 2**bits`` integers."""
+    n_hb = 1 << bits
     shift = np.uint64(64 - bits)
+
+    def _lb(batch: pa.Table) -> np.ndarray:
+        if lb_of is None:
+            return np.zeros(len(batch), np.int64)
+        return lb_of(batch)
 
     def key_of(batch: pa.Table) -> np.ndarray:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return (_duckdb_hash_i64(ids) >> shift).astype(np.int64)
+        hb = (_duckdb_hash_i64(ids) >> shift).astype(np.int64)
+        return _lb(batch) * n_hb + hb
 
-    prefix_ref = ray.put(_bucket_prefix_counts(ds, key_of, n_buckets))
+    prefix = _bucket_prefix_counts(ds, key_of, n_lb * n_hb)
+    # re-base each partition's prefix to ITS OWN first slot so the rank
+    # restarts at 0 per partition (PARTITION BY semantics); with one
+    # partition the first slot's prefix is 0 and this is the identity
+    slot_prefix = prefix[: n_lb * n_hb].reshape(n_lb, n_hb)
+    slot_prefix = slot_prefix - slot_prefix[:, :1]
+    prefix_ref = ray.put(slot_prefix.reshape(-1))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         pri = _duckdb_hash_i64(ids)
-        b = (pri >> shift).astype(np.int64)
+        hb = (pri >> shift).astype(np.int64)
+        lb = _lb(batch)
         return pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),
                 "_pri": pa.array(pri, pa.uint64()),
-                "_bucket": pa.array(b, pa.int64()),
+                "_lb": pa.array(lb, pa.int64()),
+                "_bucket": pa.array(lb * n_hb + hb, pa.int64()),
             }
         )
 
@@ -637,7 +672,8 @@ def shuffle_rank(
         return pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),
-                "pos": pa.array(rank, pa.int64()),
+                "_lb": g["_lb"],
+                "_rank": pa.array(rank, pa.int64()),
             }
         )
 
@@ -645,7 +681,6 @@ def shuffle_rank(
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(rank_group, batch_format="pyarrow")
-        .sort(id_col)
     )
 
 
@@ -671,68 +706,26 @@ def length_curriculum(
     length_bucket, batch_idx)``.
     """
     bounds = np.asarray(boundaries, dtype=np.int64)
-    n_lb = len(bounds) + 1
-    n_hb = 1 << bits
-    shift = np.uint64(64 - bits)
     ds = _read_docs(source, [id_col, count_col])
 
     def lb_of(batch: pa.Table) -> np.ndarray:
         n = batch[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return np.searchsorted(bounds, n, side="right").astype(np.int64)
 
-    def key_of(batch: pa.Table) -> np.ndarray:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        hb = (_duckdb_hash_i64(ids) >> shift).astype(np.int64)
-        return lb_of(batch) * n_hb + hb
+    ranked = _prefix_scan_rank(ds, id_col, bits, lb_of=lb_of,
+                               n_lb=len(bounds) + 1)
 
-    prefix = _bucket_prefix_counts(ds, key_of, n_lb * n_hb)
-    # re-base each length bucket's prefix to ITS OWN first slot so the rank
-    # restarts at 0 per length bucket (PARTITION BY semantics)
-    slot_prefix = prefix[: n_lb * n_hb].reshape(n_lb, n_hb)
-    slot_prefix = slot_prefix - slot_prefix[:, :1]
-    prefix_ref = ray.put(slot_prefix.reshape(-1))
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        pri = _duckdb_hash_i64(ids)
-        hb = (pri >> shift).astype(np.int64)
-        lb = lb_of(batch)
+    def emit(batch: pa.Table) -> pa.Table:
+        rank = batch["_rank"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                id_col: pa.array(ids, pa.int64()),
-                "_pri": pa.array(pri, pa.uint64()),
-                "_lb": pa.array(lb, pa.int64()),
-                "_bucket": pa.array(lb * n_hb + hb, pa.int64()),
-            }
-        )
-
-    def rank_group(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        if isinstance(g, pd.DataFrame):
-            g = pa.Table.from_pandas(g, preserve_index=False)
-        bucket = int(g["_bucket"][0].as_py())
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        pri = g["_pri"].to_numpy(zero_copy_only=False)
-        lb = g["_lb"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, pri))
-        base = ray.get(prefix_ref)[bucket]
-        rank = np.empty(len(ids), np.int64)
-        rank[order] = base + np.arange(len(ids), dtype=np.int64)
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                "length_bucket": pa.array(lb, pa.int64()),
+                id_col: batch[id_col],
+                "length_bucket": batch["_lb"],
                 "batch_idx": pa.array(rank // batch_size, pa.int64()),
             }
         )
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(rank_group, batch_format="pyarrow")
-        .sort(id_col)
-    )
+    return ranked.map_batches(emit, batch_format="pyarrow").sort(id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -810,7 +803,11 @@ def lm_score(
     counts + one bounded ``groupby`` each (distinct observed bigrams ≤
     (V+1)², ~16 MB at V=1000); the model broadcasts once via ``ray.put``;
     scoring is a single streamed ``map_batches`` over the corpus — no
-    shuffle touches full rows.
+    shuffle touches full rows.  The reference slice is deliberately
+    re-SCANNED for the two (inherently ordered) model-build passes rather
+    than materialized: at corpus scale the slice is still terabytes, and a
+    second column-pruned read streams where a ``materialize()`` would camp
+    on the object store.
     """
     import pandas as pd
 
@@ -874,11 +871,13 @@ def lm_score(
             c2 = np.zeros(len(keys), np.int64)
         lp = _lp_e6(c2 + 1, c1_arr[i1] + Vp1)
         n_bg = np.bincount(bg_parent, minlength=n_docs).astype(np.int64)
-        s = np.bincount(bg_parent, weights=lp.astype(np.float64),
-                        minlength=n_docs)
+        # pure int64 accumulation: bincount's float64 weights would lose
+        # exactness (and order-independence) past 2^53 on huge documents
+        s = np.zeros(n_docs, np.int64)
+        np.add.at(s, bg_parent, lp)
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "n_bigrams": pa.array(n_bg),
-                         "nll_e6": pa.array((-s).astype(np.int64))})
+                         "nll_e6": pa.array(-s)})
 
     return ds.map_batches(score, batch_format="pyarrow").sort(id_col)
 
@@ -915,6 +914,8 @@ def bloom_novel(
     Output: ``(doc_id, novel)`` for every non-reference document.
     """
     m = int(m_bits)
+    if m < 64 or m % 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64: {m}")
     n_words = m // 64
     ds = _read_docs(source, [id_col, "text"])
 
