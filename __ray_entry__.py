@@ -759,6 +759,35 @@ def _q_doc_sample_mink(sf):
     return sample_min_k(sf, k=100, columns=["doc_id", "source"])
 
 
+def _q_doc_freq_words(sf):
+    """Exact frequent words (>=0.5% of corpus) via two-pass MG+recount."""
+    from core_ray.functions import frequent_words_exact
+
+    return frequent_words_exact(sf, phi_permille=5, k=512)
+
+
+def _q_doc_group_quantiles(sf):
+    """Exact per-lang discrete length quantiles via pair-count histograms."""
+    from core_ray.functions import group_quantiles_exact
+
+    return group_quantiles_exact(sf, value_col="n_chars", group_col="lang")
+
+
+def _q_doc_chunk_windows(sf):
+    """Fixed-size overlapping context-window chunking (window 64, stride 48)."""
+    from core_ray.functions import chunk_windows
+
+    return chunk_windows(sf, window=64, stride=48)
+
+
+def _q_doc_sample_mixture(sf):
+    """Mixture resampling with upsampling: per-source permille weights > 1000
+    emit multiple epochs per document."""
+    from core_ray.functions import sample_mixture
+
+    return sample_mixture(sf, {f"src{i}": 400 + i * 137 for i in range(20)})
+
+
 def _q_doc_bloom_novel(sf):
     from core_ray.functions import bloom_novel
 
@@ -1895,6 +1924,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_curriculum": _q_doc_length_curriculum,
         "doc_lm_score": _q_doc_lm_score,
         "doc_bloom_novel": _q_doc_bloom_novel,
+        "doc_freq_words": _q_doc_freq_words,
+        "doc_group_quantiles": _q_doc_group_quantiles,
+        "doc_chunk_windows": _q_doc_chunk_windows,
+        "doc_sample_mixture": _q_doc_sample_mixture,
     }
 
 
@@ -3656,6 +3689,68 @@ SELECT doc_id, length_bucket,
                                 ORDER BY hash(doc_id), doc_id) - 1) // 32
             AS BIGINT) AS batch_idx
 FROM b ORDER BY doc_id
+"""
+
+# exact frequent words: every word in >= 5/1000 of the corpus word count,
+# with its exact count (engine: two-pass Misra-Gries candidates + recount)
+_ORACLE["doc_freq_words"] = r"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM w),
+c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1)
+SELECT word, CAST(cnt AS BIGINT) AS cnt
+FROM c, tot WHERE cnt * 1000 >= 5 * n
+ORDER BY cnt DESC, word
+"""
+
+# exact per-group discrete quantiles: value at 1-based rank
+# max(1, ceil(q * n)) in each group's sorted multiset
+_ORACLE["doc_group_quantiles"] = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, CAST(q.q AS BIGINT) AS q_permille, n_chars AS value
+FROM r, (SELECT unnest([250, 500, 750, 990]) AS q) q
+WHERE rk = GREATEST(1, CAST(ceil((q.q / 1000.0) * n) AS BIGINT))
+ORDER BY lang, q_permille
+"""
+
+# overlapping context windows: 64-token chunks every 48 tokens
+# (1-based inclusive list slice; chunk i covers words [i*48+1, i*48+64])
+_ORACLE["doc_chunk_windows"] = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(LEAST(64, len(ws) - i * 48) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(ws[i * 48 + 1 : i * 48 + LEAST(64, len(ws) - i * 48)],
+                       ' ') AS chunk_text
+FROM w, unnest(range(0, (len(ws) - 1) // 48 + 1)) AS t(i)
+WHERE len(ws) > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+# mixture upsampling: w//1000 copies plus one iff hash(doc_id)%1000 < w%1000
+_ORACLE["doc_sample_mixture"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         400 + CAST(substr(source, 4) AS BIGINT) * 137 AS w,
+         hash(doc_id) % 1000 AS h
+  FROM documents
+)
+SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+FROM d, unnest(range(w // 1000 + CASE WHEN h < w % 1000 THEN 1 ELSE 0 END))
+       AS t(e)
+ORDER BY doc_id, epoch
 """
 
 

@@ -309,3 +309,203 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 64) -> pa.Table:
         name="mg",  # returning pa.Table gets coerced by the block builder
     )
     return ds.aggregate(agg)["mg"].result()
+
+
+# ---------------------------------------------------------------------------
+# exact companions: two-pass heavy hitters, exact grouped discrete quantiles
+# ---------------------------------------------------------------------------
+
+
+class _MGWeighted:
+    """Misra-Gries over pre-counted (value, weight) partials, pandas-Series
+    backed so each block merge is one vectorized add — no per-word Python."""
+
+    __slots__ = ("k", "counts", "decremented", "n")
+
+    def __init__(self, k: int):
+        import pandas as pd
+
+        self.k = k
+        self.counts = pd.Series(dtype=np.int64)
+        self.decremented = 0
+        self.n = 0
+
+    def update_pairs(self, vals: pa.Array, cnts: pa.Array) -> "_MGWeighted":
+        import pandas as pd
+
+        c = pd.Series(
+            cnts.to_numpy(zero_copy_only=False).astype(np.int64),
+            index=vals.to_numpy(zero_copy_only=False),
+        )
+        self.n += int(c.sum())
+        self.counts = self.counts.add(c, fill_value=0).astype(np.int64)
+        self._shrink()
+        return self
+
+    def merge(self, other: "_MGWeighted") -> "_MGWeighted":
+        self.counts = self.counts.add(other.counts, fill_value=0).astype(np.int64)
+        self.n += other.n
+        self.decremented += other.decremented
+        self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        cs = np.sort(self.counts.to_numpy())
+        cut = int(cs[-(self.k + 1)])
+        self.decremented += cut
+        kept = self.counts - cut
+        self.counts = kept[kept > 0]
+
+
+def frequent_words_exact(
+    source: str | ray.data.Dataset,
+    phi_permille: int = 5,
+    k: int = 512,
+) -> ray.data.Dataset:
+    """EXACT frequent words: every word with frequency >= phi of the total
+    word count, with its exact count — the two-pass MG+recount construction
+    (candidates from a one-pass Misra-Gries sketch, then an exact recount of
+    the candidates only).
+
+    Requires ``k + 1 > 1000 / phi_permille`` so the MG guarantee (every value
+    with freq > n/(k+1) survives) covers the phi threshold — then the
+    candidate set provably contains every qualifying word and the recount
+    discards false candidates, making the result EXACT (Misra-Gries 1982).
+
+    Scale shape: pass 1 shuffles only distinct-words-per-batch partial counts
+    into a bounded sketch tree (never the corpus); pass 2 re-streams the
+    corpus but each batch emits at most ``|candidates| <= 2k`` count rows, so
+    the second shuffle is O(k x batches) tiny rows.  This is how "which words
+    appear in >= 0.5% of a 100 TB corpus" runs without a full-vocabulary
+    groupby.
+
+    Output: ``(word, cnt)`` ordered count desc, word asc.
+    """
+    if (k + 1) * phi_permille <= 1000:
+        raise ValueError(
+            f"k={k} too small for phi={phi_permille}/1000: need k+1 > 1000/phi"
+        )
+    from .text import _read_docs
+    import pyarrow.compute as pc
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.utf8_split_whitespace(pc.utf8_lower(texts)).flatten()
+        words = words.filter(pc.not_equal(words, ""))
+        vc = words.value_counts()
+        return pa.table(
+            {"word": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    partials = _read_docs(source, ["text"]).map_batches(
+        word_partial, batch_format="pyarrow"
+    )
+    agg = AggregateFn(
+        init=lambda key: _MGWeighted(k),
+        accumulate_block=lambda s, t: s.update_pairs(
+            _get_col(t, "word"), _get_col(t, "cnt")
+        ),
+        merge=lambda a, b: a.merge(b),
+        finalize=lambda s: s,
+        name="mg",
+    )
+    sketch: _MGWeighted = partials.aggregate(agg)["mg"]
+    n_total = sketch.n
+    # candidates: count_hi = count + decremented could reach the threshold
+    hi = sketch.counts.to_numpy() + sketch.decremented
+    cand = set(sketch.counts.index[(hi * 1000) >= phi_permille * n_total])
+    if not cand:
+        return ray.data.from_arrow(
+            pa.table({"word": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+        )
+    cand_arr = pa.array(sorted(cand), pa.string())
+
+    def recount(batch: pa.Table) -> pa.Table:
+        t = word_partial(batch)
+        keep = pc.is_in(t["word"], value_set=cand_arr)
+        return t.filter(keep)
+
+    counts = (
+        _read_docs(source, ["text"])
+        .map_batches(recount, batch_format="pyarrow")
+        .groupby("word")
+        .sum("cnt")
+        .to_pandas()  # bounded: <= |candidates| rows
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+    counts = counts[counts["cnt"] * 1000 >= phi_permille * n_total]
+    counts = counts.sort_values(["cnt", "word"], ascending=[False, True])
+    counts["cnt"] = counts["cnt"].astype(np.int64)
+    return ray.data.from_pandas(counts.reset_index(drop=True))
+
+
+def group_quantiles_exact(
+    source: str | ray.data.Dataset,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    qs_permille: tuple[int, ...] = (250, 500, 750, 990),
+) -> ray.data.Dataset:
+    """EXACT per-group discrete quantiles of an integer column: the value at
+    1-based rank ``max(1, ceil(q * n))`` in each group's sorted multiset —
+    DuckDB's ``quantile_disc`` rule, so the oracle reproduces it bit-for-bit
+    (the ceil is taken over the same float64 product both sides).
+
+    Scale shape: each batch pre-aggregates to distinct ``(group, value)``
+    pair counts (Arrow group_by), so the shuffle moves only the pair
+    histogram, never rows; per-group state is the group's distinct-value
+    histogram.  Exact quantiles this way need a bounded distinct-value
+    domain (lengths, scores, counts) — for unbounded doubles use the
+    ``approx_quantiles`` t-digest instead.
+
+    Output: ``(group, q_permille, value)`` sorted by (group, q).
+    """
+    import math
+
+    from .text import _read_docs
+
+    qs = tuple(int(q) for q in qs_permille)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, value_col]).group_by(
+            [group_col, value_col]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "cnt"])
+
+    def per_group(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        df = (
+            t.to_pandas()
+            .groupby(value_col, sort=True)["cnt"]
+            .sum()
+        )
+        vals = df.index.to_numpy()
+        cum = np.cumsum(df.to_numpy().astype(np.int64))
+        n = int(cum[-1])
+        out_v = []
+        for q in qs:
+            rank = max(1, math.ceil((q / 1000.0) * n))
+            out_v.append(vals[int(np.searchsorted(cum, rank, side="left"))])
+        key = t[group_col][0].as_py()
+        return pa.table(
+            {
+                group_col: pa.array([key] * len(qs), t[group_col].type),
+                "q_permille": pa.array(qs, pa.int64()),
+                "value": pa.array(out_v, t[value_col].type),
+            }
+        )
+
+    return (
+        _read_docs(source, [group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(per_group, batch_format="pyarrow")
+        .sort([group_col, "q_permille"])
+    )

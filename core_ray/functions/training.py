@@ -983,3 +983,128 @@ def bloom_novel(
                          "novel": pa.array(novel)})
 
     return ds.map_batches(probe, batch_format="pyarrow").sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking, mixture upsampling
+# ---------------------------------------------------------------------------
+
+
+def chunk_windows(
+    source: str | ray.data.Dataset,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Split each document's whitespace tokens into fixed-size context
+    windows of ``window`` tokens starting every ``stride`` tokens (overlap
+    when ``stride < window``) — the chunking stage that turns documents into
+    model-context-sized training/retrieval units, distinct from
+    ``pack_sequences`` (which concatenates ACROSS documents).
+
+    Fully vectorized: Arrow splits the batch's texts once, numpy builds the
+    flat gather index for every chunk of every document
+    (``_ragged_range``), one ``take`` re-materializes the overlapped word
+    ranges, and ``pc.binary_join`` rejoins each chunk — no Python loop over
+    documents or words.  A pure streamed ``map_batches``: no shuffle, no
+    state, each batch emits only its own chunks, so the stage holds at 100 TB
+    (the final sort is for the oracle's deterministic order only; a real
+    pipeline feeds the chunks straight to the next stage unsorted).
+
+    Output: ``(doc_id, chunk_idx, n_chunk_tokens, chunk_text)``; documents
+    with no tokens emit no rows.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be >= 1: {window}, {stride}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lists = pc.utf8_split_whitespace(texts)
+        flat = pc.list_flatten(lists)
+        raw_counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        raw_counts = raw_counts.astype(np.int64)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        # per-doc nonempty word count + start offset into the kept-word array
+        cum = np.concatenate(([0], np.cumsum(nonempty, dtype=np.int64)))
+        ends = np.cumsum(raw_counts)
+        starts_raw = ends - raw_counts
+        n_words = cum[ends] - cum[starts_raw]
+        kept = flat.filter(pa.array(nonempty))
+        kept_start = cum[starts_raw]
+        # chunk fan-out: ceil(n/stride) starts strictly below n
+        n_chunks = np.where(n_words > 0, (n_words - 1) // stride + 1, 0)
+        doc_idx = np.repeat(np.arange(len(ids)), n_chunks)
+        chunk_idx = _ragged_range(np.zeros(len(ids), np.int64), n_chunks)
+        rel_start = chunk_idx * stride
+        clen = np.minimum(window, n_words[doc_idx] - rel_start)
+        flat_idx = _ragged_range(kept_start[doc_idx] + rel_start, clen)
+        chunk_words = kept.take(pa.array(flat_idx, pa.int64()))
+        offsets = np.concatenate(([0], np.cumsum(clen)))
+        chunk_list = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), chunk_words
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_idx], pa.int64()),
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "n_chunk_tokens": pa.array(clen, pa.int64()),
+                "chunk_text": pc.binary_join(chunk_list, " "),
+            }
+        )
+
+    return (
+        _read_docs(source, [id_col, "text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort([id_col, "chunk_idx"])
+    )
+
+
+def sample_mixture(
+    source: str | ray.data.Dataset,
+    weights: dict[str, int] | None = None,
+    default: int = 1000,
+    mod: int = 1000,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Mixture RESAMPLING with repetition factors: a per-source weight in
+    permille may exceed 1000, so a source can be UPSAMPLED (each document
+    emitted ``w // 1000`` times plus one more iff ``hash(doc_id) % 1000 <
+    w % 1000``) — how published training mixtures repeat high-quality
+    sources (e.g. Wikipedia x3) while downsampling bulk crawl, in one
+    deterministic stateless pass.
+
+    Complements ``sample_quota`` (keep/drop only, w <= mod).  The Bernoulli
+    arm uses DuckDB's own ``hash`` kernel so the emitted multiset is exactly
+    SQL-reproducible; expected copies = w/mod per document.  Pure streamed
+    ``map_batches`` fan-out (``np.repeat``): no shuffle, no state, identical
+    output across reruns, partitionings and cluster sizes.
+
+    Output: ``(doc_id, source, epoch)`` with ``epoch`` in ``[0, n_copies)``.
+    """
+    weights = weights or {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        w = np.array([weights.get(s, default) for s in uniq], np.int64)[inv]
+        frac = (_duckdb_hash_i64(ids) % np.uint64(mod)).astype(np.int64) < (w % mod)
+        n_copies = w // mod + frac
+        doc_idx = np.repeat(np.arange(len(ids)), n_copies)
+        epoch = _ragged_range(np.zeros(len(ids), np.int64), n_copies)
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_idx], pa.int64()),
+                "source": pa.array(src[doc_idx], pa.string()),
+                "epoch": pa.array(epoch, pa.int64()),
+            }
+        )
+
+    return (
+        _read_docs(source, [id_col, "source"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort([id_col, "epoch"])
+    )

@@ -3,6 +3,7 @@ determinism across partitionings."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data
 
@@ -126,3 +127,75 @@ def test_sketch_units_merge_equals_bulk():
     t2 = TDigest().update(b.astype("float64"))
     q = t1.merge(t2).quantile(0.5)
     assert abs(q - 4500) < 200
+
+
+def test_frequent_words_exact_matches_bruteforce():
+    """Two-pass MG+recount equals a full groupby count at any partitioning,
+    including a skewed head word and a long tail below threshold."""
+    from core_ray.functions import frequent_words_exact
+
+    rng = np.random.default_rng(11)
+    tail = [f"tail{i}" for i in range(400)]
+    texts = []
+    for i in range(200):
+        ws = ["hot"] * int(rng.integers(1, 4)) + list(
+            rng.choice(tail, size=rng.integers(3, 9))
+        )
+        texts.append(" ".join(ws))
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype="int64"), "text": texts})
+    df["lang"] = "x"; df["source"] = "t"; df["n_chars"] = df["text"].str.len()
+
+    words = pd.Series(" ".join(texts).lower().split())
+    counts = words.value_counts()
+    n = len(words)
+    expect = counts[counts * 1000 >= 5 * n]
+    expect = (
+        expect.rename("cnt").rename_axis("word").reset_index()
+        .sort_values(["cnt", "word"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    expect["cnt"] = expect["cnt"].astype("int64")
+
+    for blocks in (1, 7):
+        out = (
+            frequent_words_exact(_ds(df, blocks=blocks), phi_permille=5, k=512)
+            .to_pandas().reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, expect)
+
+
+def test_frequent_words_exact_k_guard():
+    from core_ray.functions import frequent_words_exact
+
+    with pytest.raises(ValueError):
+        frequent_words_exact("/tmp/nope", phi_permille=5, k=100)
+
+
+def test_group_quantiles_exact_rank_rule():
+    """value at 1-based rank max(1, ceil(q*n)) per group, tie-stable."""
+    import math
+
+    from core_ray.functions import group_quantiles_exact
+
+    rows = []
+    vals_a = [5, 1, 3, 3, 9, 7]          # sorted: 1 3 3 5 7 9 (n=6)
+    vals_b = [10]                         # n=1: every q -> 10
+    for i, v in enumerate(vals_a):
+        rows.append(("a", v, i))
+    for i, v in enumerate(vals_b):
+        rows.append(("b", v, 100 + i))
+    df = pd.DataFrame(rows, columns=["lang", "n_chars", "doc_id"])
+    df["text"] = "w"; df["source"] = "t"
+
+    out = (
+        group_quantiles_exact(_ds(df, blocks=4), value_col="n_chars",
+                              group_col="lang")
+        .to_pandas()
+    )
+    srt = sorted(vals_a)
+    for q in (250, 500, 750, 990):
+        rank = max(1, math.ceil(q / 1000.0 * len(srt)))
+        got = out[(out["lang"] == "a") & (out["q_permille"] == q)]["value"].iloc[0]
+        assert got == srt[rank - 1], (q, got, srt[rank - 1])
+        got_b = out[(out["lang"] == "b") & (out["q_permille"] == q)]["value"].iloc[0]
+        assert got_b == 10

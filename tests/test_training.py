@@ -414,3 +414,63 @@ def test_bloom_novel_planted_duplicates():
     assert not out[7] and not out[13]  # texts already in the reference slice
     assert out[21] and out[9]  # non-reference duplicate pair stays novel
     assert out.drop([7, 13]).all()
+
+
+def test_chunk_windows_boundaries():
+    """Window/stride arithmetic by hand: 10 words, window 4, stride 3 ->
+    chunks at offsets 0,3,6,9 with lengths 4,4,4,1; empty doc emits no rows;
+    output is partitioning-invariant."""
+    from core_ray.functions import chunk_windows
+
+    words = [f"w{i}" for i in range(10)]
+    rows = [(0, " ".join(words)), (1, "   "), (2, "a b")]
+    outs = []
+    for parts in (1, 3):
+        out = (
+            chunk_windows(_docs(rows).repartition(parts), window=4, stride=3)
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    d0 = out[out["doc_id"] == 0]
+    assert list(d0["chunk_idx"]) == [0, 1, 2, 3]
+    assert list(d0["n_chunk_tokens"]) == [4, 4, 4, 1]
+    assert d0["chunk_text"].iloc[0] == "w0 w1 w2 w3"
+    assert d0["chunk_text"].iloc[3] == "w9"
+    assert (out["doc_id"] != 1).all()  # whitespace-only doc drops out
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["chunk_text"]) == ["a b"]
+
+
+def test_sample_mixture_copy_counts():
+    """Integer part of the weight is exact copies; the fractional arm is
+    deterministic per doc_id; epoch runs 0..n-1; partitioning-invariant."""
+    from core_ray.functions import sample_mixture
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(50, dtype="int64"),
+        "text": "t",
+        "lang": "x",
+        "source": ["up"] * 25 + ["down"] * 25,
+    })
+    df["n_chars"] = 1
+    weights = {"up": 3000, "down": 500}
+    outs = []
+    for parts in (1, 5):
+        out = (
+            sample_mixture(ray.data.from_pandas(df).repartition(parts),
+                           weights)
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    up = out[out["source"] == "up"].groupby("doc_id").size()
+    assert (up == 3).all() and len(up) == 25  # exactly w//1000 copies each
+    down = out[out["source"] == "down"].groupby("doc_id").size()
+    assert set(down) <= {1}  # downsampled docs appear at most once
+    assert 0 < len(down) < 25  # hash arm keeps some, drops some
+    per_doc = out.groupby("doc_id")["epoch"]
+    assert (per_doc.min() == 0).all()
+    assert (per_doc.max() == per_doc.size() - 1).all()
