@@ -780,6 +780,30 @@ def _q_doc_chunk_windows(sf):
     return chunk_windows(sf, window=64, stride=48)
 
 
+def _q_doc_token_shards(sf):
+    """Token-balanced shard assignment: cumulative tokens before the doc in
+    (hash(id), id) order, floor-divided by the 2000-token shard size."""
+    from core_ray.functions import token_shards
+
+    return token_shards(sf, shard_tokens=2000)
+
+
+def _q_doc_token_quota(sf):
+    """Per-source TOKEN budgets: keep docs in (hash(id), id) order while the
+    source's consumed tokens are under budget (boundary doc kept)."""
+    from core_ray.functions import token_quota
+
+    return token_quota(sf, {f"src{i}": 300 + i * 97 for i in range(20)})
+
+
+def _q_doc_source_overlap(sf):
+    """Cross-source contamination matrix: distinct word-trigram shingles
+    shared by each source pair."""
+    from core_ray.functions import source_overlap
+
+    return source_overlap(sf)
+
+
 def _q_doc_sample_mixture(sf):
     """Mixture resampling with upsampling: per-source permille weights > 1000
     emit multiple epochs per document."""
@@ -1928,6 +1952,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_group_quantiles": _q_doc_group_quantiles,
         "doc_chunk_windows": _q_doc_chunk_windows,
         "doc_sample_mixture": _q_doc_sample_mixture,
+        "doc_token_shards": _q_doc_token_shards,
+        "doc_token_quota": _q_doc_token_quota,
+        "doc_source_overlap": _q_doc_source_overlap,
     }
 
 
@@ -3751,6 +3778,58 @@ SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
 FROM d, unnest(range(w // 1000 + CASE WHEN h < w % 1000 THEN 1 ELSE 0 END))
        AS t(e)
 ORDER BY doc_id, epoch
+"""
+
+
+# token-balanced sharding: shard = tokens strictly before the doc in
+# (hash(id), id) order, floor-divided by the shard size
+_ORACLE["doc_token_shards"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok,
+         hash(doc_id) AS h
+  FROM documents
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+            AS BIGINT) AS shard
+FROM t ORDER BY doc_id
+"""
+
+# per-source token budgets: keep iff tokens consumed before this doc within
+# its source (same deterministic order) are still under the source's budget
+_ORACLE["doc_token_quota"] = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok,
+         hash(doc_id) AS h,
+         300 + CAST(substr(source, 4) AS BIGINT) * 97 AS budget
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < budget
+         AS keep
+FROM t ORDER BY doc_id
+"""
+
+# cross-source overlap: distinct word-trigram shingles shared per source pair
+_ORACLE["doc_source_overlap"] = r"""
+WITH w AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2] AS g
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 

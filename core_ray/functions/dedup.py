@@ -993,3 +993,147 @@ def dedup_near(
         return batch.filter(mask)
 
     return ids.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(
+    source: str | ray.data.Dataset,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Cross-source n-gram contamination matrix: for every pair of sources,
+    the number of DISTINCT word-trigram shingles that occur in both — the
+    corpus-level "how much do these crawls/feeds overlap" report that decides
+    which sources need cross-source dedup before mixing (per-document
+    granularity of the same signal: :func:`dup_shingle_coverage`).
+
+    Shape (one shuffle, only hashes + a small source index move):
+
+    1. ``map_batches``: per-batch DISTINCT (trigram-hash, source-idx) pairs;
+       docs with < 3 words contribute nothing (the oracle applies the same
+       rule).  The source list comes from one bounded distinct pass.
+    2. Bucket shuffle on the shingle hash; within a bucket every global
+       occurrence of a shingle co-locates, so a vectorized pass builds one
+       uint64 source-BITMASK per distinct shingle (``np.bitwise_or.at``) and
+       counts each source pair's co-occurrences over the mask array — the
+       per-bucket partial is at most ``n_src*(n_src-1)/2`` rows.
+    3. A tiny groupby sums the partials.
+
+    The bitmask bounds this path at 63 sources; an overlap matrix over
+    thousands of DOMAINS should emit per-shingle source pairs instead (the
+    ``jaccard_pairs`` stage-2 pair generation, with sources as nodes).
+
+    Output: ``(source_a, source_b, n_shared)``, ``source_a < source_b``,
+    pairs with zero overlap omitted, sorted by pair.
+    """
+    ds = _read_docs(source, ["source", "text"])
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"source": pc.unique(batch["source"])})
+
+    srcs = sorted(
+        r["source"]
+        for r in ds.select_columns(["source"])
+        .map_batches(src_partial, batch_format="pyarrow")
+        .groupby("source")
+        .count()
+        .take_all()  # bounded: one row per source
+    )
+    n_src = len(srcs)
+    if n_src > 63:
+        raise ValueError(
+            f"{n_src} sources exceed the uint64 bitmask; use the pair-"
+            "generation path (jaccard_pairs stage 2) for domain-level overlap"
+        )
+    idx_ref = ray.put({s: i for i, s in enumerate(srcs)})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        m = ray.get(idx_ref)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        si = np.array([m[s] for s in uniq], np.int64)[inv]
+        hashes, wc = _word_hashes_batch(batch["text"])
+        doc_idx = np.repeat(np.arange(len(batch)), wc)
+        keep_doc = wc >= 3
+        if len(hashes) >= 3:
+            a, b, c = hashes[:-2], hashes[1:-1], hashes[2:]
+            with np.errstate(over="ignore"):
+                tri = _hash2(
+                    99, a * _U64(0x9E3779B97F4A7C15) ^ b * _U64(0xC2B2AE3D27D4EB4F) ^ c
+                )
+            keep = (doc_idx[:-2] == doc_idx[2:]) & keep_doc[doc_idx[:-2]]
+            tri, tsrc = tri[keep], si[doc_idx[:-2][keep]]
+        else:
+            tri = np.zeros(0, np.uint64)
+            tsrc = np.zeros(0, np.int64)
+        # distinct (shingle, source) within the batch: shuffle-size cut only
+        # (the bucket-side bitmask OR absorbs any remaining duplicates)
+        order = np.lexsort((tsrc, tri))
+        t, s = tri[order], tsrc[order]
+        new = np.ones(len(t), bool)
+        new[1:] = (t[1:] != t[:-1]) | (s[1:] != s[:-1])
+        t, s = t[new], s[new]
+        return pa.table(
+            {
+                "tri": pa.array(t, pa.uint64()),
+                "src": pa.array(s, pa.int64()),
+                "_bucket": pa.array(
+                    (t % np.uint64(num_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        tri = g["tri"].to_numpy(zero_copy_only=False)
+        s = g["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        uniq_t, inv = np.unique(tri, return_inverse=True)
+        masks = np.zeros(len(uniq_t), np.uint64)
+        np.bitwise_or.at(masks, inv, np.uint64(1) << s)
+        rows_a, rows_b, rows_c = [], [], []
+        for i in range(n_src):
+            bi = ((masks >> np.uint64(i)) & np.uint64(1)).astype(bool)
+            if not bi.any():
+                continue
+            for j in range(i + 1, n_src):
+                c = int(np.count_nonzero(bi & ((masks >> np.uint64(j)) & np.uint64(1)).astype(bool)))
+                if c:
+                    rows_a.append(i)
+                    rows_b.append(j)
+                    rows_c.append(c)
+        return pa.table(
+            {
+                "sa": pa.array(rows_a, pa.int64()),
+                "sb": pa.array(rows_b, pa.int64()),
+                "cnt": pa.array(rows_c, pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["sa", "sb"])
+        .sum("cnt")
+    )
+    names_ref = ray.put(np.array(srcs, dtype=object))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        sa = batch["sa"].to_numpy(zero_copy_only=False)
+        sb = batch["sb"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source_a": pa.array(names[sa].astype(str)),
+                "source_b": pa.array(names[sb].astype(str)),
+                "n_shared": batch["sum(cnt)"],
+            }
+        )
+
+    return totals.map_batches(emit, batch_format="pyarrow").sort(
+        ["source_a", "source_b"]
+    )

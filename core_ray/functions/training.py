@@ -1108,3 +1108,218 @@ def sample_mixture(
         .map_batches(fn, batch_format="pyarrow")
         .sort([id_col, "epoch"])
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget planning: weighted prefix scan, token sharding, token quotas
+# ---------------------------------------------------------------------------
+
+
+def _token_counts(batch: pa.Table) -> np.ndarray:
+    """Whitespace token count per row (maximal non-whitespace runs), the
+    same convention as ``text.token_count`` / the oracles'
+    ``list_filter(string_split_regex(text, '\\s+'), x -> x <> '')``."""
+    n = pc.count_substring_regex(batch["text"], r"\S+")
+    return n.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _weighted_prefix_scan(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_of,  # batch -> int64 weight per row
+    bits: int = 8,
+    lb_of=None,  # batch -> int64 partition index per row (None = global)
+    n_lb: int = 1,
+):
+    """Weighted sibling of :func:`_prefix_scan_rank`: for every row, the SUM
+    of weights of all rows strictly BEFORE it in ``(hash(id), id)`` order
+    (restarting per ``lb_of`` partition) — the distributed exclusive prefix
+    sum that token-budget planning runs on.
+
+    Same two-pass shape: (1) per-composite-bucket weight totals (driver
+    state ``n_lb * 2**bits`` int64s); (2) each bucket independently sorts
+    its rows by ``(hash, id)`` and cumsums, offset by the bucket's exclusive
+    prefix.  One shuffle, no global sort.  Returns a Dataset with
+    ``(id_col, _lb, _w, _cum_prev)``.
+    """
+    n_hb = 1 << bits
+    shift = np.uint64(64 - bits)
+
+    def _lb(batch: pa.Table) -> np.ndarray:
+        if lb_of is None:
+            return np.zeros(len(batch), np.int64)
+        return lb_of(batch)
+
+    def slot_partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hb = (_duckdb_hash_i64(ids) >> shift).astype(np.int64)
+        slot = _lb(batch) * n_hb + hb
+        w = weight_of(batch)
+        uniq, inv = np.unique(slot, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, w)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "w": pa.array(tot, pa.int64())})
+
+    rows = (
+        ds.map_batches(slot_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("w")
+        .take_all()  # bounded: <= n_lb * 2**bits rows
+    )
+    tot = np.zeros(n_lb * n_hb + 1, dtype=np.int64)
+    for r in rows:
+        tot[int(r["bucket"])] = int(r["sum(w)"])
+    prefix = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    # re-base each partition to its own first slot (PARTITION BY semantics)
+    slot_prefix = prefix[: n_lb * n_hb].reshape(n_lb, n_hb)
+    slot_prefix = slot_prefix - slot_prefix[:, :1]
+    prefix_ref = ray.put(slot_prefix.reshape(-1))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pri = _duckdb_hash_i64(ids)
+        hb = (pri >> shift).astype(np.int64)
+        lb = _lb(batch)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "_pri": pa.array(pri, pa.uint64()),
+                "_lb": pa.array(lb, pa.int64()),
+                "_w": pa.array(weight_of(batch), pa.int64()),
+                "_bucket": pa.array(lb * n_hb + hb, pa.int64()),
+            }
+        )
+
+    def scan_group(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        bucket = int(g["_bucket"][0].as_py())
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        pri = g["_pri"].to_numpy(zero_copy_only=False)
+        w = g["_w"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, pri))
+        base = ray.get(prefix_ref)[bucket]
+        cum_prev = np.empty(len(ids), np.int64)
+        cum_prev[order] = base + np.cumsum(w[order]) - w[order]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "_lb": g["_lb"],
+                "_w": pa.array(w, pa.int64()),
+                "_cum_prev": pa.array(cum_prev, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_group, batch_format="pyarrow")
+    )
+
+
+def token_shards(
+    source: str | ray.data.Dataset,
+    shard_tokens: int = 20000,
+    id_col: str = "doc_id",
+    bits: int = 8,
+) -> ray.data.Dataset:
+    """Token-BALANCED output sharding: assign every document to shard
+    ``floor(tokens_before / shard_tokens)`` where ``tokens_before`` is the
+    total token count of all documents strictly before it in the
+    deterministic ``(hash(id), id)`` order — so each output shard carries
+    ~``shard_tokens`` tokens regardless of document-length skew (doc-count
+    sharding leaves shards 10x apart on a web corpus).
+
+    The assignment is a pure function of the ids and lengths: identical
+    across reruns, partitionings and cluster sizes, and computed as the
+    two-pass weighted prefix scan (driver state: ``2**bits`` int64s) — no
+    global sort, no materialization.  Output:
+    ``(doc_id, n_tok, shard)`` sorted by id.
+    """
+    if shard_tokens < 1:
+        raise ValueError(f"shard_tokens must be >= 1: {shard_tokens}")
+    ds = _read_docs(source, [id_col, "text"])
+    scanned = _weighted_prefix_scan(ds, id_col, _token_counts, bits=bits)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        cum = batch["_cum_prev"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tok": batch["_w"],
+                "shard": pa.array(cum // shard_tokens, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(emit, batch_format="pyarrow").sort(id_col)
+
+
+def token_quota(
+    source: str | ray.data.Dataset,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 1 << 62,
+    id_col: str = "doc_id",
+    bits: int = 6,
+) -> ray.data.Dataset:
+    """Per-source TOKEN budgets (mixture planning in tokens, not documents):
+    within each source, documents are taken in deterministic
+    ``(hash(id), id)`` order until the source's token budget is reached — a
+    document is kept iff the tokens consumed before it are still under
+    budget (the boundary document is kept, then the source closes).
+
+    ``sample_quota`` caps document COUNTS; real mixture specs are written in
+    tokens.  Same deterministic-scan shape: one bounded pass discovers the
+    source list, then the weighted prefix scan restarts per source
+    (driver state ``n_sources * 2**bits`` int64s).  Output:
+    ``(doc_id, source, n_tok, keep)`` sorted by id.
+    """
+    budgets = budgets or {}
+    ds = _read_docs(source, [id_col, "source", "text"])
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch["source"])
+        return pa.table({"source": u})
+
+    srcs = sorted(
+        r["source"]
+        for r in ds.select_columns(["source"])
+        .map_batches(src_partial, batch_format="pyarrow")
+        .groupby("source")
+        .count()
+        .take_all()  # bounded: one row per source
+    )
+    src_idx = {s: i for i, s in enumerate(srcs)}
+    budget_arr = np.array(
+        [int(budgets.get(s, default_budget)) for s in srcs], np.int64
+    )
+    src_ref = ray.put(src_idx)
+
+    def lb_of(batch: pa.Table) -> np.ndarray:
+        m = ray.get(src_ref)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        return np.array([m[s] for s in uniq], np.int64)[inv]
+
+    scanned = _weighted_prefix_scan(
+        ds, id_col, _token_counts, bits=bits, lb_of=lb_of, n_lb=len(srcs)
+    )
+    budget_ref = ray.put(budget_arr)
+    src_names_ref = ray.put(np.array(srcs, dtype=object))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        lb = batch["_lb"].to_numpy(zero_copy_only=False)
+        cum = batch["_cum_prev"].to_numpy(zero_copy_only=False)
+        names = ray.get(src_names_ref)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "source": pa.array(names[lb].astype(str)),
+                "n_tok": batch["_w"],
+                "keep": pa.array(cum < ray.get(budget_ref)[lb]),
+            }
+        )
+
+    return scanned.map_batches(emit, batch_format="pyarrow").sort(id_col)

@@ -474,3 +474,89 @@ def test_sample_mixture_copy_counts():
     per_doc = out.groupby("doc_id")["epoch"]
     assert (per_doc.min() == 0).all()
     assert (per_doc.max() == per_doc.size() - 1).all()
+
+
+def test_token_shards_cumulative_rule():
+    """shard = floor(tokens-before / S) in (hash(id), id) order; the
+    engine's total assignment equals a brute-force scan in the same order;
+    partitioning-invariant."""
+    from core_ray.functions import token_shards
+    from core_ray.functions.training import _duckdb_hash_i64
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), " ".join(f"w{j}" for j in range(int(rng.integers(1, 12)))))
+        for i in range(60)
+    ]
+    outs = []
+    for parts in (1, 6):
+        out = (
+            token_shards(_docs(rows).repartition(parts), shard_tokens=25)
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].set_index("doc_id")
+
+    ids = np.array([r[0] for r in rows], np.int64)
+    n_tok = np.array([len(r[1].split()) for r in rows], np.int64)
+    order = np.lexsort((ids, _duckdb_hash_i64(ids)))
+    cum_prev = np.cumsum(n_tok[order]) - n_tok[order]
+    expect = dict(zip(ids[order].tolist(), (cum_prev // 25).tolist()))
+    for i in ids:
+        assert out.loc[i, "shard"] == expect[int(i)]
+        assert out.loc[i, "n_tok"] == len(rows[i][1].split())
+    # shards are contiguous from 0
+    assert set(out["shard"]) == set(range(out["shard"].max() + 1))
+
+
+def test_token_quota_boundary_doc_kept():
+    """Within a source, docs are taken in (hash(id), id) order until the
+    token budget is hit; the doc that CROSSES the budget is still kept
+    (cum-before < budget), everything after is dropped."""
+    from core_ray.functions import token_quota
+    from core_ray.functions.training import _duckdb_hash_i64
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype="int64"),
+        "text": ["a b c d e"] * 10,           # 5 tokens each
+        "lang": "x",
+        "source": ["s1"] * 5 + ["s2"] * 5,
+    })
+    df["n_chars"] = df["text"].str.len()
+    out = (
+        token_quota(ray.data.from_pandas(df).repartition(3),
+                    {"s1": 12, "s2": 1_000_000})
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc[5:, "keep"].all()  # s2 unlimited
+    s1 = df[df["source"] == "s1"]
+    ids = s1["doc_id"].to_numpy()
+    order = np.lexsort((ids, _duckdb_hash_i64(ids)))
+    taken = ids[order]
+    # 5 tokens/doc, budget 12: cum-before 0,5,10 < 12 -> first 3 kept
+    for rank, i in enumerate(taken):
+        assert out.loc[i, "keep"] == (rank < 3), (rank, i)
+
+
+def test_source_overlap_planted():
+    """Two sources sharing one distinct trigram overlap by exactly 1;
+    a disjoint third source pairs with nothing."""
+    from core_ray.functions import source_overlap
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype="int64"),
+        "text": [
+            "alpha beta gamma unique1 only",   # a: trigrams incl 'alpha beta gamma'
+            "alpha beta gamma other tail",     # b: shares exactly that one
+            "zeta eta theta iota",             # c: disjoint
+            "alpha beta gamma again here",     # a again: dup within source
+        ],
+        "lang": "x",
+        "source": ["a", "b", "c", "a"],
+    })
+    df["n_chars"] = df["text"].str.len()
+    out = source_overlap(ray.data.from_pandas(df).repartition(2)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["source_a"], r["source_b"], r["n_shared"]) == ("a", "b", 1)
