@@ -780,6 +780,14 @@ def _q_doc_chunk_windows(sf):
     return chunk_windows(sf, window=64, stride=48)
 
 
+def _q_emb_cluster_assign(sf):
+    """Nearest-centroid cosine assignment with the deterministic
+    vec_id < 8 centroid set (k-means E-step / IVF routing)."""
+    from core_ray.functions import cluster_assign
+
+    return cluster_assign(sf, n_clusters=8)
+
+
 def _q_doc_token_shards(sf):
     """Token-balanced shard assignment: cumulative tokens before the doc in
     (hash(id), id) order, floor-divided by the 2000-token shard size."""
@@ -854,6 +862,20 @@ def _q_doc_search_and(sf):
     shutil.rmtree(tmp, ignore_errors=True)
     build_text_index(sf, tmp, num_buckets=16)
     return search_index(tmp, ["window", "column", "scan"], mode="and")
+
+
+def _q_doc_search_bm25(sf):
+    """BM25 top-10 over the persisted inverted index (reuses the layout the
+    AND query builds; scaled-int scores for order-independent sums)."""
+    import os
+    import shutil
+
+    from core_ray.functions import build_text_index, search_bm25
+
+    tmp = "/tmp/graft_text_index_bm25"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_text_index(sf, tmp, num_buckets=16)
+    return search_bm25(tmp, ["merge", "scan", "window"], k=10)
 
 
 def _q_doc_tfidf(sf):
@@ -1955,6 +1977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_shards": _q_doc_token_shards,
         "doc_token_quota": _q_doc_token_quota,
         "doc_source_overlap": _q_doc_source_overlap,
+        "emb_cluster_assign": _q_emb_cluster_assign,
+        "doc_search_bm25": _q_doc_search_bm25,
     }
 
 
@@ -3830,6 +3854,64 @@ SELECT a.source AS source_a, b.source AS source_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# nearest-centroid assignment: centroids are the vec_id < 8 embeddings;
+# ties after 4-dp rounding go to the smallest centroid id
+_ORACLE["emb_cluster_assign"] = """
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < 8
+),
+s AS (
+  SELECT e.vec_id, c.cid,
+         round_even(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce),
+                    4) AS sim
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, cid AS centroid_id, sim
+FROM s
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+ORDER BY vec_id
+"""
+
+
+# BM25 top-10: Robertson idf, k1=1.2 b=0.75, per-(term,doc) scores as
+# round_even-scaled int64 so the per-doc sum is order-independent
+_ORACLE["doc_search_bm25"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+d AS (SELECT doc_id, len(ws) AS dl, ws FROM w),
+stats AS (
+  SELECT CAST(sum(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         CAST(sum(dl) AS BIGINT) AS tot
+  FROM d
+),
+tok AS (SELECT doc_id, t.word FROM d, unnest(ws) AS t(word)),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM tok WHERE word IN ('merge', 'scan', 'window')
+  GROUP BY 1, 2
+),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(round_even(
+           ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+           ((tf * (1.2 + 1.0)) /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                         (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) * 10000,
+           0) AS BIGINT) AS s
+  FROM tf JOIN df USING (word) JOIN d USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_e4
+FROM sc GROUP BY 1
+ORDER BY score_e4 DESC, doc_id
+LIMIT 10
 """
 
 

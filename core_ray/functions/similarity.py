@@ -412,3 +412,146 @@ def dedup_semantic(
     else:
         ids = source.select_columns(["vec_id"])
     return ids.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# clustering: assignment (E-step) and distributed Lloyd iterations
+# ---------------------------------------------------------------------------
+
+
+def cluster_assign(
+    source: str | ray.data.Dataset,
+    n_clusters: int = 8,
+    centroids: np.ndarray | None = None,
+    centroid_ids: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """Nearest-centroid assignment by cosine similarity — the E-step of
+    distributed k-means and the routing step of SemDeDup-style semantic
+    clustering / the persisted IVF layout.  With ``centroids=None`` the
+    centroid set is the embeddings with ``vec_id < n_clusters`` — a
+    deterministic, SQL-reproducible choice that makes the whole assignment
+    exactly oracle-checkable (``list_cosine_similarity`` + ``round_even``
+    on the oracle side, the same ``_cosine``+``round4`` kernel pair the
+    green ``emb_knn`` query uses).
+
+    Ties after 4-dp rounding go to the SMALLEST centroid id (the oracle's
+    ``ORDER BY sim DESC, cid``).  Scale shape: the k x dim centroid matrix
+    broadcasts once via ``ray.put``; assignment is a pure streamed
+    ``map_batches`` — one matmul per batch, no shuffle, no state.
+
+    Output: ``(vec_id, centroid_id, sim)`` sorted by vec_id.
+    """
+    ds = _read_emb(source)
+    if centroids is None:
+        import pyarrow.dataset as pads
+
+        if isinstance(source, str):
+            path = (
+                source if source.endswith(".parquet")
+                else f"{source}/embeddings.parquet"
+            )
+            head = ray.data.read_parquet(
+                path,
+                columns=["vec_id", "embedding"],
+                filter=pads.field("vec_id") < n_clusters,
+            )
+        else:
+            head = ds.filter(
+                lambda r: r["vec_id"] < n_clusters
+            )
+        rows = head.take_all()  # bounded: n_clusters rows
+        rows.sort(key=lambda r: r["vec_id"])
+        centroid_ids = np.array([r["vec_id"] for r in rows], np.int64)
+        centroids = np.array([r["embedding"] for r in rows], np.float64)
+    else:
+        centroids = np.asarray(centroids, np.float64)
+        if centroid_ids is None:
+            centroid_ids = np.arange(len(centroids), dtype=np.int64)
+    cents_ref = ray.put((centroid_ids, centroids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cids, cents = ray.get(cents_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _batch_matrix(batch)
+        # same per-centroid _cosine kernel as emb_knn, then ONE round4 call
+        # over the n x k block (columns are centroid-id ascending, so
+        # argmax's first-max rule IS the smallest-cid tiebreak)
+        sims = np.stack([_cosine(mat, c) for c in cents], axis=1)
+        sims = round4(sims.reshape(-1)).reshape(sims.shape)
+        best = sims.argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "centroid_id": pa.array(cids[best], pa.int64()),
+                "sim": pa.array(sims[np.arange(len(ids)), best], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("vec_id")
+
+
+def kmeans_fit(
+    source: str | ray.data.Dataset,
+    n_clusters: int = 8,
+    iters: int = 10,
+    tol: float = 0.0,
+) -> tuple[np.ndarray, float]:
+    """DISTRIBUTED Lloyd iterations (contrast ``_kmeans``, which fits on a
+    driver-side sample for IVF seeding): every iteration is one streamed
+    pass over the full dataset emitting per-batch sufficient statistics —
+    a ``(k, dim)`` member-sum matrix, a ``k`` count vector and the batch
+    inertia — which a bounded reduce merges on the driver (k x dim floats,
+    never rows).  Initial centroids are the deterministic
+    ``vec_id < n_clusters`` head, so runs are reproducible across
+    partitionings and cluster sizes.
+
+    Euclidean objective (the standard k-means inertia); empty clusters keep
+    their previous centroid.  Returns ``(centroids, inertia)``.  Iterative
+    float refinement is inherently not SQL-expressible — pytest-gated, like
+    ``DataBinning``; the assignment STEP is the oracle-checked
+    :func:`cluster_assign`.
+    """
+    ds = _read_emb(source)
+    head = ds.filter(lambda r: r["vec_id"] < n_clusters).take_all()
+    head.sort(key=lambda r: r["vec_id"])
+    cents = np.array([r["embedding"] for r in head], np.float64)
+    if len(cents) < n_clusters:
+        raise ValueError(f"need vec_ids 0..{n_clusters - 1} present for init")
+    inertia = np.inf
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+
+        def stats(batch: pa.Table) -> pa.Table:
+            c = ray.get(cents_ref)
+            mat = _batch_matrix(batch)
+            d = _sq_dists(mat, c)
+            a = d.argmin(axis=1)
+            k, dim = c.shape
+            sums = np.zeros((k, dim))
+            np.add.at(sums, a, mat)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            err = float(d[np.arange(len(mat)), a].sum())
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(k), pa.int64()),
+                    "sum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "cnt": pa.array(cnt, pa.int64()),
+                    "err": pa.array([err] + [0.0] * (k - 1), pa.float64()),
+                }
+            )
+
+        parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(len(cents), np.int64)
+        new_inertia = float(parts["err"].sum())
+        g = parts.groupby("cid")
+        for cid, sub in g:
+            sums[int(cid)] = np.sum(np.stack(sub["sum"].to_numpy()), axis=0)
+            cnts[int(cid)] = int(sub["cnt"].sum())
+        nz = cnts > 0
+        cents[nz] = sums[nz] / cnts[nz, None]
+        if inertia - new_inertia <= tol and np.isfinite(inertia):
+            inertia = new_inertia
+            break
+        inertia = new_inertia
+    return cents, inertia

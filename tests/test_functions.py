@@ -379,3 +379,66 @@ def test_topk_round4_matches_full_round():
         got_ids, got_sim = _topk_round4(ids, sims, 10)
         assert got_ids.tolist() == ids[order].tolist()
         assert got_sim.tolist() == full[order].tolist()
+
+
+def test_cluster_assign_planted_blobs():
+    """Vectors near centroid 0 assign to 0, near centroid 1 to 1; ties after
+    rounding go to the smaller centroid id; partitioning-invariant."""
+    from core_ray.functions import cluster_assign
+
+    rng = np.random.default_rng(7)
+    c0 = rng.normal(size=8)
+    c1 = rng.normal(size=8) + 5.0
+    rows = [
+        {"vec_id": 0, "embedding": list(c0.astype(np.float32))},
+        {"vec_id": 1, "embedding": list(c1.astype(np.float32))},
+    ]
+    for i in range(2, 22):
+        base = c0 if i % 2 == 0 else c1
+        rows.append({"vec_id": i,
+                     "embedding": list((base * (1 + 0.01 * i)).astype(np.float32))})
+    df = pd.DataFrame(rows)
+    outs = []
+    for parts in (1, 4):
+        out = (
+            cluster_assign(ray.data.from_pandas(df).repartition(parts),
+                           n_clusters=2)
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].set_index("vec_id")
+    for i in range(2, 22):
+        assert out.loc[i, "centroid_id"] == (i % 2), i
+        # scaled copies are exactly parallel: cosine rounds to 1
+        assert out.loc[i, "sim"] == 1.0
+    # vec 0 is parallel to BOTH itself and any same-direction centroid;
+    # tie at sim=1.0 with itself resolves to the smallest cid = 0
+    assert out.loc[0, "centroid_id"] == 0 and out.loc[1, "centroid_id"] == 1
+
+
+def test_kmeans_fit_separable_and_monotone():
+    """On two well-separated blobs the distributed Lloyd fit recovers the
+    blob means; inertia never increases; result is partitioning-invariant."""
+    from core_ray.functions import cluster_assign, kmeans_fit
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(scale=0.1, size=(30, 4))
+    b = rng.normal(scale=0.1, size=(30, 4)) + 10.0
+    vecs = np.concatenate([a, b])
+    rows = [{"vec_id": 0, "embedding": list(a[0].astype(np.float32))},
+            {"vec_id": 1, "embedding": list(b[0].astype(np.float32))}]
+    for i, v in enumerate(vecs[2:], start=2):
+        rows.append({"vec_id": i, "embedding": list(v.astype(np.float32))})
+    df = pd.DataFrame(rows)
+    cents1, in1 = kmeans_fit(ray.data.from_pandas(df), n_clusters=2, iters=5)
+    cents2, in2 = kmeans_fit(ray.data.from_pandas(df).repartition(5),
+                             n_clusters=2, iters=5)
+    # invariant across layouts up to float-sum reassociation of the partials
+    np.testing.assert_allclose(cents1, cents2, rtol=1e-9)
+    assert np.isclose(in1, in2, rtol=1e-9)
+    # one cluster sits near each blob center (order by first coordinate)
+    lo, hi = sorted(cents1[:, 0])
+    assert abs(lo) < 1.0 and abs(hi - 10.0) < 1.0
+    _, in_1iter = kmeans_fit(ray.data.from_pandas(df), n_clusters=2, iters=1)
+    assert in1 <= in_1iter + 1e-9  # more iterations never increase inertia

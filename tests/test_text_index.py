@@ -76,3 +76,66 @@ def test_case_and_dup_insensitive(tmp_path, corpus_ds):
     # 'RED' query lowercased; doc 2's repeated 'red' posts once
     got = search_index(d, ["RED"], "or").to_pandas()["doc_id"].tolist()
     assert got == [1, 2, 4]
+
+
+def test_bm25_hand_computed(tmp_path, corpus_ds):
+    """BM25 against a by-hand reference on the tiny corpus: same idf/tf
+    saturation formula, same round_even-to-e4 scaled-int discipline."""
+    import math
+
+    import numpy as np
+
+    from core_ray.functions import search_bm25
+
+    ds, rows = corpus_ds
+    d = str(tmp_path / "idx")
+    meta = build_text_index(ds, d, num_buckets=8)
+    # corpus stats: doc 5 is empty -> N=4, total tokens = 3+3+2+2 = 10
+    assert meta["n_docs"] == 4 and meta["total_tokens"] == 10
+    out = search_bm25(d, ["red", "yellow"], k=10).to_pandas()
+
+    n, avgdl, k1, b = 4, 10 / 4, 1.2, 0.75
+    tf = {(1, "red"): 1, (2, "red"): 2, (4, "red"): 1, (3, "yellow"): 1}
+    dl = {1: 3, 2: 3, 3: 2, 4: 2}
+    df = {"red": 3, "yellow": 1}
+    expect = {}
+    for (doc, word), f in tf.items():
+        idf = math.log((n - df[word] + 0.5) / (df[word] + 0.5) + 1.0)
+        part = (f * (k1 + 1.0)) / (f + k1 * (1.0 - b + b * dl[doc] / avgdl))
+        e4 = int(np.round(idf * part * 10000))  # round-half-even like DuckDB
+        expect[doc] = expect.get(doc, 0) + e4
+    expect_rows = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = list(zip(out["doc_id"], out["score_e4"]))
+    assert got == expect_rows
+
+
+def test_bm25_reads_only_query_buckets(tmp_path, corpus_ds, monkeypatch):
+    """Sabotage every bucket the query words do NOT hash into: the ranked
+    query must still succeed (it never opens those files)."""
+    ds, rows = corpus_ds
+    d = str(tmp_path / "idx")
+    build_text_index(ds, d, num_buckets=8)
+    import pandas as pd
+
+    from core_ray.functions import search_bm25
+    from core_ray.functions.temporal import _bucket_of
+
+    keep = set(_bucket_of(pd.Series(["yellow"]), 8).tolist())
+    for f in glob.glob(os.path.join(d, "postings", "bucket=*", "*.parquet")):
+        bk = int(f.split("bucket=")[1].split(os.sep)[0])
+        if bk not in keep:
+            with open(f, "wb") as fh:
+                fh.write(b"corrupt")
+    out = search_bm25(d, ["yellow"], k=5).to_pandas()
+    assert list(out["doc_id"]) == [3]
+
+
+def test_bm25_no_hits_and_guards(tmp_path, corpus_ds):
+    ds, rows = corpus_ds
+    d = str(tmp_path / "idx")
+    build_text_index(ds, d, num_buckets=8)
+    from core_ray.functions import search_bm25
+
+    assert len(search_bm25(d, ["nonexistentword"], k=5).to_pandas()) == 0
+    with pytest.raises(ValueError):
+        search_bm25(d, [], k=5)
