@@ -788,6 +788,14 @@ def _q_emb_cluster_assign(sf):
     return cluster_assign(sf, n_clusters=8)
 
 
+def _q_doc_source_divergence(sf):
+    """Per-source KL divergence from the corpus unigram distribution over
+    the top-200 vocabulary (add-one smoothing, scaled-int terms)."""
+    from core_ray.functions import source_divergence
+
+    return source_divergence(sf, vocab_size=200)
+
+
 def _q_doc_token_shards(sf):
     """Token-balanced shard assignment: cumulative tokens before the doc in
     (hash(id), id) order, floor-divided by the 2000-token shard size."""
@@ -1979,6 +1987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_overlap": _q_doc_source_overlap,
         "emb_cluster_assign": _q_emb_cluster_assign,
         "doc_search_bm25": _q_doc_search_bm25,
+        "doc_source_divergence": _q_doc_source_divergence,
     }
 
 
@@ -3912,6 +3921,45 @@ SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_e4
 FROM sc GROUP BY 1
 ORDER BY score_e4 DESC, doc_id
 LIMIT 10
+"""
+
+
+# per-source KL divergence from the corpus unigram distribution over the
+# top-200 vocabulary; per-(source,word) terms round_even-scaled to int64
+_ORACLE["doc_source_divergence"] = r"""
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+allc AS (SELECT word, count(*) AS ccnt FROM w GROUP BY 1),
+vcab AS (
+  SELECT word, ccnt FROM allc
+  QUALIFY row_number() OVER (ORDER BY ccnt DESC, word) <= 200
+),
+cnts AS (
+  SELECT source, word, count(*) AS cnt
+  FROM w JOIN vcab USING (word) GROUP BY 1, 2
+),
+src AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ns FROM cnts GROUP BY 1),
+tot AS (SELECT CAST(sum(ccnt) AS BIGINT) AS n FROM vcab),
+grid AS (
+  SELECT s.source, s.ns, v.ccnt, COALESCE(c.cnt, 0) AS cs
+  FROM src s CROSS JOIN vcab v
+  LEFT JOIN cnts c ON c.source = s.source AND c.word = v.word
+),
+terms AS (
+  SELECT source, ns,
+         CAST(round_even(
+           ((cs + 1.0) / (ns + 200)) *
+           ln(((cs + 1.0) / (ns + 200)) / ((ccnt + 1.0) / (n + 200))) *
+           1000000000.0, 0) AS BIGINT) AS t
+  FROM grid CROSS JOIN tot
+)
+SELECT source, CAST(any_value(ns) AS BIGINT) AS n_vocab_tok,
+       CAST(sum(t) AS BIGINT) AS kl_e9
+FROM terms GROUP BY 1 ORDER BY source
 """
 
 

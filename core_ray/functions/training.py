@@ -1323,3 +1323,109 @@ def token_quota(
         )
 
     return scanned.map_batches(emit, batch_format="pyarrow").sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# per-source distribution drift
+# ---------------------------------------------------------------------------
+
+
+def source_divergence(
+    source: str | ray.data.Dataset,
+    vocab_size: int = 200,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-source KL divergence from the corpus unigram distribution — the
+    mixture drift/quality report ("which sources look least like the
+    corpus") that decides reweighting before training (cf. DoReMi-style
+    domain weighting, which optimizes exactly this kind of per-domain
+    distribution gap).
+
+    Distributions are add-one-smoothed over the top-``vocab_size`` corpus
+    words (``vocab_topk`` order: count desc, word asc; OOV words are
+    excluded from both sides): ``P_s(w) = (c_s(w)+1)/(n_s+V)`` against
+    ``Q(w) = (c(w)+1)/(n+V)``, ``KL = sum_w P_s ln(P_s/Q)``.
+
+    Scale shape: the corpus-wide vocabulary is the existing bounded
+    ``vocab_topk`` pass; per-(source, word) counts shrink to per-batch
+    partials before one bounded ``groupby`` (<= n_sources * V rows); the
+    final arithmetic runs over that bounded grid in the in-process DuckDB
+    kernel, with each (source, word) term ``round_even``-scaled to int64 so
+    the per-source sum is order-independent and the whole report exactly
+    SQL-reproducible.
+
+    Output: ``(source, n_vocab_tok, kl_e9)`` sorted by source.
+    """
+    import pandas as pd
+
+    ds = _read_docs(source, ["source", "text"])
+    V = int(vocab_size)
+    vocab_pd = vocab_topk(ds.select_columns(["text"]), k=V).to_pandas()
+    vocab_idx = pd.Index(vocab_pd["word"].to_numpy())
+    vocab_ref = ray.put(vocab_idx)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vi = ray.get(vocab_ref)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        idx, parent = _word_indices(batch["text"], vi)
+        keep = idx < len(vi)  # vocab words only
+        if not keep.any():
+            return pa.table({"source": pa.array([], pa.string()),
+                             "widx": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        sidx = inv[parent[keep]].astype(np.int64)
+        key = sidx * len(vi) + idx[keep]
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(uniq[(ukey // len(vi))].astype(str)),
+                "widx": pa.array(ukey % len(vi), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cnts_pd = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "widx"])
+        .sum("cnt")
+        .to_pandas()  # bounded: <= n_sources * V rows
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+    cnts_pd["word"] = vocab_idx.to_numpy()[cnts_pd["widx"].to_numpy()]
+
+    from .dedup import _duckdb_hash_con
+
+    con = _duckdb_hash_con()
+    con.register("_kl_cnts", pa.Table.from_pandas(
+        cnts_pd[["source", "word", "cnt"]], preserve_index=False))
+    con.register("_kl_vocab", pa.Table.from_pandas(
+        vocab_pd.rename(columns={"cnt": "ccnt"}), preserve_index=False))
+    # identical expression tree to the SQL oracle's final SELECT
+    out = con.execute(
+        f"""
+        WITH src AS (
+          SELECT source, CAST(sum(cnt) AS BIGINT) AS ns FROM _kl_cnts GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(ccnt) AS BIGINT) AS n FROM _kl_vocab),
+        grid AS (
+          SELECT s.source, s.ns, v.ccnt, COALESCE(c.cnt, 0) AS cs
+          FROM src s CROSS JOIN _kl_vocab v
+          LEFT JOIN _kl_cnts c ON c.source = s.source AND c.word = v.word
+        ),
+        terms AS (
+          SELECT source, ns,
+                 CAST(round_even(
+                   ((cs + 1.0) / (ns + {V})) *
+                   ln(((cs + 1.0) / (ns + {V})) / ((ccnt + 1.0) / (n + {V}))) *
+                   1000000000.0, 0) AS BIGINT) AS t
+          FROM grid CROSS JOIN tot
+        )
+        SELECT source, CAST(any_value(ns) AS BIGINT) AS n_vocab_tok,
+               CAST(sum(t) AS BIGINT) AS kl_e9
+        FROM terms GROUP BY 1 ORDER BY source
+        """
+    ).fetch_arrow_table()
+    con.unregister("_kl_cnts")
+    con.unregister("_kl_vocab")
+    return ray.data.from_arrow(out)

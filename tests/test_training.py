@@ -560,3 +560,35 @@ def test_source_overlap_planted():
     assert len(out) == 1
     r = out.iloc[0]
     assert (r["source_a"], r["source_b"], r["n_shared"]) == ("a", "b", 1)
+
+
+def test_source_divergence_orders_drift():
+    """A source matching the corpus distribution has lower KL than a skewed
+    one; KL >= 0 up to scaled-int rounding; partitioning-invariant."""
+    from core_ray.functions import source_divergence
+
+    # corpus: words a..d; source 'bal' mirrors the mixture, 'skew' is all-'a'
+    rows = []
+    i = 0
+    for _ in range(12):
+        rows.append({"doc_id": i, "text": "a b c d", "source": "bal",
+                     "lang": "x"}); i += 1
+    for _ in range(12):
+        rows.append({"doc_id": i, "text": "a a a a", "source": "skew",
+                     "lang": "x"}); i += 1
+    df = pd.DataFrame(rows)
+    df["n_chars"] = df["text"].str.len()
+    outs = []
+    for parts in (1, 4):
+        out = (
+            source_divergence(ray.data.from_pandas(df).repartition(parts),
+                              vocab_size=4)
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].set_index("source")
+    assert out.loc["skew", "kl_e9"] > out.loc["bal", "kl_e9"]
+    assert (out["kl_e9"] >= -1).all()  # Gibbs: KL >= 0 (rounding slack 1 ulp)
+    assert out.loc["bal", "n_vocab_tok"] == 48
+    assert out.loc["skew", "n_vocab_tok"] == 48
