@@ -796,6 +796,23 @@ def _q_doc_source_divergence(sf):
     return source_divergence(sf, vocab_size=200)
 
 
+def _q_doc_band_filter(sf):
+    """Percentile-band trim: keep docs with n_chars inside the corpus's
+    exact [p5, p95] discrete-quantile band."""
+    from core_ray.functions import quantile_band_filter
+
+    return quantile_band_filter(sf, value_col="n_chars",
+                                lo_permille=50, hi_permille=950)
+
+
+def _q_rel_anti_join(sf):
+    """Customers with no URGENT order: distributed anti-join (bucketed
+    dedup + marker left join, no driver key set)."""
+    from core_ray.pipelines.relational import customers_without_priority
+
+    return customers_without_priority(sf)
+
+
 def _q_doc_token_shards(sf):
     """Token-balanced shard assignment: cumulative tokens before the doc in
     (hash(id), id) order, floor-divided by the 2000-token shard size."""
@@ -1988,6 +2005,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cluster_assign": _q_emb_cluster_assign,
         "doc_search_bm25": _q_doc_search_bm25,
         "doc_source_divergence": _q_doc_source_divergence,
+        "doc_band_filter": _q_doc_band_filter,
+        "rel_anti_join": _q_rel_anti_join,
     }
 
 
@@ -3960,6 +3979,36 @@ terms AS (
 SELECT source, CAST(any_value(ns) AS BIGINT) AS n_vocab_tok,
        CAST(sum(t) AS BIGINT) AS kl_e9
 FROM terms GROUP BY 1 ORDER BY source
+"""
+
+
+# percentile-band trim: thresholds at rank max(1, ceil(q*n)) inclusive
+_ORACLE["doc_band_filter"] = """
+WITH r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars) AS rk,
+         count(*) OVER () AS n
+  FROM documents
+),
+lo AS (SELECT n_chars AS v FROM r
+       WHERE rk = GREATEST(1, CAST(ceil((50 / 1000.0) * n) AS BIGINT))),
+hi AS (SELECT n_chars AS v FROM r
+       WHERE rk = GREATEST(1, CAST(ceil((950 / 1000.0) * n) AS BIGINT)))
+SELECT doc_id, n_chars
+FROM documents, lo, hi
+WHERE n_chars BETWEEN lo.v AND hi.v
+ORDER BY doc_id
+"""
+
+# NOT EXISTS anti-join: customers with no URGENT order
+_ORACLE["rel_anti_join"] = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
 """
 
 

@@ -189,3 +189,71 @@ def fetch_broadcast_table(refs) -> pa.Table:
         _BCAST_CACHE.clear()  # hold at most one broadcast table per worker
         _BCAST_CACHE[key] = tbl
     return tbl
+
+
+def anti_join_filter(
+    ds: ray.data.Dataset,
+    keys: ray.data.Dataset | None,
+    on: str,
+    key_cols: list[str] | None = None,
+    key_set: pa.Array | None = None,
+    distributed: bool = False,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """ANTI-join: keep rows of ``ds`` whose ``on`` value appears in NONE of
+    ``keys``' ``key_cols`` — the NOT EXISTS / EXCEPT pattern
+    (:func:`semi_join_filter`'s complement).
+
+    Broadcast arm (default): the key set is collected once, deduplicated and
+    shipped via ``ray.put``; the big side is pruned in one vectorized
+    ``is_in``-inverted scan, no shuffle.  Right only when the key side is
+    control-plane small.
+
+    Distributed arm (``distributed=True``) for key sides too large to
+    broadcast: the keys are deduplicated in their buckets
+    (``bucketed_distinct``), tagged with a marker column, LEFT-hash-joined
+    against ``ds`` (one co-locating shuffle via :func:`hash_join`, which
+    itself auto-broadcasts if the deduped key side turns out small), and
+    rows whose marker is null survive.  No driver-side state at any key
+    cardinality.
+    """
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    kc = (key_cols or [on])[0]
+    if not distributed:
+        keep = (
+            key_set if key_set is not None
+            else collect_key_set(keys, key_cols or [on])
+        )
+        ref = _ray.put(keep)
+
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(pc.is_in(t[on], value_set=_ray.get(ref)))
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    from ..ops.common import bucketed_distinct
+
+    sch = ds.schema()
+    key_type = sch.types[sch.names.index(on)]
+
+    def as_marker(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {on: t[kc].cast(key_type),
+             "_anti_m": pa.array(np.ones(len(t), np.int8))}
+        )
+
+    marked = bucketed_distinct(
+        keys.map_batches(as_marker, batch_format="pyarrow"), [on], [on],
+        num_buckets=num_buckets,
+    )
+    joined = hash_join(ds, marked, on=on, how="left", num_buckets=num_buckets)
+
+    def keep_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["_anti_m"])).drop_columns(["_anti_m"])
+
+    return joined.map_batches(keep_null, batch_format="pyarrow")

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import AggregateFn
@@ -509,3 +510,59 @@ def group_quantiles_exact(
         .map_groups(per_group, batch_format="pyarrow")
         .sort([group_col, "q_permille"])
     )
+
+
+def quantile_band_filter(
+    source: str | ray.data.Dataset,
+    value_col: str = "n_chars",
+    lo_permille: int = 50,
+    hi_permille: int = 950,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Percentile-band outlier trim: keep rows whose ``value_col`` lies
+    between the corpus's exact discrete quantiles at ``lo``/``hi`` permille
+    (inclusive) — the "drop the freak-length tails before training" gate,
+    with thresholds defined by the same ``max(1, ceil(q*n))`` rank rule as
+    :func:`group_quantiles_exact` so the cut is exactly SQL-reproducible.
+
+    Two passes, both streamed: (1) the distinct-value histogram (per-batch
+    pair counts, one bounded groupby — integer-domain values only), from
+    which the driver picks the two thresholds; (2) a vectorized filter scan.
+    Output: ``(id_col, value_col)`` sorted by id.
+    """
+    import math
+
+    from .text import _read_docs
+
+    if not (0 < lo_permille <= hi_permille <= 1000):
+        raise ValueError(f"bad band: [{lo_permille}, {hi_permille}]")
+    ds = _read_docs(source, [id_col, value_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch[value_col].combine_chunks().value_counts()
+        return pa.table({"v": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("cnt")
+        .to_pandas()  # bounded: distinct values of an integer-domain column
+        .sort_values("v")
+    )
+    vals = hist["v"].to_numpy()
+    cum = np.cumsum(hist["sum(cnt)"].to_numpy().astype(np.int64))
+    n = int(cum[-1])
+
+    def at(q: int):
+        rank = max(1, math.ceil((q / 1000.0) * n))
+        return vals[int(np.searchsorted(cum, rank, side="left"))]
+
+    lo_v, hi_v = at(lo_permille), at(hi_permille)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch[value_col]
+        m = pc.and_(pc.greater_equal(v, lo_v), pc.less_equal(v, hi_v))
+        return batch.filter(m)
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort(id_col)

@@ -366,3 +366,30 @@ def sliding_count(
     from ..ops.common import grouped_map
 
     return grouped_map(partials, ["event_type"], merge, num_buckets=8)
+
+
+def customers_without_priority(
+    sf_dir: str, priority: str = "1-URGENT"
+) -> ray.data.Dataset:
+    """Customers with NO order of the given priority — the NOT EXISTS /
+    anti-join report (TPC-H Q22 shape), run on the DISTRIBUTED anti arm:
+    the matching order keys are deduplicated in their hash buckets, tagged,
+    LEFT-joined by bucket co-grouping and the null-marker rows survive — no
+    driver-side key set at any cardinality (the broadcast arm is pinned
+    equal in tests for when the key side IS small)."""
+    from ..functions.join import anti_join_filter
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    import pyarrow.dataset as pads
+
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == priority,
+    )
+    return anti_join_filter(
+        cust, urgent, on="c_custkey", key_cols=["o_custkey"], distributed=True
+    ).sort("c_custkey")

@@ -442,3 +442,51 @@ def test_kmeans_fit_separable_and_monotone():
     assert abs(lo) < 1.0 and abs(hi - 10.0) < 1.0
     _, in_1iter = kmeans_fit(ray.data.from_pandas(df), n_clusters=2, iters=1)
     assert in1 <= in_1iter + 1e-9  # more iterations never increase inertia
+
+
+def test_anti_join_filter_arms_agree():
+    """Broadcast and distributed anti arms produce the same survivor set,
+    and it equals the NOT-EXISTS brute force; semi + anti partition ds."""
+    from core_ray.functions import anti_join_filter, semi_join_filter
+
+    big = pd.DataFrame({"k": np.arange(40, dtype="int64"),
+                        "payload": [f"p{i}" for i in range(40)]})
+    keys = pd.DataFrame({"kk": np.array([1, 3, 3, 7, 50], dtype="int64")})
+    ds = ray.data.from_pandas(big).repartition(4)
+    kds = ray.data.from_pandas(keys).repartition(2)
+    expect = sorted(set(range(40)) - {1, 3, 7})
+    got_b = sorted(
+        anti_join_filter(ds, kds, on="k", key_cols=["kk"]).to_pandas()["k"]
+    )
+    got_d = sorted(
+        anti_join_filter(ds, kds, on="k", key_cols=["kk"],
+                         distributed=True).to_pandas()["k"]
+    )
+    assert got_b == expect and got_d == expect
+    got_s = sorted(
+        semi_join_filter(ds, kds, on="k", key_cols=["kk"]).to_pandas()["k"]
+    )
+    assert sorted(got_s + got_b) == list(range(40))
+
+
+def test_quantile_band_filter_rank_rule():
+    """Thresholds follow max(1, ceil(q*n)): n=10 values 1..10, band
+    [250, 750] -> lo = value at rank 3, hi = value at rank 8; inclusive."""
+    from core_ray.functions import quantile_band_filter
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype="int64"),
+        "n_chars": np.array([10, 1, 7, 3, 9, 5, 2, 8, 4, 6], dtype="int64"),
+    })
+    df["text"] = "w"; df["lang"] = "x"; df["source"] = "t"
+    outs = []
+    for parts in (1, 3):
+        out = (
+            quantile_band_filter(ray.data.from_pandas(df).repartition(parts),
+                                 lo_permille=250, hi_permille=750)
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    kept = set(outs[0]["n_chars"])
+    assert kept == set(range(3, 9))  # values 3..8 inclusive
