@@ -796,6 +796,13 @@ def _q_doc_source_divergence(sf):
     return source_divergence(sf, vocab_size=200)
 
 
+def _q_doc_group_topk(sf):
+    """Top-3 longest documents per language, no global sort."""
+    from core_ray.functions import group_topk
+
+    return group_topk(sf, group_col="lang", value_col="n_chars", k=3)
+
+
 def _q_doc_band_filter(sf):
     """Percentile-band trim: keep docs with n_chars inside the corpus's
     exact [p5, p95] discrete-quantile band."""
@@ -2007,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_divergence": _q_doc_source_divergence,
         "doc_band_filter": _q_doc_band_filter,
         "rel_anti_join": _q_rel_anti_join,
+        "doc_group_topk": _q_doc_group_topk,
     }
 
 
@@ -4009,6 +4017,16 @@ WHERE NOT EXISTS (
   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
 )
 ORDER BY c_custkey
+"""
+
+
+# top-3 longest docs per language: row_number <= k with (value desc, id) order
+_ORACLE["doc_group_topk"] = """
+SELECT lang, doc_id, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) <= 3
+ORDER BY lang, n_chars DESC, doc_id
 """
 
 

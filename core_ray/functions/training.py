@@ -1429,3 +1429,58 @@ def source_divergence(
     con.unregister("_kl_cnts")
     con.unregister("_kl_vocab")
     return ray.data.from_arrow(out)
+
+
+def group_topk(
+    source: str | ray.data.Dataset,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Top-k rows PER GROUP ranked by ``(value desc, id asc)`` — the
+    "k longest / highest-scoring documents per language/source" report —
+    computed with NO global sort: each batch contributes at most k
+    candidate rows per group (vectorized run-length cut, the
+    ``sample_min_k_by`` shape), so the groupby shuffle moves
+    O(groups * k) rows per batch, never the corpus.
+
+    Output: ``(group, id, value)`` sorted by (group asc, value desc,
+    id asc) — exactly SQL's ``QUALIFY row_number() <= k``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        grp = batch[group_col].to_numpy(zero_copy_only=False)
+        val = batch[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -val, grp))
+        g_sorted = grp[order]
+        starts = np.ones(len(order), dtype=bool)
+        starts[1:] = g_sorted[1:] != g_sorted[:-1]
+        run_first = np.nonzero(starts)[0][np.cumsum(starts) - 1]
+        keep = order[(np.arange(len(order)) - run_first) < k]
+        return pa.table(
+            {
+                group_col: batch[group_col].take(pa.array(keep)),
+                id_col: batch[id_col].take(pa.array(keep)),
+                value_col: batch[value_col].take(pa.array(keep)),
+            }
+        )
+
+    def cut(t: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                t[id_col].to_numpy(zero_copy_only=False),
+                -t[value_col].to_numpy(zero_copy_only=False),
+            )
+        )[:k]
+        return t.take(pa.array(order))
+
+    return (
+        _read_docs(source, [id_col, group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(cut, batch_format="pyarrow")
+        .sort([group_col, value_col, id_col],
+              descending=[False, True, False])
+    )

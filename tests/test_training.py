@@ -592,3 +592,29 @@ def test_source_divergence_orders_drift():
     assert (out["kl_e9"] >= -1).all()  # Gibbs: KL >= 0 (rounding slack 1 ulp)
     assert out.loc["bal", "n_vocab_tok"] == 48
     assert out.loc["skew", "n_vocab_tok"] == 48
+
+
+def test_group_topk_rank_and_ties():
+    """(value desc, id asc) rank within each group; at most k per group;
+    ties keep the smaller id; partitioning-invariant."""
+    from core_ray.functions import group_topk
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype="int64"),
+        "lang":   ["a", "a", "a", "a", "b", "b", "b", "b"],
+        "n_chars": np.array([5, 9, 9, 1, 2, 2, 2, 7], dtype="int64"),
+    })
+    df["text"] = "w"; df["source"] = "t"
+    outs = []
+    for parts in (1, 4):
+        out = (
+            group_topk(ray.data.from_pandas(df).repartition(parts),
+                       group_col="lang", value_col="n_chars", k=2)
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    # group a: 9@1, 9@2 (tie -> both, id order); group b: 7@7 then 2@4
+    assert list(map(tuple, out.to_numpy())) == [
+        ("a", 1, 9), ("a", 2, 9), ("b", 7, 7), ("b", 4, 2)]
