@@ -796,6 +796,15 @@ def _q_doc_source_divergence(sf):
     return source_divergence(sf, vocab_size=200)
 
 
+def _q_doc_dedup_spans(sf):
+    """Cross-document duplicated-span removal at trigram granularity
+    (Lee-et-al-style span dedup: cut repeated boilerplate out of
+    otherwise-unique documents)."""
+    from core_ray.functions import dedup_spans
+
+    return dedup_spans(sf)
+
+
 def _q_doc_group_topk(sf):
     """Top-3 longest documents per language, no global sort."""
     from core_ray.functions import group_topk
@@ -2015,6 +2024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_band_filter": _q_doc_band_filter,
         "rel_anti_join": _q_rel_anti_join,
         "doc_group_topk": _q_doc_group_topk,
+        "doc_dedup_spans": _q_doc_dedup_spans,
     }
 
 
@@ -4027,6 +4037,45 @@ FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang
                            ORDER BY n_chars DESC, doc_id) <= 3
 ORDER BY lang, n_chars DESC, doc_id
+"""
+
+
+# duplicated-span removal: drop every word covered by a trigram that also
+# occurs in another document; rejoin survivors with single spaces
+_ORACLE["doc_dedup_spans"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS lws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i, lws[i] || chr(1) || lws[i+1] || chr(1) || lws[i+2] AS g
+  FROM w, unnest(range(1, len(lws) - 1)) AS t(i)
+  WHERE len(lws) >= 3
+),
+dup AS (SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT s.doc_id, u.p
+  FROM sh s JOIN dup USING (g), unnest([s.i, s.i + 1, s.i + 2]) AS u(p)
+),
+kept AS (
+  SELECT w.doc_id, p.p AS pos, w.ws[p.p] AS word
+  FROM w, unnest(range(1, len(ws) + 1)) AS p(p)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = w.doc_id AND c.p = p.p
+  )
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(a.text_clean, '') AS text_clean
+FROM w LEFT JOIN agg a USING (doc_id)
+ORDER BY w.doc_id
 """
 
 

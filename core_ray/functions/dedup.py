@@ -1137,3 +1137,200 @@ def source_overlap(
     return totals.map_batches(emit, batch_format="pyarrow").sort(
         ["source_a", "source_b"]
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated-span REMOVAL
+# ---------------------------------------------------------------------------
+
+
+def dedup_spans(
+    source: str | ray.data.Dataset,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """REMOVE cross-document duplicated spans at word-trigram granularity:
+    a word is dropped iff it is covered by some trigram (of the lowercased
+    word sequence) that also occurs in at least one OTHER document; the
+    surviving words are rejoined with single spaces.  This is the
+    span-level dedup of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2022) at n=3 granularity — it cuts repeated
+    boilerplate out of otherwise-unique documents instead of dropping or
+    keeping whole documents (:func:`dedup_exact` / :func:`dedup_near`), and
+    :func:`dup_shingle_coverage` is its measurement-only companion.
+
+    Shape (three bounded shuffles; document text moves through exactly ONE
+    of them, and only hashes/ints through the rest):
+
+    1. ``map_batches``: (trigram-hash, doc_id, start-pos) rows for every
+       trigram start, positions indexed over the doc's nonempty words.
+    2. Inverted index: hash-bucket shuffle on the trigram; within a bucket
+       every global occurrence co-locates, so a vectorized run scan keeps
+       exactly the rows of trigrams spanning >= 2 distinct docs (the
+       typical output is the small duplicated subset).
+    3. Doc-bucket shuffle of the surviving (doc, pos) rows builds one
+       sorted start-position list per affected document.
+    4. ``hash_join`` (LEFT) attaches the start lists to the documents —
+       the one shuffle that moves text (and auto-broadcasts when the dup
+       side is small) — then a streamed rebuild drops covered words:
+       kept = words at positions not in ``{s, s+1, s+2}`` for any start s.
+
+    Output: ``(doc_id, n_words, n_kept, text_clean)`` sorted by doc_id,
+    with ``text_clean`` the ORIGINAL-case kept words joined by ' '
+    (whitespace-normalized for every document, touched or not).
+    """
+    from .join import hash_join
+
+    ds = _read_docs(source, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes, wc = _word_hashes_batch(batch["text"])
+        doc_idx = np.repeat(np.arange(len(ids)), wc)
+        word_starts = np.concatenate(([0], np.cumsum(wc)[:-1]))
+        pos_in_doc = np.arange(len(hashes)) - word_starts[doc_idx]
+        keep_doc = wc >= 3
+        if len(hashes) >= 3:
+            a, b, c = hashes[:-2], hashes[1:-1], hashes[2:]
+            with np.errstate(over="ignore"):
+                tri = _hash2(
+                    99, a * _U64(0x9E3779B97F4A7C15) ^ b * _U64(0xC2B2AE3D27D4EB4F) ^ c
+                )
+            m = (doc_idx[:-2] == doc_idx[2:]) & keep_doc[doc_idx[:-2]]
+            tri = tri[m]
+            tdoc = ids[doc_idx[:-2][m]]
+            tpos = pos_in_doc[:-2][m]
+        else:
+            tri = np.zeros(0, np.uint64)
+            tdoc = np.zeros(0, np.int64)
+            tpos = np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "tri": pa.array(tri, pa.uint64()),
+                "doc_id": pa.array(tdoc, pa.int64()),
+                "pos": pa.array(tpos, pa.int64()),
+                "_bucket": pa.array(
+                    (tri % np.uint64(num_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def dup_rows(g: pa.Table) -> pa.Table:
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        tri = g["tri"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, tri))
+        t, d = tri[order], doc[order]
+        new_tri = np.ones(len(t), bool)
+        new_tri[1:] = t[1:] != t[:-1]
+        new_doc = np.ones(len(t), bool)
+        new_doc[1:] = new_tri[1:] | (d[1:] != d[:-1])
+        run_id = np.cumsum(new_tri) - 1
+        n_docs = np.zeros(run_id[-1] + 1 if len(t) else 0, np.int64)
+        np.add.at(n_docs, run_id, new_doc.astype(np.int64))
+        dup = n_docs[run_id] >= 2
+        keep = order[dup]
+        return pa.table(
+            {"doc_id": pa.array(doc[keep], pa.int64()),
+             "pos": pa.array(pos[keep], pa.int64())}
+        )
+
+    dup_pos = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(dup_rows, batch_format="pyarrow")
+    )
+
+    from ..ops.common import _arrow_add_bucket
+
+    def pos_lists(g: pa.Table) -> pa.Table:
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc))
+        d, p = doc[order], pos[order]
+        new = np.ones(len(d), bool)
+        new[1:] = d[1:] != d[:-1]
+        counts = np.diff(np.concatenate((np.nonzero(new)[0], [len(d)])))
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        # positions ride as a comma-joined string: plain columns survive the
+        # join's pandas merge natively (a list column would round-trip into
+        # a tensor-extension dtype); the rebuild splits it back with Arrow
+        # kernels, still no per-row Python
+        starts_str = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                pc.cast(pa.array(p, pa.int64()), pa.string()),
+            ),
+            ",",
+        )
+        return pa.table(
+            {"doc_id": pa.array(d[new], pa.int64()), "starts": starts_str}
+        )
+
+    lists = (
+        dup_pos.map_batches(_arrow_add_bucket(["doc_id"], num_buckets),
+                            batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pos_lists, batch_format="pyarrow")
+    )
+    joined = hash_join(ds, lists, on="doc_id", how="left")
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.utf8_split_whitespace(texts)
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        wc = np.bincount(parent, minlength=len(ids)).astype(np.int64)
+        word_starts = np.concatenate(([0], np.cumsum(wc)[:-1]))
+        keep = np.ones(len(flat), bool)
+        starts_col = batch["starts"]
+        # ragged gather of every covered position: starts + {0, 1, 2}
+        valid = pc.is_valid(starts_col).to_numpy(zero_copy_only=False)
+        if valid.any():
+            sc = starts_col.combine_chunks() if isinstance(
+                starts_col, pa.ChunkedArray) else starts_col
+            lists = pc.cast(
+                pc.split_pattern(pc.fill_null(sc, ""), ","),
+                pa.large_list(pa.string()),
+            )
+            n_per = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            n_per[~valid] = 0
+            flat_parent = pc.list_parent_indices(lists).to_numpy(
+                zero_copy_only=False)
+            flat_ok = valid[flat_parent]
+            flat_starts = pc.cast(
+                lists.flatten().filter(pa.array(flat_ok)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            doc_of_start = flat_parent[flat_ok]
+            base = word_starts[doc_of_start] + flat_starts
+            cov = (base[:, None] + np.arange(3)[None, :]).ravel()
+            keep[cov] = False
+        kept_words = flat.filter(pa.array(keep))
+        n_kept = np.zeros(len(ids), np.int64)
+        np.add.at(n_kept, parent[keep], 1)
+        offsets = np.concatenate(([0], np.cumsum(n_kept)))
+        joined_txt = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                          kept_words),
+            " ",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(wc, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "text_clean": joined_txt,
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pyarrow").sort("doc_id")

@@ -490,3 +490,36 @@ def test_quantile_band_filter_rank_rule():
     pd.testing.assert_frame_equal(outs[0], outs[1])
     kept = set(outs[0]["n_chars"])
     assert kept == set(range(3, 9))  # values 3..8 inclusive
+
+
+def test_dedup_spans_planted():
+    """Words covered by a cross-doc shared trigram are removed (case
+    preserved from the original), within-doc repeats alone do not trigger,
+    short docs pass through; partitioning-invariant."""
+    from core_ray.functions import dedup_spans
+
+    rows = [
+        (0, "Alpha Beta Gamma unique0 tail0"),   # shares 'alpha beta gamma' w/ 1
+        (1, "prefix1 alpha beta gamma tail1"),
+        (2, "x y x y x y"),                       # repeats only within itself
+        (3, "one two"),                           # < 3 words: untouched
+        (4, ""),                                  # empty
+    ]
+    outs = []
+    for parts in (1, 3):
+        out = (
+            dedup_spans(_docs_ds(rows).repartition(parts))
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].set_index("doc_id")
+    # doc 0: positions 0-2 covered; original case survives on kept words
+    assert out.loc[0, "text_clean"] == "unique0 tail0"
+    assert (out.loc[0, "n_words"], out.loc[0, "n_kept"]) == (5, 2)
+    # doc 1: positions 1-3 covered
+    assert out.loc[1, "text_clean"] == "prefix1 tail1"
+    # doc 2: its trigrams live only in doc 2 -> nothing removed
+    assert out.loc[2, "text_clean"] == "x y x y x y"
+    assert out.loc[3, "text_clean"] == "one two"
+    assert out.loc[4, "text_clean"] == "" and out.loc[4, "n_words"] == 0
