@@ -796,6 +796,21 @@ def _q_doc_source_divergence(sf):
     return source_divergence(sf, vocab_size=200)
 
 
+def _q_rel_semi_join(sf):
+    """Order counts per priority for orders with a big lineitem (EXISTS /
+    broadcast semi-join, TPC-H Q4 shape)."""
+    from core_ray.pipelines.relational import priority_with_big_lineitem
+
+    return priority_with_big_lineitem(sf, min_quantity=45.0)
+
+
+def _q_doc_distinct_words_by(sf):
+    """Exact vocabulary size per source (bounded distinct-pair shuffle)."""
+    from core_ray.functions import distinct_words_by
+
+    return distinct_words_by(sf, group_col="source")
+
+
 def _q_doc_dedup_spans(sf):
     """Cross-document duplicated-span removal at trigram granularity
     (Lee-et-al-style span dedup: cut repeated boilerplate out of
@@ -2025,6 +2040,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_anti_join": _q_rel_anti_join,
         "doc_group_topk": _q_doc_group_topk,
         "doc_dedup_spans": _q_doc_dedup_spans,
+        "rel_semi_join": _q_rel_semi_join,
+        "doc_distinct_words_by": _q_doc_distinct_words_by,
     }
 
 
@@ -4076,6 +4093,28 @@ SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
        COALESCE(a.text_clean, '') AS text_clean
 FROM w LEFT JOIN agg a USING (doc_id)
 ORDER BY w.doc_id
+"""
+
+
+# EXISTS semi-join: orders with at least one lineitem over the threshold
+_ORACLE["rel_semi_join"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY 1 ORDER BY 1
+"""
+
+# exact distinct-word count per source
+_ORACLE["doc_distinct_words_by"] = r"""
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words
+FROM w GROUP BY 1 ORDER BY 1
 """
 
 

@@ -523,3 +523,63 @@ def tfidf_top_terms(source: str | ray.data.Dataset, k: int = 5) -> ray.data.Data
         )
 
     return docs.map_batches(score, batch_format="pyarrow").sort(["doc_id", "word"])
+
+
+def distinct_words_by(
+    source: str | ray.data.Dataset, group_col: str = "source"
+) -> ray.data.Dataset:
+    """EXACT distinct-word count per group — the vocabulary-size-per-source
+    report (the exact companion of the mergeable-HLL
+    ``sketches.approx_distinct_by``; use the sketch when the per-group
+    vocabulary itself is too large to shuffle).
+
+    Scale shape: each batch emits its DISTINCT (group, word) pairs (Arrow
+    split + one C drop_duplicates — never full text), one groupby
+    deduplicates them globally (the shuffle is bounded by
+    vocabulary x groups, not corpus size), and per-batch partial counts +
+    a tiny second groupby produce the per-group totals.
+
+    Output: ``(group, n_distinct_words)`` sorted by group.
+    """
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = lists.flatten()
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        grp = batch[group_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {group_col: grp[parent[keep]],
+             "word": flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        return pa.table(
+            {group_col: pa.array(df[group_col].to_numpy().astype(str)),
+             "word": pa.array(df["word"].to_numpy().astype(str))}
+        )
+
+    distinct_pairs = (
+        _read_docs(source, [group_col, "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby([group_col, "word"])
+        .count()
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "n"])
+
+    return (
+        distinct_pairs.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns([group_col, "n_distinct_words"]),
+            batch_format="pyarrow",
+        )
+        .sort(group_col)
+    )

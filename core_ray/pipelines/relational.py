@@ -393,3 +393,43 @@ def customers_without_priority(
     return anti_join_filter(
         cust, urgent, on="c_custkey", key_cols=["o_custkey"], distributed=True
     ).sort("c_custkey")
+
+
+def priority_with_big_lineitem(
+    sf_dir: str, min_quantity: float = 45.0
+) -> ray.data.Dataset:
+    """Order counts per priority for orders having at least one lineitem
+    above the quantity threshold — the EXISTS / semi-join report (TPC-H Q4
+    shape).  The matching order keys are pruned at the lineitem read
+    (row-group quantity filter + key column only), collected once as the
+    broadcast semi-join key set, and orders stream through one vectorized
+    ``is_in`` scan + per-batch partial counts; no row shuffle anywhere."""
+    import pyarrow.dataset as pads
+
+    from ..functions.join import semi_join_filter
+
+    keys = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        filter=pads.field("l_quantity") > min_quantity,
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    hit = semi_join_filter(orders, keys, on="o_orderkey",
+                           key_cols=["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "n"])
+
+    return (
+        hit.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["o_orderpriority", "n_orders"]),
+            batch_format="pyarrow",
+        )
+        .sort("o_orderpriority")
+    )

@@ -523,3 +523,26 @@ def test_dedup_spans_planted():
     assert out.loc[2, "text_clean"] == "x y x y x y"
     assert out.loc[3, "text_clean"] == "one two"
     assert out.loc[4, "text_clean"] == "" and out.loc[4, "n_words"] == 0
+
+
+def test_distinct_words_by_hand():
+    """Case-insensitive distinct vocabulary per group, exact, invariant."""
+    from core_ray.functions import distinct_words_by
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype="int64"),
+        "text": ["a B b", "a a c", "z z", ""],
+        "source": ["s1", "s1", "s2", "s2"],
+        "lang": "x",
+    })
+    df["n_chars"] = df["text"].str.len()
+    outs = []
+    for parts in (1, 3):
+        out = (
+            distinct_words_by(ray.data.from_pandas(df).repartition(parts))
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = dict(zip(outs[0]["source"], outs[0]["n_distinct_words"]))
+    assert got == {"s1": 3, "s2": 1}  # s1: {a, b, c}; s2: {z}
