@@ -796,6 +796,26 @@ def _q_doc_source_divergence(sf):
     return source_divergence(sf, vocab_size=200)
 
 
+def _q_ev_window_distinct(sf):
+    """Exact distinct users per (event_type, hourly tumbling window)."""
+    from core_ray.pipelines.relational import window_distinct_users
+
+    return window_distinct_users(sf, start=START, end=END)
+
+
+def _q_emb_knn_filtered(sf):
+    """Filtered vector search: top-10 cosine among label == 2 rows only,
+    predicate pushed into the parquet scan."""
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    from core_ray.functions import knn_filtered
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    return knn_filtered(sf, q, k=10, label=2)
+
+
 def _q_rel_semi_join(sf):
     """Order counts per priority for orders with a big lineitem (EXISTS /
     broadcast semi-join, TPC-H Q4 shape)."""
@@ -2042,6 +2062,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_spans": _q_doc_dedup_spans,
         "rel_semi_join": _q_rel_semi_join,
         "doc_distinct_words_by": _q_doc_distinct_words_by,
+        "ev_window_distinct": _q_ev_window_distinct,
+        "emb_knn_filtered": _q_emb_knn_filtered,
     }
 
 
@@ -4115,6 +4137,29 @@ WITH w AS (
 )
 SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words
 FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+# exact distinct users per hourly tumbling window
+_ORACLE["ev_window_distinct"] = f"""
+SELECT event_type,
+       make_timestamp({S_US} + ((epoch_us(ts) - {S_US}) // {HOUR_US})
+                      * {HOUR_US}) AS EventTime,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE {_RANGE}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# filtered vector search: rank only label = 2 rows
+_ORACLE["emb_knn_filtered"] = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round_even(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                         (SELECT e FROM q)), 4) AS sim
+FROM embeddings
+WHERE label = 2
+ORDER BY sim DESC, vec_id
+LIMIT 10
 """
 
 

@@ -555,3 +555,54 @@ def kmeans_fit(
             break
         inertia = new_inertia
     return cents, inertia
+
+
+def knn_filtered(
+    source: str | ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    label: int | None = None,
+) -> ray.data.Dataset:
+    """FILTERED vector search: top-k by cosine among rows matching a
+    metadata predicate (``label == value``) — pre-filter semantics (the
+    predicate prunes BEFORE ranking, so exactly k matching rows return; a
+    post-filter over unfiltered top-k would under-deliver).  The predicate
+    is pushed into the parquet scan as a row-group filter when the source
+    is a path, so non-matching row groups never leave storage; otherwise a
+    vectorized Arrow filter runs before scoring.  Same per-batch partial
+    top-k shape as :func:`knn_brute_force`."""
+    q = np.asarray(query, dtype=np.float64)
+    if isinstance(source, str):
+        import pyarrow.dataset as pads
+
+        path = (
+            source if source.endswith(".parquet")
+            else f"{source}/embeddings.parquet"
+        )
+        kwargs = {}
+        if label is not None:
+            kwargs["filter"] = pads.field("label") == label
+        ds = ray.data.read_parquet(
+            path, columns=["vec_id", "embedding", "label"], **kwargs
+        )
+    else:
+        ds = source
+        if label is not None:
+            ds = ds.map_batches(
+                lambda t: t.filter(pc.equal(t["label"], label)),
+                batch_format="pyarrow",
+            )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        sim_raw = _cosine(_batch_matrix(batch), q)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out_ids, out_sim = _topk_round4(ids, sim_raw, k)
+        return pa.table({"vec_id": pa.array(out_ids), "sim": pa.array(out_sim)})
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    return partials.sort(["sim", "vec_id"], descending=[True, False]).limit(k)

@@ -433,3 +433,67 @@ def priority_with_big_lineitem(
         )
         .sort("o_orderpriority")
     )
+
+
+def window_distinct_users(
+    sf_dir: str, start: str, end: str, size_s: int = 3600
+) -> ray.data.Dataset:
+    """EXACT distinct users per (event_type, tumbling window) — the
+    windowed-cardinality report (DAU/HAU shape).  Distinct-count does not
+    decompose into sum-of-partials, so the shape differs from the count
+    aggregates: each batch first emits its DISTINCT (type, window, user)
+    triples, one hash-bucket shuffle deduplicates them globally (bounded by
+    true triple cardinality, not event count), then per-batch partial
+    counts + a tiny second groupby produce the totals.  For cardinalities
+    too large to shuffle, the mergeable-HLL ``sketches.approx_distinct_by``
+    is the documented fallback."""
+    s_us, e_us = ts_to_us(start), ts_to_us(end)
+    size_us = size_s * 1_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id"]
+    )
+
+    def triples(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        in_range = (ts >= s_us) & (ts <= e_us)
+        ws = s_us + ((ts[in_range] - s_us) // size_us) * size_us
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(
+                    zero_copy_only=False)[in_range],
+                "ws": ws,
+                "user_id": batch["user_id"].to_numpy(
+                    zero_copy_only=False)[in_range],
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ..ops.common import bucketed_distinct
+
+    distinct = bucketed_distinct(
+        ds.map_batches(triples, batch_format="pyarrow"),
+        ["event_type", "ws", "user_id"],
+        ["event_type", "ws", "user_id"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "ws"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "ws", "n"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        ws = t["ws"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "EventTime": pa.array(ws),
+                "n_users": t["sum(n)"],
+            }
+        )
+
+    return (
+        distinct.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "ws"])
+        .sum("n")
+        .map_batches(emit, batch_format="pyarrow")
+        .sort(["event_type", "EventTime"])
+    )

@@ -546,3 +546,25 @@ def test_distinct_words_by_hand():
     pd.testing.assert_frame_equal(outs[0], outs[1])
     got = dict(zip(outs[0]["source"], outs[0]["n_distinct_words"]))
     assert got == {"s1": 3, "s2": 1}  # s1: {a, b, c}; s2: {z}
+
+
+def test_knn_filtered_prefilter_semantics(sf_dir):
+    """Pre-filter: exactly k rows return, ALL matching the predicate — a
+    post-filter of the unfiltered top-k would under-deliver."""
+    import pyarrow.parquet as pq
+
+    from core_ray.functions import knn_filtered
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    labels = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    out = knn_filtered(sf_dir, q, k=10, label=2).to_pandas()
+    assert len(out) == 10
+    assert all(labels[v] == 2 for v in out["vec_id"])
+    # no-filter arm equals brute force
+    from core_ray.functions import knn_brute_force
+
+    a = knn_filtered(sf_dir, q, k=5).to_pandas()
+    b = knn_brute_force(sf_dir, q, k=5).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
