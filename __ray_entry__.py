@@ -954,6 +954,19 @@ def _q_doc_search_bm25(sf):
     return search_bm25(tmp, ["merge", "scan", "window"], k=10)
 
 
+def _q_doc_search_phrase(sf):
+    """Positional phrase search over the persisted index: docs containing
+    'slow hash batch' consecutively, with occurrence counts."""
+    import shutil
+
+    from core_ray.functions import build_text_index, search_phrase
+
+    tmp = "/tmp/graft_text_index_phrase"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_text_index(sf, tmp, num_buckets=16)
+    return search_phrase(tmp, ["slow", "hash", "batch"])
+
+
 def _q_doc_tfidf(sf):
     """Top-5 TF-IDF terms per document; ranking on the raw double score
     (DuckDB ln on both sides), round4 only on the emitted column."""
@@ -2064,6 +2077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_distinct_words_by": _q_doc_distinct_words_by,
         "ev_window_distinct": _q_ev_window_distinct,
         "emb_knn_filtered": _q_emb_knn_filtered,
+        "doc_search_phrase": _q_doc_search_phrase,
     }
 
 
@@ -4160,6 +4174,21 @@ FROM embeddings
 WHERE label = 2
 ORDER BY sim DESC, vec_id
 LIMIT 10
+"""
+
+
+# positional phrase search: consecutive-word occurrence counts per doc
+_ORACLE["doc_search_phrase"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM w, unnest(range(1, len(ws) - 1)) AS t(p)
+WHERE len(ws) >= 3
+  AND ws[p] = 'slow' AND ws[p+1] = 'hash' AND ws[p+2] = 'batch'
+GROUP BY 1 ORDER BY 1
 """
 
 

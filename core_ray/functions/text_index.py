@@ -45,18 +45,33 @@ def _doc_word_pairs(t: pa.Table) -> pa.Table:
     doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
     kept_doc = doc_idx[keep]
     dl = np.bincount(kept_doc, minlength=len(t)).astype(np.int64)
-    pairs = (
-        pd.DataFrame({"doc_id": doc_ids[kept_doc], "word": words[keep]})
-        .groupby(["doc_id", "word"], sort=False)
-        .size()
-        .reset_index(name="tf")
+    # 0-based kept-word position within each document
+    doc_word_starts = np.concatenate(([0], np.cumsum(dl)[:-1]))
+    # kept words arrive in document order, so position = running index
+    pos_in_doc = np.arange(len(kept_doc)) - doc_word_starts[kept_doc]
+    kw = words[keep]
+    # one vectorized lexsort groups (doc, word) runs with positions ascending
+    order = np.lexsort((pos_in_doc, kw, kept_doc))
+    d_s, w_s, p_s = kept_doc[order], kw[order], pos_in_doc[order]
+    new = np.ones(len(d_s), bool)
+    new[1:] = (d_s[1:] != d_s[:-1]) | (w_s[1:] != w_s[:-1])
+    counts = np.diff(np.concatenate((np.nonzero(new)[0], [len(d_s)])))
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    # positions ride as a comma-joined string (pandas/join-safe; parsed back
+    # with Arrow kernels) — positional postings enable phrase search
+    positions = pc.binary_join(
+        pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pc.cast(pa.array(p_s, pa.int64()), pa.string()),
+        ),
+        ",",
     )
-    doc_dl = pd.Series(dl, index=doc_ids)
     return pa.table(
-        {"word": pa.array(pairs["word"].to_numpy().astype(str)),
-         "doc_id": pa.array(pairs["doc_id"].to_numpy().astype(np.int64)),
-         "tf": pa.array(pairs["tf"].to_numpy().astype(np.int64)),
-         "dl": pa.array(doc_dl.loc[pairs["doc_id"]].to_numpy().astype(np.int64))}
+        {"word": pa.array(w_s[new].astype(str)),
+         "doc_id": pa.array(doc_ids[d_s[new]].astype(np.int64)),
+         "tf": pa.array(counts.astype(np.int64)),
+         "dl": pa.array(dl[d_s[new]].astype(np.int64)),
+         "positions": positions}
     )
 
 
@@ -267,4 +282,118 @@ def search_bm25(
         totals.map_batches(rename, batch_format="pyarrow")
         .sort(["score_e4", "doc_id"], descending=[True, False])
         .limit(k)
+    )
+
+
+def search_phrase(
+    index_dir: str, words: list[str], num_buckets_doc: int = 16
+) -> ray.data.Dataset:
+    """PHRASE search over a :func:`build_text_index` layout: documents
+    containing the words CONSECUTIVELY, with the exact occurrence count —
+    the positional-postings feature that boolean/BM25 retrieval can't
+    answer ("new york" vs documents merely containing both words).
+
+    Shape: only the phrase words' hash buckets are read (the usual prune);
+    each posting explodes to ``(doc, pos - slot_idx)`` anchor rows per
+    phrase slot (positions parse back from the postings' comma string with
+    Arrow kernels); one doc-bucket shuffle co-locates a document's anchors,
+    where a phrase start is valid iff ALL slots voted for it — a vectorized
+    ``np.unique`` run count, no per-doc Python.  Repeated words in the
+    phrase are handled per slot.  Output: ``(doc_id, n_matches)`` sorted.
+    """
+    if not words:
+        raise ValueError("need at least one phrase word")
+    phrase = [w.lower() for w in words]
+    uniq_words = sorted(set(phrase))
+    with open(os.path.join(index_dir, _META)) as f:
+        meta = json.load(f)
+    nb = meta["num_buckets"]
+    buckets = sorted(set(_bucket_of(pd.Series(uniq_words), nb).tolist()))
+    paths = []
+    for bk in buckets:
+        d = os.path.join(index_dir, "postings", f"bucket={bk}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_matches": pa.array([], pa.int64())})
+    if not paths:
+        return ray.data.from_arrow(empty)
+    import pyarrow.dataset as pads
+
+    postings = ray.data.read_parquet(
+        paths,
+        columns=["word", "doc_id", "positions"],
+        filter=pads.field("word").isin(uniq_words),
+    )
+    n_slots = len(phrase)
+    slot_of: dict[str, list[int]] = {}
+    for i, w in enumerate(phrase):
+        slot_of.setdefault(w, []).append(i)
+
+    def anchors(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "start": pa.array([], pa.int64()),
+                             "slot": pa.array([], pa.int64())})
+        pos_col = t["positions"]
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        lists = pc.cast(pc.split_pattern(pos_col, ","),
+                        pa.large_list(pa.string()))
+        flat_pos = pc.cast(pc.list_flatten(lists), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        wrds = t["word"].to_numpy(zero_copy_only=False)
+        out_d, out_s, out_i = [], [], []
+        for w, slots in slot_of.items():
+            rows = wrds[parent] == w
+            for i in slots:
+                out_d.append(docs[parent[rows]])
+                out_s.append(flat_pos[rows] - i)
+                out_i.append(np.full(rows.sum(), i, np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "start": pa.array(np.concatenate(out_s), pa.int64()),
+                "slot": pa.array(np.concatenate(out_i), pa.int64()),
+            }
+        )
+
+    from ..ops.common import _arrow_add_bucket
+
+    def count_matches(g: pa.Table) -> pa.Table:
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        s = g["start"].to_numpy(zero_copy_only=False)
+        sl = g["slot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sl, s, d))
+        d, s, sl = d[order], s[order], sl[order]
+        new = np.ones(len(d), bool)
+        new[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        run = np.cumsum(new) - 1
+        votes = np.bincount(run)
+        full = votes == n_slots  # every slot voted exactly once
+        starts_idx = np.nonzero(new)[0][full]
+        hit_d = d[starts_idx]
+        if len(hit_d) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        uniq_d, cnt = np.unique(hit_d, return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(uniq_d, pa.int64()),
+             "n_matches": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    return (
+        postings.map_batches(anchors, batch_format="pyarrow")
+        .map_batches(_arrow_add_bucket(["doc_id"], num_buckets_doc),
+                     batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(count_matches, batch_format="pyarrow")
+        .sort("doc_id")
     )

@@ -139,3 +139,29 @@ def test_bm25_no_hits_and_guards(tmp_path, corpus_ds):
     assert len(search_bm25(d, ["nonexistentword"], k=5).to_pandas()) == 0
     with pytest.raises(ValueError):
         search_bm25(d, [], k=5)
+
+
+def test_phrase_search_hand(tmp_path):
+    """Consecutive-word matches with exact counts; overlapping occurrences
+    and repeated phrase words handled; docs with all words but not adjacent
+    do NOT match."""
+    import ray.data
+
+    from core_ray.functions import build_text_index, search_phrase
+
+    rows = [
+        {"doc_id": 1, "text": "new york new york city"},   # 'new york' x2
+        {"doc_id": 2, "text": "york new and more words"},  # wrong order
+        {"doc_id": 3, "text": "NEW YORK"},                 # case-folds, x1
+        {"doc_id": 4, "text": "a b a"},                    # repeated-word phrase test
+        {"doc_id": 5, "text": "unrelated"},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    d = str(tmp_path / "idx")
+    build_text_index(ds, d, num_buckets=8)
+    out = search_phrase(d, ["new", "york"]).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_matches"]))
+    assert got == {1: 2, 3: 1}
+    out2 = search_phrase(d, ["a", "b", "a"]).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["n_matches"])) == {4: 1}
+    assert len(search_phrase(d, ["no", "such", "phrase"]).to_pandas()) == 0
