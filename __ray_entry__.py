@@ -896,6 +896,19 @@ def _q_doc_sample_mixture(sf):
     return sample_mixture(sf, {f"src{i}": 400 + i * 137 for i in range(20)})
 
 
+def _q_doc_minhash_novel(sf):
+    """Incremental NEAR-dup screening: probe today's ingest against the
+    persisted reference MinHash band index, exact-verify candidates."""
+    import shutil
+
+    from core_ray.functions import build_minhash_index, minhash_novel
+
+    tmp = "/tmp/graft_minhash_index"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_minhash_index(sf, tmp, ref_mod=5)
+    return minhash_novel(sf, tmp, threshold=0.5)
+
+
 def _q_doc_bloom_novel(sf):
     from core_ray.functions import bloom_novel
 
@@ -2078,6 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_window_distinct": _q_ev_window_distinct,
         "emb_knn_filtered": _q_emb_knn_filtered,
         "doc_search_phrase": _q_doc_search_phrase,
+        "doc_minhash_novel": _q_doc_minhash_novel,
     }
 
 
@@ -4189,6 +4203,37 @@ FROM w, unnest(range(1, len(ws) - 1)) AS t(p)
 WHERE len(ws) >= 3
   AND ws[p] = 'slow' AND ws[p+1] = 'hash' AND ws[p+2] = 'batch'
 GROUP BY 1 ORDER BY 1
+"""
+
+
+# incremental near-dup: today's docs (id % 5 != 0) novel unless some
+# reference doc (id % 5 = 0) has exact shingle-Jaccard >= 0.5 with them
+_ORACLE["doc_minhash_novel"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2] AS g
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+cnts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS rid, b.doc_id AS nid, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+  GROUP BY 1, 2
+),
+hit AS (
+  SELECT DISTINCT nid FROM inter
+  JOIN cnts na ON na.doc_id = rid JOIN cnts nb ON nb.doc_id = nid
+  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+)
+SELECT doc_id, doc_id NOT IN (SELECT nid FROM hit) AS novel
+FROM documents WHERE doc_id % 5 <> 0
+ORDER BY doc_id
 """
 
 

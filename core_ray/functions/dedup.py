@@ -1334,3 +1334,229 @@ def dedup_spans(
         )
 
     return joined.map_batches(rebuild, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash band index + incremental near-dup probe
+# ---------------------------------------------------------------------------
+
+_MH_META = "_minhash_meta.json"
+
+
+def build_minhash_index(
+    source: str | ray.data.Dataset,
+    index_dir: str,
+    ref_mod: int = 5,
+    num_buckets: int = 8,
+) -> dict:
+    """Persist the REFERENCE corpus's MinHash LSH band index — the near-dup
+    analog of :func:`bloom_novel`'s exact filter and the retrieval index's
+    "build once, probe many" layout: tomorrow's ingest probes these band
+    buckets instead of re-signing (or re-reading) the historical corpus.
+
+    Reference slice: ``doc_id % ref_mod == 0`` (the deterministic
+    yesterday's-corpus stand-in shared with ``lm_score``/``bloom_novel``).
+    Layout: ``<dir>/bands/band=<b>/hb=<h>/*.parquet`` rows
+    ``(band, band_hash, doc_id)`` hive-partitioned by band and a band-hash
+    bucket, so a probe reads only the partitions its own band hashes fall
+    in.  At incremental-ingest scale the index read is bounded by the
+    ingest's distinct (band, bucket) set — and the reference TEXT is only
+    touched later, pruned to verified candidates.
+    """
+    import json
+    import os
+
+    ds = _read_docs(source, ["doc_id", "text"])
+
+    def ref_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % ref_mod == 0))
+
+    def add_hb(t: pa.Table) -> pa.Table:
+        hb = (
+            t["band_hash"].to_numpy(zero_copy_only=False)
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        # partition copies; (band, band_hash) stay as data columns too
+        return t.append_column("pband", t["band"]).append_column(
+            "hb", pa.array(hb, pa.int64())
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    (
+        ds.map_batches(ref_only, batch_format="pyarrow")
+        .map_batches(_minhash_bands_fn(include_sig=False),
+                     batch_format="pyarrow", batch_size=2048)
+        .map_batches(add_hb, batch_format="pyarrow")
+        .write_parquet(os.path.join(index_dir, "bands"),
+                       partition_cols=["pband", "hb"])
+    )
+    meta = {"num_buckets": num_buckets, "ref_mod": ref_mod,
+            "bands": BANDS, "num_perm": NUM_PERM}
+    with open(os.path.join(index_dir, _MH_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def minhash_novel(
+    source: str | ray.data.Dataset,
+    index_dir: str,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Incremental NEAR-dup screening: flag which of today's documents
+    (``doc_id % ref_mod != 0``) are novel vs the persisted reference index —
+    LSH band-collision candidates, then EXACT shingle-Jaccard verification
+    against only the candidate reference texts (the ``minhash_pairs``
+    verify discipline, so false LSH collisions can't mislabel).
+
+    IO shape: the ingest is signed once (bands only — ints); the index read
+    is pruned to the partitions the ingest's band hashes fall in; reference
+    TEXT is read pruned to candidate ids.  Output: ``(doc_id, novel)`` for
+    every ingest document, sorted.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, _MH_META)) as f:
+        meta = json.load(f)
+    nb = int(meta["num_buckets"])
+    ref_mod = int(meta["ref_mod"])
+    ds = _read_docs(source, ["doc_id", "text"])
+
+    def today_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % ref_mod != 0))
+
+    today = ds.map_batches(today_only, batch_format="pyarrow")
+    # ingest bands: ints only, bounded by the ingest — materialized because
+    # they feed both the probe-partition list and the collision join
+    tb = today.map_batches(
+        _minhash_bands_fn(include_sig=False), batch_format="pyarrow",
+        batch_size=2048,
+    ).materialize()
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hb = (t["band_hash"].to_numpy(zero_copy_only=False)
+              % np.uint64(nb)).astype(np.int64)
+        key = np.unique(band * nb + hb)
+        return pa.table({"key": pa.array(key, pa.int64())})
+
+    probe_keys = sorted(
+        int(r["key"])
+        for r in tb.map_batches(probe_partial, batch_format="pyarrow")
+        .groupby("key").count().take_all()  # bounded: <= BANDS * nb
+    )
+    paths = []
+    for key in probe_keys:
+        b, h = key // nb, key % nb
+        d = os.path.join(index_dir, "bands", f"pband={b}", f"hb={h}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+
+    def flag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(["band", "band_hash", "doc_id"])
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side, np.int8))
+            )
+        return fn
+
+    from ..ops.common import bucketed_distinct, collision_grouped_map
+
+    if paths:
+        idx = ray.data.read_parquet(
+            paths, columns=["band", "band_hash", "doc_id"]
+        ).map_batches(flag(0), batch_format="pyarrow")
+        tagged = idx.union(tb.map_batches(flag(1), batch_format="pyarrow"))
+
+        def cross(sub: pd.DataFrame) -> pd.DataFrame | None:
+            rid = sub.loc[sub["side"] == 0, "doc_id"].unique()
+            nid = sub.loc[sub["side"] == 1, "doc_id"].unique()
+            if not len(rid) or not len(nid):
+                return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                     "doc_b": pd.Series([], dtype="int64")})
+            return pd.DataFrame(
+                {"doc_a": np.repeat(rid, len(nid)).astype(np.int64),
+                 "doc_b": np.tile(nid, len(rid)).astype(np.int64)}
+            )
+
+        pairs = collision_grouped_map(tagged, ["band", "band_hash"], cross)
+        cand = bucketed_distinct(pairs, ["doc_a", "doc_b"],
+                                 ["doc_a", "doc_b"]).materialize()
+    else:
+        cand = ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+        ).materialize()
+
+    from .join import collect_key_set, fetch_broadcast_table, object_store_table
+
+    hit_ref = None
+    if cand.count() > 0:
+        keep = collect_key_set(cand, ["doc_a", "doc_b"])
+        if isinstance(source, str):
+            import pyarrow.dataset as pads
+
+            path = (source if source.endswith(".parquet")
+                    else f"{source}/documents.parquet")
+            texts_cand = ray.data.read_parquet(
+                path, columns=["doc_id", "text"],
+                filter=pads.field("doc_id").isin(keep.to_pylist()),
+            )
+        else:
+            from .join import semi_join_filter
+
+            texts_cand = semi_join_filter(
+                ds.map_batches(lambda t: t.select(["doc_id", "text"]),
+                               batch_format="pyarrow"),
+                None, "doc_id", key_set=keep,
+            )
+        texts_refs = object_store_table(texts_cand)
+
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
+            tbl = fetch_broadcast_table(texts_refs)
+            texts = dict(zip(tbl["doc_id"].to_pylist(),
+                             tbl["text"].to_pylist()))
+            memo: dict = {}
+
+            def sh(i: int) -> set:
+                s = memo.get(i)
+                if s is None:
+                    w = texts[i].lower().split()
+                    s = set(zip(w, w[1:], w[2:])) if len(w) >= 3 else set(w)
+                    memo[i] = s
+                return s
+
+            hits = []
+            for a, b in zip(batch["doc_a"], batch["doc_b"]):
+                sa, sb = sh(int(a)), sh(int(b))
+                j = (1.0 if not sa and not sb else
+                     len(sa & sb) / (len(sa) + len(sb) - len(sa & sb)))
+                if j >= threshold:
+                    hits.append(int(b))
+            return pd.DataFrame({"nid": pd.Series(hits, dtype="int64")})
+
+        hit_ids = sorted(
+            {int(r["nid"]) for r in
+             cand.map_batches(verify, batch_format="pandas").take_all()}
+        )  # bounded: ingest docs with a verified reference near-dup
+        hit_ref = ray.put(pa.array(hit_ids, pa.int64()))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        if hit_ref is None:
+            novel = pa.array(np.ones(len(batch), bool))
+        else:
+            novel = pc.invert(pc.is_in(ids, value_set=ray.get(hit_ref)))
+        return pa.table({"doc_id": ids, "novel": novel})
+
+    return (
+        today.map_batches(lambda t: t.select(["doc_id"]),
+                          batch_format="pyarrow")
+        .map_batches(emit, batch_format="pyarrow")
+        .sort("doc_id")
+    )

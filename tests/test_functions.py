@@ -568,3 +568,30 @@ def test_knn_filtered_prefilter_semantics(sf_dir):
     a = knn_filtered(sf_dir, q, k=5).to_pandas()
     b = knn_brute_force(sf_dir, q, k=5).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_novel_planted(tmp_path):
+    """Ingest doc near-identical to a REFERENCE doc (id % 5 == 0) is flagged
+    not-novel; an ingest doc duplicating only another INGEST doc stays novel
+    (the index holds the reference slice only); unrelated docs stay novel."""
+    from core_ray.functions import build_minhash_index, minhash_novel
+
+    rows = [
+        (0, BASE),                                     # reference (0 % 5 == 0)
+        (1, BASE.replace("lazy", "sleepy")),           # ingest near-dup of ref
+        (2, "totally different content about engines and arrow kernels"),
+        (3, "repeated ingest text about window semantics and state stores"),
+        (4, "repeated ingest text about window semantics and state stores x"),
+        (5, "another reference doc with entirely unrelated words here"),
+    ]
+    d = str(tmp_path / "mh")
+    ds = _docs_ds(rows).repartition(2)
+    build_minhash_index(ds, d, ref_mod=5)
+    out = (
+        minhash_novel(_docs_ds(rows).repartition(3), d, threshold=0.5)
+        .to_pandas().set_index("doc_id")
+    )
+    assert sorted(out.index) == [1, 2, 3, 4]  # ingest slice only
+    assert not out.loc[1, "novel"]            # near-dup of reference 0
+    assert out.loc[2, "novel"]
+    assert out.loc[3, "novel"] and out.loc[4, "novel"]  # ingest-ingest dup only
