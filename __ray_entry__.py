@@ -759,6 +759,20 @@ def _q_doc_sample_mink(sf):
     return sample_min_k(sf, k=100, columns=["doc_id", "source"])
 
 
+def _q_doc_bigram_topk(sf):
+    """Top-50 corpus bigrams by frequency (2-gram vocab_topk sibling)."""
+    from core_ray.functions import bigram_topk
+
+    return bigram_topk(sf, k=50)
+
+
+def _q_doc_pmi_collocations(sf):
+    """Top-30 adjacent-word collocations by PMI over the top-200 vocab."""
+    from core_ray.functions import pmi_collocations
+
+    return pmi_collocations(sf, vocab_size=200, k=30, min_count=5)
+
+
 def _q_doc_freq_words(sf):
     """Exact frequent words (>=0.5% of corpus) via two-pass MG+recount."""
     from core_ray.functions import frequent_words_exact
@@ -2092,6 +2106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_filtered": _q_emb_knn_filtered,
         "doc_search_phrase": _q_doc_search_phrase,
         "doc_minhash_novel": _q_doc_minhash_novel,
+        "doc_bigram_topk": _q_doc_bigram_topk,
+        "doc_pmi_collocations": _q_doc_pmi_collocations,
     }
 
 
@@ -4234,6 +4250,62 @@ hit AS (
 SELECT doc_id, doc_id NOT IN (SELECT nid FROM hit) AS novel
 FROM documents WHERE doc_id % 5 <> 0
 ORDER BY doc_id
+"""
+
+
+# top-50 bigrams by frequency (count desc, bigram asc)
+_ORACLE["doc_bigram_topk"] = r"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT ws[i] || ' ' || ws[i+1] AS bigram
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+),
+c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1)
+SELECT bigram, cnt FROM c
+QUALIFY row_number() OVER (ORDER BY cnt DESC, bigram) <= 50
+ORDER BY cnt DESC, bigram
+"""
+
+# top-30 PMI collocations over the top-200 vocabulary; marginals and the
+# total derive from the in-vocab adjacent-pair grid itself
+_ORACLE["doc_pmi_collocations"] = r"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+uni AS (
+  SELECT u.word, count(*) AS ucnt
+  FROM w, unnest(ws) AS u(word) GROUP BY 1
+),
+vcab AS (
+  SELECT word FROM uni
+  QUALIFY row_number() OVER (ORDER BY ucnt DESC, word) <= 200
+),
+grid AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS cnt
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+  WHERE ws[i] IN (SELECT word FROM vcab)
+    AND ws[i+1] IN (SELECT word FROM vcab)
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM grid),
+m1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM grid GROUP BY 1),
+m2 AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM grid GROUP BY 1),
+s AS (
+  SELECT g.w1, g.w2, CAST(g.cnt AS BIGINT) AS pair_cnt,
+         CAST(round_even(
+           ln((n * 1.0 * g.cnt) / (c1 * 1.0 * c2)) * 1000000.0, 0)
+           AS BIGINT) AS pmi_e6
+  FROM grid g JOIN m1 USING (w1) JOIN m2 USING (w2)
+  CROSS JOIN tot
+  WHERE g.cnt >= 5
+)
+SELECT * FROM s
+QUALIFY row_number() OVER (ORDER BY pmi_e6 DESC, w1, w2) <= 30
+ORDER BY pmi_e6 DESC, w1, w2
 """
 
 

@@ -1484,3 +1484,155 @@ def group_topk(
         .sort([group_col, value_col, id_col],
               descending=[False, True, False])
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram statistics: bigram vocabulary, PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def _batch_bigram_counts(texts) -> pa.Table:
+    """Per-batch bigram value counts: Arrow split once, one vectorized
+    concat of adjacent words (doc-boundary aware), one value_counts."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    flat = lists.flatten()
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, parent = flat.filter(pa.array(keep)), parent[keep]
+    if len(flat) < 2:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    same = pa.array(parent[:-1] == parent[1:])
+    left = flat.slice(0, len(flat) - 1).filter(same)
+    right = flat.slice(1).filter(same)
+    bigrams = pc.binary_join_element_wise(left, right, " ")
+    vc = bigrams.value_counts()
+    return pa.table({"bigram": vc.field("values"),
+                     "cnt": vc.field("counts").cast(pa.int64())})
+
+
+def bigram_topk(source: str | ray.data.Dataset, k: int = 100) -> ray.data.Dataset:
+    """Top-k corpus bigrams by frequency: ``(bigram, cnt)`` ordered by
+    count desc, bigram asc — the 2-gram sibling of :func:`vocab_topk`
+    (phrase-vocabulary induction / tokenizer-merge seeding).  Same shape:
+    per-batch partial counts, hash-bucketed local top-k, ``64*k``-row
+    driver merge — no global sort at any cardinality."""
+    from ..ops.common import _arrow_add_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _batch_bigram_counts(batch["text"])
+
+    def bucket_topk(g) -> pa.Table:
+        import pandas as pd
+
+        if isinstance(g, pa.Table):
+            g = g.to_pandas()
+        out = g.groupby("bigram", sort=False)["cnt"].sum().reset_index()
+        out = out.sort_values(["cnt", "bigram"],
+                              ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    top = (
+        _read_docs(source, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_arrow_add_bucket(["bigram"], 64), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_topk(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+        .to_pandas()  # bounded: <= 64*k rows
+        .sort_values(["cnt", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(top)
+
+
+def pmi_collocations(
+    source: str | ray.data.Dataset,
+    vocab_size: int = 200,
+    k: int = 50,
+    min_count: int = 5,
+) -> ray.data.Dataset:
+    """Top-k adjacent-word collocations by pointwise mutual information
+    over the top-``vocab_size`` vocabulary: ``PMI = ln(n * c(w1,w2) /
+    (c(w1) * c(w2)))`` with ``n`` the total adjacent-pair count —
+    the classic collocation-extraction statistic (Church & Hanks 1990),
+    restricted to in-vocabulary adjacent pairs so the count grid is
+    bounded by V².
+
+    Scale shape: the vocabulary is the bounded :func:`vocab_topk` pass;
+    in-vocab adjacent-pair counts shrink to per-batch partials before one
+    bounded groupby; unigram counts come from the vocabulary itself... no:
+    PMI needs the marginal counts of pairs' members AS pair-slot members,
+    so both marginals and n derive from the SAME bounded pair grid
+    (row/column sums) — one corpus pass after the vocab pass.  The final
+    arithmetic runs in the in-process DuckDB kernel with ``round_even``-
+    scaled int64 PMI so the ranking is exactly SQL-reproducible.
+
+    Output: ``(w1, w2, pair_cnt, pmi_e6)``, PMI desc then pair asc,
+    pairs with ``pair_cnt < min_count`` dropped.
+    """
+    import pandas as pd
+
+    ds = _read_docs(source, ["text"])
+    V = int(vocab_size)
+    vocab_pd = vocab_topk(ds.select_columns(["text"]), k=V).to_pandas()
+    vocab_idx = pd.Index(vocab_pd["word"].to_numpy())
+    vocab_ref = ray.put(vocab_idx)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        vi = ray.get(vocab_ref)
+        idx, parent = _word_indices(batch["text"], vi)
+        if len(idx) < 2:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        Vn = len(vi)
+        same = (parent[:-1] == parent[1:])
+        inv = same & (idx[:-1] < Vn) & (idx[1:] < Vn)
+        keys = idx[:-1][inv] * Vn + idx[1:][inv]
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(uk, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    grid = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("key")
+        .sum("cnt")
+        .to_pandas()  # bounded: <= V^2 rows
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+    Vn = len(vocab_idx)
+    words = vocab_idx.to_numpy()
+    grid["w1"] = words[(grid["key"] // Vn).to_numpy()]
+    grid["w2"] = words[(grid["key"] % Vn).to_numpy()]
+
+    from .dedup import _duckdb_hash_con
+
+    con = _duckdb_hash_con()
+    con.register("_pmi_grid", pa.Table.from_pandas(
+        grid[["w1", "w2", "cnt"]], preserve_index=False))
+    out = con.execute(
+        f"""
+        WITH tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM _pmi_grid),
+        m1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM _pmi_grid GROUP BY 1),
+        m2 AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS c2 FROM _pmi_grid GROUP BY 1),
+        s AS (
+          SELECT g.w1, g.w2, CAST(g.cnt AS BIGINT) AS pair_cnt,
+                 CAST(round_even(
+                   ln((n * 1.0 * g.cnt) / (c1 * 1.0 * c2)) * 1000000.0, 0)
+                   AS BIGINT) AS pmi_e6
+          FROM _pmi_grid g JOIN m1 USING (w1) JOIN m2 USING (w2)
+          CROSS JOIN tot
+          WHERE g.cnt >= {int(min_count)}
+        )
+        SELECT * FROM s
+        QUALIFY row_number() OVER (ORDER BY pmi_e6 DESC, w1, w2) <= {int(k)}
+        ORDER BY pmi_e6 DESC, w1, w2
+        """
+    ).fetch_arrow_table()
+    con.unregister("_pmi_grid")
+    return ray.data.from_arrow(out)

@@ -618,3 +618,40 @@ def test_group_topk_rank_and_ties():
     # group a: 9@1, 9@2 (tie -> both, id order); group b: 7@7 then 2@4
     assert list(map(tuple, out.to_numpy())) == [
         ("a", 1, 9), ("a", 2, 9), ("b", 7, 7), ("b", 4, 2)]
+
+
+def test_bigram_topk_hand():
+    from core_ray.functions import bigram_topk
+
+    rows = [(0, "a b a b c"), (1, "a b x")]
+    # bigrams: 'a b' x3, 'b a' x1, 'b c' x1, 'b x' x1
+    out = bigram_topk(_docs(rows), k=2).to_pandas()
+    assert list(out["bigram"]) == ["a b", "b a"]  # tie 1 -> asc bigram
+    assert list(out["cnt"]) == [3, 1]
+
+
+def test_pmi_collocations_orders_association():
+    """A pair that always co-occurs ranks above independent pairs; the
+    min_count gate drops rare pairs; partitioning-invariant."""
+    import math
+
+    from core_ray.functions import pmi_collocations
+
+    # 10 docs "alpha beta w{i} z": (alpha, beta) occurs 10x and exclusively;
+    # every other pair occurs once and dies at min_count=5
+    rows = [(i, f"alpha beta w{i} z") for i in range(10)]
+    outs = []
+    for parts in (1, 4):
+        out = (
+            pmi_collocations(_docs(rows).repartition(parts),
+                             vocab_size=30, k=10, min_count=5)
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert len(out) == 1  # only the exclusive pair survives min_count
+    assert (out.iloc[0]["w1"], out.iloc[0]["w2"]) == ("alpha", "beta")
+    # n=30 grid pairs total, c1(alpha)=10, c2(beta)=10 -> PMI = ln(3)
+    expect = round(math.log(30 * 10 / (10 * 10)) * 1e6)
+    assert abs(int(out.iloc[0]["pmi_e6"]) - expect) <= 1
