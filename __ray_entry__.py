@@ -759,6 +759,14 @@ def _q_doc_sample_mink(sf):
     return sample_min_k(sf, k=100, columns=["doc_id", "source"])
 
 
+def _q_doc_sample_weighted(sf):
+    """Deterministic weighted sampling without replacement (ES keys),
+    weight = n_chars: long docs are proportionally likelier."""
+    from core_ray.functions import sample_weighted
+
+    return sample_weighted(sf, k=100)
+
+
 def _q_doc_bigram_topk(sf):
     """Top-50 corpus bigrams by frequency (2-gram vocab_topk sibling)."""
     from core_ray.functions import bigram_topk
@@ -876,6 +884,13 @@ def _q_rel_anti_join(sf):
     from core_ray.pipelines.relational import customers_without_priority
 
     return customers_without_priority(sf)
+
+
+def _q_emb_outliers(sf):
+    """Embeddings far from every cluster head (best rounded cosine < 0.1)."""
+    from core_ray.functions import cluster_outliers
+
+    return cluster_outliers(sf, n_clusters=8, threshold=0.1)
 
 
 def _q_doc_token_shards(sf):
@@ -2108,6 +2123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_novel": _q_doc_minhash_novel,
         "doc_bigram_topk": _q_doc_bigram_topk,
         "doc_pmi_collocations": _q_doc_pmi_collocations,
+        "doc_sample_weighted": _q_doc_sample_weighted,
+        "emb_outliers": _q_emb_outliers,
     }
 
 
@@ -4306,6 +4323,42 @@ s AS (
 SELECT * FROM s
 QUALIFY row_number() OVER (ORDER BY pmi_e6 DESC, w1, w2) <= 30
 ORDER BY pmi_e6 DESC, w1, w2
+"""
+
+
+# Efraimidis-Spirakis weighted sample: top-k by ln(u)/w with u from hash
+_ORACLE["doc_sample_weighted"] = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(hash(doc_id) AS DOUBLE) + 1) /
+            18446744073709551616.0) / n_chars AS samp_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, samp_key FROM t
+QUALIFY row_number() OVER (ORDER BY samp_key DESC, doc_id) <= 100
+ORDER BY samp_key DESC, doc_id
+"""
+
+
+# cluster outliers: winning (rounded) centroid sim below the threshold
+_ORACLE["emb_outliers"] = """
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < 8
+),
+s AS (
+  SELECT e.vec_id, c.cid,
+         round_even(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce),
+                    4) AS sim
+  FROM embeddings e CROSS JOIN c
+),
+best AS (
+  SELECT vec_id, cid AS centroid_id, sim
+  FROM s
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+)
+SELECT vec_id, centroid_id, sim FROM best WHERE sim < 0.1
+ORDER BY vec_id
 """
 
 

@@ -606,3 +606,22 @@ def knn_filtered(
 
     partials = ds.map_batches(score, batch_format="pyarrow")
     return partials.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def cluster_outliers(
+    source: str | ray.data.Dataset,
+    n_clusters: int = 8,
+    threshold: float = 0.1,
+) -> ray.data.Dataset:
+    """Embedding OUTLIER report: rows whose best (4-dp-rounded) cosine to
+    every centroid is below ``threshold`` — "far from all clusters", the
+    SemDeDup-complement that surfaces junk/noise/out-of-domain vectors for
+    manual review or exclusion.  Pure composition over
+    :func:`cluster_assign` (same broadcast centroid set and streamed
+    matmul), with a vectorized filter on the winning similarity."""
+
+    assigned = cluster_assign(source, n_clusters=n_clusters)
+    return assigned.map_batches(
+        lambda t: t.filter(pc.less(t["sim"], threshold)),
+        batch_format="pyarrow",
+    )

@@ -1636,3 +1636,64 @@ def pmi_collocations(
     ).fetch_arrow_table()
     con.unregister("_pmi_grid")
     return ray.data.from_arrow(out)
+
+
+def sample_weighted(
+    source: str | ray.data.Dataset,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis 2006): each row draws ``u = (hash(id)+1) / 2^64``
+    and the k largest keys ``u^(1/w)`` win — inclusion probability scales
+    with the weight (quality score, length, dedup-cluster size), no
+    replacement, and the sample is a pure function of the ids: identical
+    across reruns, partitionings and cluster sizes (the weighted sibling of
+    ``sample_min_k``'s uniform bottom-k).
+
+    Keys are compared in log space (``ln(u)/w``, monotone in ``u^(1/w)``)
+    and computed by the in-process DuckDB kernel — hash, cast, ln and
+    divide are the oracle's own expression tree, so even the float keys
+    are bitwise SQL-reproducible.  Per batch only k candidate rows leave
+    (partial top-k); the final merge sorts k*batches rows.
+
+    Output: ``(id, weight, samp_key)``, key desc, id asc, exactly
+    ``min(k, rows with weight > 0)`` rows.
+    """
+    from .dedup import _duckdb_hash_con
+
+    ds = _read_docs(source, [id_col, weight_col])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        con = _duckdb_hash_con()
+        arg = pa.table({"v": batch[id_col], "w": batch[weight_col]})
+        con.register("_es_in", arg)
+        out = con.execute(
+            """
+            SELECT ln((CAST(hash(v) AS DOUBLE) + 1) /
+                      18446744073709551616.0) / w AS samp_key
+            FROM _es_in
+            """
+        ).fetch_arrow_table()
+        con.unregister("_es_in")
+        kcol = out["samp_key"].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ok = w > 0
+        kcol, w, ids = kcol[ok], w[ok], ids[ok]
+        # per-batch partial top-k by (key desc, id asc)
+        order = np.lexsort((ids, -kcol))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                weight_col: pa.array(w[order]),
+                "samp_key": pa.array(kcol[order], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .sort(["samp_key", id_col], descending=[True, False])
+        .limit(k)
+    )

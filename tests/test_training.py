@@ -655,3 +655,31 @@ def test_pmi_collocations_orders_association():
     # n=30 grid pairs total, c1(alpha)=10, c2(beta)=10 -> PMI = ln(3)
     expect = round(math.log(30 * 10 / (10 * 10)) * 1e6)
     assert abs(int(out.iloc[0]["pmi_e6"]) - expect) <= 1
+
+
+def test_sample_weighted_inclusion_scales_with_weight():
+    """Higher-weight rows win more slots; deterministic across
+    partitionings; zero-weight rows never selected; exactly k rows."""
+    from core_ray.functions import sample_weighted
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(400, dtype="int64"),
+        "n_chars": np.array([100] * 200 + [1] * 199 + [0], dtype="int64"),
+        "text": "w", "lang": "x", "source": "t",
+    })
+    outs = []
+    for parts in (1, 5):
+        out = (
+            sample_weighted(ray.data.from_pandas(df).repartition(parts), k=50)
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert len(out) == 50
+    assert 399 not in set(out["doc_id"])  # zero weight excluded
+    heavy = (out["doc_id"] < 200).sum()
+    assert heavy > 40  # weight-100 rows dominate the sample
+    # keys are sorted desc with id tiebreak
+    keys = out["samp_key"].to_numpy()
+    assert (np.diff(keys) <= 0).all()
