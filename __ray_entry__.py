@@ -759,6 +759,14 @@ def _q_doc_sample_mink(sf):
     return sample_min_k(sf, k=100, columns=["doc_id", "source"])
 
 
+def _q_doc_value_rank(sf):
+    """Global (n_chars, doc_id) sort position per doc without a global
+    sort (histogram prefix + per-value id rank)."""
+    from core_ray.functions import value_rank
+
+    return value_rank(sf, value_col="n_chars")
+
+
 def _q_doc_sample_weighted(sf):
     """Deterministic weighted sampling without replacement (ES keys),
     weight = n_chars: long docs are proportionally likelier."""
@@ -2125,6 +2133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pmi_collocations": _q_doc_pmi_collocations,
         "doc_sample_weighted": _q_doc_sample_weighted,
         "emb_outliers": _q_emb_outliers,
+        "doc_value_rank": _q_doc_value_rank,
     }
 
 
@@ -4359,6 +4368,14 @@ best AS (
 )
 SELECT vec_id, centroid_id, sim FROM best WHERE sim < 0.1
 ORDER BY vec_id
+"""
+
+
+# global 0-based sort position by (n_chars, doc_id)
+_ORACLE["doc_value_rank"] = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS rank
+FROM documents ORDER BY doc_id
 """
 
 

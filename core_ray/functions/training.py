@@ -1697,3 +1697,74 @@ def sample_weighted(
         .sort(["samp_key", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def value_rank(
+    source: str | ray.data.Dataset,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Global SORT POSITION of every row by ``(value, id)`` — computed with
+    NO global sort: a bounded value histogram gives each distinct value its
+    exclusive prefix (how many rows order strictly before it), then rows
+    co-group BY VALUE and rank within their group by id.  The value-ordered
+    sibling of ``shuffle_rank``'s hash-ordered permutation: this is how
+    "percentile rank of every document's quality score" or a
+    sorted-position column is attached at corpus scale (integer-domain
+    values; for unbounded doubles, rank via the t-digest sketch instead).
+
+    Output: ``(id, value, rank)`` (0-based), sorted by id.
+    """
+    from ..ops.common import _arrow_add_bucket
+
+    ds = _read_docs(source, [id_col, value_col])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        vc = batch[value_col].combine_chunks().value_counts()
+        return pa.table({"v": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("cnt")
+        .to_pandas()  # bounded: distinct values of an integer-domain column
+        .sort_values("v")
+    )
+    vals = hist["v"].to_numpy()
+    cnts = hist["sum(cnt)"].to_numpy().astype(np.int64)
+    prefix = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    prefix_ref = ray.put((vals, prefix))
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        vals_all, pref_all = ray.get(prefix_ref)
+        # rows in this group share a _bucket, not a value: rank within each
+        # value run by id, offset by the value's global exclusive prefix
+        order = np.lexsort((ids, v))
+        vs, iss = v[order], ids[order]
+        new = np.ones(len(vs), bool)
+        new[1:] = vs[1:] != vs[:-1]
+        run_first = np.nonzero(new)[0][np.cumsum(new) - 1]
+        within = np.arange(len(vs)) - run_first
+        base = pref_all[np.searchsorted(vals_all, vs)]
+        return pa.table(
+            {
+                id_col: pa.array(iss, pa.int64()),
+                value_col: pa.array(vs),
+                "rank": pa.array(base + within, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_arrow_add_bucket([value_col], 64),
+                       batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank_group, batch_format="pyarrow")
+        .sort(id_col)
+    )

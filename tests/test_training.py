@@ -683,3 +683,31 @@ def test_sample_weighted_inclusion_scales_with_weight():
     # keys are sorted desc with id tiebreak
     keys = out["samp_key"].to_numpy()
     assert (np.diff(keys) <= 0).all()
+
+
+def test_value_rank_is_sort_position():
+    """rank = 0-based position in (value, id) order; ties ordered by id;
+    partitioning-invariant; a permutation of 0..n-1."""
+    from core_ray.functions import value_rank
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 7, size=80)
+    df = pd.DataFrame({
+        "doc_id": np.arange(80, dtype="int64"),
+        "n_chars": vals.astype("int64"),
+        "text": "w", "lang": "x", "source": "t",
+    })
+    outs = []
+    for parts in (1, 6):
+        out = (
+            value_rank(ray.data.from_pandas(df).repartition(parts))
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    expect = np.lexsort((df["doc_id"].to_numpy(), vals))
+    rank_expect = np.empty(80, np.int64)
+    rank_expect[expect] = np.arange(80)
+    assert out.sort_values("doc_id")["rank"].to_numpy().tolist() == rank_expect.tolist()
+    assert sorted(out["rank"]) == list(range(80))
