@@ -894,6 +894,14 @@ def _q_rel_anti_join(sf):
     return customers_without_priority(sf)
 
 
+def _q_emb_label_centroids(sf):
+    """Exact per-label centroid statistics: scaled-int64 per-dimension sums
+    (order-independent distributed vector aggregate)."""
+    from core_ray.functions import label_centroid_sums
+
+    return label_centroid_sums(sf)
+
+
 def _q_emb_outliers(sf):
     """Embeddings far from every cluster head (best rounded cosine < 0.1)."""
     from core_ray.functions import cluster_outliers
@@ -2134,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_weighted": _q_doc_sample_weighted,
         "emb_outliers": _q_emb_outliers,
         "doc_value_rank": _q_doc_value_rank,
+        "emb_label_centroids": _q_emb_label_centroids,
     }
 
 
@@ -4376,6 +4385,21 @@ _ORACLE["doc_value_rank"] = """
 SELECT doc_id, n_chars,
        CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS rank
 FROM documents ORDER BY doc_id
+"""
+
+
+# per-(label, dim) scaled-int vector sums: exact distributed centroid stats
+_ORACLE["emb_label_centroids"] = """
+WITH e AS (
+  SELECT label, CAST(d - 1 AS BIGINT) AS dim,
+         CAST(round_even(CAST(embedding[d] AS DOUBLE) * 1000000.0, 0)
+              AS BIGINT) AS xe
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)
+)
+SELECT CAST(label AS BIGINT) AS label, dim,
+       CAST(sum(xe) AS BIGINT) AS sum_e6,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 

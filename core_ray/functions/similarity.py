@@ -625,3 +625,68 @@ def cluster_outliers(
         lambda t: t.filter(pc.less(t["sim"], threshold)),
         batch_format="pyarrow",
     )
+
+
+def label_centroid_sums(
+    source: str | ray.data.Dataset,
+) -> ray.data.Dataset:
+    """EXACT per-label embedding centroid statistics: for every (label,
+    dimension), the count of vectors and the sum of the dimension's values
+    scaled to int64 (``round_even(x * 1e6)`` per element, the scaled-
+    integer discipline) — so the distributed vector aggregate is
+    order-independent and bitwise SQL-reproducible where a float vector
+    sum is not (reassociation).  Centroid = ``sum_e6 / (n_vecs * 1e6)``
+    downstream at whatever precision the consumer wants.
+
+    Scale shape: each batch reduces to one (labels x dim) partial-sum
+    matrix (``np.add.at`` over the flat value buffer), so the shuffle
+    moves ``labels x dim`` ints per batch, never vectors.
+
+    Output: ``(label, dim, sum_e6, n_vecs)`` sorted by (label, dim),
+    0-based dims.
+    """
+    if isinstance(source, str):
+        path = (source if source.endswith(".parquet")
+                else f"{source}/embeddings.parquet")
+        ds = ray.data.read_parquet(path, columns=["label", "embedding"])
+    else:
+        ds = source
+
+    from .dedup import _duckdb_hash_con
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch)  # float64, exact widening from float32
+        n, dim = mat.shape
+        con = _duckdb_hash_con()
+        con.register("_cent_in", pa.table({"v": pa.array(mat.ravel())}))
+        xe = con.execute(
+            "SELECT CAST(round_even(v * 1000000.0, 0) AS BIGINT) AS e"
+            " FROM _cent_in"
+        ).fetch_arrow_table()["e"].to_numpy(zero_copy_only=False)
+        con.unregister("_cent_in")
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, inv, xe.reshape(n, dim))
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        lab_rep = np.repeat(uniq, dim)
+        dim_rep = np.tile(np.arange(dim, dtype=np.int64), len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(lab_rep, pa.int64()),
+                "dim": pa.array(dim_rep, pa.int64()),
+                "sum_e6": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(cnt, dim), pa.int64()),
+            }
+        )
+
+    def emit(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["label", "dim", "sum_e6", "n_vecs"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .sum(["sum_e6", "n"])
+        .map_batches(emit, batch_format="pyarrow")
+        .sort(["label", "dim"])
+    )

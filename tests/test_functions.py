@@ -595,3 +595,33 @@ def test_minhash_novel_planted(tmp_path):
     assert not out.loc[1, "novel"]            # near-dup of reference 0
     assert out.loc[2, "novel"]
     assert out.loc[3, "novel"] and out.loc[4, "novel"]  # ingest-ingest dup only
+
+
+def test_label_centroid_sums_exact_and_invariant():
+    """Scaled-int vector sums equal a direct computation and are identical
+    across partitionings (float sums would reassociate)."""
+    from core_ray.functions import label_centroid_sums
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 4)).astype(np.float32)
+    labels = (np.arange(40) % 3).astype("int32")
+    rows = [{"vec_id": i, "embedding": list(vecs[i]), "label": int(labels[i])}
+            for i in range(40)]
+    df = pd.DataFrame(rows)
+    outs = []
+    for parts in (1, 5):
+        out = (
+            label_centroid_sums(ray.data.from_pandas(df).repartition(parts))
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    # direct: round-half-even per element, then integer sums
+    scaled = np.round(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    for lb in range(3):
+        sub = scaled[labels == lb]
+        for d in range(4):
+            row = out[(out["label"] == lb) & (out["dim"] == d)].iloc[0]
+            assert row["sum_e6"] == sub[:, d].sum()
+            assert row["n_vecs"] == len(sub)
