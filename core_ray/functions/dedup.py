@@ -112,6 +112,18 @@ def _word_hashes_batch(texts: pa.ChunkedArray | pa.Array):
     return _hash2(42, sums + lens.astype(np.uint64)), counts
 
 
+def _tri_mix(hashes: np.ndarray) -> np.ndarray:
+    """uint64 trigram mixing over a flat word-hash buffer: out[i] combines
+    hashes[i..i+2].  SINGLE definition shared by every shingle-consuming
+    operator (MinHash shingles, duplicate-coverage, cross-source overlap,
+    span removal) so the shingle space can never silently desynchronize."""
+    a, b, c = hashes[:-2], hashes[1:-1], hashes[2:]
+    with np.errstate(over="ignore"):
+        return _hash2(
+            99, a * _U64(0x9E3779B97F4A7C15) ^ b * _U64(0xC2B2AE3D27D4EB4F) ^ c
+        )
+
+
 def _batch_shingles(texts) -> tuple[np.ndarray, np.ndarray]:
     """3-gram word-shingle hashes for a batch: (flat_shingles, per_doc_counts).
 
@@ -127,11 +139,7 @@ def _batch_shingles(texts) -> tuple[np.ndarray, np.ndarray]:
     out = np.empty(total, dtype=np.uint64)
     sh_starts = np.concatenate(([0], np.cumsum(sh_counts)[:-1]))
     if len(hashes) >= 3:
-        a, b, c = hashes[:-2], hashes[1:-1], hashes[2:]
-        with np.errstate(over="ignore"):
-            tri = _hash2(
-                99, a * _U64(0x9E3779B97F4A7C15) ^ b * _U64(0xC2B2AE3D27D4EB4F) ^ c
-            )
+        tri = _tri_mix(hashes)
     else:
         tri = np.zeros(0, dtype=np.uint64)
     big = wc >= 3
@@ -585,11 +593,7 @@ def dup_shingle_coverage(
         # fallback here — the ratio is defined over true trigram sets)
         keep_doc = wc >= 3
         if len(hashes) >= 3:
-            a, b, c = hashes[:-2], hashes[1:-1], hashes[2:]
-            with np.errstate(over="ignore"):
-                tri = _hash2(
-                    99, a * _U64(0x9E3779B97F4A7C15) ^ b * _U64(0xC2B2AE3D27D4EB4F) ^ c
-                )
+            tri = _tri_mix(hashes)
             m = (doc_idx[:-2] == doc_idx[2:]) & keep_doc[doc_idx[:-2]]
             tri, tdoc = tri[m], doc_idx[:-2][m]
         else:
@@ -1059,11 +1063,7 @@ def source_overlap(
         doc_idx = np.repeat(np.arange(len(batch)), wc)
         keep_doc = wc >= 3
         if len(hashes) >= 3:
-            a, b, c = hashes[:-2], hashes[1:-1], hashes[2:]
-            with np.errstate(over="ignore"):
-                tri = _hash2(
-                    99, a * _U64(0x9E3779B97F4A7C15) ^ b * _U64(0xC2B2AE3D27D4EB4F) ^ c
-                )
+            tri = _tri_mix(hashes)
             keep = (doc_idx[:-2] == doc_idx[2:]) & keep_doc[doc_idx[:-2]]
             tri, tsrc = tri[keep], si[doc_idx[:-2][keep]]
         else:
@@ -1094,13 +1094,18 @@ def source_overlap(
         uniq_t, inv = np.unique(tri, return_inverse=True)
         masks = np.zeros(len(uniq_t), np.uint64)
         np.bitwise_or.at(masks, inv, np.uint64(1) << s)
+        # collapse to DISTINCT masks first: the i/j pair loop then runs over
+        # the handful of distinct source combinations, not the full
+        # per-shingle mask array (n_src^2/2 full-array scans otherwise)
+        uniq_m, m_cnt = np.unique(masks, return_counts=True)
         rows_a, rows_b, rows_c = [], [], []
         for i in range(n_src):
-            bi = ((masks >> np.uint64(i)) & np.uint64(1)).astype(bool)
+            bi = ((uniq_m >> np.uint64(i)) & np.uint64(1)).astype(bool)
             if not bi.any():
                 continue
             for j in range(i + 1, n_src):
-                c = int(np.count_nonzero(bi & ((masks >> np.uint64(j)) & np.uint64(1)).astype(bool)))
+                both = bi & ((uniq_m >> np.uint64(j)) & np.uint64(1)).astype(bool)
+                c = int(m_cnt[both].sum())
                 if c:
                     rows_a.append(i)
                     rows_b.append(j)
@@ -1190,11 +1195,7 @@ def dedup_spans(
         pos_in_doc = np.arange(len(hashes)) - word_starts[doc_idx]
         keep_doc = wc >= 3
         if len(hashes) >= 3:
-            a, b, c = hashes[:-2], hashes[1:-1], hashes[2:]
-            with np.errstate(over="ignore"):
-                tri = _hash2(
-                    99, a * _U64(0x9E3779B97F4A7C15) ^ b * _U64(0xC2B2AE3D27D4EB4F) ^ c
-                )
+            tri = _tri_mix(hashes)
             m = (doc_idx[:-2] == doc_idx[2:]) & keep_doc[doc_idx[:-2]]
             tri = tri[m]
             tdoc = ids[doc_idx[:-2][m]]
@@ -1276,6 +1277,13 @@ def dedup_spans(
         .groupby("_bucket")
         .map_groups(pos_lists, batch_format="pyarrow")
     )
+    # a clean corpus (no cross-doc duplicate trigram anywhere) leaves zero
+    # groups above, i.e. a schema-less empty dataset; the typed-empty union
+    # pins the schema so the left join still runs (pure passthrough)
+    lists = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "starts": pa.array([], pa.string())})
+    ).union(lists)
     joined = hash_join(ds, lists, on="doc_id", how="left")
 
     def rebuild(batch: pa.Table) -> pa.Table:
@@ -1526,16 +1534,22 @@ def minhash_novel(
             def sh(i: int) -> set:
                 s = memo.get(i)
                 if s is None:
+                    # trigram sets ONLY — a <3-word doc has no shingles and
+                    # can never be a near-dup, exactly like the oracle's
+                    # len(ws) >= 3 CTE (the word fallback minhash_pairs uses
+                    # would diverge here, incl. empty-doc j=1 artifacts)
                     w = texts[i].lower().split()
-                    s = set(zip(w, w[1:], w[2:])) if len(w) >= 3 else set(w)
+                    s = set(zip(w, w[1:], w[2:]))
                     memo[i] = s
                 return s
 
             hits = []
             for a, b in zip(batch["doc_a"], batch["doc_b"]):
                 sa, sb = sh(int(a)), sh(int(b))
-                j = (1.0 if not sa and not sb else
-                     len(sa & sb) / (len(sa) + len(sb) - len(sa & sb)))
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                j = inter / (len(sa) + len(sb) - inter)
                 if j >= threshold:
                     hits.append(int(b))
             return pd.DataFrame({"nid": pd.Series(hits, dtype="int64")})

@@ -50,6 +50,13 @@ def hash_join(
             rsize = None
         if rsize is not None and 0 < rsize <= broadcast_threshold_bytes:
             rt = right.to_pandas()
+            if rt.shape[1] == 0:
+                # a 0-row dataset loses its columns through to_pandas();
+                # rebuild the typed empty frame from the Arrow schema so the
+                # merge still sees the key column (empty right = no matches)
+                rt = pa.schema(
+                    list(zip(rschema.names, rschema.types))
+                ).empty_table().to_pandas()
 
             import ray as _ray
 
@@ -251,6 +258,13 @@ def anti_join_filter(
         keys.map_batches(as_marker, batch_format="pyarrow"), [on], [on],
         num_buckets=num_buckets,
     )
+    # an empty key side (nothing matched the predicate) leaves zero groups
+    # above, i.e. a schema-less dataset; pin the schema so the left join
+    # runs and NOT EXISTS correctly keeps every row
+    marked = ray.data.from_arrow(
+        pa.table({on: pa.array([], key_type),
+                  "_anti_m": pa.array([], pa.int8())})
+    ).union(marked)
     joined = hash_join(ds, marked, on=on, how="left", num_buckets=num_buckets)
 
     def keep_null(t: pa.Table) -> pa.Table:

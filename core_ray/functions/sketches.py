@@ -338,6 +338,11 @@ class _MGWeighted:
             cnts.to_numpy(zero_copy_only=False).astype(np.int64),
             index=vals.to_numpy(zero_copy_only=False),
         )
+        # collapse duplicate labels BEFORE the add: Series.add keeps dup
+        # index rows, which would split (and later double-count) a word's
+        # total and break the MG superset guarantee if a block ever carries
+        # the same value twice (e.g. coalesced partials)
+        c = c.groupby(level=0).sum()
         self.n += int(c.sum())
         self.counts = self.counts.add(c, fill_value=0).astype(np.int64)
         self._shrink()
@@ -512,6 +517,27 @@ def group_quantiles_exact(
     )
 
 
+def _value_histogram(ds: ray.data.Dataset, value_col: str):
+    """Bounded exact histogram of an INTEGER-DOMAIN column: per-batch
+    value_counts partials, one groupby, sorted (values, counts) to the
+    driver.  Shared by the discrete-quantile, band-filter and value-rank
+    operators; for unbounded doubles use the t-digest sketch instead."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch[value_col].combine_chunks().value_counts()
+        return pa.table({"v": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("cnt")
+        .to_pandas()  # bounded: distinct values of an integer-domain column
+        .sort_values("v")
+    )
+    return hist["v"].to_numpy(), hist["sum(cnt)"].to_numpy().astype(np.int64)
+
+
 def quantile_band_filter(
     source: str | ray.data.Dataset,
     value_col: str = "n_chars",
@@ -537,21 +563,8 @@ def quantile_band_filter(
     if not (0 < lo_permille <= hi_permille <= 1000):
         raise ValueError(f"bad band: [{lo_permille}, {hi_permille}]")
     ds = _read_docs(source, [id_col, value_col])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        vc = batch[value_col].combine_chunks().value_counts()
-        return pa.table({"v": vc.field("values"),
-                         "cnt": vc.field("counts").cast(pa.int64())})
-
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("v")
-        .sum("cnt")
-        .to_pandas()  # bounded: distinct values of an integer-domain column
-        .sort_values("v")
-    )
-    vals = hist["v"].to_numpy()
-    cum = np.cumsum(hist["sum(cnt)"].to_numpy().astype(np.int64))
+    vals, cnts = _value_histogram(ds, value_col)
+    cum = np.cumsum(cnts)
     n = int(cum[-1])
 
     def at(q: int):

@@ -237,7 +237,11 @@ def search_bm25(
 
     def score(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return empty
+            # schema must match the normal path (doc_id, s) — the module
+            # `empty` table is the POST-groupby schema and would poison
+            # .groupby("doc_id").sum("s") with a mismatched block
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
         m = ray.get(df_ref)
         w = t["word"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(w, return_inverse=True)

@@ -171,6 +171,41 @@ def pack_sequences(
 # ---------------------------------------------------------------------------
 
 
+def _bucketed_topk(
+    partials: ray.data.Dataset, key_col: str, k: int
+) -> ray.data.Dataset:
+    """Shared tail of the keyed top-k-by-count pattern: hash-bucket the
+    per-batch partial counts, take each bucket's local top-k (count desc,
+    key asc), merge the <= 64*k survivors on the driver.  No global sort
+    at any key cardinality."""
+    from ..ops.common import _arrow_add_bucket
+
+    def bucket_topk(g) -> pa.Table:
+        import pandas as pd
+
+        if isinstance(g, pa.Table):
+            g = g.to_pandas()
+        out = g.groupby(key_col, sort=False)["cnt"].sum().reset_index()
+        out = out.sort_values(["cnt", key_col],
+                              ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    top = (
+        partials.map_batches(_arrow_add_bucket([key_col], 64),
+                             batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_topk(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+        .to_pandas()  # bounded: <= 64*k rows
+        .sort_values(["cnt", key_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(top)
+
+
 def vocab_topk(source: str | ray.data.Dataset, k: int = 100) -> ray.data.Dataset:
     """Top-k corpus vocabulary by word frequency: ``(word, cnt)`` ordered by
     count desc, word asc.
@@ -181,7 +216,6 @@ def vocab_topk(source: str | ray.data.Dataset, k: int = 100) -> ray.data.Dataset
     driver merges ``64*k`` candidate rows (the ``top_customers`` pattern,
     ``pipelines/relational.py:180``) — no global sort at any cardinality.
     """
-    from ..ops.common import _arrow_add_bucket
 
     def partial(batch: pa.Table) -> pa.Table:
         texts = batch["text"]
@@ -197,30 +231,11 @@ def vocab_topk(source: str | ray.data.Dataset, k: int = 100) -> ray.data.Dataset
             }
         )
 
-    def bucket_topk(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        if isinstance(g, pa.Table):
-            g = g.to_pandas()
-        out = g.groupby("word", sort=False)["cnt"].sum().reset_index()
-        out = out.sort_values(["cnt", "word"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    top = (
-        _read_docs(source, ["text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .map_batches(_arrow_add_bucket(["word"], 64), batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(
-            lambda g: bucket_topk(g.drop(columns=["_bucket"])),
-            batch_format="pandas",
-        )
-        .to_pandas()  # bounded: <= 64*k rows
-        .sort_values(["cnt", "word"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
+    return _bucketed_topk(
+        _read_docs(source, ["text"]).map_batches(partial,
+                                                 batch_format="pyarrow"),
+        "word", k,
     )
-    return ray.data.from_pandas(top)
 
 
 # ---------------------------------------------------------------------------
@@ -1519,36 +1534,15 @@ def bigram_topk(source: str | ray.data.Dataset, k: int = 100) -> ray.data.Datase
     (phrase-vocabulary induction / tokenizer-merge seeding).  Same shape:
     per-batch partial counts, hash-bucketed local top-k, ``64*k``-row
     driver merge — no global sort at any cardinality."""
-    from ..ops.common import _arrow_add_bucket
 
     def partial(batch: pa.Table) -> pa.Table:
         return _batch_bigram_counts(batch["text"])
 
-    def bucket_topk(g) -> pa.Table:
-        import pandas as pd
-
-        if isinstance(g, pa.Table):
-            g = g.to_pandas()
-        out = g.groupby("bigram", sort=False)["cnt"].sum().reset_index()
-        out = out.sort_values(["cnt", "bigram"],
-                              ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    top = (
-        _read_docs(source, ["text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .map_batches(_arrow_add_bucket(["bigram"], 64), batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(
-            lambda g: bucket_topk(g.drop(columns=["_bucket"])),
-            batch_format="pandas",
-        )
-        .to_pandas()  # bounded: <= 64*k rows
-        .sort_values(["cnt", "bigram"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
+    return _bucketed_topk(
+        _read_docs(source, ["text"]).map_batches(partial,
+                                                 batch_format="pyarrow"),
+        "bigram", k,
     )
-    return ray.data.from_pandas(top)
 
 
 def pmi_collocations(
@@ -1717,22 +1711,10 @@ def value_rank(
     """
     from ..ops.common import _arrow_add_bucket
 
+    from .sketches import _value_histogram
+
     ds = _read_docs(source, [id_col, value_col])
-
-    def hist_partial(batch: pa.Table) -> pa.Table:
-        vc = batch[value_col].combine_chunks().value_counts()
-        return pa.table({"v": vc.field("values"),
-                         "cnt": vc.field("counts").cast(pa.int64())})
-
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby("v")
-        .sum("cnt")
-        .to_pandas()  # bounded: distinct values of an integer-domain column
-        .sort_values("v")
-    )
-    vals = hist["v"].to_numpy()
-    cnts = hist["sum(cnt)"].to_numpy().astype(np.int64)
+    vals, cnts = _value_histogram(ds, value_col)
     prefix = np.concatenate(([0], np.cumsum(cnts)[:-1]))
     prefix_ref = ray.put((vals, prefix))
 

@@ -625,3 +625,52 @@ def test_label_centroid_sums_exact_and_invariant():
             row = out[(out["label"] == lb) & (out["dim"] == d)].iloc[0]
             assert row["sum_e6"] == sub[:, d].sum()
             assert row["n_vecs"] == len(sub)
+
+
+def test_dedup_spans_clean_corpus_passthrough():
+    """No cross-doc duplicate trigram anywhere: the join's empty dup side
+    must not crash; output is whitespace-normalized passthrough."""
+    from core_ray.functions import dedup_spans
+
+    rows = [(0, "alpha beta gamma delta"), (1, "one  two\tthree"), (2, "")]
+    out = dedup_spans(_docs_ds(rows)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "text_clean"] == "alpha beta gamma delta"
+    assert out.loc[1, "text_clean"] == "one two three"
+    assert out.loc[2, "text_clean"] == ""
+    assert (out["n_kept"] == out["n_words"]).all()
+
+
+def test_anti_join_filter_empty_keys_keeps_all():
+    """NOT EXISTS over an empty key side keeps every row (both arms)."""
+    from core_ray.functions import anti_join_filter
+
+    big = pd.DataFrame({"k": np.arange(10, dtype="int64"), "p": "x"})
+    keys = pd.DataFrame({"kk": pd.Series([], dtype="int64")})
+    ds = ray.data.from_pandas(big).repartition(2)
+    kds = ray.data.from_pandas(keys)
+    for dist in (False, True):
+        got = sorted(
+            anti_join_filter(ds, kds, on="k", key_cols=["kk"],
+                             distributed=dist).to_pandas()["k"]
+        )
+        assert got == list(range(10)), dist
+
+
+def test_minhash_novel_short_docs_match_oracle_rule(tmp_path):
+    """<3-word docs have no trigram shingles: a short ingest doc identical
+    to a short reference doc stays NOVEL (the oracle's len(ws)>=3 rule),
+    and empty docs don't j=1-match each other."""
+    from core_ray.functions import build_minhash_index, minhash_novel
+
+    rows = [
+        (0, "hello world"),    # reference, 2 words
+        (1, "hello world"),    # ingest, identical but shingle-less
+        (5, ""),               # reference, empty
+        (2, ""),               # ingest, empty
+        (3, BASE),             # ingest, unrelated long doc
+    ]
+    d = str(tmp_path / "mh2")
+    build_minhash_index(_docs_ds(rows), d, ref_mod=5)
+    out = minhash_novel(_docs_ds(rows), d).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "novel"]) and bool(out.loc[2, "novel"])
+    assert bool(out.loc[3, "novel"])
