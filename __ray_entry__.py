@@ -1013,16 +1013,18 @@ def _q_doc_search_bm25(sf):
 
 
 def _q_doc_search_phrase(sf):
-    """Positional phrase search over the persisted index: docs containing
-    'slow hash batch' consecutively, with occurrence counts."""
+    """Positional phrase search over the persisted index, seeded with the
+    corpus's OWN most frequent trigram (count desc, trigram asc) so the
+    query is deterministic, non-empty and scale-independent."""
     import shutil
 
-    from core_ray.functions import build_text_index, search_phrase
+    from core_ray.functions import build_text_index, search_phrase, trigram_topk
 
+    phrase = trigram_topk(sf, k=1).to_pandas()["trigram"].iloc[0].split(" ")
     tmp = "/tmp/graft_text_index_phrase"
     shutil.rmtree(tmp, ignore_errors=True)
     build_text_index(sf, tmp, num_buckets=16)
-    return search_phrase(tmp, ["slow", "hash", "batch"])
+    return search_phrase(tmp, phrase)
 
 
 def _q_doc_tfidf(sf):
@@ -4248,11 +4250,18 @@ WITH w AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
   FROM documents
+),
+tg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+top AS (
+  SELECT g FROM (SELECT g, count(*) AS c FROM tg GROUP BY 1)
+  QUALIFY row_number() OVER (ORDER BY c DESC, g) = 1
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
-FROM w, unnest(range(1, len(ws) - 1)) AS t(p)
-WHERE len(ws) >= 3
-  AND ws[p] = 'slow' AND ws[p+1] = 'hash' AND ws[p+2] = 'batch'
+FROM tg JOIN top USING (g)
 GROUP BY 1 ORDER BY 1
 """
 

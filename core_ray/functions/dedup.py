@@ -1139,9 +1139,14 @@ def source_overlap(
             }
         )
 
-    return totals.map_batches(emit, batch_format="pyarrow").sort(
-        ["source_a", "source_b"]
-    )
+    named = totals.map_batches(emit, batch_format="pyarrow")
+    # a corpus with no shared trigram leaves zero groups (schema-less)
+    named = ray.data.from_arrow(
+        pa.table({"source_a": pa.array([], pa.string()),
+                  "source_b": pa.array([], pa.string()),
+                  "n_shared": pa.array([], pa.int64())})
+    ).union(named)
+    return named.sort(["source_a", "source_b"])
 
 
 # ---------------------------------------------------------------------------

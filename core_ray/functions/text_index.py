@@ -393,11 +393,12 @@ def search_phrase(
              "n_matches": pa.array(cnt.astype(np.int64), pa.int64())}
         )
 
-    return (
+    matched = (
         postings.map_batches(anchors, batch_format="pyarrow")
         .map_batches(_arrow_add_bucket(["doc_id"], num_buckets_doc),
                      batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(count_matches, batch_format="pyarrow")
-        .sort("doc_id")
     )
+    # zero matches leaves zero groups (schema-less); pin the output schema
+    return ray.data.from_arrow(empty).union(matched).sort("doc_id")

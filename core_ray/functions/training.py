@@ -1750,3 +1750,36 @@ def value_rank(
         .map_groups(rank_group, batch_format="pyarrow")
         .sort(id_col)
     )
+
+
+def trigram_topk(source: str | ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
+    """Top-k corpus word-trigrams by frequency (count desc, trigram asc) —
+    the 3-gram sibling of :func:`bigram_topk`, and the deterministic
+    phrase-picker the phrase-search driver query seeds itself with."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = lists.flatten()
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(pa.array(keep)), parent[keep]
+        if len(flat) < 3:
+            return pa.table({"trigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        same = pa.array(parent[:-2] == parent[2:])
+        a = flat.slice(0, len(flat) - 2).filter(same)
+        b = flat.slice(1, len(flat) - 2).filter(same)
+        c = flat.slice(2).filter(same)
+        tri = pc.binary_join_element_wise(a, b, c, " ")
+        vc = tri.value_counts()
+        return pa.table({"trigram": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    return _bucketed_topk(
+        _read_docs(source, ["text"]).map_batches(partial,
+                                                 batch_format="pyarrow"),
+        "trigram", k,
+    )
