@@ -846,6 +846,22 @@ def _q_emb_knn_filtered(sf):
     return knn_filtered(sf, q, k=10, label=2)
 
 
+def _q_ev_funnel(sf):
+    """Ordered conversion funnel view -> click -> purchase: users reaching
+    each step with an event strictly after the previous step's
+    earliest-completion time."""
+    from core_ray.pipelines.relational import funnel_counts
+
+    return funnel_counts(sf, steps=("view", "click", "purchase"))
+
+
+def _q_doc_dup_cluster_sizes(sf):
+    """Near-dup cluster-size histogram over the exact-Jaccard pair graph."""
+    from core_ray.functions import dup_cluster_sizes
+
+    return dup_cluster_sizes(sf, threshold=0.5)
+
+
 def _q_rel_semi_join(sf):
     """Order counts per priority for orders with a big lineitem (EXISTS /
     broadcast semi-join, TPC-H Q4 shape)."""
@@ -2145,6 +2161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_outliers": _q_emb_outliers,
         "doc_value_rank": _q_doc_value_rank,
         "emb_label_centroids": _q_emb_label_centroids,
+        "ev_funnel": _q_ev_funnel,
+        "doc_dup_cluster_sizes": _q_doc_dup_cluster_sizes,
     }
 
 
@@ -4409,6 +4427,71 @@ SELECT CAST(label AS BIGINT) AS label, dim,
        CAST(sum(xe) AS BIGINT) AS sum_e6,
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ordered conversion funnel with strictly-after earliest-completion chaining
+_ORACLE["ev_funnel"] = """
+WITH t0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+t1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t0.t GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t1.t GROUP BY 1
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+         CAST(count(*) AS BIGINT) AS n_users FROM t0
+  UNION ALL
+  SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM t1
+  UNION ALL
+  SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM t2
+)
+ORDER BY step_idx
+"""
+
+# near-dup cluster-size histogram (components over exact-Jaccard pairs)
+_ORACLE["doc_dup_cluster_sizes"] = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2] AS g
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+cnts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN cnts na ON na.doc_id = inter.doc_a
+             JOIN cnts nb ON nb.doc_id = inter.doc_b
+  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(u, r) AS (
+  SELECT u, v AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+),
+lbl AS (SELECT u, LEAST(u, min(r)) AS root FROM reach GROUP BY u),
+sizes AS (SELECT root, count(*) AS sz FROM lbl GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1 ORDER BY 1
 """
 
 

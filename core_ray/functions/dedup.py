@@ -1579,3 +1579,49 @@ def minhash_novel(
         .map_batches(emit, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def dup_cluster_sizes(
+    source: str | ray.data.Dataset,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Near-duplicate CLUSTER SIZE histogram: connected components over the
+    exact-Jaccard pair graph (recall-1 :func:`jaccard_pairs`), reported as
+    ``(cluster_size, n_clusters)`` — the dedup-impact summary ("how much of
+    the corpus sits in 2-clusters vs 50-clusters") that decides whether
+    near-dedup is worth its shuffle before running the full keep-set pass.
+    Components come from the distributed min-label propagation
+    (:func:`component_labels_distributed` — no driver union-find), sizes
+    and the histogram from two tiny groupbys.  Singleton documents (no
+    near-dup) are not clusters and are excluded.
+    """
+    pairs = jaccard_pairs(source, threshold=threshold)
+    labels = component_labels_distributed(pairs)
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["label"]).aggregate([([], "count_all")])
+        return g.rename_columns(["label", "n"])
+
+    sizes = (
+        labels.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("label")
+        .sum("n")
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["sum(n)"]).aggregate([([], "count_all")])
+        return g.rename_columns(["cluster_size", "n_clusters"])
+
+    hist = (
+        sizes.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .sum("n_clusters")
+        .map_batches(
+            lambda t: t.rename_columns(["cluster_size", "n_clusters"]),
+            batch_format="pyarrow",
+        )
+    )
+    return ray.data.from_arrow(
+        pa.table({"cluster_size": pa.array([], pa.int64()),
+                  "n_clusters": pa.array([], pa.int64())})
+    ).union(hist).sort("cluster_size")

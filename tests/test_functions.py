@@ -674,3 +674,54 @@ def test_minhash_novel_short_docs_match_oracle_rule(tmp_path):
     out = minhash_novel(_docs_ds(rows), d).to_pandas().set_index("doc_id")
     assert bool(out.loc[1, "novel"]) and bool(out.loc[2, "novel"])
     assert bool(out.loc[3, "novel"])
+
+
+def test_funnel_counts_strict_ordering(tmp_path):
+    """A user converting in order counts at every step; out-of-order and
+    same-timestamp events do NOT chain; funnel is monotone non-increasing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from core_ray.pipelines.relational import funnel_counts
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", base), (1, "click", base + pd.Timedelta("1h")),
+        (1, "purchase", base + pd.Timedelta("2h")),
+        # u2: click BEFORE view -> stops after view
+        (2, "click", base), (2, "view", base + pd.Timedelta("1h")),
+        # u3: click at the SAME timestamp as view -> strictly-after fails
+        (3, "view", base), (3, "click", base),
+        # u4: view+click ordered, no purchase
+        (4, "view", base), (4, "click", base + pd.Timedelta("1h")),
+        # u5: purchase only -> never enters
+        (5, "purchase", base),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["event_id"] = np.arange(len(df)); df["value"] = 0.0; df["props"] = ""
+    d = str(tmp_path / "ev"); import os; os.makedirs(d)
+    pq.write_table(
+        pa.Table.from_pandas(df[["event_id", "ts", "user_id", "event_type",
+                                 "value", "props"]], preserve_index=False),
+        f"{d}/events.parquet",
+    )
+    out = funnel_counts(d).to_pandas()
+    assert list(out["step"]) == ["view", "click", "purchase"]
+    assert list(out["n_users"]) == [4, 2, 1]
+
+
+def test_dup_cluster_sizes_planted():
+    """Two near-dup docs = one 2-cluster; three mutually-near docs = one
+    3-cluster; singletons excluded."""
+    from core_ray.functions import dup_cluster_sizes
+
+    tri = " ".join(f"t{i}" for i in range(25))
+    rows = [
+        (0, BASE), (1, BASE.replace("lazy", "sleepy")),           # 2-cluster
+        (2, tri), (3, tri + " x"), (4, tri.replace("t3", "q3")),  # 3-cluster
+        (5, "completely different content here about nothing shared"),
+    ]
+    out = dup_cluster_sizes(_docs_ds(rows)).to_pandas()
+    got = dict(zip(out["cluster_size"], out["n_clusters"]))
+    assert got == {2: 1, 3: 1}
