@@ -846,6 +846,21 @@ def _q_emb_knn_filtered(sf):
     return knn_filtered(sf, q, k=10, label=2)
 
 
+def _q_ev_retention(sf):
+    """Weekly cohort retention matrix from the events stream."""
+    from core_ray.pipelines.relational import retention_cohorts
+
+    return retention_cohorts(sf, start=START)
+
+
+def _q_doc_len_corr(sf):
+    """Exact distributed Pearson r between chars and words per doc
+    (integer sufficient statistics, HUGEINT final expression)."""
+    from core_ray.functions import corr_chars_words
+
+    return corr_chars_words(sf)
+
+
 def _q_ev_funnel(sf):
     """Ordered conversion funnel view -> click -> purchase: users reaching
     each step with an event strictly after the previous step's
@@ -2163,6 +2178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_centroids": _q_emb_label_centroids,
         "ev_funnel": _q_ev_funnel,
         "doc_dup_cluster_sizes": _q_doc_dup_cluster_sizes,
+        "ev_retention": _q_ev_retention,
+        "doc_len_corr": _q_doc_len_corr,
     }
 
 
@@ -4492,6 +4509,49 @@ sizes AS (SELECT root, count(*) AS sz FROM lbl GROUP BY 1)
 SELECT CAST(sz AS BIGINT) AS cluster_size,
        CAST(count(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
+# weekly cohort retention: users by first-activity week, counted in every
+# active week (distinct user-week pairs)
+_ORACLE["ev_retention"] = f"""
+WITH p AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) - {S_US}) // 604800000000 AS week
+  FROM events WHERE epoch_us(ts) >= {S_US}
+),
+c AS (SELECT user_id, min(week) AS cohort FROM p GROUP BY 1)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+       CAST(p.week - c.cohort AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM p JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# exact Pearson r from integer sufficient statistics (HUGEINT products)
+_ORACLE["doc_len_corr"] = r"""
+WITH yv AS (
+  SELECT n_chars AS x,
+         len(list_filter(string_split_regex(text, '\s+'), e -> e <> '')) AS y
+  FROM documents
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM yv
+)
+SELECT n,
+       CAST(round_even(
+         (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) /
+         (sqrt(CAST(CAST(n AS HUGEINT) * sxx -
+                    CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+          sqrt(CAST(CAST(n AS HUGEINT) * syy -
+                    CAST(sy AS HUGEINT) * sy AS DOUBLE))) * 1000000.0,
+         0) AS BIGINT) AS r_e6
+FROM s
 """
 
 

@@ -583,3 +583,58 @@ def distinct_words_by(
         )
         .sort(group_col)
     )
+
+
+def corr_chars_words(source: str | ray.data.Dataset) -> ray.data.Dataset:
+    """EXACT distributed Pearson correlation between document length in
+    characters and in words: per-batch INTEGER sufficient statistics
+    (n, Sx, Sy, Sxx, Syy, Sxy — exact int64 partials, order-independent),
+    one 6-int reduce, and the final r evaluated from those sums by the
+    in-process DuckDB kernel (HUGEINT products, the oracle's own
+    expression tree) — float Welford accumulation would be
+    partitioning-dependent.  Output: one row ``(n, r_e6)``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.count_substring_regex(
+            batch["text"], r"\S+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    sums = (
+        _read_docs(source, ["n_chars", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+    )
+    from .dedup import _duckdb_hash_con
+
+    con = _duckdb_hash_con()
+    out = con.execute(
+        """
+        SELECT CAST(? AS BIGINT) AS n,
+               CAST(round_even(
+                 (CAST(? AS HUGEINT) * ? - CAST(? AS HUGEINT) * ?) /
+                 (sqrt(CAST(CAST(? AS HUGEINT) * ? -
+                            CAST(? AS HUGEINT) * ? AS DOUBLE)) *
+                  sqrt(CAST(CAST(? AS HUGEINT) * ? -
+                            CAST(? AS HUGEINT) * ? AS DOUBLE))) * 1000000.0,
+                 0) AS BIGINT) AS r_e6
+        """,
+        [
+            sums["sum(n)"],
+            sums["sum(n)"], sums["sum(sxy)"], sums["sum(sx)"], sums["sum(sy)"],
+            sums["sum(n)"], sums["sum(sxx)"], sums["sum(sx)"], sums["sum(sx)"],
+            sums["sum(n)"], sums["sum(syy)"], sums["sum(sy)"], sums["sum(sy)"],
+        ],
+    ).fetch_arrow_table()
+    return ray.data.from_arrow(out)

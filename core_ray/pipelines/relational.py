@@ -570,3 +570,76 @@ def funnel_counts(
         )
 
     return totals.map_batches(emit, batch_format="pyarrow").sort("step_idx")
+
+
+def retention_cohorts(
+    sf_dir: str, start: str, week_s: int = 604800
+) -> ray.data.Dataset:
+    """Cohort retention matrix: users grouped by their FIRST-activity week
+    (cohort), counted in every later week they were active — the
+    "week-N retention" table.  Distinct-activity does not decompose into
+    sums, so the shape is: per-batch DISTINCT (user, week) pairs, one
+    bounded dedup shuffle, a per-user min-week pass, one broadcast-free
+    join back through the same bucket co-group, then partial counts.
+    Here the two per-user reductions run in ONE user-bucket co-group
+    (all of a user's weeks co-locate), so the whole matrix costs a single
+    row shuffle of distinct pairs.  Output:
+    ``(cohort_week, week_offset, n_users)``.
+    """
+    s_us = ts_to_us(start)
+    week_us = week_s * 1_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keep = ts >= s_us
+        wk = (ts[keep] - s_us) // week_us
+        df = pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(
+                zero_copy_only=False)[keep], "week": wk}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ..ops.common import _arrow_add_bucket
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        user = g["user_id"].to_numpy(zero_copy_only=False)
+        week = g["week"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((week, user))
+        u, w = user[order], week[order]
+        new = np.ones(len(u), bool)
+        new[1:] = u[1:] != u[:-1]
+        # distinct (user, week) within the bucket
+        dup = ~new
+        dup[1:] &= w[1:] == w[:-1]
+        u, w, new = u[~dup], w[~dup], new[~dup]
+        run_first = np.nonzero(new)[0][np.cumsum(new) - 1]
+        cohort = w[run_first]  # first (min) week of each user's run
+        key = cohort * (1 << 20) + (w - cohort)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(uk >> 20, pa.int64()),
+                "week_offset": pa.array(uk & ((1 << 20) - 1), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .map_batches(_arrow_add_bucket(["user_id"], 16), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["cohort_week", "week_offset", "n_users"]),
+            batch_format="pyarrow",
+        )
+        .sort(["cohort_week", "week_offset"])
+    )

@@ -725,3 +725,54 @@ def test_dup_cluster_sizes_planted():
     out = dup_cluster_sizes(_docs_ds(rows)).to_pandas()
     got = dict(zip(out["cluster_size"], out["n_clusters"]))
     assert got == {2: 1, 3: 1}
+
+
+def test_retention_cohorts_hand(tmp_path):
+    """Cohort = first-activity week; each active (user, week) counts once;
+    offsets are relative to the cohort."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from core_ray.pipelines.relational import retention_cohorts
+
+    base = pd.Timestamp("2024-01-01")
+    wk = pd.Timedelta("7D")
+    rows = [
+        (1, base), (1, base + wk), (1, base + wk),          # w0 cohort: w0, w1
+        (2, base + pd.Timedelta("1D")), (2, base + 2 * wk), # w0 cohort: w0, w2
+        (3, base + wk),                                      # w1 cohort: w1
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["event_id"] = np.arange(len(df)); df["event_type"] = "view"
+    df["value"] = 0.0; df["props"] = ""
+    d = str(tmp_path / "ev"); os.makedirs(d)
+    pq.write_table(
+        pa.Table.from_pandas(df[["event_id", "ts", "user_id", "event_type",
+                                 "value", "props"]], preserve_index=False),
+        f"{d}/events.parquet",
+    )
+    out = retention_cohorts(d, start="2024-01-01 00:00:00").to_pandas()
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_corr_chars_words_sign_and_exactness():
+    """Perfectly correlated planted data -> r_e6 == 1_000_000; result is
+    partitioning-invariant (integer sufficient statistics)."""
+    from core_ray.functions import corr_chars_words
+
+    rows = [(i, " ".join(["w"] * (i + 1))) for i in range(20)]
+    # n_chars = 2*(i+1)-1 is affine in words -> r exactly 1
+    outs = []
+    for parts in (1, 4):
+        out = (
+            corr_chars_words(_docs_ds(rows).repartition(parts))
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0]["n"].iloc[0] == 20
+    assert outs[0]["r_e6"].iloc[0] == 1_000_000
