@@ -846,6 +846,43 @@ def _q_emb_knn_filtered(sf):
     return knn_filtered(sf, q, k=10, label=2)
 
 
+def _q_fw_pipeline_json(sf):
+    """End-to-end JSON pipeline spec -> topo executor -> result: the
+    reference wire format driving ParquetSource + token_count, graded by
+    the same oracle as the direct op (framework adds no semantics)."""
+    import json
+
+    from core_ray.pipelines.converters import PipelineJobFromJsonConverter
+    from core_ray.pipelines.framework import PipelineJobExecute
+
+    spec = {
+        "name": "tok-count-job",
+        "task_list": [
+            {
+                "name": "t1",
+                "step_list": [
+                    {
+                        "name": "src",
+                        "component": "ParquetSource",
+                        "component_parameters": {
+                            "path": f"{sf}/documents.parquet",
+                            "columns": ["doc_id", "text"],
+                        },
+                    },
+                    {
+                        "name": "count",
+                        "component": "FunctionTransformer",
+                        "component_parameters": {"fn": "token_count"},
+                        "depends_on_step": ["src"],
+                    },
+                ],
+            }
+        ],
+    }
+    job = PipelineJobFromJsonConverter(json.dumps(spec)).convert()
+    return PipelineJobExecute(job).run()["count"].sort("doc_id")
+
+
 def _q_ev_retention(sf):
     """Weekly cohort retention matrix from the events stream."""
     from core_ray.pipelines.relational import retention_cohorts
@@ -2180,6 +2217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_cluster_sizes": _q_doc_dup_cluster_sizes,
         "ev_retention": _q_ev_retention,
         "doc_len_corr": _q_doc_len_corr,
+        "fw_pipeline_json": _q_fw_pipeline_json,
     }
 
 
@@ -4553,6 +4591,10 @@ SELECT n,
          0) AS BIGINT) AS r_e6
 FROM s
 """
+
+
+# the JSON-spec pipeline runs token_count; same oracle as the direct op
+_ORACLE["fw_pipeline_json"] = _ORACLE["doc_token_count"]
 
 
 def oracle_sql() -> dict[str, str]:
