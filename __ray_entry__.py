@@ -846,6 +846,14 @@ def _q_emb_knn_filtered(sf):
     return knn_filtered(sf, q, k=10, label=2)
 
 
+def _q_rel_rollup(sf):
+    """GROUP BY ROLLUP(nation, priority) revenue with exact scaled-int
+    money (one fact pass, integer regrouping of the bounded grid)."""
+    from core_ray.pipelines.relational import revenue_rollup
+
+    return revenue_rollup(sf)
+
+
 def _q_fw_pipeline_json(sf):
     """End-to-end JSON pipeline spec -> topo executor -> result: the
     reference wire format driving ParquetSource + token_count, graded by
@@ -2218,6 +2226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_retention": _q_ev_retention,
         "doc_len_corr": _q_doc_len_corr,
         "fw_pipeline_json": _q_fw_pipeline_json,
+        "rel_rollup": _q_rel_rollup,
     }
 
 
@@ -4595,6 +4604,22 @@ FROM s
 
 # the JSON-spec pipeline runs token_count; same oracle as the direct op
 _ORACLE["fw_pipeline_json"] = _ORACLE["doc_token_count"]
+
+
+# ROLLUP revenue with exact e4-scaled integer money
+_ORACLE["rel_rollup"] = """
+WITH f AS (
+  SELECT n_name, o_orderpriority,
+         CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0)
+              AS BIGINT) AS r
+  FROM customer, orders, lineitem, nation
+  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+    AND c_nationkey = n_nationkey
+)
+SELECT n_name, o_orderpriority, CAST(SUM(r) AS BIGINT) AS revenue_e4
+FROM f GROUP BY ROLLUP(n_name, o_orderpriority)
+ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+"""
 
 
 def oracle_sql() -> dict[str, str]:

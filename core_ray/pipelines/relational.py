@@ -643,3 +643,106 @@ def retention_cohorts(
         )
         .sort(["cohort_week", "week_offset"])
     )
+
+
+def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Multi-level revenue totals — GROUP BY ROLLUP(nation, priority) — in
+    ONE fact-table pass: per-lineitem revenue is scaled to EXACT int64
+    (``round_even(price * (1-disc) * 1e4)``, the per-row kernel; the raw
+    4-decimal money values make the scaled product exact), so every
+    regrouping of the bounded fine grid — including the rollup's subtotal
+    and grand-total rows — is plain integer addition, order-independent
+    and bitwise SQL-reproducible (a float SUM would lean on round4 slack
+    that compounds across rollup levels).
+
+    Shape: lineitem -> per-order int partials -> partitioned hash join to
+    orders -> per-(custkey, priority) partials -> join to customer ->
+    per-(nationkey, priority) partials -> one bounded groupby; the rollup
+    expansion runs on the <= nations x priorities grid in the in-process
+    DuckDB kernel with the oracle's own ROLLUP.  Output:
+    ``(n_name, o_orderpriority, revenue_e4)`` with NULL subtotal markers.
+    """
+    from ..functions.dedup import _duckdb_hash_con
+    from ..functions.join import hash_join
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        con = _duckdb_hash_con()
+        con.register("_rr_in", batch.select(["l_extendedprice", "l_discount"]))
+        r = con.execute(
+            "SELECT CAST(round_even(l_extendedprice * (1 - l_discount)"
+            " * 10000, 0) AS BIGINT) AS r FROM _rr_in"
+        ).fetch_arrow_table()["r"]
+        con.unregister("_rr_in")
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "r": r})
+        out = t.group_by(["o_orderkey"], use_threads=False).aggregate(
+            [("r", "sum")]
+        )
+        return out.rename_columns(["o_orderkey", "r"])
+
+    joined = hash_join(
+        line.map_batches(order_partial, batch_format="pyarrow"),
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+        ),
+        on="o_orderkey",
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["o_custkey", "o_orderpriority", "r"]).group_by(
+            ["o_custkey", "o_orderpriority"], use_threads=False
+        ).aggregate([("r", "sum")])
+        return g.rename_columns(["c_custkey", "o_orderpriority", "r"])
+
+    joined2 = hash_join(
+        joined.map_batches(cust_partial, batch_format="pyarrow"),
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        on="c_custkey",
+    )
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["c_nationkey", "o_orderpriority", "r"]).group_by(
+            ["c_nationkey", "o_orderpriority"], use_threads=False
+        ).aggregate([("r", "sum")])
+        return g.rename_columns(["c_nationkey", "o_orderpriority", "r"])
+
+    grid = (
+        joined2.map_batches(nat_partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "o_orderpriority"])
+        .sum("r")
+        .to_pandas()  # bounded: nations x priorities
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    grid = grid.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+
+    from ..functions.dedup import _duckdb_hash_con as _con
+
+    con = _con()
+    con.register(
+        "_rr_grid",
+        pa.Table.from_pandas(
+            grid[["n_name", "o_orderpriority", "sum(r)"]].rename(
+                columns={"sum(r)": "r"}
+            ),
+            preserve_index=False,
+        ),
+    )
+    out = con.execute(
+        """
+        SELECT n_name, o_orderpriority, CAST(SUM(r) AS BIGINT) AS revenue_e4
+        FROM _rr_grid
+        GROUP BY ROLLUP(n_name, o_orderpriority)
+        ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    ).fetch_arrow_table()
+    con.unregister("_rr_grid")
+    return ray.data.from_arrow(out)

@@ -776,3 +776,19 @@ def test_corr_chars_words_sign_and_exactness():
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert outs[0]["n"].iloc[0] == 20
     assert outs[0]["r_e6"].iloc[0] == 1_000_000
+
+
+def test_revenue_rollup_levels_consistent(sf_dir):
+    """Fine rows sum exactly to their nation subtotal and the grand total
+    (integer money makes every regrouping exact)."""
+    from core_ray.pipelines.relational import revenue_rollup
+
+    out = revenue_rollup(sf_dir).to_pandas()
+    fine = out[out["o_orderpriority"].notna()]
+    subs = out[out["o_orderpriority"].isna() & out["n_name"].notna()]
+    grand = out[out["n_name"].isna()]
+    assert len(grand) == 1
+    assert grand["revenue_e4"].iloc[0] == fine["revenue_e4"].sum()
+    per_nat = fine.groupby("n_name")["revenue_e4"].sum()
+    for r in subs.itertuples():
+        assert r.revenue_e4 == per_nat[r.n_name]
