@@ -898,6 +898,13 @@ def _q_ev_retention(sf):
     return retention_cohorts(sf, start=START)
 
 
+def _q_doc_entropy(sf):
+    """Per-doc unigram entropy (lexical-diversity gate), scaled-int exact."""
+    from core_ray.functions import unigram_entropy
+
+    return unigram_entropy(sf)
+
+
 def _q_doc_len_corr(sf):
     """Exact distributed Pearson r between chars and words per doc
     (integer sufficient statistics, HUGEINT final expression)."""
@@ -2227,6 +2234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_corr": _q_doc_len_corr,
         "fw_pipeline_json": _q_fw_pipeline_json,
         "rel_rollup": _q_rel_rollup,
+        "doc_entropy": _q_doc_entropy,
     }
 
 
@@ -4619,6 +4627,31 @@ WITH f AS (
 SELECT n_name, o_orderpriority, CAST(SUM(r) AS BIGINT) AS revenue_e4
 FROM f GROUP BY ROLLUP(n_name, o_orderpriority)
 ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+# per-doc unigram entropy: -sum over distinct words of c * round_even(ln(c/n)*1e6)
+_ORACLE["doc_entropy"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, t.word, count(*) AS c
+  FROM w, unnest(ws) AS t(word) GROUP BY 1, 2
+),
+n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w),
+terms AS (
+  SELECT cnt.doc_id,
+         cnt.c * CAST(round_even(ln(cnt.c * 1.0 / n.n_words) * 1000000.0, 0)
+                      AS BIGINT) AS t
+  FROM cnt JOIN n USING (doc_id)
+)
+SELECT n.doc_id, n.n_words,
+       CAST(-COALESCE(sum(t.t), 0) AS BIGINT) AS ent_e6
+FROM n LEFT JOIN terms t USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1
 """
 
 

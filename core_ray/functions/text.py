@@ -638,3 +638,69 @@ def corr_chars_words(source: str | ray.data.Dataset) -> ray.data.Dataset:
         ],
     ).fetch_arrow_table()
     return ray.data.from_arrow(out)
+
+
+def unigram_entropy(source: str | ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document unigram Shannon entropy — the lexical-diversity quality
+    signal (near-zero entropy = one word repeated = spam): ``H = -sum_w
+    p_w ln p_w`` over the document's own word distribution, emitted as
+    ``ent_e6 = -sum_w c_w * round_even(ln(c_w / n) * 1e6)`` — per-DISTINCT-
+    word integer terms so the per-document sum is order-independent and
+    exactly SQL-reproducible (the ``lm_score`` scaled-int discipline; the
+    ln runs in the in-process DuckDB kernel).  Note the e6 scale applies
+    to the LOG factor, so ``H ~ ent_e6 / (n * 1e6)``.  Pure streamed map.
+
+    Output: ``(doc_id, n_words, ent_e6)`` sorted by id.
+    """
+    import pandas as pd
+
+    from .dedup import _duckdb_hash_con
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = lists.flatten()
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        words = flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        n_docs = len(batch)
+        n_words = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(words) == 0:
+            zero = np.zeros(n_docs, np.int64)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_words": pa.array(n_words),
+                             "ent_e6": pa.array(zero)})
+        # distinct (doc, word) counts via one C groupby
+        dw = (
+            pd.DataFrame({"d": parent, "w": words})
+            .groupby(["d", "w"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        d = dw["d"].to_numpy()
+        c = dw["c"].to_numpy().astype(np.int64)
+        con = _duckdb_hash_con()
+        con.register("_ent_in", pa.table({
+            "c": pa.array(c, pa.int64()),
+            "n": pa.array(n_words[d], pa.int64()),
+        }))
+        lp = con.execute(
+            "SELECT CAST(round_even(ln(c * 1.0 / n) * 1000000.0, 0)"
+            " AS BIGINT) AS v FROM _ent_in"
+        ).fetch_arrow_table()["v"].to_numpy(zero_copy_only=False)
+        con.unregister("_ent_in")
+        ent = np.zeros(n_docs, np.int64)
+        np.add.at(ent, d, c * lp)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_words": pa.array(n_words),
+                         "ent_e6": pa.array(-ent)})
+
+    return (
+        _read_docs(source, ["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("doc_id")
+    )

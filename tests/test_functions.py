@@ -792,3 +792,32 @@ def test_revenue_rollup_levels_consistent(sf_dir):
     per_nat = fine.groupby("n_name")["revenue_e4"].sum()
     for r in subs.itertuples():
         assert r.revenue_e4 == per_nat[r.n_name]
+
+
+def test_unigram_entropy_hand():
+    """Hand-computed scaled-int entropy; single-repeated-word doc has zero
+    entropy; empty doc is zero; partitioning-invariant."""
+    import math
+
+    from core_ray.functions import unigram_entropy
+
+    rows = [(0, "a a b"), (1, "x x x x"), (2, ""), (3, "p q r")]
+    outs = []
+    for parts in (1, 3):
+        out = (
+            unigram_entropy(_docs_ds(rows).repartition(parts))
+            .to_pandas().reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].set_index("doc_id")
+
+    def rh(x):  # round-half-even like DuckDB round_even
+        return int(np.round(x))
+
+    expect0 = -(2 * rh(math.log(2 / 3) * 1e6) + 1 * rh(math.log(1 / 3) * 1e6))
+    assert out.loc[0, "ent_e6"] == expect0
+    assert out.loc[1, "ent_e6"] == 0  # ln(4/4) = 0
+    assert out.loc[2, "ent_e6"] == 0 and out.loc[2, "n_words"] == 0
+    expect3 = -3 * rh(math.log(1 / 3) * 1e6)
+    assert out.loc[3, "ent_e6"] == expect3
