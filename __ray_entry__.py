@@ -922,6 +922,14 @@ def _q_ev_funnel(sf):
     return funnel_counts(sf, steps=("view", "click", "purchase"))
 
 
+def _q_doc_dedup_near_best(sf):
+    """Near-dedup keep set with quality-ranked survivors: highest n_chars
+    per cluster wins (ties to smallest id)."""
+    from core_ray.functions import dedup_near_best
+
+    return dedup_near_best(sf, threshold=0.5)
+
+
 def _q_doc_dup_cluster_sizes(sf):
     """Near-dup cluster-size histogram over the exact-Jaccard pair graph."""
     from core_ray.functions import dup_cluster_sizes
@@ -2235,6 +2243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fw_pipeline_json": _q_fw_pipeline_json,
         "rel_rollup": _q_rel_rollup,
         "doc_entropy": _q_doc_entropy,
+        "doc_dedup_near_best": _q_doc_dedup_near_best,
     }
 
 
@@ -4652,6 +4661,49 @@ SELECT n.doc_id, n.n_words,
        CAST(-COALESCE(sum(t.t), 0) AS BIGINT) AS ent_e6
 FROM n LEFT JOIN terms t USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+# near-dedup with quality-ranked survivors (highest n_chars per cluster)
+_ORACLE["doc_dedup_near_best"] = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2] AS g
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+cnts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN cnts na ON na.doc_id = inter.doc_a
+             JOIN cnts nb ON nb.doc_id = inter.doc_b
+  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+          UNION ALL SELECT doc_b, doc_a FROM prs),
+reach(u, r) AS (
+  SELECT u, v AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+),
+lbl AS (SELECT u, LEAST(u, min(r)) AS root FROM reach GROUP BY u),
+win AS (
+  SELECT l.u
+  FROM lbl l JOIN documents d ON d.doc_id = l.u
+  QUALIFY row_number() OVER (PARTITION BY l.root
+                             ORDER BY d.n_chars DESC, l.u) = 1
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT u FROM lbl) OR doc_id IN (SELECT u FROM win)
+ORDER BY doc_id
 """
 
 

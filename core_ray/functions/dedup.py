@@ -1625,3 +1625,80 @@ def dup_cluster_sizes(
         pa.table({"cluster_size": pa.array([], pa.int64()),
                   "n_clusters": pa.array([], pa.int64())})
     ).union(hist).sort("cluster_size")
+
+
+def dedup_near_best(
+    source: str | ray.data.Dataset,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Near-dedup keep set with QUALITY-RANKED survivors: in every
+    near-duplicate cluster the surviving document is the one with the
+    highest ``n_chars`` (ties to the smallest id) instead of
+    :func:`dedup_near`'s min-id — what production dedup actually wants
+    (keep the best duplicate, not the first-crawled one; any quality
+    column works the same way).
+
+    Shape: the recall-1 :func:`jaccard_pairs` graph -> distributed
+    min-label components -> one hash_join attaches each member's quality ->
+    per-cluster argmax via the bounded per-batch top-1 partials
+    (``group_topk`` discipline) -> anti-filter of the losers.  Output:
+    surviving ``doc_id`` rows, sorted.
+    """
+    from .join import hash_join
+    from .text import _read_docs
+
+    pairs = jaccard_pairs(source, threshold=threshold)
+    labels = component_labels_distributed(pairs)  # (node, label)
+    quality = _read_docs(source, ["doc_id", "n_chars"]).map_batches(
+        lambda t: t.select(["doc_id", "n_chars"]).rename_columns(
+            ["node", "n_chars"]),
+        batch_format="pyarrow",
+    )
+    members = hash_join(labels, quality, on="node")
+
+    def top_partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        node = t["node"].to_numpy(zero_copy_only=False)
+        q = t["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((node, -q, lab))
+        lab_s = lab[order]
+        first = np.ones(len(lab_s), bool)
+        first[1:] = lab_s[1:] != lab_s[:-1]
+        keep = order[first]
+        return pa.table(
+            {
+                "label": pa.array(lab[keep], pa.int64()),
+                "node": pa.array(node[keep], pa.int64()),
+                "n_chars": pa.array(q[keep]),
+            }
+        )
+
+    def winner(g: pa.Table) -> pa.Table:
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        node = g["node"].to_numpy(zero_copy_only=False)
+        q = g["n_chars"].to_numpy(zero_copy_only=False)
+        best = int(np.lexsort((node, -q))[0])
+        return pa.table({"winner": pa.array([node[best]], pa.int64())})
+
+    winners = (
+        members.map_batches(top_partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(winner, batch_format="pyarrow")
+    )
+    win_ids = {int(r["winner"]) for r in winners.take_all()}  # bounded:
+    # one id per near-dup cluster (clusters << corpus)
+    drop_ref = None
+    all_members = {int(r["node"]) for r in labels.take_all()}
+    drops = sorted(all_members - win_ids)
+    drop_ref = ray.put(pa.array(drops, pa.int64()))
+
+    ids = _read_docs(source, ["doc_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(
+            pc.is_in(batch["doc_id"], value_set=ray.get(drop_ref))
+        )
+        return batch.filter(mask)
+
+    return ids.map_batches(keep, batch_format="pyarrow").sort("doc_id")

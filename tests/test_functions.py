@@ -821,3 +821,20 @@ def test_unigram_entropy_hand():
     assert out.loc[2, "ent_e6"] == 0 and out.loc[2, "n_words"] == 0
     expect3 = -3 * rh(math.log(1 / 3) * 1e6)
     assert out.loc[3, "ent_e6"] == expect3
+
+
+def test_dedup_near_best_keeps_highest_quality():
+    """The longest member of each near-dup cluster survives (ties -> min
+    id), untouched docs all survive."""
+    from core_ray.functions import dedup_near_best
+
+    long_a = " ".join(f"w{i}" for i in range(30))
+    long_b = " ".join(f"w{i}" for i in range(29)) + " zz zz2"  # LONGER near-dup
+    rows = [
+        (10, long_a),
+        (11, long_b),
+        (12, "totally different words here about other things entirely"),
+    ]
+    kept = sorted(dedup_near_best(_docs_ds(rows)).to_pandas()["doc_id"])
+    # 11 is longer than 10 -> wins despite the larger id
+    assert kept == [11, 12]
