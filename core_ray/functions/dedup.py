@@ -1187,6 +1187,15 @@ def dedup_spans(
     Output: ``(doc_id, n_words, n_kept, text_clean)`` sorted by doc_id,
     with ``text_clean`` the ORIGINAL-case kept words joined by ' '
     (whitespace-normalized for every document, touched or not).
+
+    Exactness assumption: duplication is decided on 64-bit trigram hashes
+    (``_tri_mix``) while the oracle compares trigram strings — a collision
+    between distinct trigrams in two documents would silently drop
+    non-duplicated words.  At ~n distinct trigrams the collision odds are
+    ~n²/2⁶⁴ (same precedent as :func:`jaccard_pairs` /
+    :func:`dup_shingle_coverage`), but note this operator MUTATES text
+    rather than just measuring, so a collision would corrupt output, not
+    merely misreport a score.
     """
     from .join import hash_join
 
@@ -1350,62 +1359,100 @@ def dedup_spans(
 
 
 # ---------------------------------------------------------------------------
-# persisted MinHash band index + incremental near-dup probe
+# persisted shingle inverted index + incremental near-dup probe
 # ---------------------------------------------------------------------------
 
 _MH_META = "_minhash_meta.json"
+
+
+def _batch_tri_shingles(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Word-trigram shingle hashes per doc, trigram-ONLY: a doc with < 3
+    words emits NOTHING (it has no trigram set and can never be a near-dup
+    under the trigram-set oracle rule), unlike :func:`_batch_shingles`'s
+    per-word fallback for short docs."""
+    hashes, wc = _word_hashes_batch(texts)
+    word_starts = np.concatenate(([0], np.cumsum(wc)[:-1]))
+    sh_counts = np.where(wc >= 3, wc - 2, 0)
+    total = int(sh_counts.sum())
+    out = np.empty(total, dtype=np.uint64)
+    sh_starts = np.concatenate(([0], np.cumsum(sh_counts)[:-1]))
+    tri = _tri_mix(hashes) if len(hashes) >= 3 else np.zeros(0, dtype=np.uint64)
+    big = wc >= 3
+    if big.any():
+        src = _ragged_range(word_starts[big], sh_counts[big])
+        dst = _ragged_range(sh_starts[big], sh_counts[big])
+        out[dst] = tri[src]
+    return out, sh_counts
+
+
+def _tri_shingle_rows(ids: np.ndarray, texts) -> pa.Table:
+    """DISTINCT trigram shingles per doc exploded to
+    ``(shingle, doc_id, set_size)`` rows — the jaccard_pairs stage-1 shape,
+    restricted to trigram-only semantics."""
+    flat, counts = _batch_tri_shingles(texts)
+    doc_idx = np.repeat(np.arange(len(ids)), counts)
+    order = np.lexsort((flat, doc_idx))
+    d, s = doc_idx[order], flat[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+    d, s = d[keep], s[keep]
+    sizes = np.bincount(d, minlength=len(ids)).astype(np.int64)
+    return pa.table(
+        {
+            "shingle": pa.array(s, pa.uint64()),
+            "doc_id": pa.array(ids[d], pa.int64()),
+            "set_size": pa.array(sizes[d], pa.int64()),
+        }
+    )
 
 
 def build_minhash_index(
     source: str | ray.data.Dataset,
     index_dir: str,
     ref_mod: int = 5,
-    num_buckets: int = 8,
+    num_buckets: int = 32,
 ) -> dict:
-    """Persist the REFERENCE corpus's MinHash LSH band index — the near-dup
-    analog of :func:`bloom_novel`'s exact filter and the retrieval index's
-    "build once, probe many" layout: tomorrow's ingest probes these band
-    buckets instead of re-signing (or re-reading) the historical corpus.
+    """Persist the REFERENCE corpus's near-dup screening index: the DISTINCT
+    trigram-shingle inverted index ``(shingle, doc_id, set_size)``,
+    hive-partitioned by a shingle-hash bucket (``sb``) so an ingest probe
+    reads only the partitions its own shingles fall in — the "build once,
+    probe many" layout shared with :func:`bloom_novel` and the IVF index.
+
+    Round-4 redesign (recall): the previous layout persisted MinHash LSH
+    bands, whose candidate recall at the verify threshold is < 1 (16 bands
+    of 4 rows gives ~1-(1-J^4)^16 ~= 0.64 at J=0.5) — a true near-dup pair
+    could miss every band and be falsely reported novel.  The shingle
+    inverted index is recall-1 BY CONSTRUCTION: any pair with nonzero
+    trigram intersection (a superset of J >= t for every t > 0) collides on
+    at least one shingle partition.  Exactness note: shingles are compared
+    as 64-bit ``_tri_mix`` hashes while the oracle compares trigram STRINGS
+    — the same documented ~n^2/2^64-collision assumption as
+    :func:`jaccard_pairs` / :func:`dup_shingle_coverage`.
 
     Reference slice: ``doc_id % ref_mod == 0`` (the deterministic
     yesterday's-corpus stand-in shared with ``lm_score``/``bloom_novel``).
-    Layout: ``<dir>/bands/band=<b>/hb=<h>/*.parquet`` rows
-    ``(band, band_hash, doc_id)`` hive-partitioned by band and a band-hash
-    bucket, so a probe reads only the partitions its own band hashes fall
-    in.  At incremental-ingest scale the index read is bounded by the
-    ingest's distinct (band, bucket) set — and the reference TEXT is only
-    touched later, pruned to verified candidates.
     """
     import json
     import os
 
     ds = _read_docs(source, ["doc_id", "text"])
+    nb = np.uint64(num_buckets)
 
-    def ref_only(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids % ref_mod == 0))
-
-    def add_hb(t: pa.Table) -> pa.Table:
-        hb = (
-            t["band_hash"].to_numpy(zero_copy_only=False)
-            % np.uint64(num_buckets)
-        ).astype(np.int64)
-        # partition copies; (band, band_hash) stay as data columns too
-        return t.append_column("pband", t["band"]).append_column(
-            "hb", pa.array(hb, pa.int64())
-        )
+    def ref_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % ref_mod == 0
+        t = _tri_shingle_rows(ids[keep], batch["text"].filter(pa.array(keep)))
+        sb = (t["shingle"].to_numpy(zero_copy_only=False) % nb).astype(np.int64)
+        return t.append_column("sb", pa.array(sb, pa.int64()))
 
     os.makedirs(index_dir, exist_ok=True)
     (
-        ds.map_batches(ref_only, batch_format="pyarrow")
-        .map_batches(_minhash_bands_fn(include_sig=False),
-                     batch_format="pyarrow", batch_size=2048)
-        .map_batches(add_hb, batch_format="pyarrow")
-        .write_parquet(os.path.join(index_dir, "bands"),
-                       partition_cols=["pband", "hb"])
+        ds.map_batches(ref_rows, batch_format="pyarrow", batch_size=2048)
+        .write_parquet(os.path.join(index_dir, "shingles"),
+                       partition_cols=["sb"])
     )
     meta = {"num_buckets": num_buckets, "ref_mod": ref_mod,
-            "bands": BANDS, "num_perm": NUM_PERM}
+            "layout": "shingle-inverted"}
     with open(os.path.join(index_dir, _MH_META), "w") as f:
         json.dump(meta, f)
     return meta
@@ -1416,16 +1463,22 @@ def minhash_novel(
     index_dir: str,
     threshold: float = 0.5,
 ) -> ray.data.Dataset:
-    """Incremental NEAR-dup screening: flag which of today's documents
-    (``doc_id % ref_mod != 0``) are novel vs the persisted reference index —
-    LSH band-collision candidates, then EXACT shingle-Jaccard verification
-    against only the candidate reference texts (the ``minhash_pairs``
-    verify discipline, so false LSH collisions can't mislabel).
+    """Incremental NEAR-dup screening with RECALL 1: flag which of today's
+    documents (``doc_id % ref_mod != 0``) are novel vs the persisted
+    reference shingle index.  Exact trigram Jaccard is computed directly
+    from index co-occurrence counts — for each (ref, ingest) pair the
+    number of shared distinct shingles IS the intersection size, so
+    ``J = c / (|A| + |B| - c)`` needs no text fetch and misses no pair
+    (every J > 0 pair shares a shingle; LSH-band candidates, by contrast,
+    can miss true near-dups below ~0.9 Jaccard).
 
-    IO shape: the ingest is signed once (bands only — ints); the index read
-    is pruned to the partitions the ingest's band hashes fall in; reference
-    TEXT is read pruned to candidate ids.  Output: ``(doc_id, novel)`` for
-    every ingest document, sorted.
+    IO shape: the ingest is shingled once (ints only, bounded by the
+    ingest); the index read is pruned to the ``sb`` partitions the ingest's
+    shingles fall in; reference TEXT is never read.  A stop-shingle shared
+    by k docs emits k ref-x-ingest rows — the same quadratic knob as
+    :func:`jaccard_pairs`; callers screening adversarial corpora should cap
+    it there first.  Output: ``(doc_id, novel)`` for every ingest document,
+    sorted.
     """
     import json
     import os
@@ -1441,129 +1494,119 @@ def minhash_novel(
         return batch.filter(pa.array(ids % ref_mod != 0))
 
     today = ds.map_batches(today_only, batch_format="pyarrow")
-    # ingest bands: ints only, bounded by the ingest — materialized because
-    # they feed both the probe-partition list and the collision join
+
+    # ingest shingles: ints only, bounded by the ingest — materialized
+    # because they feed both the probe-partition list and the collision join
+    def ingest_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _tri_shingle_rows(ids, batch["text"])
+
     tb = today.map_batches(
-        _minhash_bands_fn(include_sig=False), batch_format="pyarrow",
-        batch_size=2048,
+        ingest_rows, batch_format="pyarrow", batch_size=2048
     ).materialize()
 
     def probe_partial(t: pa.Table) -> pa.Table:
-        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hb = (t["band_hash"].to_numpy(zero_copy_only=False)
-              % np.uint64(nb)).astype(np.int64)
-        key = np.unique(band * nb + hb)
-        return pa.table({"key": pa.array(key, pa.int64())})
+        sb = np.unique(
+            t["shingle"].to_numpy(zero_copy_only=False) % np.uint64(nb)
+        ).astype(np.int64)
+        return pa.table({"sb": pa.array(sb, pa.int64())})
 
-    probe_keys = sorted(
-        int(r["key"])
+    probe_sb = sorted(
+        int(r["sb"])
         for r in tb.map_batches(probe_partial, batch_format="pyarrow")
-        .groupby("key").count().take_all()  # bounded: <= BANDS * nb
+        .groupby("sb").count().take_all()  # bounded: <= num_buckets
     )
     paths = []
-    for key in probe_keys:
-        b, h = key // nb, key % nb
-        d = os.path.join(index_dir, "bands", f"pband={b}", f"hb={h}")
+    for b in probe_sb:
+        d = os.path.join(index_dir, "shingles", f"sb={b}")
         if os.path.isdir(d):
             paths.extend(
                 os.path.join(d, f) for f in sorted(os.listdir(d))
                 if f.endswith(".parquet")
             )
 
-    def flag(side: int):
-        def fn(t: pa.Table) -> pa.Table:
-            t = t.select(["band", "band_hash", "doc_id"])
-            return t.append_column(
-                "side", pa.array(np.full(len(t), side, np.int8))
-            )
-        return fn
+    from ..ops.common import _arrow_add_bucket
 
-    from ..ops.common import bucketed_distinct, collision_grouped_map
-
+    hit_ref = None
     if paths:
+
+        def flag(side: int):
+            def fn(t: pa.Table) -> pa.Table:
+                t = t.select(["shingle", "doc_id", "set_size"])
+                return t.append_column(
+                    "side", pa.array(np.full(len(t), side, np.int8))
+                )
+
+            return fn
+
         idx = ray.data.read_parquet(
-            paths, columns=["band", "band_hash", "doc_id"]
+            paths, columns=["shingle", "doc_id", "set_size"]
         ).map_batches(flag(0), batch_format="pyarrow")
         tagged = idx.union(tb.map_batches(flag(1), batch_format="pyarrow"))
 
-        def cross(sub: pd.DataFrame) -> pd.DataFrame | None:
-            rid = sub.loc[sub["side"] == 0, "doc_id"].unique()
-            nid = sub.loc[sub["side"] == 1, "doc_id"].unique()
-            if not len(rid) or not len(nid):
-                return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                     "doc_b": pd.Series([], dtype="int64")})
+        _CO_EMPTY = {c: pd.Series([], dtype="int64")
+                     for c in ("rid", "nid", "c", "sr", "sn")}
+
+        def co_partial(g: pd.DataFrame) -> pd.DataFrame:
+            # per shingle-bucket: one vectorized ref-x-ingest merge on the
+            # shingle hash; the per-(rid, nid) row count within a bucket is
+            # a PARTIAL exact-intersection count (a pair's shingles span
+            # buckets, so stage 2 re-aggregates)
+            r = g.loc[g["side"] == 0, ["shingle", "doc_id", "set_size"]]
+            n = g.loc[g["side"] == 1, ["shingle", "doc_id", "set_size"]]
+            if not len(r) or not len(n):
+                return pd.DataFrame(_CO_EMPTY)
+            m = r.merge(n, on="shingle", suffixes=("_r", "_n"))
+            if not len(m):
+                return pd.DataFrame(_CO_EMPTY)
+            agg = (
+                m.groupby(["doc_id_r", "doc_id_n"], sort=False)
+                .agg(c=("set_size_r", "size"), sr=("set_size_r", "first"),
+                     sn=("set_size_n", "first"))
+                .reset_index()
+                .rename(columns={"doc_id_r": "rid", "doc_id_n": "nid"})
+            )
+            return agg.astype(
+                {"rid": "int64", "nid": "int64", "c": "int64",
+                 "sr": "int64", "sn": "int64"}
+            )
+
+        co = (
+            tagged.map_batches(
+                _arrow_add_bucket(["shingle"], 64), batch_format="pyarrow"
+            )
+            .groupby("_bucket")
+            .map_groups(co_partial, batch_format="pandas")
+        )
+
+        def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns=["_bucket"])
+            agg = (
+                g.groupby(["rid", "nid"], sort=False)
+                .agg(c=("c", "sum"), sr=("sr", "first"), sn=("sn", "first"))
+                .reset_index()
+            )
+            j = agg["c"].to_numpy() / (
+                agg["sr"].to_numpy() + agg["sn"].to_numpy()
+                - agg["c"].to_numpy()
+            )
             return pd.DataFrame(
-                {"doc_a": np.repeat(rid, len(nid)).astype(np.int64),
-                 "doc_b": np.tile(nid, len(rid)).astype(np.int64)}
+                {"nid": pd.Series(
+                    pd.unique(agg.loc[j >= threshold, "nid"].to_numpy()),
+                    dtype="int64")}
             )
-
-        pairs = collision_grouped_map(tagged, ["band", "band_hash"], cross)
-        cand = bucketed_distinct(pairs, ["doc_a", "doc_b"],
-                                 ["doc_a", "doc_b"]).materialize()
-    else:
-        cand = ray.data.from_arrow(
-            pa.table({"doc_a": pa.array([], pa.int64()),
-                      "doc_b": pa.array([], pa.int64())})
-        ).materialize()
-
-    from .join import collect_key_set, fetch_broadcast_table, object_store_table
-
-    hit_ref = None
-    if cand.count() > 0:
-        keep = collect_key_set(cand, ["doc_a", "doc_b"])
-        if isinstance(source, str):
-            import pyarrow.dataset as pads
-
-            path = (source if source.endswith(".parquet")
-                    else f"{source}/documents.parquet")
-            texts_cand = ray.data.read_parquet(
-                path, columns=["doc_id", "text"],
-                filter=pads.field("doc_id").isin(keep.to_pylist()),
-            )
-        else:
-            from .join import semi_join_filter
-
-            texts_cand = semi_join_filter(
-                ds.map_batches(lambda t: t.select(["doc_id", "text"]),
-                               batch_format="pyarrow"),
-                None, "doc_id", key_set=keep,
-            )
-        texts_refs = object_store_table(texts_cand)
-
-        def verify(batch: pd.DataFrame) -> pd.DataFrame:
-            tbl = fetch_broadcast_table(texts_refs)
-            texts = dict(zip(tbl["doc_id"].to_pylist(),
-                             tbl["text"].to_pylist()))
-            memo: dict = {}
-
-            def sh(i: int) -> set:
-                s = memo.get(i)
-                if s is None:
-                    # trigram sets ONLY — a <3-word doc has no shingles and
-                    # can never be a near-dup, exactly like the oracle's
-                    # len(ws) >= 3 CTE (the word fallback minhash_pairs uses
-                    # would diverge here, incl. empty-doc j=1 artifacts)
-                    w = texts[i].lower().split()
-                    s = set(zip(w, w[1:], w[2:]))
-                    memo[i] = s
-                return s
-
-            hits = []
-            for a, b in zip(batch["doc_a"], batch["doc_b"]):
-                sa, sb = sh(int(a)), sh(int(b))
-                if not sa or not sb:
-                    continue
-                inter = len(sa & sb)
-                j = inter / (len(sa) + len(sb) - inter)
-                if j >= threshold:
-                    hits.append(int(b))
-            return pd.DataFrame({"nid": pd.Series(hits, dtype="int64")})
 
         hit_ids = sorted(
             {int(r["nid"]) for r in
-             cand.map_batches(verify, batch_format="pandas").take_all()}
+             co.map_batches(
+                 _arrow_add_bucket(["rid", "nid"], 64),
+                 batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(per_pair, batch_format="pandas")
+             .take_all()}
         )  # bounded: ingest docs with a verified reference near-dup
-        hit_ref = ray.put(pa.array(hit_ids, pa.int64()))
+        if hit_ids:
+            hit_ref = ray.put(pa.array(hit_ids, pa.int64()))
 
     def emit(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"]
@@ -1686,19 +1729,20 @@ def dedup_near_best(
         .groupby("label")
         .map_groups(winner, batch_format="pyarrow")
     )
-    win_ids = {int(r["winner"]) for r in winners.take_all()}  # bounded:
-    # one id per near-dup cluster (clusters << corpus)
-    drop_ref = None
-    all_members = {int(r["node"]) for r in labels.take_all()}
-    drops = sorted(all_members - win_ids)
-    drop_ref = ray.put(pa.array(drops, pa.int64()))
 
+    from .join import anti_join_filter
+
+    # drop set = clustered nodes minus the per-cluster winners, computed
+    # DISTRIBUTED (winners are bounded — one per cluster — but the clustered
+    # NODES are O(all duplicated docs) on a heavily duplicated corpus, so no
+    # driver set is ever collected; both anti-joins ride the bucketed
+    # hash-join arm, which auto-broadcasts small sides anyway)
+    drops = anti_join_filter(
+        labels.map_batches(lambda t: t.select(["node"]),
+                           batch_format="pyarrow"),
+        winners, on="node", key_cols=["winner"], distributed=True,
+    )
     ids = _read_docs(source, ["doc_id"])
-
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.invert(
-            pc.is_in(batch["doc_id"], value_set=ray.get(drop_ref))
-        )
-        return batch.filter(mask)
-
-    return ids.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+    return anti_join_filter(
+        ids, drops, on="doc_id", key_cols=["node"], distributed=True
+    ).sort("doc_id")
