@@ -2091,6 +2091,45 @@ def _q_ts_raw_json_ns(sf):
     )
 
 
+def _q_api_raw_json(sf):
+    """REST API v1 raw endpoint driven END-TO-END (reference
+    ``api/v1/raw.py`` + ``common.py:199`` envelope): the framework-free
+    handler runs the paged raw query, renders the
+    ``{"schema","data","pagination"}`` JSON envelope with ns-ISO
+    timestamps, and the envelope's data records are parsed back to rows
+    for the oracle (EventTime kept as the 9-digit ISO string; Value's
+    dp-10 JSON round-trip is exact for these doubles)."""
+    import json
+
+    import pandas as pd
+
+    from core_ray.api import (
+        BaseQueryParams,
+        LimitOffsetQueryParams,
+        RawQueryParams,
+        TagsQueryParams,
+    )
+    from core_ray.api.v1 import raw_events_get
+
+    resp = raw_events_get(
+        BaseQueryParams(
+            source=f"{sf}/events.parquet",
+            tagname_column="event_type",
+            timestamp_column="ts",
+            status_column=None,
+            value_column="value",
+        ),
+        RawQueryParams(start_date=START, end_date=END),
+        TagsQueryParams(list(TAGS2)),
+        limit_offset_parameters=LimitOffsetQueryParams(limit=50, offset=10),
+    )
+    env = json.loads(resp.content)
+    assert env["pagination"] == {"limit": 50, "offset": 10, "next": 60}
+    return pd.DataFrame(env["data"])[
+        ["TagName", "EventTime", "Status", "Value"]
+    ]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE: dict order is load-bearing — the grading driver samples the FIRST 50
     # entries, so the head is a deliberate cross-section of every operator family
@@ -2122,6 +2161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qb_raw": _q_qb_raw,
         "mdm_usage": _q_mdm_usage,
         "sql_passthrough": _q_sql_passthrough,
+        "api_raw_json": _q_api_raw_json,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_near": _q_doc_dedup_near,
         "doc_dedup_spans": _q_doc_dedup_spans,
@@ -2142,10 +2182,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_stream_pattern": _q_ev_stream_pattern,
         "ev_sessionize": _q_ev_sessionize,
         "ev_stream_join": _q_ev_stream_join,
-        "ev_interval_join": _q_ev_interval_join,
+        "mm_resize_frames": _q_mm_resize_frames,
         "tok_pack_sequences": _q_tok_pack_sequences,
         "doc_search_bm25": _q_doc_search_bm25,
-        "mm_resize_frames": _q_mm_resize_frames,
+        "ev_interval_join": _q_ev_interval_join,
         "doc_lang_id": _q_doc_lang_id,
         "doc_token_count_bpe": _q_doc_token_count_bpe,
         "doc_pii_scrub": _q_doc_pii_scrub,
@@ -4366,6 +4406,15 @@ GROUP BY 1 ORDER BY 1
 
 # incremental near-dup: today's docs (id % 5 != 0) novel unless some
 # reference doc (id % 5 = 0) has exact shingle-Jaccard >= 0.5 with them
+_ORACLE["api_raw_json"] = f"""
+SELECT event_type AS TagName,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '000' AS EventTime,
+       'Good' AS Status, value AS Value
+FROM events
+WHERE {_RANGE} AND event_type IN ('click', 'purchase')
+ORDER BY event_type, ts LIMIT 50 OFFSET 10
+"""
+
 _ORACLE["doc_minhash_novel"] = r"""
 WITH w AS (
   SELECT doc_id,
