@@ -29,6 +29,36 @@ def _read_emb(source: str | ray.data.Dataset) -> ray.data.Dataset:
     return source
 
 
+def _seed_rows(source: str | ray.data.Dataset, n: int) -> list[dict]:
+    """The deterministic seed head (``vec_id < n``), sorted by vec_id.
+
+    Path inputs push the predicate into the parquet scan (row groups with
+    ``min(vec_id) >= n`` never leave storage); Dataset inputs apply a
+    vectorized ``pc.less`` mask in ``map_batches`` — never a per-row Python
+    ``ds.filter(lambda …)`` scan."""
+    if isinstance(source, str):
+        import pyarrow.dataset as pads
+
+        path = (
+            source if source.endswith(".parquet")
+            else f"{source}/embeddings.parquet"
+        )
+        head = ray.data.read_parquet(
+            path,
+            columns=["vec_id", "embedding"],
+            filter=pads.field("vec_id") < n,
+        )
+    else:
+
+        def mask(t: pa.Table) -> pa.Table:
+            return t.filter(pc.less(t["vec_id"], n))
+
+        head = source.map_batches(mask, batch_format="pyarrow")
+    rows = head.take_all()  # bounded: n rows
+    rows.sort(key=lambda r: r["vec_id"])
+    return rows
+
+
 def _batch_matrix(batch: pa.Table) -> np.ndarray:
     col = batch["embedding"].combine_chunks()
     if isinstance(col, pa.ChunkedArray):
@@ -443,24 +473,7 @@ def cluster_assign(
     """
     ds = _read_emb(source)
     if centroids is None:
-        import pyarrow.dataset as pads
-
-        if isinstance(source, str):
-            path = (
-                source if source.endswith(".parquet")
-                else f"{source}/embeddings.parquet"
-            )
-            head = ray.data.read_parquet(
-                path,
-                columns=["vec_id", "embedding"],
-                filter=pads.field("vec_id") < n_clusters,
-            )
-        else:
-            head = ds.filter(
-                lambda r: r["vec_id"] < n_clusters
-            )
-        rows = head.take_all()  # bounded: n_clusters rows
-        rows.sort(key=lambda r: r["vec_id"])
+        rows = _seed_rows(source, n_clusters)
         centroid_ids = np.array([r["vec_id"] for r in rows], np.int64)
         centroids = np.array([r["embedding"] for r in rows], np.float64)
     else:
@@ -512,8 +525,7 @@ def kmeans_fit(
     :func:`cluster_assign`.
     """
     ds = _read_emb(source)
-    head = ds.filter(lambda r: r["vec_id"] < n_clusters).take_all()
-    head.sort(key=lambda r: r["vec_id"])
+    head = _seed_rows(source, n_clusters)
     cents = np.array([r["embedding"] for r in head], np.float64)
     if len(cents) < n_clusters:
         raise ValueError(f"need vec_ids 0..{n_clusters - 1} present for init")

@@ -32,9 +32,49 @@ class PolarsSource(SourceComponent):
 
         if self.fmt == "parquet":
             return pl.scan_parquet(self.path)
-        if self.fmt == "delta":  # pragma: no cover - delta-rs absent here
+        if self.fmt == "delta":
+            try:  # pragma: no cover - delta-rs absent in this container
+                import deltalake  # noqa: F401  (scan_delta is lazy; the
+                # missing-import error would otherwise only surface at
+                # collect time, so probe eagerly)
+            except ImportError:
+                return self._scan_delta_native()
             return pl.scan_delta(self.path)
         raise ValueError(f"unsupported format: {self.fmt}")
+
+    def _scan_delta_native(self):
+        """delta-rs-free fallback: resolve live files + partition values
+        from the native ``_delta_log`` reader (``sources/delta_log.py``)
+        and scan them lazily with Polars, partition columns attached as
+        typed literals per file group."""
+        import os
+
+        import polars as pl
+        import pyarrow as pa
+
+        from .delta_log import _partition_types, _typed_scalar, snapshot
+
+        snap = snapshot(self.path)
+        ptypes = _partition_types(snap)
+        groups: dict[tuple, list[str]] = {}
+        for f in snap.files:
+            key = tuple(
+                f["partitionValues"].get(c) for c in snap.partition_columns
+            )
+            groups.setdefault(key, []).append(
+                os.path.join(self.path, f["path"])
+            )
+        frames = []
+        for key, paths in sorted(groups.items()):
+            lf = pl.scan_parquet(sorted(paths))
+            for i, c in enumerate(snap.partition_columns):
+                val = _typed_scalar(key[i], ptypes[c])
+                dtype = pl.Series(
+                    pa.chunked_array([pa.array([], ptypes[c])])
+                ).dtype
+                lf = lf.with_columns(pl.lit(val, dtype=dtype).alias(c))
+            frames.append(lf)
+        return pl.concat(frames) if len(frames) > 1 else frames[0]
 
     def read_batch(self) -> ray.data.Dataset:
         return ray.data.from_arrow(self._lazyframe().collect().to_arrow())

@@ -5,15 +5,18 @@ function) as a Ray Data ``map_batches`` stage over a string payload column,
 emitting the 6-column PCDM CDC shape (TagName, EventTime, Status,
 Value:string, ValueType, ChangeType).
 
-Parsing is per-message Python (each message is one independent JSON document
-— the same grain the reference's ``from_json`` works at); all downstream
-stages stay vectorized Arrow.  For very large messages, run these as an
-actor-pool stage (``concurrency=N``) so JSON buffers are reused per actor.
+Parsing is per-message (each message is one independent JSON document — the
+same grain the reference's ``from_json`` works at) through the orjson Rust
+parser when available (``stages/_json.py``; Spark's ``from_json`` is likewise
+a native parser, so this is the honest analog rather than stdlib ``json``);
+all downstream stages stay vectorized Arrow.  For very large messages, run
+these as an actor-pool stage (``concurrency=N``) so buffers are reused per
+actor.
 """
 
 from __future__ import annotations
 
-import json
+from ._json import loads as _loads
 from datetime import datetime, timezone
 
 import numpy as np
@@ -94,7 +97,7 @@ def fledge_opcua_to_pcdm(
 
     def parse(body: str):
         out = []
-        for msg in json.loads(body):
+        for msg in _loads(body):
             t = _to_utc_naive_us(msg.get("timestamp"))
             for tag, val in (msg.get("readings") or {}).items():
                 out.append(
@@ -122,7 +125,7 @@ def opc_publisher_opcua_to_pcdm(
     when present, else the configured null value."""
 
     def parse(body: str):
-        msgs = json.loads(body)
+        msgs = _loads(body)
         if not multiple_rows_per_message:
             msgs = [msgs]
         out = []
@@ -169,7 +172,7 @@ def edgex_to_pcdm(
     integer/float/bool/string."""
 
     def parse(body: str):
-        msg = json.loads(body)
+        msg = _loads(body)
         out = []
         for r in msg.get("readings") or []:
             origin = r.get("origin")
@@ -206,10 +209,10 @@ def aio_to_pcdm(
     mapping tag -> {SourceTimestamp, Value}; one PCDM row per tag."""
 
     def parse(body: str):
-        outer = json.loads(body)
+        outer = _loads(body)
         payload = outer.get("Payload")
         if isinstance(payload, str):
-            payload = json.loads(payload)
+            payload = _loads(payload)
         out = []
         for tag, entry in (payload or {}).items():
             out.append(
@@ -244,7 +247,7 @@ def sem_to_pcdm(
     (TagName suffix, ValueType); TagName = "{dID}:{suffix}"."""
 
     def parse(body: str):
-        msg = json.loads(body)
+        msg = _loads(body)
         readings = msg.get("readings") or {}
         names = readings.get("resourceName") or []
         values = readings.get("value") or []
@@ -307,7 +310,7 @@ def mirico_to_pcdm(
     vt_map = field_value_types or {}
 
     def parse(body: str):
-        msg = json.loads(body)
+        msg = _loads(body)
         site, retro, gas = msg.get("siteName"), msg.get("retroName"), msg.get("gasType")
         t = _to_utc_naive_us(msg.get("timeStamp"))
         out = []
@@ -340,7 +343,7 @@ def mirico_to_metadata(
         for body in batch[source_column].to_pylist():
             if body is None:
                 continue
-            m = json.loads(body)
+            m = _loads(body)
             site, retro = m.get("siteName"), m.get("retroName")
             rows.append(
                 (
@@ -374,7 +377,7 @@ def honeywell_apm_to_pcdm(
     — one PCDM row per sample, ValueType by float-castability."""
 
     def parse(body: str):
-        msg = json.loads(body)
+        msg = _loads(body)
         data = ((msg.get("SystemTimeSeries") or {}).get("Samples")) or []
         out = []
         for item in data:
@@ -408,7 +411,7 @@ def opcua_to_pcdm(
     ValueType by float-castability)."""
 
     def parse(body: str):
-        msg = json.loads(body)
+        msg = _loads(body)
         out = []
         for m in msg.get("Messages") or []:
             t = _to_utc_naive_us(m.get("Timestamp"))
@@ -463,7 +466,7 @@ def ssip_pi_json_to_pcdm(
         for body, prop in zip(batch[source_column].to_pylist(), props):
             if body is None:
                 continue
-            msg = json.loads(body)
+            msg = _loads(body)
             prop = prop or {}
             tag = msg.get("TagName")
             t = _to_utc_naive_us(msg.get("EventTime"))
@@ -560,7 +563,7 @@ def opc_publisher_ae_to_events(
         for body in batch[source_column].to_pylist():
             if body is None:
                 continue
-            for alarm in json.loads(body):
+            for alarm in _loads(body):
                 value = alarm.get("Value") or {}
                 row = {}
                 for out_name, field, typ in _AE_FIELDS:
