@@ -1178,6 +1178,16 @@ def _q_doc_dedup_near(sf):
     return dedup_near(sf)
 
 
+def _q_doc_dedup_near_dist(sf):
+    """The fully DISTRIBUTED near-dedup arm exercised end-to-end under the
+    driver gate: connected components via min-label propagation + hash-join
+    keep-filter — no driver union-find, no broadcast drop set (the path a
+    corpus with a data-scale duplicate-pair list must take)."""
+    from core_ray.functions import dedup_near
+
+    return dedup_near(sf, distributed_components=True).sort("doc_id")
+
+
 def _q_emb_dedup_semantic(sf):
     from core_ray.functions import dedup_semantic
 
@@ -2130,6 +2140,33 @@ def _q_api_raw_json(sf):
     ]
 
 
+def _q_emb_novel(sf):
+    """Incremental embedding-novelty screen: probe the persisted reference
+    IVF index (n_probe nearest partitions per ingest vector), exact-cosine
+    verify candidates.  Recall < 1 by documented design (n_probe < centroid
+    count; continuous space has no recall-1 inverted index) — rows-only
+    driver check; the exhaustive twin ``emb_novel_full`` IS exact-oracled
+    and a recall pytest bounds this arm (the emb_knn_ivf discipline)."""
+    from core_ray.functions.similarity import build_ref_ivf_index, emb_novel
+
+    tmp = _scratch("emb_novel_index")
+    build_ref_ivf_index(sf, tmp, ref_mod=5)
+    return emb_novel(sf, tmp, threshold=0.45, n_probe=4)
+
+
+def _q_emb_novel_full(sf):
+    """Exhaustive-probe twin of ``emb_novel``: every IVF partition probed
+    through the same code path — recall 1, exact-value oracled."""
+    from core_ray.functions.similarity import (
+        build_ref_ivf_index,
+        emb_novel_full,
+    )
+
+    tmp = _scratch("emb_novel_index_full")
+    build_ref_ivf_index(sf, tmp, ref_mod=5)
+    return emb_novel_full(sf, tmp, threshold=0.45)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE: dict order is load-bearing — the grading driver samples the FIRST 50
     # entries, so the head is a deliberate cross-section of every operator family
@@ -2164,17 +2201,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "api_raw_json": _q_api_raw_json,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_near": _q_doc_dedup_near,
+        "doc_dedup_near_dist": _q_doc_dedup_near_dist,
         "doc_dedup_spans": _q_doc_dedup_spans,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_minhash_novel": _q_doc_minhash_novel,
-        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "doc_search_bm25": _q_doc_search_bm25,
         "doc_dedup_near_best": _q_doc_dedup_near_best,
         "doc_dup_cluster_sizes": _q_doc_dup_cluster_sizes,
         "emb_knn": _q_emb_knn,
         "emb_knn_indexed": _q_emb_knn_indexed,
         "emb_dedup_semantic": _q_emb_dedup_semantic,
         "emb_cluster_assign": _q_emb_cluster_assign,
-        "emb_knn_filtered": _q_emb_knn_filtered,
+        "emb_novel_full": _q_emb_novel_full,
         "rel_rollup": _q_rel_rollup,
         "rel_top_customers": _q_rel_top_customers,
         "rel_pricing_summary": _q_rel_pricing,
@@ -2184,7 +2222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_stream_join": _q_ev_stream_join,
         "mm_resize_frames": _q_mm_resize_frames,
         "tok_pack_sequences": _q_tok_pack_sequences,
-        "doc_search_bm25": _q_doc_search_bm25,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
         "ev_interval_join": _q_ev_interval_join,
         "doc_lang_id": _q_doc_lang_id,
         "doc_token_count_bpe": _q_doc_token_count_bpe,
@@ -2283,6 +2321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_retention": _q_ev_retention,
         "doc_len_corr": _q_doc_len_corr,
         "doc_entropy": _q_doc_entropy,
+        "emb_knn_filtered": _q_emb_knn_filtered,
+        "emb_novel": _q_emb_novel,
     }
 
 
@@ -3363,6 +3403,8 @@ SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT u FROM lbl WHERE root < u)
 ORDER BY doc_id
 """
+_ORACLE["doc_dedup_near_dist"] = _ORACLE["doc_dedup_near"]
+
 
 _ORACLE["emb_dedup_semantic"] = """
 WITH RECURSIVE pairs AS (
@@ -4413,6 +4455,19 @@ SELECT event_type AS TagName,
 FROM events
 WHERE {_RANGE} AND event_type IN ('click', 'purchase')
 ORDER BY event_type, ts LIMIT 50 OFFSET 10
+"""
+
+_ORACLE["emb_novel_full"] = """
+WITH hit AS (
+  SELECT DISTINCT b.vec_id AS nid
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.45
+)
+SELECT vec_id, vec_id NOT IN (SELECT nid FROM hit) AS novel
+FROM embeddings WHERE vec_id % 5 <> 0
+ORDER BY vec_id
 """
 
 _ORACLE["doc_minhash_novel"] = r"""

@@ -702,3 +702,203 @@ def label_centroid_sums(
         .map_batches(emit, batch_format="pyarrow")
         .sort(["label", "dim"])
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental embedding-novelty screen over a persisted reference IVF index
+# ---------------------------------------------------------------------------
+
+_NOVEL_META = "_novel_meta.json"
+
+
+def build_ref_ivf_index(
+    source: str | ray.data.Dataset,
+    index_dir: str,
+    ref_mod: int = 5,
+    n_centroids: int = 16,
+    sample_rows: int = 2048,
+    seed: int = 13,
+) -> np.ndarray:
+    """IVF index over the REFERENCE slice (``vec_id % ref_mod == 0``) — the
+    embedding analog of :func:`core_ray.functions.dedup.build_minhash_index`:
+    yesterday's corpus is indexed once (hive-partitioned by nearest
+    centroid), and every ingest epoch probes the index instead of
+    re-scanning the reference."""
+    import json
+    import os
+
+    ds = _read_emb(source)
+
+    def ref_only(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % ref_mod == 0))
+
+    cents = build_ivf_index(
+        ds.map_batches(ref_only, batch_format="pyarrow"),
+        index_dir,
+        n_centroids=n_centroids,
+        sample_rows=sample_rows,
+        seed=seed,
+    )
+    with open(os.path.join(index_dir, _NOVEL_META), "w") as f:
+        json.dump({"ref_mod": ref_mod, "n_centroids": int(len(cents))}, f)
+    return cents
+
+
+def emb_novel(
+    source: str | ray.data.Dataset,
+    index_dir: str,
+    threshold: float = 0.45,
+    n_probe: int = 4,
+) -> ray.data.Dataset:
+    """Incremental semantic-novelty screening: flag which of today's vectors
+    (``vec_id % ref_mod != 0``) are novel vs the persisted reference IVF
+    index — each ingest vector probes its ``n_probe`` nearest centroids'
+    partitions and is exact-cosine verified against ONLY the reference
+    vectors there (the ``minhash_novel`` discipline in embedding space).
+
+    Recall note (honest, like ``emb_knn_ivf``): with ``n_probe`` < the
+    centroid count a true near-dup lying in an unprobed partition is
+    missed — continuous embedding space admits no inverted-index recall-1
+    trick.  The exhaustive twin :func:`emb_novel_full` probes EVERY
+    partition through this same code path and is exactly
+    oracle-checkable; a recall pytest bounds the probed arm.
+
+    Fully distributed shape: ingest probe rows (n_probe per vector, ints +
+    one embedding copy) union the pruned index partitions; one
+    ``centroid``-grouped screen does a per-partition normalized matmul and
+    emits only HIT ids (bounded: ingest vectors with a reference near-dup),
+    which broadcast once for the final flag pass.  Neither side is ever
+    collected wholesale.
+    """
+    import json
+    import os
+
+    import pandas as pd
+
+    with open(os.path.join(index_dir, _NOVEL_META)) as f:
+        meta = json.load(f)
+    ref_mod = int(meta["ref_mod"])
+    cents = load_ivf_centroids(index_dir)
+    n_probe = min(int(n_probe), len(cents))
+    cents_ref = ray.put(cents)
+    ds = _read_emb(source)
+
+    def today_only(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % ref_mod != 0))
+
+    today = ds.map_batches(today_only, batch_format="pyarrow")
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "centroid": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], t.schema.field("embedding").type),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        mat = _batch_matrix(t)
+        d = _sq_dists(mat, ray.get(cents_ref))
+        probe = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        n = len(t)
+        idx = np.repeat(np.arange(n), n_probe)
+        return pa.table(
+            {
+                "centroid": pa.array(probe.reshape(-1).astype(np.int32)),
+                "vec_id": pc.take(t["vec_id"], pa.array(idx)),
+                "embedding": pc.take(t["embedding"], pa.array(idx)),
+                "side": pa.array(np.ones(n * n_probe, np.int8)),
+            }
+        )
+
+    probes = today.map_batches(probe_rows, batch_format="pyarrow").materialize()
+
+    # pruned index read: only the partitions some ingest vector probes
+    probed = sorted(
+        int(r["centroid"])
+        for r in probes.groupby("centroid").count().take_all()
+    )  # bounded: <= n_centroids
+    paths = []
+    for c in probed:
+        p = os.path.join(index_dir, "data", f"centroid={c}")
+        if os.path.isdir(p):
+            paths.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+
+    hit_ref = None
+    if paths:
+
+        def flag_ref(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "centroid": t["centroid"].cast(pa.int32()),
+                    "vec_id": t["vec_id"],
+                    "embedding": t["embedding"],
+                    "side": pa.array(np.zeros(len(t), np.int8)),
+                }
+            )
+
+        idx = ray.data.read_parquet(
+            paths, columns=["centroid", "vec_id", "embedding"]
+        ).map_batches(flag_ref, batch_format="pyarrow")
+        tagged = idx.union(probes)
+
+        def screen(g: pd.DataFrame) -> pd.DataFrame:
+            r = g[g["side"] == 0]
+            n = g[g["side"] == 1]
+            if not len(r) or not len(n):
+                return pd.DataFrame({"nid": pd.Series([], dtype="int64")})
+            rmat = np.stack(r["embedding"].to_numpy()).astype(np.float64)
+            nmat = np.stack(n["embedding"].to_numpy()).astype(np.float64)
+            rn = np.linalg.norm(rmat, axis=1)
+            nn = np.linalg.norm(nmat, axis=1)
+            rn[rn == 0] = 1.0
+            nn[nn == 0] = 1.0
+            sims = (nmat / nn[:, None]) @ (rmat / rn[:, None]).T
+            hit = (sims >= threshold).any(axis=1)
+            return pd.DataFrame(
+                {"nid": pd.Series(
+                    pd.unique(n["vec_id"].to_numpy()[hit]), dtype="int64")}
+            )
+
+        hit_ids = sorted(
+            {int(r["nid"]) for r in
+             tagged.groupby("centroid")
+             .map_groups(screen, batch_format="pandas")
+             .take_all()}
+        )  # bounded: ingest vectors with a verified reference near-dup
+        if hit_ids:
+            hit_ref = ray.put(pa.array(hit_ids, pa.int64()))
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"]
+        if hit_ref is None:
+            novel = pa.array(np.ones(len(t), bool))
+        else:
+            novel = pc.invert(pc.is_in(ids, value_set=ray.get(hit_ref)))
+        return pa.table({"vec_id": ids, "novel": novel})
+
+    return (
+        today.map_batches(lambda t: t.select(["vec_id"]),
+                          batch_format="pyarrow")
+        .map_batches(emit, batch_format="pyarrow")
+        .sort("vec_id")
+    )
+
+
+def emb_novel_full(
+    source: str | ray.data.Dataset,
+    index_dir: str,
+    threshold: float = 0.45,
+) -> ray.data.Dataset:
+    """Exhaustive-probe twin of :func:`emb_novel`: every partition is
+    probed, so every (reference, ingest) pair is compared — recall 1,
+    exactly oracle-checkable, same code path."""
+    cents = load_ivf_centroids(index_dir)
+    return emb_novel(source, index_dir, threshold=threshold,
+                     n_probe=len(cents))

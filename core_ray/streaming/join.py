@@ -96,7 +96,11 @@ class JoinPartitionActor:
 
     def reset(self) -> bool:
         self.sink = EpochSink(self.out_dir, self.part)
-        self.state: dict[str, pd.DataFrame] = {"l": None, "r": None}
+        # state lives as TYPED ARROW TABLES, not pandas: concat/filter are
+        # zero-copy-ish compute kernels and resident state bytes are the
+        # columnar buffers (object-dtype pandas keys held ~2x the bytes)
+        self.state: dict[str, pa.Table | None] = {"l": None, "r": None}
+        self._schema: dict[str, pa.Schema | None] = {"l": None, "r": None}
         self.max_ts = {"l": -1, "r": -1}
         self.watermark = WATERMARK_FLOOR_US
         self._epoch_rows: dict[tuple[int, str], list[pa.Table]] = {}
@@ -125,19 +129,34 @@ class JoinPartitionActor:
 
     # -- barrier ----------------------------------------------------------
 
-    def _new_frame(self, epoch: int, side: str) -> pd.DataFrame:
+    def _side_cols(self, side: str) -> list[str]:
+        return [self.key, self.ts] + (self.lpay if side == "l" else self.rpay)
+
+    def _new_table(self, epoch: int, side: str) -> pa.Table | None:
+        """This epoch's arrivals as ONE Arrow table (late rows dropped and
+        counted); None only while the side has never produced data (no
+        schema known yet)."""
+        import pyarrow.compute as pc
+
         tables = self._epoch_rows.pop((epoch, side), [])
-        cols = [self.key, self.ts] + (self.lpay if side == "l" else self.rpay)
         if not tables:
-            return pd.DataFrame(columns=cols)
-        df = pa.concat_tables(tables).to_pandas()
-        late = df[self.ts].to_numpy() < self.watermark
-        self._late += int(late.sum())
-        return df[~late]
+            sch = self._schema[side]
+            return None if sch is None else sch.empty_table()
+        t = pa.concat_tables([x.select(self._side_cols(side)) for x in tables])
+        self._schema[side] = t.schema
+        late = pc.less(t[self.ts], self.watermark)
+        self._late += int(pc.sum(late).as_py() or 0)
+        return t.filter(pc.invert(late))
+
+    def _concat(self, a: pa.Table | None, b: pa.Table | None) -> pa.Table | None:
+        parts = [t for t in (a, b) if t is not None]
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
     def end_epoch(self, epoch: int, watermark_us: int) -> dict:
-        new_l = self._new_frame(epoch, "l")
-        new_r = self._new_frame(epoch, "r")
+        new_l = self._new_table(epoch, "l")
+        new_r = self._new_table(epoch, "r")
         self._epoch_ids.pop(epoch, None)
         for k in [k for k in self._epoch_max if k[0] == epoch]:
             side = k[1]
@@ -145,50 +164,47 @@ class JoinPartitionActor:
 
         state_l, state_r = self.state["l"], self.state["r"]
         pieces = []
-        if len(new_l):
-            right_all = (
-                pd.concat([state_r, new_r], ignore_index=True)
-                if state_r is not None
-                else new_r
-            )
-            pieces.append(self._band_join(new_l, right_all))
-        if len(new_r) and state_l is not None and len(state_l):
-            pieces.append(self._band_join(state_l, new_r))
-        # drop empty pieces before concat: an all-object empty frame would
-        # upcast the typed columns and destabilize the sink file bytes
-        pieces = [p for p in pieces if len(p)]
-        out = (
-            pd.concat(pieces, ignore_index=True)
-            if pieces
-            else self._band_join(new_l.iloc[:0], new_r.iloc[:0])
-        )
-        # deterministic total order: every column participates
-        if len(out):
-            out = out.sort_values(list(out.columns), kind="mergesort").reset_index(
-                drop=True
-            )
+        if new_l is not None and len(new_l):
+            right_all = self._concat(state_r, new_r)
+            if right_all is not None and len(right_all):
+                j = self._band_join(new_l, right_all)
+                if len(j):
+                    pieces.append(j)
+        if (
+            new_r is not None and len(new_r)
+            and state_l is not None and len(state_l)
+        ):
+            j = self._band_join(state_l, new_r)
+            if len(j):
+                pieces.append(j)
+        if pieces:
+            out = pieces[0] if len(pieces) == 1 else pa.concat_tables(pieces)
+            # deterministic total order: every column participates
+            out = out.sort_by([(c, "ascending") for c in out.column_names])
+        else:
+            out = self._empty_out()
 
         # append new arrivals, then evict rows the watermark proves dead:
         # future rows have ts >= wm, so a left row needs ts >= wm - band_hi
         # and a right row needs ts >= wm + band_lo to ever match again
         self.state["l"] = self._evict(
-            pd.concat([state_l, new_l], ignore_index=True) if state_l is not None else new_l,
-            watermark_us - self.hi,
+            self._concat(state_l, new_l), watermark_us - self.hi
         )
         self.state["r"] = self._evict(
-            pd.concat([state_r, new_r], ignore_index=True) if state_r is not None else new_r,
-            watermark_us + self.lo,
+            self._concat(state_r, new_r), watermark_us + self.lo
         )
         self.watermark = watermark_us
 
-        table = pa.Table.from_pandas(out, preserve_index=False)
         counters = {
             "rows_emitted": len(out),
             "late_rows": self._late,
-            "state_l": len(self.state["l"]),
-            "state_r": len(self.state["r"]),
+            "state_l": 0 if self.state["l"] is None else len(self.state["l"]),
+            "state_r": 0 if self.state["r"] is None else len(self.state["r"]),
+            "state_bytes": sum(
+                t.nbytes for t in self.state.values() if t is not None
+            ),
         }
-        self.sink.commit_epoch(epoch, {"joined": table}, counters)
+        self.sink.commit_epoch(epoch, {"joined": out}, counters)
         self._write_snapshot(epoch)
         # keep epoch-1 AND epoch (state_actor.py convention): a mid-barrier
         # crash leaves partitions at different committed epochs, and resume
@@ -197,34 +213,60 @@ class JoinPartitionActor:
         self.sink.gc_snapshots(epoch - 1)
         return counters
 
-    def _band_join(self, lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
-        if lf is None or rf is None or not len(lf) or not len(rf):
-            return pd.DataFrame(
-                columns=[self.key, "l_" + self.ts, "r_" + self.ts]
-                + ["l_" + c for c in self.lpay]
-                + ["r_" + c for c in self.rpay]
-            )
-        lf = lf.rename(columns={self.ts: "l_" + self.ts, **{c: "l_" + c for c in self.lpay}})
-        rf = rf.rename(columns={self.ts: "r_" + self.ts, **{c: "r_" + c for c in self.rpay}})
-        m = lf.merge(rf, on=self.key, how="inner")  # C hash join per barrier
+    def _renamed(self, t: pa.Table, side: str) -> pa.Table:
+        pay = self.lpay if side == "l" else self.rpay
+        t = t.select(self._side_cols(side))
+        return t.rename_columns(
+            [self.key, f"{side}_{self.ts}"] + [f"{side}_{c}" for c in pay]
+        )
+
+    def _band_join(self, lt: pa.Table, rt: pa.Table) -> pa.Table:
+        """Arrow-native hash join + band filter: the whole barrier runs on
+        compute kernels; state never round-trips through pandas."""
+        import pyarrow.compute as pc
+
+        m = self._renamed(lt, "l").join(
+            self._renamed(rt, "r"), keys=self.key, join_type="inner"
+        )
         if not len(m):
             return m
-        d = m["r_" + self.ts].to_numpy() - m["l_" + self.ts].to_numpy()
-        return m[(d >= self.lo) & (d <= self.hi)]
+        d = pc.subtract(m["r_" + self.ts], m["l_" + self.ts])
+        return m.filter(
+            pc.and_(pc.greater_equal(d, self.lo), pc.less_equal(d, self.hi))
+        )
 
-    def _evict(self, df: pd.DataFrame, min_ts: int) -> pd.DataFrame:
-        if df is None or not len(df):
-            return df if df is not None else pd.DataFrame()
-        return df[df[self.ts].to_numpy() >= min_ts].reset_index(drop=True)
+    def _empty_out(self) -> pa.Table:
+        if self._schema["l"] is not None and self._schema["r"] is not None:
+            return self._band_join(
+                self._schema["l"].empty_table(),
+                self._schema["r"].empty_table(),
+            )
+        # a side never produced data: only column NAMES are known — the
+        # same null-typed empty the pandas path used to emit
+        cols = (
+            [self.key, "l_" + self.ts]
+            + ["l_" + c for c in self.lpay]
+            + ["r_" + self.ts]
+            + ["r_" + c for c in self.rpay]
+        )
+        return pa.Table.from_pandas(
+            pd.DataFrame(columns=cols), preserve_index=False
+        )
+
+    def _evict(self, t: pa.Table | None, min_ts: int) -> pa.Table | None:
+        import pyarrow.compute as pc
+
+        if t is None or not len(t):
+            return t
+        return t.filter(pc.greater_equal(t[self.ts], min_ts))
 
     # -- snapshots ----------------------------------------------------------
 
     def _write_snapshot(self, epoch: int) -> None:
         for side in ("l", "r"):
-            df = self.state[side]
-            t = pa.Table.from_pandas(
-                df if df is not None and len(df) else pd.DataFrame(), preserve_index=False
-            )
+            t = self.state[side]
+            if t is None:
+                t = pa.Table.from_pandas(pd.DataFrame(), preserve_index=False)
             t = t.replace_schema_metadata(
                 {
                     "max_ts": str(self.max_ts[side]),
@@ -245,7 +287,12 @@ class JoinPartitionActor:
             self.max_ts[side] = int(meta.get("max_ts", -1))
             self.watermark = int(meta.get("watermark", WATERMARK_FLOOR_US))
             self._late = int(meta.get("late", 0))
-            self.state[side] = t.to_pandas() if len(t) else None
+            if t.num_columns:
+                t = t.replace_schema_metadata(None)
+                self.state[side] = t
+                self._schema[side] = t.schema
+            else:
+                self.state[side] = None
         return ok
 
 

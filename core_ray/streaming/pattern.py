@@ -90,7 +90,11 @@ class PatternPartitionActor:
 
     def reset(self) -> bool:
         self.sink = EpochSink(self.out_dir, self.part)
-        self.state: pd.DataFrame | None = None
+        # retained window lives as a TYPED ARROW TABLE (join.py discipline):
+        # concat/sort/filter are compute kernels, the pattern kernel reads
+        # zero-copy int views, and resident bytes are columnar buffers
+        self.state: pa.Table | None = None
+        self._schema: pa.Schema | None = None
         self.watermark = WATERMARK_FLOOR_US
         self.max_ts = -1
         self._epoch_rows: dict[int, list[pa.Table]] = {}
@@ -121,66 +125,96 @@ class PatternPartitionActor:
     # -- barrier ----------------------------------------------------------
 
     def end_epoch(self, epoch: int, watermark_us: int) -> dict:
+        import pyarrow.compute as pc
+
         cols = [self.key, self.ts, self.ty, self.tb]
         tables = self._epoch_rows.pop(epoch, [])
         self._epoch_ids.pop(epoch, None)
         if epoch in self._epoch_max:
             self.max_ts = max(self.max_ts, self._epoch_max.pop(epoch))
-        new = (
-            pa.concat_tables(tables).to_pandas()
-            if tables
-            else pd.DataFrame(columns=cols)
-        )
-        if len(new):
-            late = new[self.ts].to_numpy() < self.watermark
-            self._late += int(late.sum())
-            new = new[~late]
+        new = None
+        if tables:
+            new = pa.concat_tables([t.select(cols) for t in tables])
+            self._schema = new.schema
+            late = pc.less(new[self.ts], self.watermark)
+            self._late += int(pc.sum(late).as_py() or 0)
+            new = new.filter(pc.invert(late))
+        parts = [t for t in (self.state, new) if t is not None]
         st = (
-            pd.concat([self.state, new], ignore_index=True)
-            if self.state is not None and len(new)
-            else (self.state if self.state is not None else new)
-        )
-        st = st.sort_values(
-            [self.key, self.ts, self.tb], kind="mergesort", ignore_index=True
+            None if not parts
+            else parts[0] if len(parts) == 1
+            else pa.concat_tables(parts)
         )
 
-        kcodes, _ = pd.factorize(st[self.key].to_numpy())
-        tarr = st[self.ty].to_numpy()
-        ous = st[self.ts].to_numpy().astype(np.int64, copy=False)
-        starts = find_pattern_starts(kcodes, tarr, ous, self.pattern, self.within)
-        last_ts = ous[starts + self.m - 1] if len(starts) else np.empty(0, np.int64)
-        newly = starts[(last_ts >= self.watermark) & (last_ts < watermark_us)]
-
-        out = {
-            self.key: st[self.key].to_numpy()[newly],
-            f"start_{self.ts}": ous[newly] if len(newly) else np.empty(0, np.int64),
-            f"end_{self.ts}": ous[newly + self.m - 1]
-            if len(newly)
-            else np.empty(0, np.int64),
-        }
-        tbv = st[self.tb].to_numpy()
-        for j in range(self.m):
-            out[f"{self.tb}_{j + 1}"] = (
-                tbv[newly + j] if len(newly) else np.empty(0, tbv.dtype)
+        if st is not None:
+            st = st.sort_by(
+                [(self.key, "ascending"), (self.ts, "ascending"),
+                 (self.tb, "ascending")]
             )
-        odf = pd.DataFrame(out)
-        if len(odf):
-            odf = odf.sort_values(list(odf.columns), kind="mergesort").reset_index(
-                drop=True
+            kcodes = (
+                st[self.key].combine_chunks().dictionary_encode()
+                .indices.to_numpy(zero_copy_only=False)
             )
-
-        horizon = watermark_us - (self.m - 1) * self.within
-        keep = ous >= horizon
-        self.state = st[keep].reset_index(drop=True)
+            tarr = st[self.ty].to_numpy(zero_copy_only=False)
+            ous = st[self.ts].to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            starts = find_pattern_starts(
+                kcodes, tarr, ous, self.pattern, self.within
+            )
+            last_ts = (
+                ous[starts + self.m - 1] if len(starts)
+                else np.empty(0, np.int64)
+            )
+            newly = starts[
+                (last_ts >= self.watermark) & (last_ts < watermark_us)
+            ]
+            take = pa.array(newly)
+            out_cols = {
+                self.key: pc.take(st[self.key], take),
+                f"start_{self.ts}": pa.array(
+                    ous[newly] if len(newly) else np.empty(0, np.int64)
+                ),
+                f"end_{self.ts}": pa.array(
+                    ous[newly + self.m - 1]
+                    if len(newly) else np.empty(0, np.int64)
+                ),
+            }
+            for j in range(self.m):
+                out_cols[f"{self.tb}_{j + 1}"] = pc.take(
+                    st[self.tb],
+                    pa.array(newly + j) if len(newly) else pa.array([], pa.int64()),
+                )
+            out = pa.table(out_cols)
+            if len(out):
+                out = out.sort_by(
+                    [(c, "ascending") for c in out.column_names]
+                )
+            horizon = watermark_us - (self.m - 1) * self.within
+            self.state = st.filter(pc.greater_equal(st[self.ts], horizon))
+        else:
+            # no data ever seen: only column NAMES are known (the old
+            # pandas path's null-typed empty)
+            out = pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        self.key: [],
+                        f"start_{self.ts}": np.empty(0, np.int64),
+                        f"end_{self.ts}": np.empty(0, np.int64),
+                        **{f"{self.tb}_{j + 1}": [] for j in range(self.m)},
+                    }
+                ),
+                preserve_index=False,
+            )
         self.watermark = watermark_us
 
-        table = pa.Table.from_pandas(odf, preserve_index=False)
         counters = {
-            "rows_emitted": len(odf),
+            "rows_emitted": len(out),
             "late_rows": self._late,
-            "state_rows": len(self.state),
+            "state_rows": 0 if self.state is None else len(self.state),
+            "state_bytes": 0 if self.state is None else self.state.nbytes,
         }
-        self.sink.commit_epoch(epoch, {"matches": table}, counters)
+        self.sink.commit_epoch(epoch, {"matches": out}, counters)
         self._write_snapshot(epoch)
         # keep epoch-1 AND epoch — mid-barrier crash resume loads
         # min(committed), see join.py / state_actor.py:500
@@ -190,8 +224,9 @@ class PatternPartitionActor:
     # -- snapshots ----------------------------------------------------------
 
     def _write_snapshot(self, epoch: int) -> None:
-        df = self.state if self.state is not None else pd.DataFrame()
-        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = self.state
+        if t is None:
+            t = pa.Table.from_pandas(pd.DataFrame(), preserve_index=False)
         t = t.replace_schema_metadata(
             {
                 "max_ts": str(self.max_ts),
@@ -209,7 +244,12 @@ class PatternPartitionActor:
         self.max_ts = int(meta.get("max_ts", -1))
         self.watermark = int(meta.get("watermark", WATERMARK_FLOOR_US))
         self._late = int(meta.get("late", 0))
-        self.state = t.to_pandas() if len(t) else None
+        if t.num_columns:
+            t = t.replace_schema_metadata(None)
+            self.state = t
+            self._schema = t.schema
+        else:
+            self.state = None
         return True
 
 
