@@ -154,8 +154,12 @@ def test_ml_prep():
 def test_multimodal_decode_stub():
     from core_ray.stages import BinaryDecodeStage, decode_binary_column, frame_sample
 
-    with pytest.raises(NotImplementedError):
-        BinaryDecodeStage(fake=False)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        # real arm is import-gated (see test_multimodal_codecs for parity)
+        with pytest.raises(ImportError):
+            BinaryDecodeStage(fake=False)
 
     df = pd.DataFrame(
         {"media_id": [0, 0, 1], "frame_idx": [0, 10, 20], "payload": [b"aa", b"bb", b"cc"]}
