@@ -25,10 +25,20 @@ def _scratch(name: str) -> str:
     """Fresh per-PROCESS scratch dir for index/fixture-building queries —
     `/tmp/graft_<name>_<pid>`, pre-cleared.  Two concurrent driver processes
     on one host get disjoint dirs instead of clobbering each other's
-    indexes mid-query (the old fixed paths raced)."""
+    indexes mid-query (the old fixed paths raced).  Stale siblings whose
+    owning pid is dead are garbage-collected here so repeated driver runs
+    don't accumulate index copies in /tmp."""
+    import glob
     import os
     import shutil
 
+    for old in glob.glob(f"/tmp/graft_{name}_*"):
+        try:
+            pid = int(old.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(old, ignore_errors=True)
     d = f"/tmp/graft_{name}_{os.getpid()}"
     shutil.rmtree(d, ignore_errors=True)
     return d

@@ -28,6 +28,17 @@ def create_app(default_source: str | None = None):
 
     app = FastAPI(title="core-ray API", version="v1")
 
+    # param-model __post_init__ validation raises ApiError BEFORE _guard's
+    # try/except can run (the models are constructed in the route argument
+    # list), so the 400 contract needs an app-level handler too
+    @app.exception_handler(models.ApiError)
+    def _api_error_handler(_request, exc: models.ApiError):
+        from fastapi.responses import JSONResponse
+
+        return JSONResponse(
+            status_code=exc.status_code, content={"detail": exc.detail}
+        )
+
     def _respond(resp: models.Response):
         return FastAPIResponse(
             content=resp.content, media_type=resp.media_type,

@@ -98,9 +98,13 @@ def json_response(
 ) -> Response:
     """The reference envelope, byte-shape for byte-shape: ``data`` rendered
     by pandas' JSON writer with ``orient="records"``, ISO dates at ns
-    precision (9 fractional digits) and NaN -> null."""
+    precision (9 fractional digits) and NaN -> null.  ``double_precision``
+    is pinned to 15 (pandas' max) rather than the writer's default 10 —
+    the default silently truncates full-precision doubles, and this surface
+    feeds exact-value comparisons."""
     body = data.replace({np.nan: None}).to_json(
-        orient="records", date_format="iso", date_unit="ns"
+        orient="records", date_format="iso", date_unit="ns",
+        double_precision=15,
     )
     content = (
         '{"schema":%s,"data":%s,"pagination":%s}'
@@ -119,7 +123,8 @@ def json_response_batch(data_list: list[pd.DataFrame]) -> Response:
     parts = []
     for df in data_list:
         body = df.replace({np.nan: None}).to_json(
-            orient="records", date_format="iso", date_unit="ns"
+            orient="records", date_format="iso", date_unit="ns",
+            double_precision=15,
         )
         parts.append(
             '{"schema":%s,"data":%s}' % (_table_schema_json(df), body)

@@ -28,7 +28,13 @@ def _to_df(result) -> pd.DataFrame:
 def _run_direct_or_lookup(get_fn, parameters: dict) -> pd.DataFrame:
     """Direct query when ``source`` is set; otherwise fan out over the
     tag -> table mapping and union (reference ``common.py:264``
-    ``lookup_before_get`` — each table queried once with its tag subset)."""
+    ``lookup_before_get`` — each table queried once with its tag subset).
+
+    The per-table queries run WITHOUT limit/offset (each is a lazy Dataset,
+    so one Ray execution drives all tables concurrently — the
+    ``pipelines.framework.lookup_before_get`` discipline); pagination is
+    applied GLOBALLY on the union, else two tables x limit=10 would return
+    20 rows each skipping its own offset."""
     if parameters.get("source"):
         return _to_df(get_fn(None, parameters))
     mapping = parameters.get("tag_table_mapping") or {}
@@ -41,11 +47,22 @@ def _run_direct_or_lookup(get_fn, parameters: dict) -> pd.DataFrame:
         if table is None:
             raise ApiError(400, f"tag {t!r} not present in tag_table_mapping")
         by_table.setdefault(table, []).append(t)
-    frames = []
+    limit, offset = parameters.get("limit"), parameters.get("offset")
+    ds = None
     for table, tag_subset in sorted(by_table.items()):
-        sub = dict(parameters, source=table, tag_names=sorted(tag_subset))
-        frames.append(_to_df(get_fn(None, sub)))
-    return pd.concat(frames, ignore_index=True)
+        sub = dict(parameters, source=table, tag_names=sorted(tag_subset),
+                   limit=None, offset=None, sort=False)
+        part = get_fn(None, sub)
+        ds = part if ds is None else ds.union(part)
+    df = _to_df(ds)
+    # deterministic total order (every column participates), then the page
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+    if limit is not None:
+        off = int(offset or 0)
+        df = df.iloc[off : off + int(limit)].reset_index(drop=True)
+    return df
 
 
 def _events_handler(get_fn):

@@ -233,7 +233,13 @@ def read_delta(
         return fn
 
     parts = []
-    for key, paths in sorted(groups.items()):
+    # None-safe ordering: a null partition value (JSON null /
+    # __HIVE_DEFAULT_PARTITION__) must sort, not TypeError against strings
+    order = sorted(
+        groups.items(),
+        key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+    )
+    for key, paths in order:
         ds = ray.data.read_parquet(sorted(paths), columns=data_columns)
         if pcols:
             consts = {

@@ -65,7 +65,11 @@ class PolarsSource(SourceComponent):
                 os.path.join(self.path, f["path"])
             )
         frames = []
-        for key, paths in sorted(groups.items()):
+        order = sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+        )
+        for key, paths in order:
             lf = pl.scan_parquet(sorted(paths))
             for i, c in enumerate(snap.partition_columns):
                 val = _typed_scalar(key[i], ptypes[c])

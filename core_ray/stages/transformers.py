@@ -158,9 +158,11 @@ def pcdm_to_json(ds: ray.data.Dataset, wrap_key: str = "payload") -> ray.data.Da
 
     Vectorized per COLUMN instead of per row-dict: keys are the (sorted)
     schema so the object skeleton is concatenated with pandas string
-    kernels; only string values pass through ``json.dumps`` for escaping
-    (numbers/bools/nulls render vectorized).  Output bytes are identical to
-    ``json.dumps(d, sort_keys=True, default=str)`` on the same rows."""
+    kernels.  Per-dtype value rendering reproduces the old per-row
+    ``json.dumps(itertuples()._asdict(), sort_keys=True, default=str)``
+    BYTES exactly (byte-parity test in test_vendors) — itertuples hands
+    back PYTHON ints/bools/floats, so ints and bools render bare and
+    floats keep stdlib repr including the ``NaN``/``Infinity`` literals."""
 
     def fn(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -169,11 +171,14 @@ def pcdm_to_json(ds: ray.data.Dataset, wrap_key: str = "payload") -> ray.data.Da
             s = df[k]
             if pd.api.types.is_datetime64_any_dtype(s):
                 sv = '"' + s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f") + '000Z"'
-                sv = sv.where(s.notna(), "null")
+                sv = sv.where(s.notna(), '"NaT"')  # default=str on NaT
             elif pd.api.types.is_bool_dtype(s):
                 sv = s.map({True: "true", False: "false"})
-            elif pd.api.types.is_numeric_dtype(s):
-                sv = s.astype(str).where(s.notna(), "null")
+            elif pd.api.types.is_float_dtype(s):
+                # stdlib float repr incl. NaN/Infinity literals
+                sv = s.map(lambda v: json.dumps(float(v)))
+            elif pd.api.types.is_integer_dtype(s):
+                sv = s.astype(str)
             else:
                 sv = s.map(
                     lambda v: "null" if v is None else json.dumps(str(v))

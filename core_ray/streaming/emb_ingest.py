@@ -66,6 +66,22 @@ class EmbeddingNoveltyIngest:
         with open(os.path.join(self.index_dir, _NOVEL_META)) as f:
             return int(json.load(f)["ref_mod"])
 
+    @staticmethod
+    def _max_vec_id(path: str) -> int:
+        """Stream end from parquet ROW-GROUP STATISTICS — no data read, so
+        an id-space gap (deletions, sharded allocation) can't be mistaken
+        for end-of-stream."""
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(path)
+        col = f.schema_arrow.names.index("vec_id")
+        mx = -1
+        for rg in range(f.metadata.num_row_groups):
+            stats = f.metadata.row_group(rg).column(col).statistics
+            if stats is not None and stats.has_min_max:
+                mx = max(mx, int(stats.max))
+        return mx
+
     def run(self, max_epochs: int | None = None) -> dict:
         """Drain ingest epochs (``max_epochs`` simulates a crash: the
         checkpoint then points mid-stream and ``run()`` again resumes)."""
@@ -79,9 +95,12 @@ class EmbeddingNoveltyIngest:
             if self.source_path.endswith(".parquet")
             else f"{self.source_path}/embeddings.parquet"
         )
+        end = self._max_vec_id(path)
         ck = self.load_checkpoint()
         done = 0
-        while max_epochs is None or done < max_epochs:
+        while (max_epochs is None or done < max_epochs) and int(
+            ck["next_vec_id"]
+        ) <= end:
             lo = int(ck["next_vec_id"])
             # epoch slice by vec_id range, pruned AT THE SCAN — the window
             # is ref_mod/(ref_mod-1) wider than epoch_rows so each epoch
@@ -95,7 +114,12 @@ class EmbeddingNoveltyIngest:
                 & (pads.field("vec_id") < hi),
             )
             if epoch_ds.count() == 0:
-                break
+                # an EMPTY window inside the id space is a gap, not the
+                # stream end: advance the checkpoint and keep draining
+                ck = {"next_vec_id": hi, "epoch": int(ck["epoch"]),
+                      "screened": int(ck["screened"])}
+                self._commit_checkpoint(ck)
+                continue
             out = emb_novel(
                 epoch_ds, self.index_dir,
                 threshold=self.threshold, n_probe=self.n_probe,

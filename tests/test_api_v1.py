@@ -217,3 +217,32 @@ def test_app_factory_import_gated():
     else:
         with pytest.raises(ImportError):
             create_app()
+
+
+def test_raw_lookup_fanout_global_pagination(sf_dir):
+    """limit/offset across a lookup fan-out must be applied GLOBALLY on the
+    union, not once per table (2 tables x limit=10 is NOT 20 rows)."""
+    src = f"{sf_dir}/events.parquet"
+    lo = LimitOffsetQueryParams(limit=10, offset=5)
+    env = _envelope(
+        raw_events_get(
+            _base(sf_dir, tag_table_mapping={"click": src, "purchase": src},
+                  source=None),
+            RawQueryParams(start_date=START, end_date=END),
+            TagsQueryParams(list(TAGS)),
+            limit_offset_parameters=lo,
+        )
+    )
+    assert len(env["data"]) == 10
+    assert env["pagination"] == {"limit": 10, "offset": 5, "next": 15}
+    # and the page equals the direct path's page (same table, same order)
+    direct = _envelope(
+        raw_events_get(
+            _base(sf_dir),
+            RawQueryParams(start_date=START, end_date=END),
+            TagsQueryParams(list(TAGS)),
+            limit_offset_parameters=lo,
+        )
+    )
+    key = lambda rows: [(r["TagName"], r["EventTime"], r["Value"]) for r in rows]
+    assert sorted(key(env["data"])) == sorted(key(direct["data"]))

@@ -176,3 +176,34 @@ def test_polars_source_falls_back_to_native_reader(delta_table):
     df = ds.to_pandas().sort_values("id").reset_index(drop=True)
     assert df["id"].tolist() == [1, 2, 4, 5, 6]
     assert df["day"].tolist() == [1, 1, 2, 1, 3]
+
+
+def test_read_delta_null_partition_value(tmp_path):
+    """A null partitionValues entry (JSON null) must sort and read as a
+    typed null column, not TypeError against string keys."""
+    table = str(tmp_path / "tbl")
+    _write_part(table, "day=1/a.parquet", pd.DataFrame({"id": [1], "v": [1.5]}))
+    _write_part(table, "nullpart/b.parquet", pd.DataFrame({"id": [2], "v": [2.5]}))
+    _commit(
+        table,
+        0,
+        [
+            {
+                "metaData": {
+                    "id": "x",
+                    "schemaString": _SCHEMA_STRING,
+                    "partitionColumns": ["day"],
+                }
+            },
+            {"add": {"path": "day=1/a.parquet",
+                     "partitionValues": {"day": "1"}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "nullpart/b.parquet",
+                     "partitionValues": {"day": None}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    df = read_delta(table).to_pandas().sort_values("id").reset_index(drop=True)
+    assert df["id"].tolist() == [1, 2]
+    assert df["day"].iloc[0] == 1
+    assert pd.isna(df["day"].iloc[1])

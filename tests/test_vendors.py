@@ -306,3 +306,52 @@ def test_raw_forecast_to_weather_data_model():
     assert pd.isna(r["PropOfPrecip"])  # blank string -> NULL before cast
     assert pd.isna(r["WindGust"])
     assert r["ProcessedDate"] == pd.Timestamp("2024-01-15 12:00:00")
+
+
+def test_vendor_parse_accepts_nan_literals():
+    """stdlib json accepted NaN/Infinity literals; the orjson fast path must
+    fall back rather than fail the whole batch."""
+    import math
+
+    import ray.data
+
+    from core_ray.stages.vendors import fledge_opcua_to_pcdm
+
+    body = '[{"asset": "a", "timestamp": "2024-01-01T00:00:00Z", "readings": {"t1": NaN}}]'
+    df = fledge_opcua_to_pcdm(
+        ray.data.from_items([{"body": body}])
+    ).to_pandas()
+    assert len(df) == 1 and df["TagName"].iloc[0] == "t1"
+    assert df["Value"].iloc[0] == "nan"
+
+
+def test_pcdm_to_json_byte_parity_with_stdlib_dumps():
+    """The vectorized writer must emit EXACTLY json.dumps(row, sort_keys=True,
+    default=str) bytes for every dtype class (numpy int/bool quoted via
+    default=str, floats bare incl. NaN literal, datetimes ns-ISO)."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from core_ray.stages.transformers import pcdm_to_json
+
+    df = pd.DataFrame(
+        {
+            "TagName": ["a", 'qu"ote'],
+            "EventTime": pd.to_datetime(
+                ["2024-01-02 03:04:05.123456", "2024-01-02 03:04:06.000001"]
+            ).astype("datetime64[us]"),
+            "Value": [1.5, float("nan")],
+            "Count": np.array([3, 4], np.int64),
+            "Flag": np.array([True, False]),
+        }
+    )
+    got = pcdm_to_json(ray.data.from_pandas(df)).to_pandas()["payload"]
+    for i, row in enumerate(df.itertuples(index=False)):
+        d = row._asdict()
+        for k, v in d.items():
+            if isinstance(v, pd.Timestamp):
+                d[k] = v.strftime("%Y-%m-%dT%H:%M:%S.%f") + "000Z"
+        assert got.iloc[i] == _json.dumps(d, sort_keys=True, default=str)
