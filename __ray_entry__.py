@@ -2177,6 +2177,117 @@ def _q_emb_novel_full(sf):
     return emb_novel_full(sf, tmp, threshold=0.45)
 
 
+def _q_delta_read(sf):
+    """Native Delta transaction-log reader driven END-TO-END: a Delta table
+    is built in scratch from the ``nation`` parquet — one partition file per
+    n_regionkey, a v0 commit adding all five, a v1 commit REMOVING the
+    regionkey=2 file — then resolved and read back purely through
+    ``_delta_log`` (no delta-rs, no Spark).  The remove tombstone must be
+    visible in the result; partition values come back typed from the
+    schemaString."""
+    import json as _json
+    import os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from core_ray.sources.delta_log import read_delta
+
+    tmp = _scratch("delta_nation")
+    t = _pq.read_table(f"{sf}/nation.parquet",
+                       columns=["n_nationkey", "n_name", "n_regionkey"])
+    os.makedirs(os.path.join(tmp, "_delta_log"), exist_ok=True)
+    adds = []
+    for rk in sorted(set(t["n_regionkey"].to_pylist())):
+        part = t.filter(_pa.compute.equal(t["n_regionkey"], rk)).drop_columns(
+            ["n_regionkey"]
+        )
+        rel = f"r{rk}/part.parquet"  # no "=" — hive inference must not fire
+        os.makedirs(os.path.join(tmp, f"r{rk}"), exist_ok=True)
+        _pq.write_table(part, os.path.join(tmp, rel))
+        adds.append(
+            {"add": {"path": rel,
+                     "partitionValues": {"n_regionkey": str(rk)},
+                     "size": 1, "modificationTime": 0, "dataChange": True}}
+        )
+    schema_string = _json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "n_nationkey", "type": "integer", "nullable": True,
+             "metadata": {}},
+            {"name": "n_name", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "n_regionkey", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ]}
+    )
+    meta = {"metaData": {"id": "graft", "schemaString": schema_string,
+                         "partitionColumns": ["n_regionkey"],
+                         "format": {"provider": "parquet"}}}
+    with open(os.path.join(tmp, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in [meta] + adds:
+            f.write(_json.dumps(a) + "\n")
+    with open(os.path.join(tmp, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps(
+            {"remove": {"path": "r2/part.parquet", "dataChange": True}}
+        ) + "\n")
+    return read_delta(tmp).sort("n_nationkey")
+
+
+def _q_emb_novel_ingest(sf):
+    """The epoch-sliced embedding-novelty INGEST graded end-to-end: the
+    reference IVF index is built once, then the ingest drains in epochs
+    through the exactly-once checkpointed loop (atomic per-epoch partition
+    publish).  Exhaustive probe (n_probe = n_centroids) so the merged epoch
+    results are exactly oracle-checkable — identical SQL to
+    ``emb_novel_full``."""
+    from core_ray.functions.similarity import build_ref_ivf_index
+    from core_ray.streaming.emb_ingest import EmbeddingNoveltyIngest
+
+    idx = _scratch("emb_novel_ing_idx")
+    out = _scratch("emb_novel_ing_out")
+    build_ref_ivf_index(sf, idx, ref_mod=5, n_centroids=16)
+    ing = EmbeddingNoveltyIngest(
+        sf, idx, out, threshold=0.45, n_probe=16, epoch_rows=128
+    )
+    ing.run()
+    return ing.read_results().select_columns(["vec_id", "novel"]).sort("vec_id")
+
+
+def _q_api_resample_json(sf):
+    """REST API v1 resample endpoint end-to-end: paged last-per-hour through
+    the handler envelope, records parsed back with ns-ISO EventTime strings
+    (4-dp values round-trip the dp-15 JSON writer exactly)."""
+    import json
+
+    import pandas as pd
+
+    from core_ray.api import (
+        BaseQueryParams,
+        LimitOffsetQueryParams,
+        RawQueryParams,
+        ResampleQueryParams,
+        TagsQueryParams,
+    )
+    from core_ray.api.v1 import resample_events_get
+
+    resp = resample_events_get(
+        BaseQueryParams(
+            source=f"{sf}/events.parquet",
+            tagname_column="event_type",
+            timestamp_column="ts",
+            status_column=None,
+            value_column="value",
+        ),
+        RawQueryParams(start_date=START, end_date=END),
+        ResampleQueryParams("1", "hour", "last"),
+        TagsQueryParams(list(TAGS2)),
+        limit_offset_parameters=LimitOffsetQueryParams(limit=40, offset=20),
+    )
+    env = json.loads(resp.content)
+    assert env["pagination"] == {"limit": 40, "offset": 20, "next": 60}
+    return pd.DataFrame(env["data"])[["TagName", "EventTime", "Value"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE: dict order is load-bearing — the grading driver samples the FIRST 50
     # entries, so the head is a deliberate cross-section of every operator family
@@ -2226,7 +2337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rollup": _q_rel_rollup,
         "rel_top_customers": _q_rel_top_customers,
         "rel_pricing_summary": _q_rel_pricing,
-        "rel_anti_join": _q_rel_anti_join,
+        "delta_read": _q_delta_read,
         "ev_stream_pattern": _q_ev_stream_pattern,
         "ev_sessionize": _q_ev_sessionize,
         "ev_stream_join": _q_ev_stream_join,
@@ -2333,6 +2444,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": _q_doc_entropy,
         "emb_knn_filtered": _q_emb_knn_filtered,
         "emb_novel": _q_emb_novel,
+        "rel_anti_join": _q_rel_anti_join,
+        "emb_novel_ingest": _q_emb_novel_ingest,
+        "api_resample_json": _q_api_resample_json,
     }
 
 
@@ -4467,6 +4581,23 @@ WHERE {_RANGE} AND event_type IN ('click', 'purchase')
 ORDER BY event_type, ts LIMIT 50 OFFSET 10
 """
 
+_ORACLE["delta_read"] = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation WHERE n_regionkey <> 2
+ORDER BY n_nationkey
+"""
+
+_ORACLE["api_resample_json"] = f"""
+WITH f AS (SELECT event_type AS TagName, epoch_us(ts) AS tus, value, {_WS} AS ws
+           FROM events
+           WHERE {_RANGE} AND event_type IN ('click', 'purchase')),
+r AS (SELECT *, row_number() OVER (PARTITION BY TagName, ws ORDER BY tus DESC, value DESC) rn FROM f)
+SELECT TagName,
+       strftime(make_timestamp(ws), '%Y-%m-%dT%H:%M:%S.%f') || '000' AS EventTime,
+       round_even(value, 4) AS Value
+FROM r WHERE rn = 1 ORDER BY 1, 2 LIMIT 40 OFFSET 20
+"""
+
 _ORACLE["emb_novel_full"] = """
 WITH hit AS (
   SELECT DISTINCT b.vec_id AS nid
@@ -4479,6 +4610,8 @@ SELECT vec_id, vec_id NOT IN (SELECT nid FROM hit) AS novel
 FROM embeddings WHERE vec_id % 5 <> 0
 ORDER BY vec_id
 """
+
+_ORACLE["emb_novel_ingest"] = _ORACLE["emb_novel_full"]
 
 _ORACLE["doc_minhash_novel"] = r"""
 WITH w AS (
