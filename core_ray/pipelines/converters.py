@@ -12,9 +12,13 @@ instantiated component remembers its name + parameters so a job can be
 serialized back to the identical JSON (full round-trip, which the reference
 only supports via pydantic models).
 
-Secrets are out of scope in this engine (no cloud secret stores), so
-``pipeline_secret`` wrappers are rejected with a clear error instead of
-being resolved.
+``pipeline_secret`` parameter wrappers (reference
+``pipeline_job_json.py:53-85``) decode to :class:`PipelineSecret` pointers
+at convert time and resolve to their VALUES only at execution time
+(reference ``execute/job.py:141-152``) — a step with secret parameters is
+instantiated lazily behind a deferred wrapper so converting a job never
+requires the vault to be reachable, and serializing a job never leaks a
+secret value (the (type, vault, key) pointer round-trips instead).
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ from .framework import (
     SourceComponent,
     TransformerComponent,
 )
+from .secrets import SECRET_PROVIDERS, PipelineSecret
 
 _INTERFACES = (SourceComponent, TransformerComponent, DestinationComponent)
 
@@ -122,6 +127,121 @@ class ParquetDestination(DestinationComponent):
         return {"path": self.path}
 
 
+def _decode_secret(value):
+    """``{"pipeline_secret": {...}}`` wire dict -> :class:`PipelineSecret`
+    (reference ``pipeline_job_json.py:53-62``); anything else passes
+    through.  Unknown provider names fail loudly rather than silently
+    passing the raw dict into a component."""
+    if isinstance(value, dict) and "pipeline_secret" in value:
+        spec = value["pipeline_secret"]
+        cls = SECRET_PROVIDERS.get(spec.get("type"))
+        if cls is None:
+            raise ValueError(
+                f"unknown secret provider {spec.get('type')!r}; known: "
+                f"{sorted(SECRET_PROVIDERS)}"
+            )
+        return PipelineSecret(type=cls, vault=spec["vault"], key=spec["key"])
+    return value
+
+
+def _decode_secret_params(params: dict) -> tuple[dict, bool]:
+    """Decode secret wrappers at the top level and one dict level deep
+    (the two places the reference looks); returns (params, any_found)."""
+    out: dict = {}
+    found = False
+    for key, value in params.items():
+        decoded = _decode_secret(value)
+        if isinstance(decoded, PipelineSecret):
+            found = True
+        elif isinstance(decoded, dict):
+            inner = {k: _decode_secret(v) for k, v in decoded.items()}
+            if any(isinstance(v, PipelineSecret) for v in inner.values()):
+                found = True
+            decoded = inner
+        out[key] = decoded
+    return out, found
+
+
+def _resolve_secret_params(params: dict) -> dict:
+    """Replace every :class:`PipelineSecret` (top level and one dict level
+    deep) with its ``get()`` value — called only at execution time."""
+    out: dict = {}
+    for key, value in params.items():
+        if isinstance(value, PipelineSecret):
+            out[key] = value.resolve()
+        elif isinstance(value, dict):
+            out[key] = {
+                k: (v.resolve() if isinstance(v, PipelineSecret) else v)
+                for k, v in value.items()
+            }
+        else:
+            out[key] = value
+    return out
+
+
+def _encode_secret_params(params: dict) -> dict:
+    """Inverse of :func:`_decode_secret_params` for serialization: secrets
+    back to their wire dicts, values never included."""
+    out: dict = {}
+    for key, value in params.items():
+        if isinstance(value, PipelineSecret):
+            out[key] = value.to_wire()
+        elif isinstance(value, dict):
+            out[key] = {
+                k: (v.to_wire() if isinstance(v, PipelineSecret) else v)
+                for k, v in value.items()
+            }
+        else:
+            out[key] = value
+    return out
+
+
+class _DeferredSecretMixin:
+    """Lazily instantiates the real component on first use, resolving
+    secret parameters at that moment (the reference's DI factory does the
+    same: providers are built per step and secrets fetched when the factory
+    fires, ``execute/job.py:138-156``)."""
+
+    def __init__(self, cls: type, params: dict):
+        self._cls = cls
+        self._params = params
+        self._real = None
+
+    def _component(self):
+        if self._real is None:
+            self._real = self._cls(**_resolve_secret_params(self._params))
+        return self._real
+
+    def system_type(self) -> str:
+        return "ray-data"
+
+
+class _DeferredSource(_DeferredSecretMixin, SourceComponent):
+    def read_batch(self):
+        return self._component().read_batch()
+
+
+class _DeferredTransformer(_DeferredSecretMixin, TransformerComponent):
+    def transform(self, ds):
+        return self._component().transform(ds)
+
+
+class _DeferredDestination(_DeferredSecretMixin, DestinationComponent):
+    def write_batch(self, ds):
+        return self._component().write_batch(ds)
+
+
+def _make_deferred(cls: type, params: dict):
+    for iface, wrapper in (
+        (SourceComponent, _DeferredSource),
+        (TransformerComponent, _DeferredTransformer),
+        (DestinationComponent, _DeferredDestination),
+    ):
+        if issubclass(cls, iface):
+            return wrapper(cls, params)
+    raise TypeError(f"{cls.__name__} implements no component interface")
+
+
 def component_registry() -> dict[str, type]:
     """Name -> class for every concrete Source/Transformer/Destination the
     engine exports from its component modules (built once, lazily)."""
@@ -165,13 +285,9 @@ class PipelineJobFromJsonConverter:
         steps: list[PipelineStep] = []
         for task in spec["task_list"]:
             for raw in task["step_list"]:
-                params = raw.get("component_parameters", {})
-                for key, value in params.items():
-                    if isinstance(value, dict) and "pipeline_secret" in value:
-                        raise ValueError(
-                            f"step {raw['name']!r}: pipeline_secret parameters are "
-                            "not supported by this engine (no cloud secret stores)"
-                        )
+                params, has_secrets = _decode_secret_params(
+                    raw.get("component_parameters", {})
+                )
                 cls_name = raw["component"]
                 cls = registry.get(cls_name)
                 if cls is None:
@@ -179,7 +295,10 @@ class PipelineJobFromJsonConverter:
                         f"unknown component {cls_name!r}; known: "
                         f"{sorted(registry)[:10]}..."
                     )
-                comp = cls(**params)
+                if has_secrets:
+                    comp = _make_deferred(cls, params)
+                else:
+                    comp = cls(**params)
                 comp._component_name = cls_name
                 comp._component_parameters = dict(params)
                 steps.append(
@@ -227,7 +346,7 @@ class PipelineJobToJsonConverter:
         out = {
             "name": step.name,
             "component": name,
-            "component_parameters": params,
+            "component_parameters": _encode_secret_params(params),
         }
         if step.depends_on:
             out["depends_on_step"] = list(step.depends_on)

@@ -124,7 +124,7 @@ def test_unknown_component_and_secret_rejected():
             ],
         }
     )
-    with pytest.raises(ValueError, match="pipeline_secret"):
+    with pytest.raises(ValueError, match="unknown secret provider"):
         PipelineJobFromJsonConverter(secret).convert()
 
 
