@@ -2111,6 +2111,44 @@ def _q_ts_raw_json_ns(sf):
     )
 
 
+def _q_stream_window_aggs(sf):
+    """The flagship north-rule pipeline graded END-TO-END: pre-tokenized
+    sequences stream through the checkpointed windowed-aggregate engine
+    (tumbling event-time windows, watermarks, salted skew routing, atomic
+    epoch manifests) WITH a mid-stream crash + resume — the graded output is
+    the resumed run's window aggregates, which exactly-once semantics
+    require to equal the unbroken stream's.  The oracle recomputes the
+    windows independently in SQL over the same deterministic input
+    (tumbling assign per FIXTURES F1 event times, per-(source, window)
+    count/sum/min/max of n_tok plus the sum of token VALUES — the
+    token-content reduction, so the payload itself is verified too)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray
+
+    from core_ray.streaming.job import StreamConfig, StreamingJob
+    from core_ray.synth import write_tokens_table
+
+    base = _scratch("stream_tokens")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    write_tokens_table(in_dir, 20_000, rows_per_file=2_000)
+    cfg = StreamConfig(
+        input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
+        lateness_s=2, files_per_epoch=1, token_stats=True,
+        sink_payload_rows=False,
+    )
+    StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
+    StreamingJob(cfg).run(resume=True)
+    files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
+    t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
+        ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
+         "max_n_tok", "sum_tok_values"]
+    )
+    return ray.data.from_arrow(t).sort(["source", "window_start"])
+
+
 def _q_api_raw_json(sf):
     """REST API v1 raw endpoint driven END-TO-END (reference
     ``api/v1/raw.py`` + ``common.py:199`` envelope): the framework-free
@@ -2302,7 +2340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_summary": _q_ts_summary,
         "ts_pivot": _q_ts_pivot,
         "ts_raw_json": _q_ts_raw_json,
-        "ts_circular_avg": _q_ts_circular_avg,
+        "tok_pack_sequences": _q_tok_pack_sequences,
         "dq_dedup": _q_dq_dedup,
         "dq_ksigma": _q_dq_ksigma,
         "dq_imputation": _q_dq_imputation,
@@ -2320,6 +2358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdm_usage": _q_mdm_usage,
         "sql_passthrough": _q_sql_passthrough,
         "api_raw_json": _q_api_raw_json,
+        "stream_window_aggs": _q_stream_window_aggs,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_near": _q_doc_dedup_near,
         "doc_dedup_near_dist": _q_doc_dedup_near_dist,
@@ -2342,7 +2381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sessionize": _q_ev_sessionize,
         "ev_stream_join": _q_ev_stream_join,
         "mm_resize_frames": _q_mm_resize_frames,
-        "tok_pack_sequences": _q_tok_pack_sequences,
+        "ts_circular_avg": _q_ts_circular_avg,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "ev_interval_join": _q_ev_interval_join,
         "doc_lang_id": _q_doc_lang_id,
@@ -4612,6 +4651,35 @@ ORDER BY vec_id
 """
 
 _ORACLE["emb_novel_ingest"] = _ORACLE["emb_novel_full"]
+
+# Independent SQL recomputation of the streaming engine's tumbling windowed
+# aggregates over the SAME deterministic scratch input the query streams
+# (FIXTURES F1: event time = T0 + i*137ms + (i*2654435761 % 7)*250ms; the
+# path is per-pid via _scratch, written by the query before the oracle runs).
+import os as _os  # noqa: E402
+
+_ORACLE["stream_window_aggs"] = f"""
+WITH t AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source,
+         CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tsum
+  FROM read_parquet('/tmp/graft_stream_tokens_{_os.getpid()}/in/*.parquet')
+),
+e AS (
+  SELECT source, n_tok, tsum,
+         1704067200000000 + i * 137000 + ((i * 2654435761) % 7) * 250000 AS ev
+  FROM t
+)
+SELECT source,
+       make_timestamp((ev // 60000000) * 60000000) AS window_start,
+       count(*) AS cnt,
+       sum(n_tok) AS sum_n_tok,
+       min(n_tok) AS min_n_tok,
+       max(n_tok) AS max_n_tok,
+       sum(tsum) AS sum_tok_values
+FROM e
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
 
 _ORACLE["doc_minhash_novel"] = r"""
 WITH w AS (
