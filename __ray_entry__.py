@@ -2271,6 +2271,79 @@ def _q_delta_read(sf):
     return read_delta(tmp).sort("n_nationkey")
 
 
+def _q_delta_share_read(sf):
+    """Native Delta SHARING protocol driven END-TO-END (reference
+    ``sources/python/delta_sharing.py:23`` re-expressed as a real protocol
+    client, ``core_ray/sources/delta_sharing.py``): the supplier table is
+    split into partition files served by an in-process sharing server
+    (bearer auth + NDJSON query response with file:// URLs +
+    partitionValues), and the client's profile→query→snapshot→read path
+    produces the Dataset — partition column ``b`` comes back typed int from
+    the shared schemaString."""
+    import json as _json
+    import os
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from core_ray.sources.delta_sharing import DeltaSharingSource
+
+    tmp = _scratch("delta_share")
+    os.makedirs(tmp, exist_ok=True)
+    t = _pq.read_table(f"{sf}/supplier.parquet",
+                       columns=["s_suppkey", "s_name", "s_nationkey"])
+    bucket = _pa.array(
+        (t["s_nationkey"].to_numpy(zero_copy_only=False) % 3).astype("int64")
+    )
+    files = []
+    for b in (0, 1, 2):
+        part = t.filter(_pc.equal(bucket, b))
+        path = os.path.join(tmp, f"b{b}.parquet")
+        _pq.write_table(part, path)
+        files.append((b, path))
+    schema_string = _json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "s_suppkey", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "s_name", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "s_nationkey", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "b", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ]}
+    )
+    meta_line = _json.dumps({"metaData": {
+        "id": "graft-share", "version": 3, "schemaString": schema_string,
+        "partitionColumns": ["b"],
+    }})
+    proto_line = _json.dumps({"protocol": {"minReaderVersion": 1}})
+
+    def transport(method, url, headers, body):
+        if headers.get("Authorization") != "Bearer tok":
+            return 401, {}, _json.dumps({"message": "bad token"}).encode()
+        if url.endswith("/query") and method == "POST":
+            lines = [proto_line, meta_line] + [
+                _json.dumps({"file": {
+                    "id": f"f{b}", "url": f"file://{p}",
+                    "partitionValues": {"b": str(b)}, "size": 1,
+                }})
+                for b, p in files
+            ]
+            return 200, {}, "\n".join(lines).encode()
+        return 404, {}, _json.dumps({"message": "no route"}).encode()
+
+    profile = os.path.join(tmp, "profile.share")
+    with open(profile, "w") as f:
+        _json.dump({"shareCredentialsVersion": 1,
+                    "endpoint": "https://share.example/api",
+                    "bearerToken": "tok"}, f)
+    src = DeltaSharingSource(profile, "s1", "default", "supplier",
+                             transport=transport)
+    return src.read_batch().sort("s_suppkey")
+
+
 def _q_emb_novel_ingest(sf):
     """The epoch-sliced embedding-novelty INGEST graded end-to-end: the
     reference IVF index is built once, then the ingest drains in epochs
@@ -2377,6 +2450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_customers": _q_rel_top_customers,
         "rel_pricing_summary": _q_rel_pricing,
         "delta_read": _q_delta_read,
+        "delta_share_read": _q_delta_share_read,
         "ev_stream_pattern": _q_ev_stream_pattern,
         "ev_sessionize": _q_ev_sessionize,
         "ev_stream_join": _q_ev_stream_join,
@@ -4624,6 +4698,13 @@ _ORACLE["delta_read"] = """
 SELECT n_nationkey, n_name, n_regionkey
 FROM nation WHERE n_regionkey <> 2
 ORDER BY n_nationkey
+"""
+
+_ORACLE["delta_share_read"] = """
+SELECT s_suppkey, s_name, s_nationkey,
+       CAST(s_nationkey % 3 AS INTEGER) AS b
+FROM supplier
+ORDER BY s_suppkey
 """
 
 _ORACLE["api_resample_json"] = f"""

@@ -1,6 +1,11 @@
 """Readers (reference ``pipelines/sources/`` — SURVEY.md §2.3)."""
 
 from .sql_query import sql_query
+from .delta_sharing import (
+    DeltaSharingClient,
+    DeltaSharingProfile,
+    DeltaSharingSource,
+)
 from .iso import BaseISOSource, FixtureISOSource
 from .weather import weather_raw, weather_latest
 from .bus import (
@@ -13,6 +18,9 @@ from .bus import (
 
 __all__ = [
     "sql_query",
+    "DeltaSharingClient",
+    "DeltaSharingProfile",
+    "DeltaSharingSource",
     "BaseISOSource",
     "FixtureISOSource",
     "weather_raw",

@@ -201,6 +201,20 @@ def read_delta(
     snap = snapshot(table_path, version=version)
     if not snap.files:
         raise FileNotFoundError(f"Delta table {table_path} has no live files")
+    return read_snapshot(snap, base_path=table_path, columns=columns)
+
+
+def read_snapshot(
+    snap: DeltaSnapshot,
+    base_path: str = "",
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Assemble a Dataset from any resolved live-file snapshot — the local
+    ``_delta_log`` replay above or a Delta Sharing query response (the
+    sharing protocol's metaData/file actions carry the same schemaString +
+    partitionValues shape, ``sources/delta_sharing.py``)."""
+    if not snap.files:
+        raise FileNotFoundError("snapshot has no live files")
     ptypes = _partition_types(snap)
     pcols = [c for c in snap.partition_columns if columns is None or c in columns]
     data_columns = (
@@ -211,7 +225,7 @@ def read_delta(
     for f in snap.files:
         key = tuple(f["partitionValues"].get(c) for c in snap.partition_columns)
         groups.setdefault(key, []).append(
-            os.path.join(table_path, f["path"])
+            os.path.join(base_path, f["path"]) if base_path else f["path"]
         )
 
     def attach(consts: dict):
@@ -256,4 +270,4 @@ def read_delta(
     return out
 
 
-__all__ = ["DeltaSnapshot", "snapshot", "read_delta"]
+__all__ = ["DeltaSnapshot", "snapshot", "read_delta", "read_snapshot"]
