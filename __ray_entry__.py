@@ -2399,6 +2399,63 @@ def _q_api_resample_json(sf):
     return pd.DataFrame(env["data"])[["TagName", "EventTime", "Value"]]
 
 
+def _q_api_batch_json(sf):
+    """REST API v1 BATCH endpoint end-to-end (reference ``api/v1/batch.py``):
+    three requests — raw, hourly-avg resample, latest — fan out through the
+    order-preserving concurrent runner and come back as the
+    list-of-envelopes response; each envelope's records are parsed back with
+    a ``req`` ordinal so the oracle reproduces all three result sets in one
+    UNION."""
+    import json
+
+    import pandas as pd
+
+    from core_ray.api import BaseQueryParams, BatchBodyParams
+    from core_ray.api.v1 import batch_post
+
+    base = BaseQueryParams(
+        source=f"{sf}/events.parquet",
+        tagname_column="event_type",
+        timestamp_column="ts",
+        status_column=None,
+        value_column="value",
+    )
+    body = BatchBodyParams(
+        requests=[
+            {
+                "url": "/events/raw",
+                "method": "GET",
+                "params": {"start_date": START, "end_date": END,
+                           "tag_names": ["click"]},
+            },
+            {
+                "url": "/events/resample",
+                "method": "GET",
+                "params": {"start_date": START, "end_date": END,
+                           "tag_names": ["purchase"],
+                           "time_interval_rate": "1",
+                           "time_interval_unit": "hour",
+                           "agg_method": "avg",
+                           "exact_decimals": 2},
+            },
+            {
+                "url": "/events/latest",
+                "method": "GET",
+                "params": {"tag_names": list(TAGS2)},
+            },
+        ]
+    )
+    resp = batch_post(base, body)
+    env = json.loads(resp.content)
+    assert len(env["data"]) == 3
+    frames = []
+    for i, part in enumerate(env["data"]):
+        df = pd.DataFrame(part["data"])[["TagName", "EventTime", "Value"]]
+        df.insert(0, "req", i)
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE: dict order is load-bearing — the grading driver samples the FIRST 50
     # entries, so the head is a deliberate cross-section of every operator family
@@ -2431,6 +2488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdm_usage": _q_mdm_usage,
         "sql_passthrough": _q_sql_passthrough,
         "api_raw_json": _q_api_raw_json,
+        "api_batch_json": _q_api_batch_json,
         "stream_window_aggs": _q_stream_window_aggs,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_near": _q_doc_dedup_near,
@@ -4692,6 +4750,30 @@ SELECT event_type AS TagName,
 FROM events
 WHERE {_RANGE} AND event_type IN ('click', 'purchase')
 ORDER BY event_type, ts LIMIT 50 OFFSET 10
+"""
+
+_ORACLE["api_batch_json"] = f"""
+WITH rs AS (SELECT DISTINCT * FROM (
+  SELECT event_type AS TagName, epoch_us(ts) AS tus, value, {_WS} AS ws
+  FROM events WHERE {_RANGE} AND event_type = 'purchase'))
+SELECT 0 AS req, event_type AS TagName,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '000' AS EventTime,
+       value AS Value
+FROM events WHERE {_RANGE} AND event_type = 'click'
+UNION ALL
+SELECT 1 AS req, TagName,
+       strftime(make_timestamp(ws), '%Y-%m-%dT%H:%M:%S.%f') || '000',
+       round_even(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(value), 4)
+FROM rs GROUP BY 1, 2, ws
+UNION ALL
+SELECT 2 AS req, event_type,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '000', value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY ts DESC, value DESC) = 1
+ORDER BY 1, 2, 3
 """
 
 _ORACLE["delta_read"] = """

@@ -173,6 +173,10 @@ def resample_get(connection=None, parameters_dict=None):
         include_bad=bool(p.get("include_bad_data", False)),
         spec=_spec(p),
         display_tz=p.get("display_timezone"),
+        # engine extension: when the stored values are fixed-point decimals,
+        # compute avg in exact scaled integers (see ops/resample.py) so the
+        # JSON round-trips are bit-stable at round-half-even boundaries
+        exact_decimals=p.get("exact_decimals"),
     )
     return _finish(ds, p, sort_cols=["TagName", "EventTime"])
 
