@@ -2149,6 +2149,50 @@ def _q_stream_window_aggs(sf):
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
+def _q_stream_static_join(sf):
+    """Stream-static (dimension) INNER join inside the streaming engine
+    (Spark's stream-static join semantics, ``StreamConfig.dim_path``): a
+    small broadcast dimension table keyed by source is joined task-side
+    per micro-batch BEFORE the shuffle to the partition actors — rows
+    whose source has no dimension row ('forums' here) are dropped and
+    never enter window state, matched windows additionally report
+    sum_weighted = SUM(n_tok * weight).  Run WITH a mid-stream crash +
+    resume (the join is stateless, so exactly-once must be unaffected);
+    the oracle recomputes the join + tumbling windows in SQL with the
+    dimension inlined as VALUES."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray
+
+    from core_ray.streaming.job import StreamConfig, StreamingJob
+    from core_ray.synth import write_tokens_table
+
+    base = _scratch("stream_dim")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    dim_path = f"{base}/dim.parquet"
+    _pq.write_table(
+        pa.table({"source": ["web", "books", "code", "wiki"],
+                  "weight": [3, 7, 2, 5]}),
+        dim_path,
+    )
+    cfg = StreamConfig(
+        input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
+        lateness_s=2, files_per_epoch=1, token_stats=True,
+        sink_payload_rows=False, dim_path=dim_path,
+    )
+    StreamingJob(cfg).run(resume=False, stop_after_epoch=3)  # crash mid-stream
+    StreamingJob(cfg).run(resume=True)
+    files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
+    t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
+        ["source", "window_start", "cnt", "sum_n_tok", "sum_tok_values",
+         "sum_weighted"]
+    )
+    return ray.data.from_arrow(t).sort(["source", "window_start"])
+
+
 def _q_api_raw_json(sf):
     """REST API v1 raw endpoint driven END-TO-END (reference
     ``api/v1/raw.py`` + ``common.py:199`` envelope): the framework-free
@@ -2490,15 +2534,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "api_raw_json": _q_api_raw_json,
         "api_batch_json": _q_api_batch_json,
         "stream_window_aggs": _q_stream_window_aggs,
+        "stream_static_join": _q_stream_static_join,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_near": _q_doc_dedup_near,
         "doc_dedup_near_dist": _q_doc_dedup_near_dist,
         "doc_dedup_spans": _q_doc_dedup_spans,
-        "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_minhash_novel": _q_doc_minhash_novel,
         "doc_search_bm25": _q_doc_search_bm25,
-        "doc_dedup_near_best": _q_doc_dedup_near_best,
-        "doc_dup_cluster_sizes": _q_doc_dup_cluster_sizes,
         "emb_knn": _q_emb_knn,
         "emb_knn_indexed": _q_emb_knn_indexed,
         "emb_dedup_semantic": _q_emb_dedup_semantic,
@@ -2515,6 +2557,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_resize_frames": _q_mm_resize_frames,
         "ts_circular_avg": _q_ts_circular_avg,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "doc_minhash_pairs": _q_doc_minhash_pairs,
+        "doc_dedup_near_best": _q_doc_dedup_near_best,
+        "doc_dup_cluster_sizes": _q_doc_dup_cluster_sizes,
         "ev_interval_join": _q_ev_interval_join,
         "doc_lang_id": _q_doc_lang_id,
         "doc_token_count_bpe": _q_doc_token_count_bpe,
@@ -4839,6 +4884,30 @@ SELECT source,
        min(n_tok) AS min_n_tok,
        max(n_tok) AS max_n_tok,
        sum(tsum) AS sum_tok_values
+FROM e
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+_ORACLE["stream_static_join"] = f"""
+WITH t AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source,
+         CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tsum
+  FROM read_parquet('/tmp/graft_stream_dim_{_os.getpid()}/in/*.parquet')
+),
+d AS (SELECT * FROM (VALUES ('web', 3), ('books', 7), ('code', 2),
+                            ('wiki', 5)) AS d(source, weight)),
+e AS (
+  SELECT t.source, n_tok, tsum, weight,
+         1704067200000000 + i * 137000 + ((i * 2654435761) % 7) * 250000 AS ev
+  FROM t JOIN d ON t.source = d.source
+)
+SELECT source,
+       make_timestamp((ev // 60000000) * 60000000) AS window_start,
+       count(*) AS cnt,
+       sum(n_tok) AS sum_n_tok,
+       sum(tsum) AS sum_tok_values,
+       sum(n_tok * weight) AS sum_weighted
 FROM e
 GROUP BY 1, 2
 ORDER BY 1, 2

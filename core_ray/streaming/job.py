@@ -69,6 +69,14 @@ class StreamConfig:
     # sum_tok_values.  The data-parallel work is then proportional to token
     # bytes, which is what the scaling legs measure.
     token_stats: bool = False
+    # Stream-static (dimension) join: path to a small Parquet table with
+    # columns (source:string, weight:int64).  Spark's stream-static INNER
+    # join semantics, applied per micro-batch task-side against the
+    # broadcast dimension: streamed rows whose source has no dimension row
+    # are DROPPED before routing (they never reach actor state), matched
+    # rows gain a weighted token contribution and every closed window
+    # additionally reports sum_weighted = SUM(n_tok * weight).
+    dim_path: str | None = None
     # False = aggregation-only job: the token payload is read and aggregated
     # but not re-materialized at the sink (the data-reduction path).  In this
     # sandbox every NEW byte through the object store page-faults at a fixed
@@ -82,16 +90,36 @@ def normalize_tokens(
     route_seed: int,
     with_payload: bool = True,
     token_stats: bool = False,
+    dim_map: dict | None = None,
 ):
     """Stateless normalize: tokens row -> keyed event (Arrow, zero-copy for
     the `tokens` payload; only small derived columns are materialized).
     ``with_payload=False`` is the aggregation-only path — the tokens column
     never enters the pipeline (pruned at the read).  ``token_stats=True``
     reads and REDUCES the payload here (per-row sum of token values, one
-    vectorized reduceat over the flat value buffer) and then drops it."""
+    vectorized reduceat over the flat value buffer) and then drops it.
+
+    ``dim_map`` ({source: int weight}) enables the stream-static inner
+    join: unmatched rows are filtered HERE (task-side, before the shuffle
+    to the partition actors — the join never adds state), matched rows
+    gain ``wt = n_tok * weight``.  The per-batch cost is one dictionary
+    encode of the (already dictionary-friendly) source column plus a
+    category-count Python lookup — no per-row Python."""
 
     def fn(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+
+        if dim_map is not None:
+            enc = pc.dictionary_encode(batch["source"].combine_chunks())
+            cat_w = np.array(
+                [float(dim_map.get(c, np.nan)) for c in enc.dictionary.to_pylist()]
+            )
+            w_row = cat_w[enc.indices.to_numpy(zero_copy_only=False)]
+            keep = ~np.isnan(w_row)
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                w_row = w_row[keep]
+            row_weights = w_row.astype(np.int64)
 
         # doc_idx from "doc-%08d" (vectorized slice+cast, no Python loop)
         idx = pc.cast(pc.utf8_slice_codeunits(batch["doc_id"], 4, 99), pa.int64())
@@ -131,6 +159,11 @@ def normalize_tokens(
             if ne.any():
                 sums[ne] = np.add.reduceat(vals, offs[:-1][ne] - offs[0], dtype=np.int64)
             cols["tok_sum"] = pa.array(sums)
+        if dim_map is not None:
+            cols["wt"] = pa.array(
+                batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+                * row_weights
+            )
         return pa.table(cols)
 
     return fn
@@ -276,7 +309,9 @@ def _sessions_from_snapshot(t: pa.Table | None) -> dict:
     return state
 
 
-def merge_closed(results: list[dict], token_stats: bool = False) -> pa.Table:
+def merge_closed(
+    results: list[dict], token_stats: bool = False, weighted: bool = False
+) -> pa.Table:
     """Final stage of the salted window aggregate: merge per-actor partials.
 
     Vectorized: per-actor closed frames arrive as column arrays; one pandas
@@ -293,7 +328,7 @@ def merge_closed(results: list[dict], token_stats: bool = False) -> pa.Table:
         g = (
             m.groupby(["source", "ws"], sort=True, as_index=False)
             .agg(cnt=("cnt", "sum"), s=("s", "sum"), mn=("mn", "min"),
-                 mx=("mx", "max"), st=("st", "sum"))
+                 mx=("mx", "max"), st=("st", "sum"), w=("w", "sum"))
         )
     else:
         g = pd.DataFrame(
@@ -305,6 +340,7 @@ def merge_closed(results: list[dict], token_stats: bool = False) -> pa.Table:
                 "mn": pd.Series([], dtype=np.int64),
                 "mx": pd.Series([], dtype=np.int64),
                 "st": pd.Series([], dtype=np.int64),
+                "w": pd.Series([], dtype=np.int64),
             }
         )
     cnts = g["cnt"].to_numpy(dtype=np.int64)
@@ -326,6 +362,11 @@ def merge_closed(results: list[dict], token_stats: bool = False) -> pa.Table:
         | (
             {"sum_tok_values": pa.array(g["st"].to_numpy(dtype=np.int64))}
             if token_stats
+            else {}
+        )
+        | (
+            {"sum_weighted": pa.array(g["w"].to_numpy(dtype=np.int64))}
+            if weighted
             else {}
         )
     )
@@ -457,11 +498,26 @@ class StreamingJob:
             # routing is row-deterministic, so block layout never affects output).
             n_cpus = int(ray.cluster_resources().get("CPU", 8))
 
+            # stream-static join dimension: read ONCE on the driver (small
+            # by contract) and captured by value in the normalize closure —
+            # it ships with each consume task spec, never per batch
+            dim_map = None
+            if cfg.dim_path:
+                import pyarrow.parquet as _pq
+
+                dim_t = _pq.read_table(cfg.dim_path, columns=["source", "weight"])
+                dim_map = dict(
+                    zip(
+                        dim_t["source"].to_pylist(),
+                        (int(w) for w in dim_t["weight"].to_pylist()),
+                    )
+                )
             norm_fn = normalize_tokens(
                 cfg.num_partitions,
                 cfg.route_seed,
                 with_payload=cfg.sink_payload_rows,
                 token_stats=cfg.token_stats,
+                dim_map=dim_map,
             )
             cols = (
                 None
@@ -514,7 +570,7 @@ class StreamingJob:
                 results = ray.get([a.end_epoch.remote(e, wm) for a in actors])
                 t_barrier = _time.monotonic() - t0
                 t0 = _time.monotonic()
-                streams = {"agg": merge_closed(results, cfg.token_stats)}
+                streams = {"agg": merge_closed(results, cfg.token_stats, weighted=cfg.dim_path is not None)}
                 if cfg.window_kind == "session":
                     for r in results:
                         merge_fragments(sessions, r.get("fragments", []), cfg.gap_s * 1_000_000)
@@ -557,7 +613,7 @@ class StreamingJob:
             if not self.agg_sink.committed(final_epoch):
                 results = ray.get([a.flush_final.remote(final_epoch) for a in actors])
                 streams = {
-                    "agg": merge_closed(results, cfg.token_stats),
+                    "agg": merge_closed(results, cfg.token_stats, weighted=cfg.dim_path is not None),
                     "latest": merge_latest(results),
                 }
                 if cfg.window_kind == "session":

@@ -53,6 +53,7 @@ def _empty_partials() -> pd.DataFrame:
             "mn": pd.Series([], dtype=np.int64),
             "mx": pd.Series([], dtype=np.int64),
             "st": pd.Series([], dtype=np.int64),
+            "w": pd.Series([], dtype=np.int64),
         }
     )
 
@@ -68,7 +69,7 @@ def _merge_partials(frames: list[pd.DataFrame]) -> pd.DataFrame:
     m = pd.concat(frames, ignore_index=True)
     return m.groupby(["c", "ws"], sort=False, as_index=False).agg(
         cnt=("cnt", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"),
-        st=("st", "sum"),
+        st=("st", "sum"), w=("w", "sum"),
     )
 
 
@@ -182,6 +183,11 @@ class StreamPartitionActor:
                 "mn": mn,
                 "mx": part_rows["good_value"].to_numpy(),
                 "st": part_rows["st"].to_numpy(),
+                "w": (
+                    part_rows["w"].to_numpy()
+                    if "w" in t.column_names
+                    else np.zeros(len(part_rows), dtype=np.int64)
+                ),
             }
         )
         # the seen band dominates the snapshot when lateness is large: prune
@@ -227,6 +233,7 @@ class StreamPartitionActor:
         statuses = [str(v) for v in p["mn"].tolist()]
         goodv = p["mx"].tolist()
         sts = p["st"].tolist()
+        ws_col = p["w"].tolist()
         if self.seen_bands:
             seen_idx = np.concatenate([b[0] for b in self.seen_bands])
             seen_ts = np.concatenate([b[1] for b in self.seen_bands])
@@ -239,11 +246,13 @@ class StreamPartitionActor:
             statuses.extend([None] * n_seen)
             goodv.extend([None] * n_seen)
             sts.extend([None] * n_seen)
+            ws_col.extend([None] * n_seen)
         for src, reg in self.latest.items():
             kinds.append("latest"); skeys.append(src); wss.append(reg["ts"])
             cnts.append(reg["value"]); sums.append(reg["good_ts"])
             statuses.append(reg["status"]); goodv.append(reg["good_value"])
             sts.append(None)
+            ws_col.append(None)
         return pa.table(
             {
                 "kind": pa.array(kinds, pa.string()),
@@ -254,6 +263,7 @@ class StreamPartitionActor:
                 "status": pa.array(statuses, pa.string()),
                 "good_value": pa.array(goodv, pa.int64()),
                 "st": pa.array(sts, pa.int64()),
+                "w": pa.array(ws_col, pa.int64()),
             }
         ).replace_schema_metadata(
             {"max_ts": str(self.max_ts), "watermark": str(self.watermark)}
@@ -319,6 +329,13 @@ class StreamPartitionActor:
             if "tok_sum" in rows.column_names
             else np.zeros(len(rows), dtype=np.int64)
         )
+        # stream-static join contribution (normalize attaches `wt` when a
+        # dimension table is configured — see StreamConfig.dim_path)
+        wt = (
+            rows["wt"].to_numpy()
+            if "wt" in rows.column_names
+            else np.zeros(len(rows), dtype=np.int64)
+        )
         # No per-row Python objects: source is dictionary-encoded in C (codes
         # + a tiny category array), Status compared in Arrow; status STRINGS
         # are only fetched per latest-register winner (O(#sources) rows).
@@ -377,6 +394,7 @@ class StreamPartitionActor:
             ts_t = ts[on_time]
             ntok_t = n_tok[on_time]
             tsum_t = tok_sum[on_time]
+            wt_t = wt[on_time]
             if self.window_kind == "session":
                 fragments = self._session_fragments(codes_t, src_cats, ts_t, ntok_t)
             else:
@@ -389,6 +407,7 @@ class StreamPartitionActor:
                     codes_w = codes_t[ridx]
                     ntok_w = ntok_t[ridx]
                     tsum_w = tsum_t[ridx]
+                    wt_w = wt_t[ridx]
                 else:  # tumbling
                     ws = self.t0_us + (
                         (ts_t - self.t0_us) // self.window_us
@@ -396,13 +415,15 @@ class StreamPartitionActor:
                     codes_w = codes_t
                     ntok_w = ntok_t
                     tsum_w = tsum_t
+                    wt_w = wt_t
                 # int-keyed groupby (pandas C path) on (source code, ws)
                 df = pd.DataFrame(
-                    {"c": codes_w, "ws": ws, "n": ntok_w, "t": tsum_w}
+                    {"c": codes_w, "ws": ws, "n": ntok_w, "t": tsum_w,
+                     "wv": wt_w}
                 )
                 g = df.groupby(["c", "ws"], sort=False, as_index=False).agg(
                     cnt=("n", "size"), s=("n", "sum"), mn=("n", "min"),
-                    mx=("n", "max"), st=("t", "sum"),
+                    mx=("n", "max"), st=("t", "sum"), w=("wv", "sum"),
                 )
                 new = pd.DataFrame(
                     {
@@ -413,6 +434,7 @@ class StreamPartitionActor:
                         "mn": g["mn"].to_numpy(dtype=np.int64),
                         "mx": g["mx"].to_numpy(dtype=np.int64),
                         "st": g["st"].to_numpy(dtype=np.int64),
+                        "w": g["w"].to_numpy(dtype=np.int64),
                     }
                 )
                 self.partials = _merge_partials([self.partials, new])
@@ -517,6 +539,7 @@ class StreamPartitionActor:
             "mn": closed["mn"].to_numpy(dtype=np.int64),
             "mx": closed["mx"].to_numpy(dtype=np.int64),
             "st": closed["st"].to_numpy(dtype=np.int64),
+            "w": closed["w"].to_numpy(dtype=np.int64),
         }
 
     def _session_fragments(self, codes, cats, tss, vals) -> list:

@@ -566,3 +566,68 @@ def test_gc_snapshots_seven_digit_epoch(tmp_path):
     sink.gc_snapshots(1_000_000)
     assert sink.read_snapshot(1_000_000, "state") is not None
     assert sink.read_snapshot(999_999, "state") is None
+
+
+def test_stream_static_dim_join(stream_dirs, tmp_path):
+    """Stream-static INNER join (StreamConfig.dim_path): unmatched sources
+    are dropped task-side before routing, matched windows report
+    sum_weighted = SUM(n_tok * weight), and a mid-stream crash + resume is
+    byte-identical to the unbroken run (the join is stateless, so
+    exactly-once must be unaffected)."""
+    import pyarrow.parquet as pq_
+
+    base, in_dir = stream_dirs
+    dim_path = str(tmp_path / "dim.parquet")
+    # cover 4 of 5 sources: 'forums' rows must vanish from the aggregates
+    weights = {"web": 3, "books": 7, "code": 2, "wiki": 5}
+    pq_.write_table(
+        pa.table(
+            {"source": list(weights), "weight": list(weights.values())}
+        ),
+        dim_path,
+    )
+
+    def run(out, **kw):
+        cfg = StreamConfig(
+            input_dir=in_dir, out_dir=str(out), num_partitions=4,
+            window_s=60, dim_path=dim_path, token_stats=True,
+            sink_payload_rows=False,
+        )
+        return StreamingJob(cfg).run(**kw)
+
+    out_full = tmp_path / "out_full"
+    run(out_full, resume=False)
+    out_resumed = tmp_path / "out_resumed"
+    run(out_resumed, resume=False, stop_after_epoch=1)  # crash mid-stream
+    run(out_resumed, resume=True)
+    assert _dir_hashes(out_full) == _dir_hashes(out_resumed)
+
+    files = sorted(glob.glob(f"{out_full}/part=9999/agg-*.parquet"))
+    got = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+
+    # batch oracle over the same input
+    import numpy as np
+    import pandas as pd
+
+    from core_ray.synth import event_time_us, make_chunk
+
+    src = make_chunk(0, N_ROWS).to_pandas()
+    src["ev"] = event_time_us(np.arange(N_ROWS))
+    src["ws"] = (src["ev"] // 60_000_000) * 60_000_000
+    src["tsum"] = src["tokens"].map(lambda t: int(np.sum(t)))
+    src["weight"] = src["source"].map(weights)
+    assert src["weight"].isna().any()  # fixture really exercises the drop
+    j = src.dropna(subset=["weight"])
+    exp = (
+        j.assign(wt=j["n_tok"] * j["weight"].astype(np.int64))
+        .groupby(["source", "ws"], as_index=False)
+        .agg(cnt=("n_tok", "size"), sum_n_tok=("n_tok", "sum"),
+             sum_tok_values=("tsum", "sum"), sum_weighted=("wt", "sum"))
+        .sort_values(["source", "ws"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["source", "window_start"]).reset_index(drop=True)
+    assert "forums" not in set(got["source"])
+    assert got["window_start"].astype("int64").tolist() == exp["ws"].tolist()
+    for c in ("cnt", "sum_n_tok", "sum_tok_values", "sum_weighted"):
+        assert got[c].astype("int64").tolist() == exp[c].tolist(), c
