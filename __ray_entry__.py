@@ -2193,6 +2193,79 @@ def _q_stream_static_join(sf):
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
+def _q_stream_session_aggs(sf):
+    """SESSION windows (gap-based) inside the streaming engine, graded
+    END-TO-END with a mid-stream crash + resume: per-epoch actor-local
+    session FRAGMENTS (a fragment over a subset of a key's events is always
+    a sub-session of the true session) are gap-merged into driver state,
+    sessions close only when ``end + gap <= watermark``, and the open-state
+    snapshot is written BEFORE the commit manifest so resume reconstructs
+    exactly the unbroken run.  The oracle recomputes sessionization
+    independently in SQL (gaps-and-islands over the deterministic FIXTURES
+    F1 event times: new session when the per-source time delta exceeds the
+    gap)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray
+
+    from core_ray.streaming.job import StreamConfig, StreamingJob
+    from core_ray.synth import write_tokens_table
+
+    base = _scratch("stream_sess")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    cfg = StreamConfig(
+        input_dir=in_dir, out_dir=out_dir, num_partitions=8,
+        window_kind="session", gap_s=1, lateness_s=2, files_per_epoch=1,
+        sink_payload_rows=False,
+    )
+    StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
+    StreamingJob(cfg).run(resume=True)
+    files = sorted(_glob.glob(f"{out_dir}/part=9999/sessions-*.parquet"))
+    t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
+        ["source", "session_start", "session_end", "cnt", "sum_n_tok"]
+    )
+    return ray.data.from_arrow(t).sort(["source", "session_start"])
+
+
+def _q_stream_sliding_aggs(sf):
+    """SLIDING windows (size 60 s, slide 30 s → every event belongs to
+    exactly two windows) inside the streaming engine, graded END-TO-END
+    with a mid-stream crash + resume.  Window replication happens in the
+    partition actors (``sliding_window_starts``: row indices replicated
+    once per covering window, then the same int-keyed partial groupby as
+    tumbling), so exactly-once must hold per (window, key) even though each
+    input row feeds two windows.  The oracle replicates each event to its
+    two slide-aligned window starts via a 2-row cross join."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray
+
+    from core_ray.streaming.job import StreamConfig, StreamingJob
+    from core_ray.synth import write_tokens_table
+
+    base = _scratch("stream_slide")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    cfg = StreamConfig(
+        input_dir=in_dir, out_dir=out_dir, num_partitions=8,
+        window_kind="sliding", window_s=60, slide_s=30, lateness_s=2,
+        files_per_epoch=1, token_stats=True, sink_payload_rows=False,
+    )
+    StreamingJob(cfg).run(resume=False, stop_after_epoch=3)  # crash mid-stream
+    StreamingJob(cfg).run(resume=True)
+    files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
+    t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
+        ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
+         "max_n_tok", "sum_tok_values"]
+    )
+    return ray.data.from_arrow(t).sort(["source", "window_start"])
+
+
 def _q_api_raw_json(sf):
     """REST API v1 raw endpoint driven END-TO-END (reference
     ``api/v1/raw.py`` + ``common.py:199`` envelope): the framework-free
@@ -2548,14 +2621,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_novel_full": _q_emb_novel_full,
         "rel_rollup": _q_rel_rollup,
         "rel_top_customers": _q_rel_top_customers,
-        "rel_pricing_summary": _q_rel_pricing,
+        "stream_session_aggs": _q_stream_session_aggs,
+        "stream_sliding_aggs": _q_stream_sliding_aggs,
         "delta_read": _q_delta_read,
         "delta_share_read": _q_delta_share_read,
         "ev_stream_pattern": _q_ev_stream_pattern,
-        "ev_sessionize": _q_ev_sessionize,
         "ev_stream_join": _q_ev_stream_join,
         "mm_resize_frames": _q_mm_resize_frames,
         "ts_circular_avg": _q_ts_circular_avg,
+        "rel_pricing_summary": _q_rel_pricing,
+        "ev_sessionize": _q_ev_sessionize,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_dedup_near_best": _q_doc_dedup_near_best,
@@ -4909,6 +4984,74 @@ SELECT source,
        sum(tsum) AS sum_tok_values,
        sum(n_tok * weight) AS sum_weighted
 FROM e
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+# Independent SQL sessionization (gaps-and-islands) over the same
+# deterministic scratch input: new session when the per-source event-time
+# delta exceeds the gap (1 s), session = [min(ev), max(ev)] with count/sum.
+_ORACLE["stream_session_aggs"] = f"""
+WITH t AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source
+  FROM read_parquet('/tmp/graft_stream_sess_{_os.getpid()}/in/*.parquet')
+),
+e AS (
+  SELECT source, n_tok,
+         1704067200000000 + i * 137000 + ((i * 2654435761) % 7) * 250000 AS ev
+  FROM t
+),
+o AS (
+  SELECT source, ev, n_tok,
+         CASE WHEN ev - lag(ev) OVER (PARTITION BY source ORDER BY ev)
+                   > 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY source ORDER BY ev
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT source,
+       make_timestamp(min(ev)) AS session_start,
+       make_timestamp(max(ev)) AS session_end,
+       count(*) AS cnt,
+       sum(n_tok) AS sum_n_tok
+FROM s
+GROUP BY source, sid
+ORDER BY 1, 2
+"""
+
+# Sliding windows size 60 s / slide 30 s: every event belongs to exactly two
+# slide-aligned windows (its 30 s floor and the one 30 s earlier).
+_ORACLE["stream_sliding_aggs"] = f"""
+WITH t AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source,
+         CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tsum
+  FROM read_parquet('/tmp/graft_stream_slide_{_os.getpid()}/in/*.parquet')
+),
+e AS (
+  SELECT source, n_tok, tsum,
+         1704067200000000 + i * 137000 + ((i * 2654435761) % 7) * 250000 AS ev
+  FROM t
+),
+w AS (
+  SELECT source, n_tok, tsum, ev,
+         1704067200000000
+           + ((ev - 1704067200000000) // 30000000) * 30000000
+           - k * 30000000 AS ws
+  FROM e CROSS JOIN (VALUES (0), (1)) AS o(k)
+)
+SELECT source,
+       make_timestamp(ws) AS window_start,
+       count(*) AS cnt,
+       sum(n_tok) AS sum_n_tok,
+       min(n_tok) AS min_n_tok,
+       max(n_tok) AS max_n_tok,
+       sum(tsum) AS sum_tok_values
+FROM w
+WHERE ws <= ev AND ev < ws + 60000000
 GROUP BY 1, 2
 ORDER BY 1, 2
 """

@@ -133,6 +133,30 @@ def test_kill_and_resume_byte_identical(stream_dirs):
     )
 
 
+@pytest.mark.parametrize("kind,kw", [
+    ("session", {"window_kind": "session", "gap_s": 1}),
+    ("sliding", {"window_kind": "sliding", "window_s": 60, "slide_s": 30}),
+])
+def test_kill_and_resume_byte_identical_window_kinds(stream_dirs, kind, kw):
+    """Exactly-once must hold for the session (driver-side gap-merged state
+    snapshotted before the commit manifest) and sliding (row replicated to
+    two windows) kinds too, not just tumbling."""
+    base, in_dir = stream_dirs
+    full_dir = base / f"out_ref_{kind}"
+    resumed_dir = base / f"out_resume_{kind}"
+
+    def run(out_dir, **extra):
+        cfg = StreamConfig(input_dir=in_dir, out_dir=str(out_dir),
+                           num_partitions=4, sink_payload_rows=False, **kw)
+        return StreamingJob(cfg).run(**extra)
+
+    run(full_dir)
+    res1 = run(resumed_dir, stop_after_epoch=1)
+    assert res1.get("stopped_after") == 1
+    run(resumed_dir, resume=True)
+    assert _dir_hashes(full_dir) == _dir_hashes(resumed_dir)
+
+
 def test_actor_late_and_duplicate_handling(stream_dirs):
     """Unit-level: duplicates are dropped, late rows land in the late side
     output, retried ingest batches are deduped."""
