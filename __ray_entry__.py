@@ -2266,6 +2266,65 @@ def _q_stream_sliding_aggs(sf):
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
+def _q_stream_lineage(sf):
+    """The checkpoint log's PER-PARTITION LINEAGE COUNTERS graded as data
+    (north-rule: "every stage records per-partition lineage + row/token
+    counters to a checkpoint log enabling resume mid-stream"): run the
+    engine WITH a mid-stream crash + resume, then read every partition's
+    per-epoch commit manifest (``manifests/part=*/epoch-*.json``) and
+    aggregate rows/tokens emitted per epoch.  Exactly-once accounting means
+    the counters must equal the per-epoch input truth (files_per_epoch=1 →
+    epoch e is doc rows [1000e, 1000e+1000)) — replayed epochs are no-ops
+    that return the ORIGINAL manifest, so a resume that double-counted (or
+    dropped) any partition's epoch would diverge here."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow as pa
+    import ray
+
+    from core_ray.streaming.job import AGG_PARTITION_ID, StreamConfig, StreamingJob
+    from core_ray.synth import write_tokens_table
+
+    base = _scratch("stream_lineage")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    write_tokens_table(in_dir, 12_000, rows_per_file=1_000)
+    cfg = StreamConfig(
+        input_dir=in_dir, out_dir=out_dir, num_partitions=8,
+        window_s=60, lateness_s=2, files_per_epoch=1,
+        sink_payload_rows=False,
+    )
+    StreamingJob(cfg).run(resume=False, stop_after_epoch=5)  # crash mid-stream
+    StreamingJob(cfg).run(resume=True)
+
+    per_epoch: dict[int, list[int]] = {}
+    for path in _glob.glob(f"{out_dir}/manifests/part=*/epoch-*.json"):
+        part = int(path.split("part=")[1].split("/")[0])
+        if part == AGG_PARTITION_ID:
+            continue  # driver-side aggregate sink: no row counters
+        with open(path) as f:
+            man = _json.load(f)
+        c = man["counters"]
+        if "rows_emitted" not in c:
+            continue  # final-flush manifest
+        e = int(man["epoch"])
+        acc = per_epoch.setdefault(e, [0, 0])
+        acc[0] += int(c["rows_emitted"])
+        acc[1] += int(c["tokens_emitted"])
+    t = pa.table(
+        {
+            "epoch": pa.array(sorted(per_epoch), pa.int64()),
+            "rows_emitted": pa.array(
+                [per_epoch[e][0] for e in sorted(per_epoch)], pa.int64()
+            ),
+            "tokens_emitted": pa.array(
+                [per_epoch[e][1] for e in sorted(per_epoch)], pa.int64()
+            ),
+        }
+    )
+    return ray.data.from_arrow(t).sort("epoch")
+
+
 def _q_api_raw_json(sf):
     """REST API v1 raw endpoint driven END-TO-END (reference
     ``api/v1/raw.py`` + ``common.py:199`` envelope): the framework-free
@@ -2585,7 +2644,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_latest": _q_ts_latest,
         "ts_plot": _q_ts_plot,
         "ts_summary": _q_ts_summary,
-        "ts_pivot": _q_ts_pivot,
         "ts_raw_json": _q_ts_raw_json,
         "tok_pack_sequences": _q_tok_pack_sequences,
         "dq_dedup": _q_dq_dedup,
@@ -2623,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_customers": _q_rel_top_customers,
         "stream_session_aggs": _q_stream_session_aggs,
         "stream_sliding_aggs": _q_stream_sliding_aggs,
+        "stream_lineage": _q_stream_lineage,
         "delta_read": _q_delta_read,
         "delta_share_read": _q_delta_share_read,
         "ev_stream_pattern": _q_ev_stream_pattern,
@@ -2631,6 +2690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_circular_avg": _q_ts_circular_avg,
         "rel_pricing_summary": _q_rel_pricing,
         "ev_sessionize": _q_ev_sessionize,
+        "ts_pivot": _q_ts_pivot,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_dedup_near_best": _q_doc_dedup_near_best,
@@ -4986,6 +5046,21 @@ SELECT source,
 FROM e
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+# Per-epoch input truth for the lineage counters: files_per_epoch=1 and
+# 1000 rows/file make epoch = doc index // 1000; exactly-once accounting
+# requires the manifests' per-epoch row/token counters to equal these sums.
+_ORACLE["stream_lineage"] = f"""
+SELECT CAST(i // 1000 AS BIGINT) AS epoch,
+       count(*) AS rows_emitted,
+       sum(n_tok) AS tokens_emitted
+FROM (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok
+  FROM read_parquet('/tmp/graft_stream_lineage_{_os.getpid()}/in/*.parquet')
+)
+GROUP BY 1
+ORDER BY 1
 """
 
 # Independent SQL sessionization (gaps-and-islands) over the same
