@@ -844,6 +844,15 @@ def _q_doc_source_divergence(sf):
     return source_divergence(sf, vocab_size=200)
 
 
+def _q_doc_dsir_weights(sf):
+    """DSIR hashed-unigram importance weights: tilt the corpus toward the
+    src0 target distribution (1024 DuckDB-hash buckets, add-one smoothing,
+    e6-scaled-int log-ratios so per-doc sums are order-free)."""
+    from core_ray.functions import dsir_weights
+
+    return dsir_weights(sf, target_source="src0", n_buckets=1024)
+
+
 def _q_ev_window_distinct(sf):
     """Exact distinct users per (event_type, hourly tumbling window)."""
     from core_ray.pipelines.relational import window_distinct_users
@@ -2777,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_quota": _q_doc_token_quota,
         "doc_source_overlap": _q_doc_source_overlap,
         "doc_source_divergence": _q_doc_source_divergence,
+        "doc_dsir_weights": _q_doc_dsir_weights,
         "doc_band_filter": _q_doc_band_filter,
         "doc_group_topk": _q_doc_group_topk,
         "rel_semi_join": _q_rel_semi_join,
@@ -4738,6 +4748,36 @@ LIMIT 10
 
 # per-source KL divergence from the corpus unigram distribution over the
 # top-200 vocabulary; per-(source,word) terms round_even-scaled to int64
+_ORACLE["doc_dsir_weights"] = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS wd
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source, CAST(hash(wd) % 1024 AS BIGINT) AS bk FROM w
+),
+tot AS (
+  SELECT bk,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t,
+         sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS r
+  FROM b GROUP BY 1
+),
+sums AS (SELECT sum(t) AS tt, sum(r) AS rr FROM tot),
+lam AS (
+  SELECT bk,
+         CAST(round_even(ln(((t + 1.0) / (tt + 1024.0)) /
+                            ((r + 1.0) / (rr + 1024.0))) * 1000000.0,
+                         0) AS BIGINT) AS l
+  FROM tot CROSS JOIN sums
+)
+SELECT b.doc_id, CAST(sum(l) AS BIGINT) AS score_e6
+FROM b JOIN lam USING (bk)
+GROUP BY 1
+ORDER BY 1
+"""
+
 _ORACLE["doc_source_divergence"] = r"""
 WITH w AS (
   SELECT source,

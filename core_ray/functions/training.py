@@ -1446,6 +1446,128 @@ def source_divergence(
     return ray.data.from_arrow(out)
 
 
+def dsir_weights(
+    source: str | ray.data.Dataset,
+    target_source: str = "src0",
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score every
+    document by how much its hashed-unigram profile looks like a TARGET
+    subset (here ``source == target_source``) versus the raw rest of the
+    corpus — ``log w(d) = sum_{word in d} lambda_{bucket(word)}`` with
+    ``lambda_b = ln( p_target(b) / p_raw(b) )`` over ``n_buckets`` hash
+    buckets, add-one smoothed.  The weights feed importance resampling
+    (``sample_weighted``) to tilt a raw corpus toward a high-quality target
+    distribution.
+
+    Exactness: buckets are DuckDB's own ``hash(word) % n_buckets`` (the
+    SimHash pattern — the oracle reproduces them bit-for-bit) and each
+    ``lambda_b`` is ``round_even(ln(...)*1e6)`` computed BY the in-process
+    DuckDB kernel over the aggregated integer bucket counts, so per-doc
+    scores are order-free int64 sums (``score_e6``).
+
+    Scale shape: stage 1 ships only per-batch ``(tgt, bucket, cnt)``
+    partials into one bounded ``groupby`` (<= 2*n_buckets rows); the
+    lambda table is a single ``n_buckets``-long int64 broadcast; stage 2 is
+    embarrassingly parallel re-hash + one ``bincount`` per batch.  Text
+    never shuffles.  Documents with no words are dropped (no profile).
+
+    Output: ``(doc_id, score_e6)`` sorted by id.
+    """
+    B = int(n_buckets)
+    ds = _read_docs(source, [id_col, "source", "text"])
+
+    def _word_buckets(texts):
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(pa.array(keep)), parent[keep]
+        if len(flat) == 0:
+            return np.zeros(0, np.int64), parent
+        bk = (_duckdb_word_hash(flat) % np.uint64(B)).astype(np.int64)
+        return bk, parent
+
+    def partials(batch: pa.Table) -> pa.Table:
+        bk, parent = _word_buckets(batch["text"])
+        if len(bk) == 0:
+            return pa.table({"tgt": pa.array([], pa.int64()),
+                             "bk": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        tgt_doc = pc.equal(batch["source"], target_source).to_numpy(
+            zero_copy_only=False
+        )
+        key = tgt_doc[parent].astype(np.int64) * B + bk
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "tgt": pa.array(ukey // B, pa.int64()),
+                "bk": pa.array(ukey % B, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tot_pd = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["tgt", "bk"])
+        .sum("cnt")
+        .to_pandas()  # bounded: <= 2 * n_buckets rows
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+    # pivot to one row per seen bucket: (bk, t, r) integer counts
+    piv = tot_pd.pivot_table(index="bk", columns="tgt", values="cnt",
+                             aggfunc="sum", fill_value=0)
+    t_cnt = piv[1].to_numpy(dtype=np.int64) if 1 in piv.columns else np.zeros(len(piv), np.int64)
+    r_cnt = piv[0].to_numpy(dtype=np.int64) if 0 in piv.columns else np.zeros(len(piv), np.int64)
+    bks = piv.index.to_numpy(dtype=np.int64)
+
+    from .dedup import _duckdb_hash_con
+
+    con = _duckdb_hash_con()
+    con.register("_dsir_tot", pa.table({"bk": bks, "t": t_cnt, "r": r_cnt}))
+    # identical expression tree to the SQL oracle's lambda SELECT
+    lam_tbl = con.execute(
+        f"""
+        WITH sums AS (SELECT sum(t) AS tt, sum(r) AS rr FROM _dsir_tot)
+        SELECT bk,
+               CAST(round_even(ln(((t + 1.0) / (tt + {B}.0)) /
+                                  ((r + 1.0) / (rr + {B}.0))) * 1000000.0,
+                               0) AS BIGINT) AS l
+        FROM _dsir_tot CROSS JOIN sums
+        """
+    ).fetch_arrow_table()
+    con.unregister("_dsir_tot")
+    lam = np.zeros(B, dtype=np.int64)
+    lam[lam_tbl["bk"].to_numpy()] = lam_tbl["l"].to_numpy()
+    lam_ref = ray.put(lam)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lam_v = ray.get(lam_ref)
+        bk, parent = _word_buckets(batch["text"])
+        n = len(batch)
+        ids = batch[id_col]
+        if len(bk) == 0:
+            return pa.table({id_col: ids.slice(0, 0),
+                             "score_e6": pa.array([], pa.int64())})
+        # integer-valued float64 accumulation is exact here: |lambda| <=
+        # ~1.5e7 and docs hold < 1e4 words, far inside 2^53
+        s = np.bincount(parent, weights=lam_v[bk], minlength=n)
+        nwords = np.bincount(parent, minlength=n)
+        keep = nwords > 0
+        return pa.table(
+            {
+                id_col: ids.filter(pa.array(keep)),
+                "score_e6": pa.array(np.rint(s[keep]).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(id_col)
+
+
 def group_topk(
     source: str | ray.data.Dataset,
     group_col: str = "lang",

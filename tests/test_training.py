@@ -370,6 +370,62 @@ def test_lm_score_tiny_model_by_hand():
     assert out["nll_e6"].tolist() == want
 
 
+def test_dsir_weights_partitioning_invariant_and_directional():
+    """DSIR scores are partition-invariant (int sums over a broadcast
+    lambda) and tilt the right way: docs written in the target's vocabulary
+    outscore docs written in the raw-only vocabulary."""
+    from core_ray.functions import dsir_weights
+
+    rng = np.random.default_rng(11)
+    tgt_words = np.array(["alpha", "beta", "gamma"])
+    raw_words = np.array(["uno", "dos", "tres", "quatro"])
+    rows = []
+    for i in range(90):
+        if i % 3 == 0:  # target docs: pure target vocabulary
+            rows.append(("t", " ".join(rng.choice(tgt_words, size=10))))
+        elif i % 3 == 1:  # raw docs in target vocabulary
+            rows.append(("r", " ".join(rng.choice(tgt_words, size=10))))
+        else:  # raw docs in raw vocabulary
+            rows.append(("r", " ".join(rng.choice(raw_words, size=10))))
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(90, dtype="int64"),
+            "source": [s for s, _ in rows],
+            "text": [t for _, t in rows],
+        }
+    )
+    a = (
+        dsir_weights(ray.data.from_pandas(df).repartition(1),
+                     target_source="t", n_buckets=64)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dsir_weights(ray.data.from_pandas(df).repartition(7),
+                     target_source="t", n_buckets=64)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    scores = a.set_index("doc_id")["score_e6"]
+    tgt_like = scores[[i for i in range(90) if i % 3 == 1]].mean()
+    raw_like = scores[[i for i in range(90) if i % 3 == 2]].mean()
+    assert tgt_like > raw_like
+
+
+def test_dsir_weights_drops_empty_docs():
+    from core_ray.functions import dsir_weights
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2], dtype="int64"),
+            "source": ["t", "r", "r"],
+            "text": ["alpha beta", "", "beta"],
+        }
+    )
+    out = dsir_weights(ray.data.from_pandas(df), target_source="t",
+                       n_buckets=16).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 2]
+
+
 def test_lm_score_partitioning_invariant():
     from core_ray.functions import lm_score
 
