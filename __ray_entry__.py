@@ -671,6 +671,62 @@ def _q_tok_pack_sequences(sf):
     return pack_sequences(sf, cap=512)
 
 
+def _q_tok_dup_windows(sf):
+    """Verbatim-memorization scan over the pre-tokenized sequence table:
+    per-document count of 16-token windows (stride 8) that occur verbatim
+    in another document.  Fixture plants duplicates deterministically: 150
+    full-sequence copies and 150 partial plagiarists whose first 64 tokens
+    are copied from an aligned victim prefix.  The oracle recomputes the
+    polynomial window hash (HUGEINT sum mod 2^64 — bit-equal to the
+    engine's uint64 arithmetic) from the same files."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from core_ray.functions import dup_token_windows
+    from core_ray.synth import make_chunk
+
+    base = _scratch("tok_dup")
+    in_dir = f"{base}/in"
+    _os.makedirs(in_dir, exist_ok=True)
+    baset = make_chunk(0, 6_000)
+    _pq.write_table(baset, f"{in_dir}/base.parquet")
+
+    tok = baset["tokens"].combine_chunks()
+    off = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = tok.values.to_numpy(zero_copy_only=False)
+    filler = make_chunk(50_000, 300)
+    ftok = filler["tokens"].combine_chunks()
+    foff = ftok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    fvals = ftok.values.to_numpy(zero_copy_only=False)
+
+    rows, ids = [], []
+    for j in range(300):
+        v = (j * 37) % 6_000
+        vrow = vals[off[v]:off[v + 1]]
+        if j % 2 == 0:  # full-sequence copy
+            arr = vrow
+        else:  # aligned partial copy: victim prefix + filler tail
+            frow = fvals[foff[j]:foff[j + 1]]
+            arr = np.concatenate([vrow[:64], frow])
+        rows.append(arr)
+        ids.append(f"doc-{60_000 + j:08d}")
+    flat = np.concatenate(rows).astype(np.int32)
+    offs = np.zeros(len(rows) + 1, dtype=np.int32)
+    offs[1:] = np.cumsum([len(r) for r in rows]).astype(np.int32)
+    extra = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "tokens": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
+            "n_tok": pa.array(np.diff(offs).astype(np.int32)),
+            "source": pa.array(["copy"] * len(ids)),
+        },
+        schema=baset.schema,
+    )
+    _pq.write_table(extra, f"{in_dir}/extra.parquet")
+    return dup_token_windows(in_dir, w=16, stride=8)
+
+
 def _q_rel_bucketed_join(sf):
     """The persisted-bucket-layout join: orders and customer written
     hash-bucketed by custkey ONCE (the layout a 100-TB fact table keeps),
@@ -2787,6 +2843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_overlap": _q_doc_source_overlap,
         "doc_source_divergence": _q_doc_source_divergence,
         "doc_dsir_weights": _q_doc_dsir_weights,
+        "tok_dup_windows": _q_tok_dup_windows,
         "doc_band_filter": _q_doc_band_filter,
         "doc_group_topk": _q_doc_group_topk,
         "rel_semi_join": _q_rel_semi_join,
@@ -5099,6 +5156,45 @@ FROM (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok
   FROM read_parquet('/tmp/graft_stream_lineage_{_os.getpid()}/in/*.parquet')
 )
+GROUP BY 1
+ORDER BY 1
+"""
+
+# Token-window memorization scan: the polynomial window hash is recomputed
+# as a HUGEINT sum mod 2^64 (bit-equal to the engine's uint64 wraparound
+# arithmetic); pk literals are 1000003^(15-k) mod 2^64.
+_ORACLE["tok_dup_windows"] = f"""
+WITH t AS (
+  SELECT doc_id, tokens, n_tok
+  FROM read_parquet('/tmp/graft_tok_dup_{_os.getpid()}/in/*.parquet')
+),
+pos AS (
+  SELECT doc_id, tokens, CAST(u.s AS BIGINT) AS s
+  FROM t, unnest(range(0, n_tok - 15, 8)) AS u(s)
+),
+pk(k, p) AS (VALUES
+  (0, 6397295411589846571), (1, 5600660903763878393),
+  (2, 14911146631531166995), (3, 15642640937032856817),
+  (4, 2455841760392682171), (5, 5231796974404119081),
+  (6, 3634980586811902243), (7, 1460077494926286753),
+  (8, 12924618581234127435), (9, 10923514805226455897),
+  (10, 14453212906556403763), (11, 14003818205314896721),
+  (12, 1000009000027000027), (13, 1000006000009),
+  (14, 1000003), (15, 1)),
+wins AS (
+  SELECT doc_id, s,
+         sum(CAST(tokens[s + k + 1] AS HUGEINT) * CAST(p AS HUGEINT))
+           % 18446744073709551616 AS h
+  FROM pos CROSS JOIN pk
+  GROUP BY doc_id, s
+),
+per AS (SELECT h, doc_id, count(*) AS c FROM wins GROUP BY 1, 2),
+dup AS (SELECT h FROM per GROUP BY h HAVING count(*) >= 2)
+SELECT per.doc_id,
+       CAST(sum(c) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN dup.h IS NOT NULL THEN c ELSE 0 END) AS BIGINT)
+         AS dup_windows
+FROM per LEFT JOIN dup ON per.h = dup.h
 GROUP BY 1
 ORDER BY 1
 """

@@ -1446,6 +1446,118 @@ def source_divergence(
     return ray.data.from_arrow(out)
 
 
+def dup_token_windows(
+    source: str | ray.data.Dataset,
+    w: int = 16,
+    stride: int = 8,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Verbatim-memorization span detection over the PRE-TOKENIZED sequence
+    table (the engine's primary ``(doc_id, tokens, n_tok, source)`` input):
+    hash every ``w``-token window at ``stride`` offsets and report, per
+    document, how many of its windows also occur verbatim in ANOTHER
+    document — the token-level analog of ``dedup_spans``'s trigram scan,
+    run directly on token ids so it catches duplicated training sequences
+    regardless of the text they detokenize to.
+
+    The window hash is a plain polynomial hash mod 2^64 (P = 1000003):
+    numpy uint64 wraparound arithmetic and the SQL oracle's
+    HUGEINT-sum-mod-2^64 compute identical values, so the operator is
+    exactly oracle-able with no DuckDB hash round-trip in the hot loop.
+
+    Scale shape: windows never leave their batch as payloads — only
+    ``(h, doc, cnt)`` triples shuffle (one bounded groupby per unique
+    (h, doc), one count-per-h groupby, one hash join to flag shared
+    hashes, one per-doc sum).  A document's windows are computed entirely
+    inside its own batch row; the token buffer is read zero-copy from the
+    Arrow list column.
+
+    Output: ``(doc_id, n_windows, dup_windows)`` for every document with
+    at least one window (``n_tok >= w``), sorted by id.
+    """
+    import pandas as pd
+
+    from .join import hash_join
+
+    W, S = int(w), int(stride)
+    P = np.uint64(1_000_003)
+    pw = np.empty(W, dtype=np.uint64)
+    pw[W - 1] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for k in range(W - 2, -1, -1):
+            pw[k] = pw[k + 1] * P
+
+    ds = (
+        ray.data.read_parquet(source, columns=[id_col, "tokens", "n_tok"])
+        if isinstance(source, str)
+        else source
+    )
+
+    def win_partials(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = off[1:] - off[:-1]
+        counts = np.maximum((n_tok - W) // S + 1, 0)
+        total = int(counts.sum())
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          id_col: pa.array([], batch[id_col].type),
+                          "c": pa.array([], pa.int64())})
+        if total == 0:
+            return empty
+        row_idx = np.repeat(np.arange(len(n_tok), dtype=np.int64), counts)
+        excl = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(excl, counts)) * S
+        s_abs = off[:-1][row_idx] + within
+        h = np.zeros(total, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in range(W):
+                h += vals[s_abs + k].astype(np.uint64) * pw[k]
+        # unique (h, doc) with counts — pandas C groupby, no Python loop
+        g = (
+            pd.DataFrame({"h": h.view(np.int64), "r": row_idx})
+            .groupby(["h", "r"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        return pa.table(
+            {
+                "h": pa.array(g["h"].to_numpy(), pa.int64()),
+                id_col: ids.take(pa.array(g["r"].to_numpy())),
+                "c": pa.array(g["c"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    per = ds.map_batches(win_partials, batch_format="pyarrow")
+    hc = per.groupby("h").count()  # (h, count()) — docs per hash, (h,doc) unique
+    joined = hash_join(per, hc.map_batches(
+        lambda b: b.rename_columns(["h", "ndocs"]), batch_format="pyarrow"
+    ), on="h")
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        nd = batch["ndocs"].to_numpy(zero_copy_only=False)
+        dupc = np.where(nd >= 2, c, 0)
+        return pa.table({id_col: batch[id_col], "nw": batch["c"],
+                         "dw": pa.array(dupc.astype(np.int64), pa.int64())})
+
+    out = (
+        joined.map_batches(per_doc, batch_format="pyarrow")
+        .groupby(id_col)
+        .sum(["nw", "dw"])
+        .map_batches(
+            lambda b: b.rename_columns([id_col, "n_windows", "dup_windows"]),
+            batch_format="pyarrow",
+        )
+    )
+    return out.sort(id_col)
+
+
 def dsir_weights(
     source: str | ray.data.Dataset,
     target_source: str = "src0",

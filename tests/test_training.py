@@ -370,6 +370,52 @@ def test_lm_score_tiny_model_by_hand():
     assert out["nll_e6"].tolist() == want
 
 
+def test_dup_token_windows_by_hand():
+    """doc0: 24 tokens -> windows at 0 and 8; doc1 copies doc0's first 16
+    tokens (window at 0 shared); doc2 disjoint.  doc1's window 0 == doc0's
+    window 0; every other window unique."""
+    import pyarrow as pa
+
+    from core_ray.functions import dup_token_windows
+
+    a = list(range(100, 124))
+    b = a[:16]
+    c = list(range(500, 520))
+    t = pa.table(
+        {
+            "doc_id": ["d0", "d1", "d2"],
+            "tokens": pa.array([a, b, c], pa.list_(pa.int32())),
+            "n_tok": pa.array([24, 16, 20], pa.int32()),
+        }
+    )
+    out = (
+        dup_token_windows(ray.data.from_arrow(t), w=16, stride=8)
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc["d0", "n_windows"] == 2 and out.loc["d0", "dup_windows"] == 1
+    assert out.loc["d1", "n_windows"] == 1 and out.loc["d1", "dup_windows"] == 1
+    assert out.loc["d2", "n_windows"] == 1 and out.loc["d2", "dup_windows"] == 0
+
+
+def test_dup_token_windows_partitioning_invariant():
+    import pyarrow as pa
+
+    from core_ray.functions import dup_token_windows
+    from core_ray.synth import make_chunk
+
+    t = make_chunk(0, 200)
+    a = (
+        dup_token_windows(ray.data.from_arrow(t).repartition(1))
+        .to_pandas().reset_index(drop=True)
+    )
+    b = (
+        dup_token_windows(ray.data.from_arrow(t).repartition(9))
+        .to_pandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["dup_windows"] == 0).all()  # random tokens: no verbatim dups
+
+
 def test_dsir_weights_partitioning_invariant_and_directional():
     """DSIR scores are partition-invariant (int sums over a broadcast
     lambda) and tilt the right way: docs written in the target's vocabulary
