@@ -1235,6 +1235,44 @@ def _q_emb_knn_multi(sf):
     return knn_multi(sf, Q, query_ids=t["vec_id"].to_numpy(), k=10)
 
 
+def _q_doc_pipeline_prep(sf):
+    """FineWeb-style corpus-prep pipeline graded END-TO-END as ONE chained
+    query: exact dedup (min-id survivor per text, bucketed shuffle) →
+    C4/Gopher composite quality gate (vectorized map) → semi-join the
+    gated ids back to survivor text → sequential PII redaction →
+    word-count of the CLEANED text.  Four genuinely chained stages — the
+    final counts depend on the scrubbed text, the scrub set on the gate,
+    the gate on the dedup survivors — with one exact SQL oracle composing
+    the same four stages as CTEs.  Output: the cleaned-corpus manifest
+    ``(doc_id, n_words, n_redactions)``."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from core_ray.functions import (corpus_filter, dedup_exact, pii_scrub,
+                                    semi_join_filter)
+
+    surv = dedup_exact(sf)
+    kept = corpus_filter(surv)
+    texts = semi_join_filter(
+        surv.select_columns(["doc_id", "text"]),
+        kept.select_columns(["doc_id"]),
+        on="doc_id",
+    )
+    scrub = pii_scrub(texts, patterns=_PII_PATTERNS_Q)
+
+    def words(batch):
+        n = _pc.count_substring_regex(batch["clean_text"], r"\S+")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": _pc.cast(n, pa.int64()),
+                "n_redactions": batch["n_redactions"],
+            }
+        )
+
+    return scrub.map_batches(words, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_doc_corpus_filter(sf):
     from core_ray.functions import corpus_filter
 
@@ -2844,6 +2882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_divergence": _q_doc_source_divergence,
         "doc_dsir_weights": _q_doc_dsir_weights,
         "tok_dup_windows": _q_tok_dup_windows,
+        "doc_pipeline_prep": _q_doc_pipeline_prep,
         "doc_band_filter": _q_doc_band_filter,
         "doc_group_topk": _q_doc_group_topk,
         "rel_semi_join": _q_rel_semi_join,
@@ -3890,6 +3929,62 @@ FROM feat
 WHERE n_words >= 20 AND distinct_ratio >= 0.3
   AND top_bigram_frac <= 0.2 AND digit_ratio <= 0.2
 ORDER BY doc_id
+"""
+
+# The four-stage corpus-prep chain as CTEs: dedup survivors -> quality gate
+# (the doc_corpus_filter oracle verbatim, FROM the survivors) -> PII chain
+# (the doc_pii_scrub oracle verbatim, FROM the gated survivors) -> word
+# count of the cleaned text.
+_ORACLE["doc_pipeline_prep"] = r"""
+WITH surv AS (
+  SELECT doc_id, text FROM documents
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM surv
+),
+words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+dw AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+       FROM words GROUP BY 1),
+bg AS (
+  SELECT doc_id, ws[i] || chr(1) || ws[i+1] AS g
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+bgc AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, g),
+topbg AS (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY 1),
+feat AS (
+  SELECT w.doc_id,
+         coalesce(dw.n_words, 0) AS n_words,
+         round_even(CASE WHEN dw.n_words > 0
+                         THEN dw.n_distinct * 1.0 / dw.n_words ELSE 0.0 END, 4) AS distinct_ratio,
+         round_even(CASE WHEN dw.n_words >= 2
+                         THEN topbg.mc * 1.0 / (dw.n_words - 1) ELSE 0.0 END, 4) AS top_bigram_frac,
+         round_even(CASE WHEN length(w.text) > 0
+                         THEN CAST(length(regexp_extract_all(w.text, '[0-9]')) AS DOUBLE)
+                              / length(w.text) ELSE 0.0 END, 4) AS digit_ratio
+  FROM w LEFT JOIN dw USING (doc_id) LEFT JOIN topbg USING (doc_id)
+),
+kept AS (
+  SELECT doc_id FROM feat
+  WHERE n_words >= 20 AND distinct_ratio >= 0.3
+    AND top_bigram_frac <= 0.2 AND digit_ratio <= 0.2
+),
+s0 AS (SELECT s.doc_id, text AS t, 0 AS n FROM surv s JOIN kept USING (doc_id)),
+s1 AS (SELECT doc_id, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g') AS t,
+              n + length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n FROM s0),
+s2 AS (SELECT doc_id, regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g') AS t,
+              n + length(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '\b\d{6,}\b', '[PII]', 'g') AS t,
+              n + length(regexp_extract_all(t, '\b\d{6,}\b')) AS n FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(t, '\bspark\b', '[PII]', 'g') AS t,
+              n + length(regexp_extract_all(t, '\bspark\b')) AS n FROM s3)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(t, '\S+')) AS BIGINT) AS n_words,
+       CAST(n AS BIGINT) AS n_redactions
+FROM s4 ORDER BY doc_id
 """
 
 _ORACLE["doc_corpus_stats"] = r"""
