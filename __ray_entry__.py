@@ -2369,6 +2369,38 @@ def _q_stream_sliding_aggs(sf):
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
+def _q_stream_latest(sf):
+    """The streaming engine's PCDM-latest REGISTERS graded as data (the
+    reference's 'PCDM latest' destination semantics held as monotonic actor
+    state): per source, argmax by (event time, value) plus the Good-only
+    variant (Status = Bad every 97th row), merged across partition actors
+    at the final flush — run WITH a mid-stream crash + resume, so the
+    registers must survive the snapshot/restore cycle.  The oracle
+    recomputes both argmaxes per source from the deterministic input."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    from core_ray.streaming.job import StreamConfig, StreamingJob
+    from core_ray.synth import write_tokens_table
+
+    base = _scratch("stream_latest")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    cfg = StreamConfig(
+        input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
+        lateness_s=2, files_per_epoch=1, sink_payload_rows=False,
+    )
+    StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
+    StreamingJob(cfg).run(resume=True)
+    files = sorted(_glob.glob(f"{out_dir}/part=9999/latest-*.parquet"))
+    t = _pq.read_table(files[0]).select(
+        ["source", "EventTime", "Status", "Value", "GoodEventTime", "GoodValue"]
+    )
+    return ray.data.from_arrow(t).sort("source")
+
+
 def _q_stream_lineage(sf):
     """The checkpoint log's PER-PARTITION LINEAGE COUNTERS graded as data
     (north-rule: "every stage records per-partition lineage + row/token
@@ -2883,6 +2915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_weights": _q_doc_dsir_weights,
         "tok_dup_windows": _q_tok_dup_windows,
         "doc_pipeline_prep": _q_doc_pipeline_prep,
+        "stream_latest": _q_stream_latest,
         "doc_band_filter": _q_doc_band_filter,
         "doc_group_topk": _q_doc_group_topk,
         "rel_semi_join": _q_rel_semi_join,
@@ -5238,6 +5271,42 @@ SELECT source,
 FROM e
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+# Latest registers: per source, argmax by (event time, value), plus the
+# Good-only variant (Status = 'Bad' every 97th row).
+_ORACLE["stream_latest"] = f"""
+WITH t AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source
+  FROM read_parquet('/tmp/graft_stream_latest_{_os.getpid()}/in/*.parquet')
+),
+e AS (
+  SELECT source, n_tok,
+         1704067200000000 + i * 137000 + ((i * 2654435761) % 7) * 250000 AS ev,
+         CASE WHEN i % 97 = 0 THEN 'Bad' ELSE 'Good' END AS st
+  FROM t
+),
+l AS (
+  SELECT source, ev, n_tok, st,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ev DESC, n_tok DESC) AS rn
+  FROM e
+),
+g AS (
+  SELECT source, ev, n_tok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ev DESC, n_tok DESC) AS rn
+  FROM e WHERE st = 'Good'
+)
+SELECT l.source,
+       make_timestamp(l.ev) AS EventTime,
+       l.st AS Status,
+       l.n_tok AS Value,
+       make_timestamp(g.ev) AS GoodEventTime,
+       g.n_tok AS GoodValue
+FROM l JOIN g ON l.source = g.source
+WHERE l.rn = 1 AND g.rn = 1
+ORDER BY 1
 """
 
 # Per-epoch input truth for the lineage counters: files_per_epoch=1 and
