@@ -679,14 +679,22 @@ def _q_tok_dup_windows(sf):
     are copied from an aligned victim prefix.  The oracle recomputes the
     polynomial window hash (HUGEINT sum mod 2^64 — bit-equal to the
     engine's uint64 arithmetic) from the same files."""
+    from core_ray.functions import dup_token_windows
+
+    in_dir = _tok_dup_fixture(_scratch("tok_dup"))
+    return dup_token_windows(in_dir, w=16, stride=8)
+
+
+def _tok_dup_fixture(base: str) -> str:
+    """Tokens table with planted duplicates: 6000 deterministic base rows
+    plus 150 full-sequence copies and 150 aligned partial plagiarists
+    (victim 64-token prefix + deterministic filler tail)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as _pq
 
-    from core_ray.functions import dup_token_windows
     from core_ray.synth import make_chunk
 
-    base = _scratch("tok_dup")
     in_dir = f"{base}/in"
     _os.makedirs(in_dir, exist_ok=True)
     baset = make_chunk(0, 6_000)
@@ -724,7 +732,20 @@ def _q_tok_dup_windows(sf):
         schema=baset.schema,
     )
     _pq.write_table(extra, f"{in_dir}/extra.parquet")
-    return dup_token_windows(in_dir, w=16, stride=8)
+    return in_dir
+
+
+def _q_tok_dedup_exact(sf):
+    """Exact dedup of TRAINING SEQUENCES (the FineWeb/RedPajama exact-dup
+    step run on token ids, not text): survivors = min doc_id per identical
+    token array.  The dedup key is the comma-joined token string (injective
+    for int arrays), routed through the same bucketed-distinct shuffle as
+    the text dedup — truly exact, no hash-collision merge possible.  Runs
+    over the planted-duplicates fixture (150 full copies must lose)."""
+    from core_ray.functions import dedup_exact_tokens
+
+    in_dir = _tok_dup_fixture(_scratch("tok_dedup"))
+    return dedup_exact_tokens(in_dir)
 
 
 def _q_rel_bucketed_join(sf):
@@ -2914,6 +2935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_divergence": _q_doc_source_divergence,
         "doc_dsir_weights": _q_doc_dsir_weights,
         "tok_dup_windows": _q_tok_dup_windows,
+        "tok_dedup_exact": _q_tok_dedup_exact,
         "doc_pipeline_prep": _q_doc_pipeline_prep,
         "stream_latest": _q_stream_latest,
         "doc_band_filter": _q_doc_band_filter,
@@ -5322,6 +5344,14 @@ FROM (
 )
 GROUP BY 1
 ORDER BY 1
+"""
+
+_ORACLE["tok_dedup_exact"] = f"""
+SELECT doc_id, n_tok, source
+FROM read_parquet('/tmp/graft_tok_dedup_{_os.getpid()}/in/*.parquet')
+QUALIFY row_number() OVER (PARTITION BY array_to_string(tokens, ',')
+                           ORDER BY doc_id) = 1
+ORDER BY doc_id
 """
 
 # Token-window memorization scan: the polynomial window hash is recomputed

@@ -1558,6 +1558,54 @@ def dup_token_windows(
     return out.sort(id_col)
 
 
+def dedup_exact_tokens(
+    source: str | ray.data.Dataset,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact dedup of pre-tokenized TRAINING SEQUENCES: survivors = min id
+    per identical token array (the token-id analog of ``dedup_exact`` —
+    catches duplicated sequences regardless of detokenized text).
+
+    The dedup key is the comma-joined token string, built with two Arrow
+    kernels (cast + binary_join) — injective for int arrays, so two
+    distinct sequences can never merge; routing and in-bucket comparison
+    reuse ``bucketed_distinct``'s shuffle (key bytes ~ token bytes, so the
+    string key adds no asymptotic cost over shipping the arrays).
+
+    Output: surviving ``(doc_id, n_tok, source)`` sorted by id — the keep
+    manifest; the payload is re-read by id downstream rather than shipped
+    through the shuffle twice.
+    """
+    ds = (
+        ray.data.read_parquet(source, columns=[id_col, "tokens", "n_tok", "source"])
+        if isinstance(source, str)
+        else source
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        strs = pa.ListArray.from_arrays(
+            tokens.offsets, pc.cast(tokens.values, pa.string())
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tok": batch["n_tok"],
+                "source": batch["source"],
+                "tok_key": pc.binary_join(strs, ","),
+            }
+        )
+
+    from ..ops.common import bucketed_distinct
+
+    surv = bucketed_distinct(
+        ds.map_batches(key, batch_format="pyarrow"), ["tok_key"], [id_col]
+    )
+    return surv.select_columns([id_col, "n_tok", "source"]).sort(id_col)
+
+
 def dsir_weights(
     source: str | ray.data.Dataset,
     target_source: str = "src0",

@@ -370,6 +370,25 @@ def test_lm_score_tiny_model_by_hand():
     assert out["nll_e6"].tolist() == want
 
 
+def test_dedup_exact_tokens_min_id_survivor():
+    import pyarrow as pa
+
+    from core_ray.functions import dedup_exact_tokens
+
+    t = pa.table(
+        {
+            "doc_id": ["d3", "d0", "d1", "d2"],
+            "tokens": pa.array([[1, 2, 3], [1, 2, 3], [1, 23], [12, 3]],
+                               pa.list_(pa.int32())),
+            "n_tok": pa.array([3, 3, 2, 2], pa.int32()),
+            "source": ["a", "a", "b", "b"],
+        }
+    )
+    out = dedup_exact_tokens(ray.data.from_arrow(t)).to_pandas()
+    # d0 beats d3 on the identical array; "1,23" vs "12,3" must NOT merge
+    assert out["doc_id"].tolist() == ["d0", "d1", "d2"]
+
+
 def test_dup_token_windows_by_hand():
     """doc0: 24 tokens -> windows at 0 and 8; doc1 copies doc0's first 16
     tokens (window at 0 shared); doc2 disjoint.  doc1's window 0 == doc0's
