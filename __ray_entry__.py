@@ -1272,7 +1272,10 @@ def _q_doc_pipeline_prep(sf):
     from core_ray.functions import (corpus_filter, dedup_exact, pii_scrub,
                                     semi_join_filter)
 
-    surv = dedup_exact(sf)
+    # pin the dedup survivors: both the gate (collected eagerly inside the
+    # semi-join) and the scrub side consume them — without materialize the
+    # bucketed-distinct shuffle (the heaviest stage) would run twice
+    surv = dedup_exact(sf).materialize()
     kept = corpus_filter(surv)
     texts = semi_join_filter(
         surv.select_columns(["doc_id", "text"]),

@@ -63,6 +63,21 @@ def _ragged_range(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return np.repeat(starts, counts) + (np.arange(total) - np.repeat(excl, counts))
 
 
+def split_words_flat(texts) -> tuple[pa.Array, np.ndarray]:
+    """The corpus-wide word contract as a flat array: lowercase +
+    whitespace-split + drop empties (bit-for-bit the oracles'
+    ``list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')``).
+    Returns ``(flat_words, parent_row_indices)``.  Shared so new operators
+    don't fork the tokenization the exact oracles depend on."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    flat = words.flatten()
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep)), parent[keep]
+
+
 def _word_hashes_batch(texts: pa.ChunkedArray | pa.Array):
     """Vectorized per-word 64-bit hashes for a whole batch of documents.
 

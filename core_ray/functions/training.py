@@ -1533,7 +1533,10 @@ def dup_token_windows(
             }
         )
 
-    per = ds.map_batches(win_partials, batch_format="pyarrow")
+    # (h, doc, cnt) triples only — far smaller than the token input; pin them
+    # so the window-hash pass runs ONCE (both consumers below would otherwise
+    # re-execute the read + hash lineage)
+    per = ds.map_batches(win_partials, batch_format="pyarrow").materialize()
     hc = per.groupby("h").count()  # (h, count()) — docs per hash, (h,doc) unique
     joined = hash_join(per, hc.map_batches(
         lambda b: b.rename_columns(["h", "ndocs"]), batch_format="pyarrow"
@@ -1640,13 +1643,9 @@ def dsir_weights(
     ds = _read_docs(source, [id_col, "source", "text"])
 
     def _word_buckets(texts):
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        words = pc.utf8_split_whitespace(pc.utf8_lower(texts))
-        flat = words.flatten()
-        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat, parent = flat.filter(pa.array(keep)), parent[keep]
+        from .dedup import split_words_flat
+
+        flat, parent = split_words_flat(texts)
         if len(flat) == 0:
             return np.zeros(0, np.int64), parent
         bk = (_duckdb_word_hash(flat) % np.uint64(B)).astype(np.int64)
