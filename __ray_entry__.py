@@ -2689,11 +2689,19 @@ def _q_emb_novel_ingest(sf):
     from core_ray.functions.similarity import build_ref_ivf_index
     from core_ray.streaming.emb_ingest import EmbeddingNoveltyIngest
 
+    import pyarrow.parquet as _pq
+
     idx = _scratch("emb_novel_ing_idx")
     out = _scratch("emb_novel_ing_out")
     build_ref_ivf_index(sf, idx, ref_mod=5, n_centroids=16)
+    # ~5 ingest epochs at ANY scale (floor 128 rows): the epoch count is the
+    # job shape, not a function of data volume — without this the per-epoch
+    # fixed cost dominates at larger sf (measured 50 s at sf0.1 with 13
+    # epochs of 128 rows)
+    n = _pq.ParquetFile(f"{sf}/embeddings.parquet").metadata.num_rows
     ing = EmbeddingNoveltyIngest(
-        sf, idx, out, threshold=0.45, n_probe=16, epoch_rows=128
+        sf, idx, out, threshold=0.45, n_probe=16,
+        epoch_rows=max(128, (n * 4) // 25),
     )
     ing.run()
     return ing.read_results().select_columns(["vec_id", "novel"]).sort("vec_id")

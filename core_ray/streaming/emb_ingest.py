@@ -107,13 +107,17 @@ class EmbeddingNoveltyIngest:
             # holds ~epoch_rows ingest vectors
             width = self.epoch_rows * ref_mod // max(ref_mod - 1, 1)
             hi = lo + width
-            epoch_ds = ray.data.read_parquet(
-                path,
+            # one epoch is a bounded micro-batch (~epoch_rows vectors): read
+            # the pruned slice eagerly with the Arrow dataset layer instead
+            # of paying two Ray Dataset executions (read + count) of fixed
+            # overhead per epoch — the same micro-batch rationale as the
+            # token streaming job's consume tasks
+            epoch_tbl = pads.dataset(path).to_table(
                 columns=["vec_id", "embedding"],
                 filter=(pads.field("vec_id") >= lo)
                 & (pads.field("vec_id") < hi),
             )
-            if epoch_ds.count() == 0:
+            if epoch_tbl.num_rows == 0:
                 # an EMPTY window inside the id space is a gap, not the
                 # stream end: advance the checkpoint and keep draining
                 ck = {"next_vec_id": hi, "epoch": int(ck["epoch"]),
@@ -121,7 +125,7 @@ class EmbeddingNoveltyIngest:
                 self._commit_checkpoint(ck)
                 continue
             out = emb_novel(
-                epoch_ds, self.index_dir,
+                ray.data.from_arrow(epoch_tbl), self.index_dir,
                 threshold=self.threshold, n_probe=self.n_probe,
             ).to_pandas()  # bounded: one epoch's rows
             epoch = int(ck["epoch"]) + 1
