@@ -25,6 +25,7 @@ one (verified by tests/test_streaming.py).
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
@@ -454,8 +455,45 @@ class StreamingJob:
         self.epochs = [files[i : i + n] for i in range(0, len(files), n)]
         self.agg_sink = EpochSink(cfg.out_dir, AGG_PARTITION_ID)
 
+    # config fields that define the JOB SHAPE: changing any of them across a
+    # resume silently corrupts state (routing = hash % num_partitions; window
+    # assignment and dedup horizons are keyed on the rest)
+    _SHAPE_FIELDS = (
+        "num_partitions", "window_s", "lateness_s", "files_per_epoch",
+        "route_seed", "window_kind", "slide_s", "gap_s", "token_stats",
+        "dim_path",
+    )
+
+    def _guard_job_shape(self, resume: bool) -> None:
+        """Persist the job shape on a fresh run; REFUSE a resume whose config
+        disagrees — resuming with e.g. a different num_partitions would
+        misroute keys against the snapshotted dedup/window state and break
+        exactly-once silently, which is far worse than failing loudly."""
+        shape = {f: getattr(self.cfg, f) for f in self._SHAPE_FIELDS}
+        path = os.path.join(self.cfg.out_dir, "manifests", "job.json")
+        if resume and os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            diff = {k: (prev.get(k), shape[k]) for k in shape
+                    if prev.get(k) != shape[k]}
+            if diff:
+                raise ValueError(
+                    "resume: job shape changed since the checkpointed run "
+                    f"(field: (was, now)): {diff} — start a fresh out_dir "
+                    "or restore the original config"
+                )
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(shape, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
     def run(self, resume: bool = True, stop_after_epoch: int | None = None) -> dict:
         cfg = self.cfg
+        self._guard_job_shape(resume)
         # num_cpus=0: the partition count is FIXED per job (key routing must
         # be stable across cluster sizes), so it is sized to the LARGEST
         # cluster the job will run on; reserving CPU per actor would starve

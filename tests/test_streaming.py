@@ -157,6 +157,23 @@ def test_kill_and_resume_byte_identical_window_kinds(stream_dirs, kind, kw):
     assert _dir_hashes(full_dir) == _dir_hashes(resumed_dir)
 
 
+def test_resume_with_changed_job_shape_refuses(stream_dirs):
+    """Key routing is hash % num_partitions: resuming with a different
+    partition count would misroute keys against the snapshotted state and
+    silently break exactly-once — the job must fail loudly instead."""
+    base, in_dir = stream_dirs
+    out_dir = base / "out_shape_guard"
+    cfg = StreamConfig(input_dir=in_dir, out_dir=str(out_dir),
+                       num_partitions=4, window_s=60)
+    StreamingJob(cfg).run(stop_after_epoch=1)
+    bad = StreamConfig(input_dir=in_dir, out_dir=str(out_dir),
+                       num_partitions=8, window_s=60)
+    with pytest.raises(ValueError, match="num_partitions"):
+        StreamingJob(bad).run(resume=True)
+    # unchanged shape resumes fine
+    StreamingJob(cfg).run(resume=True)
+
+
 def test_actor_late_and_duplicate_handling(stream_dirs):
     """Unit-level: duplicates are dropped, late rows land in the late side
     output, retried ingest batches are deduped."""
