@@ -2742,6 +2742,41 @@ def _q_api_resample_json(sf):
     return pd.DataFrame(env["data"])[["TagName", "EventTime", "Value"]]
 
 
+def _q_api_summary_json(sf):
+    """REST API v1 summary endpoint end-to-end (reference
+    ``api/v1/summary.py``): the eight-column summary statistics table
+    through the handler envelope; 4-dp round_even values and exact 2-dp
+    Min/Max round-trip the JSON writer exactly."""
+    import json
+
+    import pandas as pd
+
+    from core_ray.api import (
+        BaseQueryParams,
+        RawQueryParams,
+        SummaryQueryParams,
+        TagsQueryParams,
+    )
+    from core_ray.api.v1 import summary_events_get
+
+    resp = summary_events_get(
+        BaseQueryParams(
+            source=f"{sf}/events.parquet",
+            tagname_column="event_type",
+            timestamp_column="ts",
+            status_column=None,
+            value_column="value",
+        ),
+        RawQueryParams(start_date=START, end_date=END),
+        TagsQueryParams(["click", "error", "purchase", "signup", "view"]),
+        SummaryQueryParams(),
+    )
+    env = json.loads(resp.content)
+    return pd.DataFrame(env["data"])[
+        ["TagName", "Count", "Avg", "Min", "Max", "StDev", "Sum", "Var"]
+    ]
+
+
 def _q_api_batch_json(sf):
     """REST API v1 BATCH endpoint end-to-end (reference ``api/v1/batch.py``):
     three requests — raw, hourly-avg resample, latest — fan out through the
@@ -2949,6 +2984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tok_dedup_exact": _q_tok_dedup_exact,
         "doc_pipeline_prep": _q_doc_pipeline_prep,
         "stream_latest": _q_stream_latest,
+        "api_summary_json": _q_api_summary_json,
         "doc_band_filter": _q_doc_band_filter,
         "doc_group_topk": _q_doc_group_topk,
         "rel_semi_join": _q_rel_semi_join,
@@ -3103,6 +3139,8 @@ SELECT event_type AS TagName,
 FROM events WHERE {_RANGE}
 GROUP BY 1 ORDER BY 1
 """
+
+_ORACLE["api_summary_json"] = _ORACLE["ts_summary"]
 
 _ORACLE["ts_latest"] = """
 SELECT event_type AS TagName, ts AS EventTime, 'Good' AS Status, value AS Value,
