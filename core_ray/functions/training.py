@@ -1446,6 +1446,38 @@ def source_divergence(
     return ray.data.from_arrow(out)
 
 
+def poly_window_hashes(
+    vals: np.ndarray, off: np.ndarray, w: int, stride: int, p: int = 1_000_003
+) -> tuple[np.ndarray, np.ndarray]:
+    """Polynomial hashes of every ``w``-token window at ``stride`` offsets
+    over a ragged batch (``vals`` flat int64 token buffer, ``off`` absolute
+    row offsets): ``h = sum_k tok[s+k] * p^(w-1-k) mod 2^64``.
+
+    Pure uint64 wraparound arithmetic — bit-equal to a HUGEINT-sum-mod-2^64
+    in SQL, which is what makes ``dup_token_windows`` exactly oracle-able.
+    Returns ``(row_idx, h)`` int64/uint64 arrays, one entry per window.
+    """
+    pw = np.empty(w, dtype=np.uint64)
+    pw[w - 1] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for k in range(w - 2, -1, -1):
+            pw[k] = pw[k + 1] * np.uint64(p)
+    n_tok = off[1:] - off[:-1]
+    counts = np.maximum((n_tok - w) // stride + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    row_idx = np.repeat(np.arange(len(n_tok), dtype=np.int64), counts)
+    excl = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = (np.arange(total, dtype=np.int64) - np.repeat(excl, counts)) * stride
+    s_abs = off[:-1][row_idx] + within
+    h = np.zeros(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(w):
+            h += vals[s_abs + k].astype(np.uint64) * pw[k]
+    return row_idx, h
+
+
 def dup_token_windows(
     source: str | ray.data.Dataset,
     w: int = 16,
@@ -1480,13 +1512,6 @@ def dup_token_windows(
     from .join import hash_join
 
     W, S = int(w), int(stride)
-    P = np.uint64(1_000_003)
-    pw = np.empty(W, dtype=np.uint64)
-    pw[W - 1] = np.uint64(1)
-    with np.errstate(over="ignore"):
-        for k in range(W - 2, -1, -1):
-            pw[k] = pw[k + 1] * P
-
     ds = (
         ray.data.read_parquet(source, columns=[id_col, "tokens", "n_tok"])
         if isinstance(source, str)
@@ -1499,23 +1524,11 @@ def dup_token_windows(
             tokens = tokens.combine_chunks()
         off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int64)
-        n_tok = off[1:] - off[:-1]
-        counts = np.maximum((n_tok - W) // S + 1, 0)
-        total = int(counts.sum())
-        empty = pa.table({"h": pa.array([], pa.int64()),
-                          id_col: pa.array([], batch[id_col].type),
-                          "c": pa.array([], pa.int64())})
-        if total == 0:
-            return empty
-        row_idx = np.repeat(np.arange(len(n_tok), dtype=np.int64), counts)
-        excl = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        within = (np.arange(total, dtype=np.int64)
-                  - np.repeat(excl, counts)) * S
-        s_abs = off[:-1][row_idx] + within
-        h = np.zeros(total, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for k in range(W):
-                h += vals[s_abs + k].astype(np.uint64) * pw[k]
+        row_idx, h = poly_window_hashes(vals, off, W, S)
+        if len(h) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             id_col: pa.array([], batch[id_col].type),
+                             "c": pa.array([], pa.int64())})
         # unique (h, doc) with counts — pandas C groupby, no Python loop
         g = (
             pd.DataFrame({"h": h.view(np.int64), "r": row_idx})

@@ -185,3 +185,33 @@ def test_exact_ols_matches_lstsq(vals, step):
     coef, *_ = np.linalg.lstsq(A, vc.astype(np.float64), rcond=None)
     assert np.isclose(a, coef[0], rtol=1e-6, atol=1e-6)
     assert np.isclose(b, coef[1], rtol=1e-6, atol=1e-6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.lists(st.integers(min_value=0, max_value=50_256),
+                 min_size=0, max_size=40),
+        min_size=0, max_size=8,
+    ),
+    w=st.integers(min_value=1, max_value=12),
+    stride=st.integers(min_value=1, max_value=8),
+)
+def test_poly_window_hashes_match_bigint_reference(rows, w, stride):
+    """The uint64-wraparound window hash equals the arbitrary-precision
+    sum-mod-2^64 (what the SQL oracle's HUGEINT arithmetic computes), and
+    the emitted (row, window) pairs are exactly the stride grid."""
+    from core_ray.functions.training import poly_window_hashes
+
+    vals = np.array([t for r in rows for t in r], dtype=np.int64)
+    off = np.zeros(len(rows) + 1, dtype=np.int64)
+    off[1:] = np.cumsum([len(r) for r in rows])
+    row_idx, h = poly_window_hashes(vals, off, w, stride)
+
+    P, M = 1_000_003, 1 << 64
+    exp = []
+    for ri, r in enumerate(rows):
+        for s in range(0, len(r) - w + 1, stride):
+            exp.append((ri, sum(r[s + k] * pow(P, w - 1 - k, M)
+                                for k in range(w)) % M))
+    assert list(zip(row_idx.tolist(), [int(x) for x in h])) == exp
