@@ -735,6 +735,40 @@ def _tok_dup_fixture(base: str) -> str:
     return in_dir
 
 
+def _q_tok_novel_windows(sf):
+    """Incremental MEMORIZATION SCREEN on the token axis: build the corpus's
+    distinct window-hash index once (hive-partitioned by hash bucket), then
+    screen an ingest batch against it — copies and partial plagiarists must
+    come back non-novel, fresh sequences novel.  The ingest probe reads
+    ONLY the partitions its own hashes fall in; corpus tokens are never
+    re-read.  Oracle: full SQL recomputation of both sides' window hashes
+    with a distinct-hash membership join."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from core_ray.functions import build_token_window_index, token_windows_novel
+    from core_ray.synth import make_chunk
+
+    base = _scratch("tok_novel")
+    corpus_dir, ingest_dir, idx_dir = (
+        f"{base}/corpus", f"{base}/ingest", f"{base}/idx"
+    )
+    _os.makedirs(corpus_dir, exist_ok=True)
+    _os.makedirs(ingest_dir, exist_ok=True)
+    _pq.write_table(make_chunk(0, 6_000), f"{corpus_dir}/corpus.parquet")
+
+    # ingest: 300 planted copies/plagiarists of corpus rows + 200 fresh rows
+    src = _tok_dup_fixture(f"{base}/plant")
+    extra = _pq.read_table(f"{src}/extra.parquet")
+    fresh = make_chunk(80_000, 200)
+    _pq.write_table(extra, f"{ingest_dir}/copies.parquet")
+    _pq.write_table(fresh, f"{ingest_dir}/fresh.parquet")
+
+    build_token_window_index(corpus_dir, idx_dir, w=16, stride=8)
+    return token_windows_novel(ingest_dir, idx_dir)
+
+
 def _q_tok_dedup_exact(sf):
     """Exact dedup of TRAINING SEQUENCES (the FineWeb/RedPajama exact-dup
     step run on token ids, not text): survivors = min doc_id per identical
@@ -2982,6 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_weights": _q_doc_dsir_weights,
         "tok_dup_windows": _q_tok_dup_windows,
         "tok_dedup_exact": _q_tok_dedup_exact,
+        "tok_novel_windows": _q_tok_novel_windows,
         "doc_pipeline_prep": _q_doc_pipeline_prep,
         "stream_latest": _q_stream_latest,
         "api_summary_json": _q_api_summary_json,
@@ -5393,6 +5428,51 @@ FROM (
 )
 GROUP BY 1
 ORDER BY 1
+"""
+
+# Memorization screen: both sides' window hashes recomputed in SQL (same
+# HUGEINT-sum-mod-2^64 polynomial as tok_dup_windows), membership via a
+# distinct-corpus-hash left join.
+_ORACLE["tok_novel_windows"] = f"""
+WITH pk(k, p) AS (VALUES
+  (0, 6397295411589846571), (1, 5600660903763878393),
+  (2, 14911146631531166995), (3, 15642640937032856817),
+  (4, 2455841760392682171), (5, 5231796974404119081),
+  (6, 3634980586811902243), (7, 1460077494926286753),
+  (8, 12924618581234127435), (9, 10923514805226455897),
+  (10, 14453212906556403763), (11, 14003818205314896721),
+  (12, 1000009000027000027), (13, 1000006000009),
+  (14, 1000003), (15, 1)),
+cw AS (
+  SELECT DISTINCT
+         sum(CAST(tokens[u.s + k + 1] AS HUGEINT) * CAST(p AS HUGEINT))
+           % 18446744073709551616 AS h
+  FROM read_parquet('/tmp/graft_tok_novel_{_os.getpid()}/corpus/*.parquet'),
+       unnest(range(0, n_tok - 15, 8)) AS u(s)
+  CROSS JOIN pk
+  GROUP BY doc_id, u.s
+),
+iw AS (
+  SELECT doc_id, u.s,
+         sum(CAST(tokens[u.s + k + 1] AS HUGEINT) * CAST(p AS HUGEINT))
+           % 18446744073709551616 AS h
+  FROM read_parquet('/tmp/graft_tok_novel_{_os.getpid()}/ingest/*.parquet'),
+       unnest(range(0, n_tok - 15, 8)) AS u(s)
+  CROSS JOIN pk
+  GROUP BY doc_id, u.s
+),
+per AS (
+  SELECT iw.doc_id,
+         count(*) AS n_windows,
+         sum(CASE WHEN cw.h IS NOT NULL THEN 1 ELSE 0 END) AS dup_windows
+  FROM iw LEFT JOIN cw ON iw.h = cw.h
+  GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(dup_windows AS BIGINT) AS dup_windows,
+       dup_windows = 0 AS novel
+FROM per ORDER BY doc_id
 """
 
 _ORACLE["tok_dedup_exact"] = f"""

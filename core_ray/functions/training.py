@@ -1622,6 +1622,198 @@ def dedup_exact_tokens(
     return surv.select_columns([id_col, "n_tok", "source"]).sort(id_col)
 
 
+_TW_META = "token_window_index.json"
+
+
+def build_token_window_index(
+    source: str | ray.data.Dataset,
+    index_dir: str,
+    w: int = 16,
+    stride: int = 8,
+    num_buckets: int = 32,
+    id_col: str = "doc_id",
+) -> dict:
+    """Persist the training corpus's MEMORIZATION-SCREEN index: the distinct
+    polynomial ``w``-token window hashes, hive-partitioned by a hash bucket
+    (``hb = h % num_buckets``) so an ingest probe reads only the partitions
+    its own window hashes fall in — the "build once, probe many" layout
+    shared with the shingle and IVF indexes, applied to the token axis.
+
+    Only distinct ``(h)`` values persist (with their corpus doc counts for
+    reporting): the screen tests membership, so reference doc ids/text
+    never enter the index and the index size is bounded by distinct
+    windows, not corpus rows.
+    """
+    import json
+    import os
+
+    ds = (
+        ray.data.read_parquet(source, columns=[id_col, "tokens"])
+        if isinstance(source, str)
+        else source
+    )
+    nb = np.uint64(num_buckets)
+    W, S = int(w), int(stride)
+
+    def win_rows(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        _, h = poly_window_hashes(vals, off, W, S)
+        hu = np.unique(h)  # batch-level partial distinct
+        return pa.table(
+            {
+                "h": pa.array(hu.view(np.int64), pa.int64()),
+                "hb": pa.array((hu % nb).astype(np.int64), pa.int64()),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    (
+        ds.map_batches(win_rows, batch_format="pyarrow")
+        .groupby(["hb", "h"])
+        .count()  # global distinct (count = corpus multiplicity by batch)
+        .map_batches(
+            lambda b: b.select(["hb", "h"]), batch_format="pyarrow"
+        )
+        .write_parquet(os.path.join(index_dir, "windows"),
+                       partition_cols=["hb"])
+    )
+    meta = {"w": W, "stride": S, "num_buckets": num_buckets,
+            "layout": "distinct-window-hash"}
+    with open(os.path.join(index_dir, _TW_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def token_windows_novel(
+    source: str | ray.data.Dataset,
+    index_dir: str,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Memorization screen for NEW pre-tokenized data against the persisted
+    corpus window index: per ingest document, how many of its ``w``-token
+    windows occur verbatim anywhere in the training corpus, and
+    ``novel = (dup_windows == 0)``.
+
+    IO shape: the ingest is hashed once (ints only, materialized — it feeds
+    both the probe-partition list and the membership join); the index read
+    is pruned to the ``hb`` partitions the ingest's hashes fall in; corpus
+    tokens are never read.  Output: ``(doc_id, n_windows, dup_windows,
+    novel)`` for every ingest doc with at least one window, sorted by id.
+    """
+    import json
+    import os
+
+    import pandas as pd
+
+    from .join import hash_join
+
+    with open(os.path.join(index_dir, _TW_META)) as f:
+        meta = json.load(f)
+    nb = int(meta["num_buckets"])
+    W, S = int(meta["w"]), int(meta["stride"])
+
+    ds = (
+        ray.data.read_parquet(source, columns=[id_col, "tokens"])
+        if isinstance(source, str)
+        else source
+    )
+
+    def win_triples(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_idx, h = poly_window_hashes(vals, off, W, S)
+        if len(h) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             id_col: pa.array([], batch[id_col].type),
+                             "c": pa.array([], pa.int64())})
+        g = (
+            pd.DataFrame({"h": h.view(np.int64), "r": row_idx})
+            .groupby(["h", "r"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        return pa.table(
+            {
+                "h": pa.array(g["h"].to_numpy(), pa.int64()),
+                id_col: ids.take(pa.array(g["r"].to_numpy())),
+                "c": pa.array(g["c"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    triples = ds.map_batches(win_triples, batch_format="pyarrow").materialize()
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        hb = np.unique(
+            t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            % np.uint64(nb)
+        ).astype(np.int64)
+        return pa.table({"hb": pa.array(hb, pa.int64())})
+
+    probe_hb = sorted(
+        int(r["hb"])
+        for r in triples.map_batches(probe_partial, batch_format="pyarrow")
+        .groupby("hb").count().take_all()  # bounded: <= num_buckets
+    )
+    paths = []
+    for b in probe_hb:
+        d = os.path.join(index_dir, "windows", f"hb={b}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+
+    totals = (
+        triples.groupby(id_col).sum("c")
+        .map_batches(lambda b: b.rename_columns([id_col, "n_windows"]),
+                     batch_format="pyarrow")
+    )
+    if paths:
+        idx = ray.data.read_parquet(paths, columns=["h"]).map_batches(
+            lambda b: b.append_column("hit", pa.array(
+                np.ones(len(b), dtype=np.int64))),
+            batch_format="pyarrow",
+        )
+        matched = (
+            hash_join(triples, idx, on="h")
+            .map_batches(lambda b: b.select([id_col, "c"]),
+                         batch_format="pyarrow")
+            .groupby(id_col).sum("c")
+            .map_batches(lambda b: b.rename_columns([id_col, "dup_windows"]),
+                         batch_format="pyarrow")
+        )
+        out = hash_join(totals, matched, on=id_col, how="left")
+    else:
+        out = totals.map_batches(
+            lambda b: b.append_column(
+                "dup_windows", pa.array(np.zeros(len(b), dtype=np.int64))),
+            batch_format="pyarrow",
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dw = batch["dup_windows"].to_numpy(zero_copy_only=False)
+        dw = np.nan_to_num(dw.astype(np.float64), nan=0.0).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_windows": batch["n_windows"],
+                "dup_windows": pa.array(dw, pa.int64()),
+                "novel": pa.array(dw == 0),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(id_col)
+
+
 def dsir_weights(
     source: str | ray.data.Dataset,
     target_source: str = "src0",

@@ -370,6 +370,62 @@ def test_lm_score_tiny_model_by_hand():
     assert out["nll_e6"].tolist() == want
 
 
+def test_token_windows_novel_screen_and_partition_pruning(tmp_path):
+    """A full copy screens non-novel, a fresh sequence novel; and the probe
+    must read ONLY the partitions its hashes fall in — corrupting every
+    non-probed partition file must not affect the screen."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from core_ray.functions import (build_token_window_index,
+                                    token_windows_novel,
+                                    poly_window_hashes)
+    from core_ray.synth import make_chunk
+
+    corpus = make_chunk(0, 300)
+    cdir, idir, xdir = tmp_path / "c", tmp_path / "i", tmp_path / "x"
+    cdir.mkdir(), idir.mkdir()
+    pq_.write_table(corpus, str(cdir / "c.parquet"))
+    build_token_window_index(str(cdir), str(xdir), w=16, stride=8,
+                             num_buckets=32)
+
+    tok = corpus["tokens"].combine_chunks()
+    victim = tok[5].as_py()
+    assert len(victim) >= 16
+    ingest = pa.table(
+        {
+            "doc_id": ["copy", "fresh"],
+            "tokens": pa.array([victim, list(range(7_000, 7_040))],
+                               pa.list_(pa.int32())),
+            "n_tok": pa.array([len(victim), 40], pa.int32()),
+            "source": ["t", "t"],
+        }
+    )
+    pq_.write_table(ingest, str(idir / "i.parquet"))
+
+    # sabotage: corrupt every index partition the ingest does NOT probe
+    import numpy as np
+
+    vals = np.array(victim + list(range(7_000, 7_040)), dtype=np.int64)
+    off = np.array([0, len(victim), len(victim) + 40], dtype=np.int64)
+    _, h = poly_window_hashes(vals, off, 16, 8)
+    probed = set((h % np.uint64(32)).astype(int).tolist())
+    import os
+
+    for d in os.listdir(xdir / "windows"):
+        b = int(d.split("=")[1])
+        if b not in probed:
+            for f in os.listdir(xdir / "windows" / d):
+                (xdir / "windows" / d / f).write_bytes(b"corrupt")
+
+    out = (
+        token_windows_novel(str(idir), str(xdir))
+        .to_pandas().set_index("doc_id")
+    )
+    assert not out.loc["copy", "novel"] and out.loc["copy", "dup_windows"] > 0
+    assert out.loc["fresh", "novel"] and out.loc["fresh", "dup_windows"] == 0
+
+
 def test_dedup_exact_tokens_min_id_survivor():
     import pyarrow as pa
 
