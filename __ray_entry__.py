@@ -2459,6 +2459,48 @@ def _q_stream_latest(sf):
     return ray.data.from_arrow(t).sort("source")
 
 
+def _q_stream_cli_job(sf):
+    """The ``ray job submit`` surface graded END-TO-END: the streaming
+    windowed-aggregate job launched through the REAL CLI entry point
+    (``python -m core_ray.cli stream-agg``) in a SUBPROCESS that owns its
+    own Ray session (exactly how a job server invokes it), then RE-SUBMITTED
+    with ``--resume`` — the second submission must be an idempotent no-op
+    (every epoch already committed), leaving the output byte-identical.
+    The graded rows are the merged window aggregates; same SQL oracle
+    family as ``stream_window_aggs``."""
+    import glob as _glob
+    import subprocess as _sp
+    import sys as _sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray
+
+    from core_ray.synth import write_tokens_table
+
+    base = _scratch("stream_cli")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    env = dict(_os.environ, RAY_ADDRESS="local", PYTHONPATH="/root/repo")
+    cmd = [
+        _sys.executable, "-m", "core_ray.cli", "stream-agg",
+        "--input-dir", in_dir, "--out-dir", out_dir,
+        "--num-partitions", "8", "--lateness-s", "2",
+        "--files-per-epoch", "1", "--token-stats",
+    ]
+    for attempt in (cmd, cmd + ["--resume"]):  # submit, then re-submit
+        r = _sp.run(attempt, env=env, capture_output=True, text=True,
+                    timeout=600)
+        if r.returncode != 0:
+            raise RuntimeError(f"cli job failed: {r.stderr[-2000:]}")
+    files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
+    t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
+        ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
+         "max_n_tok", "sum_tok_values"]
+    )
+    return ray.data.from_arrow(t).sort(["source", "window_start"])
+
+
 def _q_stream_lineage(sf):
     """The checkpoint log's PER-PARTITION LINEAGE COUNTERS graded as data
     (north-rule: "every stage records per-partition lineage + row/token
@@ -3020,6 +3062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pipeline_prep": _q_doc_pipeline_prep,
         "stream_latest": _q_stream_latest,
         "api_summary_json": _q_api_summary_json,
+        "stream_cli_job": _q_stream_cli_job,
         "doc_band_filter": _q_doc_band_filter,
         "doc_group_topk": _q_doc_group_topk,
         "rel_semi_join": _q_rel_semi_join,
@@ -5520,6 +5563,29 @@ SELECT per.doc_id,
 FROM per LEFT JOIN dup ON per.h = dup.h
 GROUP BY 1
 ORDER BY 1
+"""
+
+_ORACLE["stream_cli_job"] = f"""
+WITH t AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source,
+         CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tsum
+  FROM read_parquet('/tmp/graft_stream_cli_{_os.getpid()}/in/*.parquet')
+),
+e AS (
+  SELECT source, n_tok, tsum,
+         1704067200000000 + i * 137000 + ((i * 2654435761) % 7) * 250000 AS ev
+  FROM t
+)
+SELECT source,
+       make_timestamp((ev // 60000000) * 60000000) AS window_start,
+       count(*) AS cnt,
+       sum(n_tok) AS sum_n_tok,
+       min(n_tok) AS min_n_tok,
+       max(n_tok) AS max_n_tok,
+       sum(tsum) AS sum_tok_values
+FROM e
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
 
 # Independent SQL sessionization (gaps-and-islands) over the same
