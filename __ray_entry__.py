@@ -1029,6 +1029,70 @@ def _q_fw_pipeline_json(sf):
     return PipelineJobExecute(job).run()["count"].sort("doc_id")
 
 
+def _q_fw_pipeline_prep_json(sf):
+    """The FOUR-STAGE corpus-prep chain driven entirely by the JSON wire
+    format through the topo executor — a real multi-stage DAG, not a
+    single-transform demo: ParquetSource -> exact dedup -> C4/Gopher gate
+    (keep_text=True so the chain stays linear) -> sequential PII scrub
+    (out_col='text') -> word count.  Graded against the same CTE-chain
+    oracle family as ``doc_pipeline_prep`` (framework adds no semantics)."""
+    import json
+
+    from core_ray.pipelines.converters import PipelineJobFromJsonConverter
+    from core_ray.pipelines.framework import PipelineJobExecute
+
+    spec = {
+        "name": "corpus-prep-job",
+        "task_list": [
+            {
+                "name": "prep",
+                "step_list": [
+                    {
+                        "name": "src",
+                        "component": "ParquetSource",
+                        "component_parameters": {
+                            "path": f"{sf}/documents.parquet",
+                        },
+                    },
+                    {
+                        "name": "dedup",
+                        "component": "FunctionTransformer",
+                        "component_parameters": {"fn": "dedup_exact"},
+                        "depends_on_step": ["src"],
+                    },
+                    {
+                        "name": "gate",
+                        "component": "FunctionTransformer",
+                        "component_parameters": {
+                            "fn": "corpus_filter",
+                            "keep_text": True,
+                        },
+                        "depends_on_step": ["dedup"],
+                    },
+                    {
+                        "name": "scrub",
+                        "component": "FunctionTransformer",
+                        "component_parameters": {
+                            "fn": "pii_scrub",
+                            "patterns": list(_PII_PATTERNS_Q),
+                            "out_col": "text",
+                        },
+                        "depends_on_step": ["gate"],
+                    },
+                    {
+                        "name": "count",
+                        "component": "FunctionTransformer",
+                        "component_parameters": {"fn": "token_count"},
+                        "depends_on_step": ["scrub"],
+                    },
+                ],
+            }
+        ],
+    }
+    job = PipelineJobFromJsonConverter(json.dumps(spec)).convert()
+    return PipelineJobExecute(job).run()["count"].sort("doc_id")
+
+
 def _q_ev_retention(sf):
     """Weekly cohort retention matrix from the events stream."""
     from core_ray.pipelines.relational import retention_cohorts
@@ -3060,6 +3124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tok_dedup_exact": _q_tok_dedup_exact,
         "tok_novel_windows": _q_tok_novel_windows,
         "doc_pipeline_prep": _q_doc_pipeline_prep,
+        "fw_pipeline_prep_json": _q_fw_pipeline_prep_json,
         "stream_latest": _q_stream_latest,
         "api_summary_json": _q_api_summary_json,
         "stream_cli_job": _q_stream_cli_job,
@@ -4168,6 +4233,17 @@ SELECT doc_id,
        CAST(n AS BIGINT) AS n_redactions
 FROM s4 ORDER BY doc_id
 """
+
+_ORACLE["fw_pipeline_prep_json"] = _ORACLE["doc_pipeline_prep"].replace(
+    """SELECT doc_id,
+       CAST(length(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_words,
+       CAST(n AS BIGINT) AS n_redactions
+FROM s4 ORDER BY doc_id""",
+    """SELECT doc_id,
+       CAST(length(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_words
+FROM s4 ORDER BY doc_id""",
+)
+assert "n_redactions" not in _ORACLE["fw_pipeline_prep_json"]
 
 _ORACLE["doc_corpus_stats"] = r"""
 WITH n AS (

@@ -207,6 +207,7 @@ def corpus_filter(
     min_distinct_ratio: float = 0.3,
     max_top_bigram_frac: float = 0.2,
     max_digit_ratio: float = 0.2,
+    keep_text: bool = False,
 ) -> ray.data.Dataset:
     """Composite corpus-cleaning gate (the C4/Gopher-style keep/drop rule):
     a document survives iff it has at least ``min_words`` words, lexical
@@ -236,15 +237,19 @@ def corpus_filter(
             & (tb <= max_top_bigram_frac)
             & (digit_ratio <= max_digit_ratio)
         )
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[keep], pa.int64()),
-                "n_words": pa.array(wc[keep]),
-                "distinct_ratio": pa.array(dr[keep]),
-                "top_bigram_frac": pa.array(tb[keep]),
-                "digit_ratio": pa.array(digit_ratio[keep]),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_words": pa.array(wc[keep]),
+            "distinct_ratio": pa.array(dr[keep]),
+            "top_bigram_frac": pa.array(tb[keep]),
+            "digit_ratio": pa.array(digit_ratio[keep]),
+        }
+        if keep_text:
+            # pipeline composition: downstream stages (PII scrub, counting)
+            # need the surviving text without a join back to the corpus
+            t = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+            cols["text"] = t.filter(pa.array(keep))
+        return pa.table(cols)
 
     return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 

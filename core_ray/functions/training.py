@@ -358,6 +358,7 @@ def pii_scrub(
     source: str | ray.data.Dataset,
     patterns: tuple[str, ...] = PII_PATTERNS,
     repl: str = "[PII]",
+    out_col: str = "clean_text",
 ) -> ray.data.Dataset:
     """Redact PII-shaped spans: ``(doc_id, clean_text, n_redactions)``.
 
@@ -379,7 +380,7 @@ def pii_scrub(
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "clean_text": txt,
+                out_col: txt,
                 "n_redactions": pa.array(total, pa.int64()),
             }
         )

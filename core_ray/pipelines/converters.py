@@ -70,6 +70,7 @@ _FUNCTION_TRANSFORMS = {
     "corpus_stats": ("core_ray.functions", "corpus_stats"),
     "fingerprint": ("core_ray.functions", "fingerprint"),
     "dedup_exact": ("core_ray.functions", "dedup_exact"),
+    "pii_scrub": ("core_ray.functions", "pii_scrub"),
     "dedup_near": ("core_ray.functions", "dedup_near"),
     "jaccard_pairs": ("core_ray.functions", "jaccard_pairs"),
     "dup_shingle_coverage": ("core_ray.functions", "dup_shingle_coverage"),
