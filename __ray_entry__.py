@@ -992,6 +992,15 @@ def _q_rel_rollup(sf):
     return revenue_rollup(sf)
 
 
+def _q_rel_cube(sf):
+    """GROUP BY CUBE(nation, priority): all four marginal combinations
+    (full grid, per-nation, per-priority, grand total) from the same
+    one-pass exact-int grid as the rollup."""
+    from core_ray.pipelines.relational import revenue_rollup
+
+    return revenue_rollup(sf, grouping="cube")
+
+
 def _q_fw_pipeline_json(sf):
     """End-to-end JSON pipeline spec -> topo executor -> result: the
     reference wire format driving ParquetSource + token_count, graded by
@@ -3031,6 +3040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_resize_frames": _q_mm_resize_frames,
         "ts_circular_avg": _q_ts_circular_avg,
         "rel_pricing_summary": _q_rel_pricing,
+        "rel_cube": _q_rel_cube,
         "ev_sessionize": _q_ev_sessionize,
         "ts_pivot": _q_ts_pivot,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
@@ -5989,6 +5999,20 @@ _ORACLE["fw_pipeline_json"] = _ORACLE["doc_token_count"]
 
 
 # ROLLUP revenue with exact e4-scaled integer money
+_ORACLE["rel_cube"] = """
+WITH f AS (
+  SELECT n_name, o_orderpriority,
+         CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0)
+              AS BIGINT) AS r
+  FROM customer, orders, lineitem, nation
+  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+    AND c_nationkey = n_nationkey
+)
+SELECT n_name, o_orderpriority, CAST(SUM(r) AS BIGINT) AS revenue_e4
+FROM f GROUP BY CUBE(n_name, o_orderpriority)
+ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
 _ORACLE["rel_rollup"] = """
 WITH f AS (
   SELECT n_name, o_orderpriority,

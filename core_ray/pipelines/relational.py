@@ -645,7 +645,7 @@ def retention_cohorts(
     )
 
 
-def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
+def revenue_rollup(sf_dir: str, grouping: str = "rollup") -> ray.data.Dataset:
     """Multi-level revenue totals — GROUP BY ROLLUP(nation, priority) — in
     ONE fact-table pass: per-lineitem revenue is scaled to EXACT int64
     (``round_even(price * (1-disc) * 1e4)``, the per-row kernel; the raw
@@ -653,7 +653,10 @@ def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
     regrouping of the bounded fine grid — including the rollup's subtotal
     and grand-total rows — is plain integer addition, order-independent
     and bitwise SQL-reproducible (a float SUM would lean on round4 slack
-    that compounds across rollup levels).
+    that compounds across rollup levels).  ``grouping`` picks the
+    regrouping family: "rollup" (hierarchy subtotals) or "cube" (all
+    2^k marginal combinations) — the exact int grid makes either one
+    plain integer re-addition.
 
     Shape: lineitem -> per-order int partials -> partitioned hash join to
     orders -> per-(custkey, priority) partials -> join to customer ->
@@ -736,11 +739,14 @@ def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
             preserve_index=False,
         ),
     )
+    if grouping not in ("rollup", "cube"):
+        raise ValueError(f"unknown grouping {grouping!r}")
+    g = grouping.upper()
     out = con.execute(
-        """
+        f"""
         SELECT n_name, o_orderpriority, CAST(SUM(r) AS BIGINT) AS revenue_e4
         FROM _rr_grid
-        GROUP BY ROLLUP(n_name, o_orderpriority)
+        GROUP BY {g}(n_name, o_orderpriority)
         ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
         """
     ).fetch_arrow_table()
