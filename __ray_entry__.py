@@ -782,6 +782,49 @@ def _q_tok_dedup_exact(sf):
     return dedup_exact_tokens(in_dir)
 
 
+def _q_rel_write_resume(sf):
+    """The RESUMABLE partitioned batch writer graded end-to-end (the
+    'failed run skips finished partitions' output contract): write the
+    orders table partitioned by priority, simulate a crash by deleting two
+    partition dirs AND dropping them from the manifest, rerun — the rerun
+    must rewrite exactly the missing partitions and skip the rest — then
+    return the read-back of the whole output.  Oracle: plain SELECT of the
+    same columns."""
+    import json as _json
+    import shutil as _shutil
+
+    import ray
+
+    from core_ray.ops.write import write_partitioned_resumable
+
+    out = _scratch("write_resume")
+    ds = ray.data.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    r1 = write_partitioned_resumable(
+        ds, out, "o_orderpriority", sort_cols=["o_orderkey"]
+    )
+    # crash simulation: lose two finished partitions
+    man_path = f"{out}/_manifest.json"
+    with open(man_path) as f:
+        man = _json.load(f)
+    lost = sorted(man)[:2]
+    for k in lost:
+        _shutil.rmtree(f"{out}/part={k.replace('/', '_')}")
+        del man[k]
+    with open(man_path, "w") as f:
+        _json.dump(man, f)
+    r2 = write_partitioned_resumable(
+        ds, out, "o_orderpriority", sort_cols=["o_orderkey"]
+    )
+    if r2["written"] != len(lost) or r2["skipped"] != r1["written"] - len(lost):
+        raise RuntimeError(f"resume contract violated: {r1} then {r2}")
+    return ray.data.read_parquet(out).select_columns(
+        ["o_orderkey", "o_custkey", "o_orderpriority"]
+    ).sort("o_orderkey")
+
+
 def _q_rel_bucketed_join(sf):
     """The persisted-bucket-layout join: orders and customer written
     hash-bucketed by custkey ONCE (the layout a 100-TB fact table keeps),
@@ -3041,6 +3084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_circular_avg": _q_ts_circular_avg,
         "rel_pricing_summary": _q_rel_pricing,
         "rel_cube": _q_rel_cube,
+        "rel_write_resume": _q_rel_write_resume,
         "ev_sessionize": _q_ev_sessionize,
         "ts_pivot": _q_ts_pivot,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
@@ -5999,6 +6043,11 @@ _ORACLE["fw_pipeline_json"] = _ORACLE["doc_token_count"]
 
 
 # ROLLUP revenue with exact e4-scaled integer money
+_ORACLE["rel_write_resume"] = """
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders ORDER BY o_orderkey
+"""
+
 _ORACLE["rel_cube"] = """
 WITH f AS (
   SELECT n_name, o_orderpriority,
