@@ -2470,6 +2470,78 @@ def _q_stream_static_join(sf):
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
+def _q_stream_dedup(sf):
+    """STREAMING exact dedup of pre-tokenized training sequences — the
+    continuous "seen this sequence before?" admission gate
+    (``streaming/dedup.py``): epochs of token rows are content-hash-routed to
+    partition actors holding the admitted key set as Arrow state; each epoch
+    emits exactly the new sequences' minimum-doc_idx bearers.  Run WITH a
+    mid-stream crash + resume (state snapshots must restore the admitted
+    set exactly — a lost key silently re-admits its duplicates).  Planted:
+    150 full-sequence copies (must drop), 150 partial plagiarists (prefix
+    only — exact dedup must KEEP them), one intra-epoch duplicate pair (min
+    doc_id must win).  Oracle: batch min-doc_id-per-token-array rule, which
+    the monotone-file layout makes equal to streaming first-admission."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray
+
+    from core_ray.streaming import DedupConfig, StreamDedupJob, read_survivors
+    from core_ray.synth import make_chunk, write_tokens_table
+
+    base = _scratch("stream_dedup")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    write_tokens_table(in_dir, 6_000, rows_per_file=1_000)
+
+    baset = _pq.read_table(f"{in_dir}/part-00000.parquet")  # victims: ids 0..999
+    tok = baset["tokens"].combine_chunks()
+    off = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = tok.values.to_numpy(zero_copy_only=False)
+    filler = make_chunk(50_000, 300)
+    ftok = filler["tokens"].combine_chunks()
+    foff = ftok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    fvals = ftok.values.to_numpy(zero_copy_only=False)
+    rows, ids = [], []
+    for j in range(300):
+        v = (j * 13) % 1_000
+        vrow = vals[off[v]:off[v + 1]]
+        if j % 2 == 0:  # full copy -> must be dropped
+            rows.append(vrow)
+        else:  # partial plagiarist -> distinct sequence, must survive
+            rows.append(np.concatenate([vrow[:8], fvals[foff[j]:foff[j + 1]]]))
+        ids.append(f"doc-{60_000 + j:08d}")
+    dup = make_chunk(90_000, 1)["tokens"].combine_chunks()
+    dvals = dup.values.to_numpy(zero_copy_only=False)
+    rows += [dvals, dvals]  # intra-epoch duplicate pair: 70000 wins
+    ids += ["doc-00070000", "doc-00070001"]
+    flat = np.concatenate(rows).astype(np.int32)
+    offs = np.zeros(len(rows) + 1, dtype=np.int32)
+    offs[1:] = np.cumsum([len(r) for r in rows]).astype(np.int32)
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "tokens": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
+                "n_tok": pa.array(np.diff(offs).astype(np.int32)),
+                "source": pa.array(["copy"] * len(ids)),
+            },
+            schema=baset.schema,
+        ),
+        f"{in_dir}/z-extra.parquet",
+    )
+
+    cfg = DedupConfig(input_dir=in_dir, out_dir=out_dir, num_partitions=8,
+                      files_per_epoch=2)
+    StreamDedupJob(cfg).run(resume=False, stop_after_epoch=1)  # crash mid-stream
+    StreamDedupJob(cfg).run(resume=True)
+    return (
+        read_survivors(out_dir)
+        .select_columns(["doc_id", "n_tok", "source"])
+        .sort("doc_id")
+    )
+
+
 def _q_stream_session_aggs(sf):
     """SESSION windows (gap-based) inside the streaming engine, graded
     END-TO-END with a mid-stream crash + resume: per-epoch actor-local
@@ -3060,6 +3132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "api_batch_json": _q_api_batch_json,
         "stream_window_aggs": _q_stream_window_aggs,
         "stream_static_join": _q_stream_static_join,
+        "stream_dedup": _q_stream_dedup,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_dedup_near": _q_doc_dedup_near,
         "doc_dedup_near_dist": _q_doc_dedup_near_dist,
@@ -5646,6 +5719,16 @@ SELECT doc_id,
        CAST(dup_windows AS BIGINT) AS dup_windows,
        dup_windows = 0 AS novel
 FROM per ORDER BY doc_id
+"""
+
+# Streaming exact dedup: monotone-doc_id files make streaming first-admission
+# equal the batch min-doc_id-per-identical-token-array rule
+_ORACLE["stream_dedup"] = f"""
+SELECT doc_id, n_tok, source
+FROM read_parquet('/tmp/graft_stream_dedup_{_os.getpid()}/in/*.parquet')
+QUALIFY row_number() OVER (PARTITION BY array_to_string(tokens, ',')
+                           ORDER BY doc_id) = 1
+ORDER BY doc_id
 """
 
 _ORACLE["tok_dedup_exact"] = f"""

@@ -28,6 +28,7 @@ Architecture (SURVEY.md §3, §7.2 step 3-5):
 
 from .job import StreamingJob, StreamConfig
 from .join import JoinConfig, StreamJoinJob, read_joined
+from .dedup import DedupConfig, StreamDedupJob, read_survivors
 from .pattern import PatternConfig, StreamPatternJob, read_matches
 
 __all__ = [
@@ -36,6 +37,9 @@ __all__ = [
     "JoinConfig",
     "StreamJoinJob",
     "read_joined",
+    "DedupConfig",
+    "StreamDedupJob",
+    "read_survivors",
     "PatternConfig",
     "StreamPatternJob",
     "read_matches",
