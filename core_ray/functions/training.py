@@ -1510,8 +1510,6 @@ def dup_token_windows(
     """
     import pandas as pd
 
-    from .join import hash_join
-
     W, S = int(w), int(stride)
     ds = (
         ray.data.read_parquet(source, columns=[id_col, "tokens", "n_tok"])
@@ -1547,24 +1545,43 @@ def dup_token_windows(
             }
         )
 
-    # (h, doc, cnt) triples only — far smaller than the token input; pin them
-    # so the window-hash pass runs ONCE (both consumers below would otherwise
-    # re-execute the read + hash lineage)
-    per = ds.map_batches(win_partials, batch_format="pyarrow").materialize()
-    hc = per.groupby("h").count()  # (h, count()) — docs per hash, (h,doc) unique
-    joined = hash_join(per, hc.map_batches(
-        lambda b: b.rename_columns(["h", "ndocs"]), batch_format="pyarrow"
-    ), on="h")
+    # All rows of a window hash co-locate in ONE hash bucket (64 Ray groups),
+    # where a C-speed pandas groupby marks shared hashes and pre-sums per-doc
+    # partials — the whole operator is a single lazy lineage (read -> hash ->
+    # bucket shuffle -> per-doc sum -> sort), so the ~2-4 s fixed cost of a
+    # Ray Dataset execution is paid once, not per stage (the previous
+    # materialize + count-join shape paid it 3-4x; (h, doc, cnt) triples are
+    # still the only payload that ever shuffles).
+    NB = np.uint64(64)
 
-    def per_doc(batch: pa.Table) -> pa.Table:
-        c = batch["c"].to_numpy(zero_copy_only=False)
-        nd = batch["ndocs"].to_numpy(zero_copy_only=False)
-        dupc = np.where(nd >= 2, c, 0)
-        return pa.table({id_col: batch[id_col], "nw": batch["c"],
-                         "dw": pa.array(dupc.astype(np.int64), pa.int64())})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "_bucket", pa.array((h % NB).astype(np.int64), pa.int64())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        ndocs = g.groupby("h")["c"].transform("size")  # (h, doc) unique rows
+        c = g["c"].to_numpy()
+        part = pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "nw": c,
+                "dw": np.where(ndocs.to_numpy() >= 2, c, 0),
+            }
+        )
+        # return ARROW, not pandas: a downstream sort-aggregate over pandas
+        # object-dtype string blocks is ~8x slower than over Arrow string
+        # columns (measured 42 s vs 5 s on this very stage)
+        return pa.Table.from_pandas(
+            part.groupby(id_col, as_index=False).sum(), preserve_index=False
+        )
 
     out = (
-        joined.map_batches(per_doc, batch_format="pyarrow")
+        ds.map_batches(win_partials, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .groupby(id_col)
         .sum(["nw", "dw"])
         .map_batches(
@@ -1759,10 +1776,15 @@ def token_windows_novel(
         ).astype(np.int64)
         return pa.table({"hb": pa.array(hb, pa.int64())})
 
+    # bounded driver pull: <= num_buckets rows per block, deduped in-process —
+    # a groupby here would spend a whole all-to-all execution on <= nb ints
     probe_hb = sorted(
-        int(r["hb"])
-        for r in triples.map_batches(probe_partial, batch_format="pyarrow")
-        .groupby("hb").count().take_all()  # bounded: <= num_buckets
+        {
+            int(r["hb"])
+            for r in triples.map_batches(
+                probe_partial, batch_format="pyarrow"
+            ).take_all()
+        }
     )
     paths = []
     for b in probe_hb:
