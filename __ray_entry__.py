@@ -1239,6 +1239,28 @@ def _q_rel_anti_join(sf):
     return customers_without_priority(sf)
 
 
+def _q_emb_pq_codes(sf):
+    """Product-quantization codes (Jegou et al. 2011) — each embedding split
+    into 4 subvectors, each replaced by its nearest sub-centroid id in the
+    e6-scaled exact-integer domain (sub-centroids = the vec_id<16 seed head;
+    ties to smallest id).  The compression step of the PQ/ADC ANN scale
+    path; distances are exact int sums, bitwise SQL-reproducible."""
+    from core_ray.functions import pq_encode_exact
+
+    return pq_encode_exact(sf, n_sub=4, n_centroids=16)
+
+
+def _q_emb_pq_scan(sf):
+    """Asymmetric-distance top-10 over the PQ codes for query vec_id=0: the
+    broadcast (sub x centroid) exact-int lookup table replaces the
+    dim-wide product per vector with 4 lookups+adds — the compressed-domain
+    scan.  Per-batch local top-k under the global (adist, vec_id) rule, so
+    only k x n_blocks candidates reach the final sort."""
+    from core_ray.functions import pq_adc_topk
+
+    return pq_adc_topk(sf, query_vec_id=0, k=10, n_sub=4, n_centroids=16)
+
+
 def _q_emb_label_centroids(sf):
     """Exact per-label centroid statistics: scaled-int64 per-dimension sums
     (order-independent distributed vector aggregate)."""
@@ -2263,6 +2285,15 @@ def _q_rel_order_priority(sf):
     return order_priority_revenue(sf)
 
 
+def _q_rel_late_ship(sf):
+    """Late-shipment counts per priority (TPC-H Q12 adapted to this schema:
+    late = shipped > 60 days after the order date); large x large
+    partitioned hash join + exact int64 counts."""
+    from core_ray.pipelines import late_shipment_rate
+
+    return late_shipment_rate(sf, late_days=60)
+
+
 def _q_ev_sessionize(sf):
     from core_ray.pipelines import sessionize
 
@@ -3219,6 +3250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dups": _q_emb_cosine_dups,
         "rel_revenue_by_nation": _q_rel_revenue_nation,
         "rel_order_priority": _q_rel_order_priority,
+        "rel_late_ship": _q_rel_late_ship,
         "ev_sliding_count": _q_ev_sliding_count,
         "ev_asof_join": _q_ev_asof_join,
         "ev_match_pattern": _q_ev_match_pattern,
@@ -3267,6 +3299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_outliers": _q_emb_outliers,
         "doc_value_rank": _q_doc_value_rank,
         "emb_label_centroids": _q_emb_label_centroids,
+        "emb_pq_codes": _q_emb_pq_codes,
+        "emb_pq_scan": _q_emb_pq_scan,
         "ev_funnel": _q_ev_funnel,
         "ev_retention": _q_ev_retention,
         "doc_len_corr": _q_doc_len_corr,
@@ -4585,6 +4619,16 @@ WITH per_cust AS (
 SELECT c_name, revenue
 FROM per_cust JOIN customer ON c_custkey = custkey
 ORDER BY revenue DESC, custkey LIMIT 10
+"""
+
+_ORACLE["rel_late_ship"] = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       COUNT(*)::BIGINT AS n_total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """
 
 _ORACLE["rel_order_priority"] = """
@@ -5999,6 +6043,54 @@ FROM documents ORDER BY doc_id
 
 
 # per-(label, dim) scaled-int vector sums: exact distributed centroid stats
+# Product quantization: nearest sub-centroid per (vec, subvector) in the
+# e6-scaled exact-int domain — identical round_even kernel on both sides
+_ORACLE["emb_pq_codes"] = """
+WITH e AS (
+  SELECT vec_id, CAST(d - 1 AS BIGINT) AS dim,
+         CAST(round_even(CAST(embedding[d] AS DOUBLE) * 1000000.0, 0)
+              AS BIGINT) AS xe
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)
+),
+c AS (SELECT vec_id AS cid, dim, xe AS ce FROM e WHERE vec_id < 16),
+dpair AS (
+  SELECT e.vec_id, e.dim // 16 AS sub, c.cid,
+         SUM((e.xe - c.ce) * (e.xe - c.ce)) AS dist
+  FROM e JOIN c USING (dim)
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, sub, cid AS code FROM dpair
+QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1
+ORDER BY vec_id, sub
+"""
+
+_ORACLE["emb_pq_scan"] = """
+WITH e AS (
+  SELECT vec_id, CAST(d - 1 AS BIGINT) AS dim,
+         CAST(round_even(CAST(embedding[d] AS DOUBLE) * 1000000.0, 0)
+              AS BIGINT) AS xe
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)
+),
+c AS (SELECT vec_id AS cid, dim, xe AS ce FROM e WHERE vec_id < 16),
+dpair AS (
+  SELECT e.vec_id, e.dim // 16 AS sub, c.cid,
+         SUM((e.xe - c.ce) * (e.xe - c.ce)) AS dist
+  FROM e JOIN c USING (dim)
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub, cid AS code FROM dpair
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1
+),
+q AS (SELECT sub, cid, dist FROM dpair WHERE vec_id = 0)
+SELECT codes.vec_id, CAST(SUM(q.dist) AS BIGINT) AS adist
+FROM codes JOIN q ON codes.sub = q.sub AND codes.code = q.cid
+WHERE codes.vec_id != 0
+GROUP BY 1
+ORDER BY adist, vec_id
+LIMIT 10
+"""
+
 _ORACLE["emb_label_centroids"] = """
 WITH e AS (
   SELECT label, CAST(d - 1 AS BIGINT) AS dim,

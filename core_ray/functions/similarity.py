@@ -902,3 +902,152 @@ def emb_novel_full(
     cents = load_ivf_centroids(index_dir)
     return emb_novel(source, index_dir, threshold=threshold,
                      n_probe=len(cents))
+
+
+# ---------------------------------------------------------------------------
+# product quantization: the compressed-domain ANN scale path
+# ---------------------------------------------------------------------------
+
+
+def _e6_ints(arr: np.ndarray) -> np.ndarray:
+    """round_even(x * 1e6) as int64 BY the in-process DuckDB kernel — the
+    scaled-integer discipline (label_centroid_sums), so every distance
+    computed from these ints is bitwise SQL-reproducible."""
+    from .dedup import _duckdb_hash_con
+
+    con = _duckdb_hash_con()
+    con.register("_e6_in", pa.table({"v": pa.array(arr.ravel().astype(np.float64))}))
+    out = con.execute(
+        "SELECT CAST(round_even(v * 1000000.0, 0) AS BIGINT) AS e FROM _e6_in"
+    ).fetch_arrow_table()["e"].to_numpy(zero_copy_only=False)
+    con.unregister("_e6_in")
+    return out.reshape(arr.shape)
+
+
+def pq_encode_exact(
+    source: str | ray.data.Dataset,
+    n_sub: int = 4,
+    n_centroids: int = 16,
+    wide: bool = False,
+) -> ray.data.Dataset:
+    """Product-quantization codes for every embedding — the compression step
+    of PQ/IVF-ADC search (Jegou et al. 2011, "Product quantization for
+    nearest neighbor search"): the vector is split into ``n_sub`` contiguous
+    subvectors and each is replaced by the id of its nearest sub-centroid,
+    shrinking a 64-float vector to ``n_sub`` small ints (the representation
+    a 100-TB ANN index actually stores).
+
+    Determinism/exactness: sub-centroids are the subvectors of the
+    embeddings with ``vec_id < n_centroids`` (the ``cluster_assign`` seed
+    convention); every element is e6-scaled to int64 by the DuckDB
+    round_even kernel, so squared L2 distances are exact integer sums and
+    the argmin (ties to the smallest centroid id) is bitwise
+    SQL-reproducible.
+
+    Scale shape: the (n_centroids x dim) int codebook broadcasts once via
+    ``ray.put``; encoding is a pure streamed ``map_batches`` — no shuffle.
+    Output: long form (one row per (vec_id, sub) with ``code``, sorted) or,
+    with ``wide=True``, one row per vec_id with ``code_0..code_{n_sub-1}``
+    (the packed layout the ADC scan consumes) — unsorted, for composition.
+    """
+    ds = _read_emb(source)
+    rows = _seed_rows(source, n_centroids)
+    cents = _e6_ints(np.array([r["embedding"] for r in rows], np.float64))
+    k, dim = cents.shape
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sd = dim // n_sub
+    # (n_sub, k, sd) int64 codebook
+    book_ref = ray.put(cents.reshape(k, n_sub, sd).transpose(1, 0, 2).copy())
+
+    def encode(batch: pa.Table) -> pa.Table:
+        book = ray.get(book_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xe = _e6_ints(_batch_matrix(batch)).reshape(len(ids), n_sub, sd)
+        codes = np.empty((len(ids), n_sub), np.int64)
+        for s in range(n_sub):
+            # (n, k, sd) int64 diffs: exact, bounded (|e6| <= ~1e6 for unit-
+            # scale embeddings -> diff^2 * sd <= ~6e13, far inside int64)
+            d = xe[:, s, None, :] - book[s][None, :, :]
+            dist = np.einsum("nks,nks->nk", d, d)
+            codes[:, s] = dist.argmin(axis=1)  # first min = smallest cid
+        if wide:
+            cols = {"vec_id": pa.array(ids, pa.int64())}
+            for s in range(n_sub):
+                cols[f"code_{s}"] = pa.array(codes[:, s], pa.int64())
+            return pa.table(cols)
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, n_sub), pa.int64()),
+                "sub": pa.array(np.tile(np.arange(n_sub, dtype=np.int64), n), pa.int64()),
+                "code": pa.array(codes.ravel(), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(encode, batch_format="pyarrow")
+    return out if wide else out.sort(["vec_id", "sub"])
+
+
+def pq_adc_topk(
+    source: str | ray.data.Dataset,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_sub: int = 4,
+    n_centroids: int = 16,
+) -> ray.data.Dataset:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact, every
+    database vector is its PQ approximation, and the scan cost per vector is
+    ``n_sub`` table lookups + adds instead of a ``dim``-wide product — the
+    compressed-domain scan that makes billion-vector search feasible.
+
+    The (n_sub x n_centroids) lookup table of exact-int squared distances
+    from the query's subvectors to every sub-centroid is built once on the
+    driver (tiny) and broadcast; the scan streams the PACKED code rows
+    (``pq_encode_exact(wide=True)``) through ``map_batches``, each batch emitting
+    its local top-k by the global rule (adist, then vec_id), so only
+    ``k x n_blocks`` candidate rows reach the final sort.  All arithmetic
+    stays in the e6-scaled integer domain — bitwise SQL-reproducible.
+
+    Output: ``(vec_id, adist)`` — the ``k`` nearest by approximate squared
+    L2, ascending (ties by vec_id); the query vector itself is excluded.
+    """
+    rows = _seed_rows(source, max(n_centroids, query_vec_id + 1))
+    cents = _e6_ints(
+        np.array([r["embedding"] for r in rows if int(r["vec_id"]) < n_centroids],
+                 np.float64)
+    )
+    qrow = [r for r in rows if int(r["vec_id"]) == int(query_vec_id)]
+    if not qrow:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    q = _e6_ints(np.array(qrow[0]["embedding"], np.float64))
+    dim = cents.shape[1]
+    sd = dim // n_sub
+    dq = cents.reshape(len(cents), n_sub, sd).transpose(1, 0, 2) - q.reshape(n_sub, 1, sd)
+    lut_ref = ray.put((dq * dq).sum(axis=2))  # (n_sub, n_centroids) int64
+
+    codes = pq_encode_exact(source, n_sub=n_sub, n_centroids=n_centroids, wide=True)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        adist = np.zeros(len(ids), np.int64)
+        for s in range(n_sub):
+            adist += lut[s][batch[f"code_{s}"].to_numpy(zero_copy_only=False)]
+        keep = ids != query_vec_id
+        ids, adist = ids[keep], adist[keep]
+        # local top-k under the GLOBAL order (adist, vec_id): lexsort makes
+        # the per-batch cut consistent with the final sort's tiebreak
+        order = np.lexsort((ids, adist))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "adist": pa.array(adist[order], pa.int64()),
+            }
+        )
+
+    return (
+        codes.map_batches(scan, batch_format="pyarrow")
+        .sort(["adist", "vec_id"])
+        .limit(k)
+    )

@@ -1,4 +1,5 @@
 from .relational import (
+    late_shipment_rate,
     order_priority_revenue,
     pricing_summary,
     revenue_by_nation,
@@ -8,6 +9,7 @@ from .relational import (
 )
 
 __all__ = [
+    "late_shipment_rate",
     "order_priority_revenue",
     "pricing_summary",
     "revenue_by_nation",

@@ -435,6 +435,53 @@ def priority_with_big_lineitem(
     )
 
 
+def late_shipment_rate(sf_dir: str, late_days: int = 60) -> ray.data.Dataset:
+    """Late-shipment counts per order priority (TPC-H Q12 adapted to this
+    schema's columns: "late" = shipped more than ``late_days`` after the
+    order date).  Large x large partitioned hash join (lineitem bucket
+    co-grouped with orders), then the date comparison and the per-priority
+    counts are pure int64 vector ops on the join output — partial counts
+    per batch, one bounded (#priorities) groupby, no second shuffle."""
+    from ..functions.join import hash_join
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(line, orders, on="l_orderkey")
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        ordd = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        late = (ship > ordd + late_us).astype(np.int64)
+        g = (
+            pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pandas(),
+                          "late": late})
+            .groupby("o_orderpriority", sort=True)
+            .agg(n_late=("late", "sum"), n_total=("late", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum(["n_late", "n_total"])
+        .map_batches(
+            lambda t: t.rename_columns(["o_orderpriority", "n_late", "n_total"]),
+            batch_format="pyarrow",
+        )
+        .sort("o_orderpriority")
+    )
+
+
 def window_distinct_users(
     sf_dir: str, start: str, end: str, size_s: int = 3600
 ) -> ray.data.Dataset:

@@ -93,3 +93,25 @@ def test_codes_matrix_sliced_batch(books):
 def test_dim_not_divisible_raises():
     with pytest.raises(ValueError, match="not divisible"):
         train_pq(SF, m=7)
+
+
+def test_pq_encode_exact_codes_valid():
+    from core_ray.functions import pq_encode_exact
+
+    df = pq_encode_exact(SF, n_sub=4, n_centroids=16).to_pandas()
+    n_vecs = df["vec_id"].nunique()
+    assert len(df) == n_vecs * 4
+    assert df["code"].between(0, 15).all()
+    # a centroid vector's nearest sub-centroid is itself in every subspace
+    self_rows = df[df["vec_id"] < 16]
+    assert (self_rows["code"] == self_rows["vec_id"]).all()
+
+
+def test_pq_adc_topk_matches_exact_on_centroids():
+    from core_ray.functions import pq_adc_topk
+
+    out = pq_adc_topk(SF, query_vec_id=0, k=10, n_sub=4, n_centroids=16).to_pandas()
+    assert len(out) == 10
+    assert 0 not in set(out["vec_id"])
+    assert (out["adist"].to_numpy() == np.sort(out["adist"].to_numpy())).all()
+    assert (out["adist"] >= 0).all()
