@@ -671,6 +671,43 @@ def _q_tok_pack_sequences(sf):
     return pack_sequences(sf, cap=512)
 
 
+def _q_tok_pack_tokens(sf):
+    """MATERIALIZED GPT-style packing of the pre-tokenized sequence table:
+    concatenate all token ids in doc order, cut every 512, and return the
+    actual packed training sequences plus their attention-reset boundaries
+    (in-pack offsets where a document starts).  List payloads are graded as
+    injective comma-joined strings (the repo's list-compare convention);
+    the oracle regroups the same stream with a window cumsum."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from core_ray.functions import pack_token_sequences
+    from core_ray.synth import write_tokens_table
+
+    in_dir = f"{_scratch('tok_pack')}/in"
+    _os.makedirs(in_dir, exist_ok=True)
+    write_tokens_table(in_dir, 3_000, rows_per_file=1_000)
+    packs = pack_token_sequences(in_dir, cap=512)
+
+    def to_csv(t: "_pa.Table") -> "_pa.Table":
+        def join(col):
+            if isinstance(col, _pa.ChunkedArray):
+                col = col.combine_chunks()
+            return _pc.binary_join(_pc.cast(col, _pa.list_(_pa.string())), ",")
+
+        return _pa.table(
+            {
+                "pack_id": t["pack_id"],
+                "n_tok": t["n_tok"],
+                "n_docs": t["n_docs"],
+                "tokens_csv": join(t["tokens"]),
+                "doc_starts_csv": join(t["doc_starts"]),
+            }
+        )
+
+    return packs.map_batches(to_csv, batch_format="pyarrow")
+
+
 def _q_tok_dup_windows(sf):
     """Verbatim-memorization scan over the pre-tokenized sequence table:
     per-document count of 16-token windows (stride 8) that occur verbatim
@@ -3143,6 +3180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_summary": _q_ts_summary,
         "ts_raw_json": _q_ts_raw_json,
         "tok_pack_sequences": _q_tok_pack_sequences,
+        "tok_pack_tokens": _q_tok_pack_tokens,
         "dq_dedup": _q_dq_dedup,
         "dq_ksigma": _q_dq_ksigma,
         "dq_imputation": _q_dq_imputation,
@@ -5773,6 +5811,42 @@ FROM read_parquet('/tmp/graft_stream_dedup_{_os.getpid()}/in/*.parquet')
 QUALIFY row_number() OVER (PARTITION BY array_to_string(tokens, ',')
                            ORDER BY doc_id) = 1
 ORDER BY doc_id
+"""
+
+# Materialized token packing: the engine's two-pass prefix-scan pack is
+# regrouped by the oracle as a plain window cumsum over the same files —
+# pack_id of a token = (tokens before its doc + its in-doc position) // cap.
+_ORACLE["tok_pack_tokens"] = f"""
+WITH d AS (
+  SELECT doc_id, tokens, n_tok,
+         COALESCE(SUM(CAST(n_tok AS BIGINT)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS pre
+  FROM read_parquet('/tmp/graft_tok_pack_{_os.getpid()}/in/*.parquet')
+),
+t AS (
+  SELECT CAST((d.pre + u.i - 1) // 512 AS BIGINT) AS pack_id,
+         d.pre + u.i - 1 AS gpos,
+         tokens[u.i] AS tok
+  FROM d, unnest(range(1, CAST(n_tok AS BIGINT) + 1)) AS u(i)
+),
+packs AS (
+  SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         string_agg(CAST(tok AS VARCHAR), ',' ORDER BY gpos) AS tokens_csv
+  FROM t GROUP BY pack_id
+),
+starts AS (
+  SELECT CAST(pre // 512 AS BIGINT) AS pack_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         string_agg(CAST(pre % 512 AS VARCHAR), ',' ORDER BY pre) AS doc_starts_csv
+  FROM d WHERE n_tok > 0 GROUP BY 1
+)
+SELECT p.pack_id, p.n_tok,
+       COALESCE(s.n_docs, 0) AS n_docs,
+       p.tokens_csv,
+       COALESCE(s.doc_starts_csv, '') AS doc_starts_csv
+FROM packs p LEFT JOIN starts s USING (pack_id)
+ORDER BY p.pack_id
 """
 
 _ORACLE["tok_dedup_exact"] = f"""

@@ -2292,3 +2292,234 @@ def trigram_topk(source: str | ray.data.Dataset, k: int = 10) -> ray.data.Datase
                                                  batch_format="pyarrow"),
         "trigram", k,
     )
+
+
+# ---------------------------------------------------------------------------
+# token-level sequence packing (materialized training batches)
+# ---------------------------------------------------------------------------
+
+
+def _tok_id_nums(ids: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Numeric part of the tokens table's ``doc-%08d`` ids (the fixture
+    convention, FIXTURES.md F1) — zero-padded, so string order == numeric
+    order and the packer's id buckets are contiguous ranges of both."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return (
+        pc.utf8_slice_codeunits(ids, 4)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+
+
+def _tok_id_hi(source: str, id_col: str) -> int | None:
+    """Max numeric doc id from parquet string statistics — no data scan
+    (zero-padded ids make the lexicographic stats max the numeric max)."""
+    import glob
+
+    paths = (
+        [source] if source.endswith(".parquet")
+        else sorted(glob.glob(f"{source}/*.parquet"))
+    )
+    if not paths:
+        return None
+    hi = None
+    try:
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(id_col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or st.max is None:
+                    return None
+                v = int(str(st.max)[4:])
+                hi = v if hi is None else max(hi, v)
+        return hi
+    except Exception:
+        return None
+
+
+_PACK_SCHEMA = pa.schema(
+    [
+        ("pack_id", pa.int64()),
+        ("n_tok", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("tokens", pa.list_(pa.int32())),
+        ("doc_starts", pa.list_(pa.int64())),
+    ]
+)
+
+
+def pack_token_sequences(
+    source: str | ray.data.Dataset,
+    cap: int = 512,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """MATERIALIZED GPT-style packing of the pre-tokenized sequence table:
+    concatenate every document's token ids in ``id_col`` order into one
+    global stream and cut it every ``cap`` tokens, emitting the actual
+    packed training sequences — one row per pack with its ``list<int32>``
+    token payload plus ``doc_starts``, the in-pack offsets where a new
+    document begins (the attention-reset boundaries a trainer masks on).
+    The final partial pack is kept.  ``pack_sequences`` is the planning
+    twin (span bookkeeping only, never moves a token); this operator is the
+    step that actually builds the model's input batches.
+
+    Distributed as the same two-pass exclusive prefix scan (pack identity
+    of any token depends only on the token total BEFORE its document):
+
+    1. per-id-range-bucket token totals — per-batch ``bincount`` partials,
+       one ``n_buckets``-row groupby, driver holds ``n_buckets`` ints;
+    2. each bucket slices its own documents into (pack, segment) rows
+       independently (vectorized ragged gather, no Python over tokens);
+    3. segments co-locate per pack (the ONE shuffle that moves tokens —
+       unavoidable: packing materializes output rows that mix documents)
+       and concatenate vectorized.
+
+    Token payloads cross exactly one exchange; every other stage moves
+    int64 bookkeeping.  Output is partitioning-invariant, so the oracle is
+    a plain window-cumsum regroup.  Zero-length documents emit no tokens
+    and no doc_start.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1: {cap}")
+    cols = [id_col, "tokens", "n_tok"]
+    ds = (
+        ray.data.read_parquet(source, columns=cols)
+        if isinstance(source, str)
+        else source
+    )
+
+    hi = _tok_id_hi(source, id_col) if isinstance(source, str) else None
+    if hi is None:
+        mx = ds.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([int(_tok_id_nums(t[id_col]).max())]
+                               if len(t) else [], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).max("m")
+        hi = int(mx) if mx is not None else None
+    if hi is None:  # zero-row input
+        return ray.data.from_arrow(_PACK_SCHEMA.empty_table())
+    width = max(1, (int(hi) + n_buckets) // n_buckets)
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "psum": pa.array([], pa.int64())})
+        b = _tok_id_nums(batch[id_col]) // width
+        n = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(b, return_inverse=True)
+        return pa.table(
+            {"bucket": pa.array(uniq, pa.int64()),
+             "psum": pa.array(np.bincount(inv, weights=n).astype(np.int64))}
+        )
+
+    totals = (
+        ds.map_batches(partial_sums, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("psum")
+        .take_all()  # bounded: <= n_buckets rows
+    )
+    tot = np.zeros(n_buckets + 1, dtype=np.int64)
+    for row in totals:
+        tot[int(row["bucket"])] = int(row["sum(psum)"])
+    prefix = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    prefix_ref = ray.put(prefix)
+
+    seg_schema = pa.schema(
+        [("pack_id", pa.int64()), ("g0", pa.int64()),
+         ("seg", pa.list_(pa.int32())), ("dstart", pa.int64())]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = _tok_id_nums(batch[id_col]) // width
+        return batch.append_column("_bucket", pa.array(b, pa.int64()))
+
+    def emit_segments(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return seg_schema.empty_table()
+        bucket = int(g["_bucket"][0].as_py())
+        num = _tok_id_nums(g[id_col])
+        order = np.argsort(num, kind="stable")
+        tokens = g["tokens"].combine_chunks().take(pa.array(order))
+        off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tokens.flatten().to_numpy(zero_copy_only=False)
+        n = np.diff(off)
+        gend = int(ray.get(prefix_ref)[bucket]) + np.cumsum(n)
+        gstart = gend - n
+        keep = n > 0
+        gstart, gend, n, doc_off = gstart[keep], gend[keep], n[keep], off[:-1][keep]
+        if len(n) == 0:
+            return seg_schema.empty_table()
+        start_pack = gstart // cap
+        spans = (gend - 1) // cap - start_pack + 1
+        pack = _ragged_range(start_pack, spans)
+        g0 = np.maximum(pack * cap, np.repeat(gstart, spans))
+        g1 = np.minimum((pack + 1) * cap, np.repeat(gend, spans))
+        slen = g1 - g0
+        src = np.repeat(doc_off - gstart, spans) + g0
+        flat = vals[_ragged_range(src, slen)]
+        seg_off = np.zeros(len(slen) + 1, dtype=np.int64)
+        np.cumsum(slen, out=seg_off[1:])
+        seg = pa.ListArray.from_arrays(
+            pa.array(seg_off.astype(np.int32)), pa.array(flat, pa.int32())
+        )
+        dstart = np.where(pack == np.repeat(start_pack, spans), g0 % cap, -1)
+        return pa.table(
+            {"pack_id": pa.array(pack, pa.int64()),
+             "g0": pa.array(g0, pa.int64()),
+             "seg": seg,
+             "dstart": pa.array(dstart, pa.int64())},
+            schema=seg_schema,
+        )
+
+    def add_pack_bucket(batch: pa.Table) -> pa.Table:
+        p = batch["pack_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("_pb", pa.array(p % 64, pa.int64()))
+
+    def assemble(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _PACK_SCHEMA.empty_table()
+        pack = g["pack_id"].to_numpy(zero_copy_only=False)
+        g0 = g["g0"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((g0, pack))
+        pack = pack[order]
+        seg = g["seg"].combine_chunks().take(pa.array(order))
+        lens = pc.list_value_length(seg).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = seg.flatten().to_numpy(zero_copy_only=False)
+        dstart = g["dstart"].to_numpy(zero_copy_only=False)[order]
+        row_starts = np.concatenate(([0], np.flatnonzero(np.diff(pack)) + 1))
+        row_ends = np.concatenate((row_starts[1:], [len(pack)]))
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        tok_off = cum[np.concatenate((row_starts, [len(lens)]))]
+        tokens = pa.ListArray.from_arrays(
+            pa.array(tok_off.astype(np.int32)), pa.array(flat, pa.int32())
+        )
+        is_start = dstart >= 0
+        csum = np.concatenate(([0], np.cumsum(is_start)))
+        ds_off = csum[np.concatenate((row_starts, [len(pack)]))]
+        doc_starts = pa.ListArray.from_arrays(
+            pa.array(ds_off.astype(np.int32)),
+            pa.array(dstart[is_start], pa.int64()),
+        )
+        return pa.table(
+            {"pack_id": pa.array(pack[row_starts], pa.int64()),
+             "n_tok": pa.array(np.diff(tok_off), pa.int64()),
+             "n_docs": pa.array(np.diff(ds_off), pa.int64()),
+             "tokens": tokens,
+             "doc_starts": doc_starts},
+            schema=_PACK_SCHEMA,
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(emit_segments, batch_format="pyarrow")
+        .map_batches(add_pack_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(assemble, batch_format="pyarrow")
+        .sort("pack_id")
+    )

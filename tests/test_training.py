@@ -888,3 +888,73 @@ def test_value_rank_is_sort_position():
     rank_expect[expect] = np.arange(80)
     assert out.sort_values("doc_id")["rank"].to_numpy().tolist() == rank_expect.tolist()
     assert sorted(out["rank"]) == list(range(80))
+
+
+def _tok_table(n_tok_list, start=0):
+    import pyarrow as pa
+
+    offs = np.zeros(len(n_tok_list) + 1, dtype=np.int32)
+    offs[1:] = np.cumsum(n_tok_list).astype(np.int32)
+    vals = np.arange(offs[-1], dtype=np.int32) * 7 % 50_000
+    return pa.table(
+        {
+            "doc_id": pa.array([f"doc-{start + i:08d}" for i in range(len(n_tok_list))]),
+            "tokens": pa.ListArray.from_arrays(pa.array(offs), pa.array(vals)),
+            "n_tok": pa.array(np.asarray(n_tok_list, dtype=np.int32)),
+            "source": pa.array(["t"] * len(n_tok_list)),
+        }
+    )
+
+
+def test_pack_token_sequences_hand_case():
+    """counts 3,4,5 / cap 4: pack0 = doc0 + doc1[:1], pack1 = doc1[1:] +
+    doc2[:1], pack2 = doc2[1:] (partial final pack kept); doc_starts mark
+    where a doc BEGINS in each pack."""
+    import pyarrow as pa
+
+    from core_ray.functions import pack_token_sequences
+
+    t = _tok_table([3, 4, 5])
+    vals = t["tokens"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    out = pack_token_sequences(ray.data.from_arrow(t), cap=4).to_pandas()
+    assert list(out["pack_id"]) == [0, 1, 2]
+    assert list(out["n_tok"]) == [4, 4, 4]
+    assert list(out["n_docs"]) == [2, 1, 0]
+    got = np.concatenate([np.asarray(x) for x in out["tokens"]])
+    assert np.array_equal(got, vals)  # stream preserved end-to-end
+    assert [list(x) for x in out["doc_starts"]] == [[0, 3], [3], []]
+
+
+def test_pack_token_sequences_partition_and_zero_len():
+    """Same packs at any bucket count; zero-length docs emit no tokens and
+    no doc_start; total output == total input stream."""
+    import pyarrow as pa
+
+    from core_ray.functions import pack_token_sequences
+
+    rng = np.random.default_rng(11)
+    n = rng.integers(0, 9, size=120)
+    t = _tok_table(list(n))
+    vals = t["tokens"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ref = None
+    for nb in (1, 4, 32):
+        out = pack_token_sequences(ray.data.from_arrow(t), cap=16, n_buckets=nb).to_pandas()
+        got = np.concatenate([np.asarray(x) for x in out["tokens"]])
+        assert np.array_equal(got, vals)
+        assert int(out["n_docs"].sum()) == int((n > 0).sum())
+        key = [(int(r.pack_id), list(r.tokens), list(r.doc_starts)) for r in out.itertuples()]
+        if ref is None:
+            ref = key
+        else:
+            assert key == ref
+
+
+def test_pack_token_sequences_empty_input():
+    import pyarrow as pa
+
+    from core_ray.functions import pack_token_sequences
+
+    t = _tok_table([])
+    out = pack_token_sequences(ray.data.from_arrow(t), cap=8)
+    assert out.count() == 0
+    assert out.schema().names == ["pack_id", "n_tok", "n_docs", "tokens", "doc_starts"]
