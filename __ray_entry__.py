@@ -2683,6 +2683,28 @@ def _q_stream_sliding_aggs(sf):
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
+def _q_stream_topk_tokens(sf):
+    """STREAMING token-frequency registers (continuous exact heavy hitters,
+    ``streaming/freq.py``): consume tasks bincount each epoch's token
+    payload and route only nonzero (token, cnt) partials by token residue;
+    partition actors fold them into exact count registers and emit the
+    rolling top-k every epoch.  Run WITH a mid-stream crash + resume (a
+    lost or double-counted partial silently corrupts every later count).
+    Graded: the final global top-100 under (cnt desc, token asc); oracle
+    recounts the whole input with a plain unnest GROUP BY."""
+    from core_ray.streaming import FreqConfig, StreamFreqJob, final_topk
+    from core_ray.synth import write_tokens_table
+
+    base = _scratch("stream_topk")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    cfg = FreqConfig(input_dir=in_dir, out_dir=out_dir, num_partitions=8,
+                     files_per_epoch=1, k=100)
+    StreamFreqJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
+    StreamFreqJob(cfg).run(resume=True)
+    return final_topk(out_dir, cfg.num_partitions, k=100)
+
+
 def _q_stream_latest(sf):
     """The streaming engine's PCDM-latest REGISTERS graded as data (the
     reference's 'PCDM latest' destination semantics held as monotonic actor
@@ -3323,6 +3345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pipeline_prep": _q_doc_pipeline_prep,
         "fw_pipeline_prep_json": _q_fw_pipeline_prep_json,
         "stream_latest": _q_stream_latest,
+        "stream_topk_tokens": _q_stream_topk_tokens,
         "api_summary_json": _q_api_summary_json,
         "stream_cli_job": _q_stream_cli_job,
         "doc_band_filter": _q_doc_band_filter,
@@ -5805,6 +5828,17 @@ FROM per ORDER BY doc_id
 
 # Streaming exact dedup: monotone-doc_id files make streaming first-admission
 # equal the batch min-doc_id-per-identical-token-array rule
+# Streaming frequency registers: exact integer counts, so the oracle is a
+# plain recount of the whole input; top-k order is total (cnt desc, token asc)
+_ORACLE["stream_topk_tokens"] = f"""
+SELECT CAST(token AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(tokens) AS token
+      FROM read_parquet('/tmp/graft_stream_topk_{_os.getpid()}/in/*.parquet'))
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 100
+"""
+
 _ORACLE["stream_dedup"] = f"""
 SELECT doc_id, n_tok, source
 FROM read_parquet('/tmp/graft_stream_dedup_{_os.getpid()}/in/*.parquet')

@@ -29,6 +29,7 @@ Architecture (SURVEY.md §3, §7.2 step 3-5):
 from .job import StreamingJob, StreamConfig
 from .join import JoinConfig, StreamJoinJob, read_joined
 from .dedup import DedupConfig, StreamDedupJob, read_survivors
+from .freq import FreqConfig, StreamFreqJob, final_topk
 from .pattern import PatternConfig, StreamPatternJob, read_matches
 
 __all__ = [
@@ -38,6 +39,9 @@ __all__ = [
     "StreamJoinJob",
     "read_joined",
     "DedupConfig",
+    "FreqConfig",
+    "StreamFreqJob",
+    "final_topk",
     "StreamDedupJob",
     "read_survivors",
     "PatternConfig",
