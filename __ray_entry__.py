@@ -1298,6 +1298,19 @@ def _q_emb_pq_scan(sf):
     return pq_adc_topk(sf, query_vec_id=0, k=10, n_sub=4, n_centroids=16)
 
 
+def _q_emb_ivfpq_scan(sf):
+    """IVF-PQ composed (the billion-vector serving shape): coarse-route every
+    vector to one of 8 lists, probe the query's 2 nearest lists, rank
+    in-list vectors by PQ asymmetric distance.  Everything — including the
+    probe decision — is exact e6-int arithmetic, so the oracle reproduces
+    routing AND ranking bit-for-bit (contrast emb_knn_ivf, float recall<1,
+    rows-only)."""
+    from core_ray.functions import ivfpq_topk
+
+    return ivfpq_topk(sf, query_vec_id=0, k=10, n_coarse=8, n_probe=2,
+                      n_sub=4, n_centroids=16)
+
+
 def _q_emb_label_centroids(sf):
     """Exact per-label centroid statistics: scaled-int64 per-dimension sums
     (order-independent distributed vector aggregate)."""
@@ -3362,6 +3375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_centroids": _q_emb_label_centroids,
         "emb_pq_codes": _q_emb_pq_codes,
         "emb_pq_scan": _q_emb_pq_scan,
+        "emb_ivfpq_scan": _q_emb_ivfpq_scan,
         "ev_funnel": _q_ev_funnel,
         "ev_retention": _q_ev_retention,
         "doc_len_corr": _q_doc_len_corr,
@@ -6196,6 +6210,47 @@ FROM codes JOIN q ON codes.sub = q.sub AND codes.code = q.cid
 WHERE codes.vec_id != 0
 GROUP BY 1
 ORDER BY adist, vec_id
+LIMIT 10
+"""
+
+# IVF-PQ composed: the oracle reproduces the coarse routing, the probe
+# choice, the PQ codes AND the ADC ranking — all in the same exact-int domain
+_ORACLE["emb_ivfpq_scan"] = """
+WITH e AS (
+  SELECT vec_id, CAST(d - 1 AS BIGINT) AS dim,
+         CAST(round_even(CAST(embedding[d] AS DOUBLE) * 1000000.0, 0)
+              AS BIGINT) AS xe
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)
+),
+cc AS (SELECT vec_id AS cid, dim, xe AS ce FROM e WHERE vec_id < 8),
+cd AS (
+  SELECT e.vec_id, cc.cid, SUM((e.xe - cc.ce) * (e.xe - cc.ce)) AS dist
+  FROM e JOIN cc USING (dim) GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cid FROM cd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+probe AS (SELECT cid FROM cd WHERE vec_id = 0 ORDER BY dist, cid LIMIT 2),
+c AS (SELECT vec_id AS cid, dim, xe AS ce FROM e WHERE vec_id < 16),
+dpair AS (
+  SELECT e.vec_id, e.dim // 16 AS sub, c.cid,
+         SUM((e.xe - c.ce) * (e.xe - c.ce)) AS dist
+  FROM e JOIN c USING (dim)
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub, cid AS code FROM dpair
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1
+),
+q AS (SELECT sub, cid, dist FROM dpair WHERE vec_id = 0)
+SELECT codes.vec_id, CAST(SUM(q.dist) AS BIGINT) AS adist
+FROM codes
+JOIN q ON codes.sub = q.sub AND codes.code = q.cid
+JOIN assign ON codes.vec_id = assign.vec_id
+WHERE codes.vec_id != 0 AND assign.cid IN (SELECT cid FROM probe)
+GROUP BY 1
+ORDER BY adist, codes.vec_id
 LIMIT 10
 """
 

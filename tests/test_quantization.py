@@ -115,3 +115,41 @@ def test_pq_adc_topk_matches_exact_on_centroids():
     assert 0 not in set(out["vec_id"])
     assert (out["adist"].to_numpy() == np.sort(out["adist"].to_numpy())).all()
     assert (out["adist"] >= 0).all()
+
+
+def test_ivfpq_exhaustive_probe_equals_pq_scan():
+    """With every list probed, IVF-PQ degenerates to the plain ADC scan."""
+    from core_ray.functions import ivfpq_topk, pq_adc_topk
+
+    full = pq_adc_topk(SF, query_vec_id=0, k=10).to_pandas()
+    ivf = ivfpq_topk(SF, query_vec_id=0, k=10, n_coarse=8, n_probe=8).to_pandas()
+    assert ivf.values.tolist() == full.values.tolist()
+
+
+def test_ivfpq_pruned_probe_is_subset_of_probed_lists():
+    """Every returned vector coarse-routes to one of the query's probed
+    lists, and results are a subset of the exhaustive ADC ranking order."""
+    import numpy as np
+
+    from core_ray.functions import ivfpq_topk, pq_adc_topk
+    from core_ray.functions.similarity import (
+        _batch_matrix, _e6_ints, _read_emb, _seed_rows,
+    )
+
+    out = ivfpq_topk(SF, query_vec_id=0, k=10, n_coarse=8, n_probe=2).to_pandas()
+    assert len(out) == 10
+    rows = _seed_rows(SF, 8)
+    coarse = _e6_ints(np.stack([np.asarray(r["embedding"], np.float64) for r in rows]))
+    q = coarse[0]
+    dq = coarse - q[None, :]
+    probe = set(np.lexsort((np.arange(8), (dq * dq).sum(axis=1)))[:2].tolist())
+    emb = _read_emb(SF).to_pandas().set_index("vec_id")["embedding"]
+    for vid in out["vec_id"]:
+        x = _e6_ints(np.asarray(emb.loc[vid], np.float64))
+        d = x[None, :] - coarse
+        assert int(np.einsum("kd,kd->k", d, d).argmin()) in probe
+    # pruned ranking preserves exhaustive ADC order on the shared rows
+    full = pq_adc_topk(SF, query_vec_id=0, k=200).to_pandas()
+    pos = {int(v): i for i, v in enumerate(full["vec_id"])}
+    ranks = [pos[int(v)] for v in out["vec_id"] if int(v) in pos]
+    assert ranks == sorted(ranks)
