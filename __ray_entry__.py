@@ -3144,6 +3144,82 @@ def _q_api_summary_json(sf):
     ]
 
 
+def _q_api_interpolate_json(sf):
+    """REST API v1 interpolate endpoint end-to-end (reference
+    ``api/v1/interpolate.py``): hourly linear interpolation over the two-tag
+    spine through the handler envelope, paged; records parsed back with
+    ns-ISO EventTime strings (4-dp values round-trip the JSON writer
+    exactly)."""
+    import json
+
+    import pandas as pd
+
+    from core_ray.api import (
+        BaseQueryParams,
+        InterpolateQueryParams,
+        LimitOffsetQueryParams,
+        RawQueryParams,
+        TagsQueryParams,
+    )
+    from core_ray.api.v1 import interpolate_events_get
+
+    resp = interpolate_events_get(
+        BaseQueryParams(
+            source=f"{sf}/events.parquet",
+            tagname_column="event_type",
+            timestamp_column="ts",
+            status_column=None,
+            value_column="value",
+        ),
+        RawQueryParams(start_date=START, end_date=END),
+        InterpolateQueryParams("1", "hour"),
+        TagsQueryParams(list(TAGS2)),
+        limit_offset_parameters=LimitOffsetQueryParams(limit=50, offset=100),
+    )
+    env = json.loads(resp.content)
+    assert env["pagination"] == {"limit": 50, "offset": 100, "next": 150}
+    return pd.DataFrame(env["data"])[["TagName", "EventTime", "Value"]]
+
+
+def _q_api_plot_json(sf):
+    """REST API v1 plot endpoint end-to-end (reference ``api/v1/plot.py``):
+    6-hour OHLC decimation through the handler envelope, paged; the
+    unpivoted (TagName, EventTime, Aggregation, Value) rows parsed back
+    with ns-ISO EventTime strings."""
+    import json
+
+    import pandas as pd
+
+    from core_ray.api import (
+        BaseQueryParams,
+        LimitOffsetQueryParams,
+        PlotQueryParams,
+        RawQueryParams,
+        TagsQueryParams,
+    )
+    from core_ray.api.v1 import plot_events_get
+
+    resp = plot_events_get(
+        BaseQueryParams(
+            source=f"{sf}/events.parquet",
+            tagname_column="event_type",
+            timestamp_column="ts",
+            status_column=None,
+            value_column="value",
+        ),
+        RawQueryParams(start_date=START, end_date=END),
+        PlotQueryParams("6", "hour"),
+        TagsQueryParams(list(TAGS2)),
+        # page boundaries at multiples of 4: every (tag, window) contributes
+        # exactly Min/Max/First/Last, so pages hold COMPLETE quadruples and
+        # the engine's intra-quadruple row order can't leak into the page set
+        limit_offset_parameters=LimitOffsetQueryParams(limit=64, offset=32),
+    )
+    env = json.loads(resp.content)
+    assert env["pagination"] == {"limit": 64, "offset": 32, "next": 96}
+    return pd.DataFrame(env["data"])[["TagName", "EventTime", "Aggregation", "Value"]]
+
+
 def _q_api_batch_json(sf):
     """REST API v1 BATCH endpoint end-to-end (reference ``api/v1/batch.py``):
     three requests — raw, hourly-avg resample, latest — fan out through the
@@ -3385,6 +3461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_anti_join": _q_rel_anti_join,
         "emb_novel_ingest": _q_emb_novel_ingest,
         "api_resample_json": _q_api_resample_json,
+        "api_interpolate_json": _q_api_interpolate_json,
+        "api_plot_json": _q_api_plot_json,
     }
 
 
@@ -5674,6 +5752,63 @@ SELECT TagName,
        strftime(make_timestamp(ws), '%Y-%m-%dT%H:%M:%S.%f') || '000' AS EventTime,
        round_even(value, 4) AS Value
 FROM r WHERE rn = 1 ORDER BY 1, 2 LIMIT 40 OFFSET 20
+"""
+
+_ORACLE["api_interpolate_json"] = f"""
+WITH f AS ({_resample_base(where=_RANGE + " AND event_type IN ('click', 'purchase')")}),
+r AS (SELECT *, row_number() OVER (PARTITION BY TagName, ws ORDER BY tus DESC, value DESC) rn FROM f),
+agg AS (SELECT TagName, ws, value AS v FROM r WHERE rn = 1),
+tags AS (SELECT DISTINCT TagName FROM f),
+grid AS (SELECT unnest(generate_series({S_US}, {E_US}, {HOUR_US})) AS wus),
+j AS (SELECT t.TagName, g.wus, a.v
+      FROM tags t CROSS JOIN grid g
+      LEFT JOIN agg a ON a.TagName = t.TagName AND a.ws = g.wus),
+w AS (SELECT TagName, wus, v,
+  last_value(v IGNORE NULLS) OVER
+    (PARTITION BY TagName ORDER BY wus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+  last_value(CASE WHEN v IS NOT NULL THEN wus END IGNORE NULLS) OVER
+    (PARTITION BY TagName ORDER BY wus ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pt,
+  first_value(v IGNORE NULLS) OVER
+    (PARTITION BY TagName ORDER BY wus ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+  first_value(CASE WHEN v IS NOT NULL THEN wus END IGNORE NULLS) OVER
+    (PARTITION BY TagName ORDER BY wus ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nt
+  FROM j)
+SELECT TagName,
+  strftime(make_timestamp(wus), '%Y-%m-%dT%H:%M:%S.%f') || '000' AS EventTime,
+  round_even(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (wus - pt) / (nt - pt)
+             WHEN pv IS NOT NULL THEN pv END, 4) AS Value
+FROM w ORDER BY 1, 2 LIMIT 50 OFFSET 100
+"""
+
+# plot pages hold complete (tag, window) quadruples (offset/limit are
+# multiples of 4), so the page is expressed as a LIMIT/OFFSET over the
+# DISTINCT group keys — deterministic regardless of intra-quadruple order
+_ORACLE["api_plot_json"] = f"""
+WITH f AS ({_resample_base(_PLOT_WS, _RANGE + " AND event_type IN ('click', 'purchase')")}),
+base AS (
+  SELECT TagName, ws, value,
+         row_number() OVER (PARTITION BY TagName, ws ORDER BY tus, value) rna,
+         row_number() OVER (PARTITION BY TagName, ws ORDER BY tus DESC, value DESC) rnd
+  FROM f),
+agg AS (
+  SELECT TagName, ws,
+         round_even(MIN(value), 4) vmin, round_even(MAX(value), 4) vmax,
+         round_even(MIN(CASE WHEN rna = 1 THEN value END), 4) vfirst,
+         round_even(MIN(CASE WHEN rnd = 1 THEN value END), 4) vlast
+  FROM base GROUP BY 1, 2),
+pg AS (SELECT TagName, ws FROM agg ORDER BY 1, 2 LIMIT 16 OFFSET 8),
+sel AS (
+  SELECT TagName, ws, 'Min' AS Aggregation, vmin AS Value FROM agg
+  UNION ALL SELECT TagName, ws, 'Max', vmax FROM agg
+  UNION ALL SELECT TagName, ws, 'First', vfirst FROM agg
+  UNION ALL SELECT TagName, ws, 'Last', vlast FROM agg)
+SELECT sel.TagName,
+       strftime(make_timestamp(sel.ws), '%Y-%m-%dT%H:%M:%S.%f') || '000' AS EventTime,
+       sel.Aggregation, sel.Value
+FROM sel JOIN pg ON sel.TagName = pg.TagName AND sel.ws = pg.ws
+ORDER BY 1, 2, 3
 """
 
 _ORACLE["emb_novel_full"] = """

@@ -246,3 +246,54 @@ def test_raw_lookup_fanout_global_pagination(sf_dir):
     )
     key = lambda rows: [(r["TagName"], r["EventTime"], r["Value"]) for r in rows]
     assert sorted(key(env["data"])) == sorted(key(direct["data"]))
+
+
+def test_interpolate_envelope_parity_with_direct_op(sf_dir):
+    """Envelope records == the direct interpolate op's page (framework adds
+    no semantics), EventTime rendered as the 9-digit ns-ISO string."""
+    from core_ray.api import InterpolateQueryParams
+    from core_ray.api.v1 import interpolate_events_get
+    from core_ray.ops import interpolate
+
+    resp = interpolate_events_get(
+        _base(sf_dir),
+        RawQueryParams(start_date=START, end_date=END),
+        InterpolateQueryParams("1", "hour"),
+        TagsQueryParams(list(TAGS)),
+        limit_offset_parameters=LimitOffsetQueryParams(limit=8, offset=4),
+    )
+    env = _envelope(resp)
+    assert env["pagination"] == {"limit": 8, "offset": 4, "next": 12}
+    direct = (
+        interpolate(sf_dir, start=START, end=END, rate=1, unit="hour",
+                    tags=list(TAGS))
+        .sort(["TagName", "EventTime"])
+        .to_pandas()
+        .iloc[4:12]
+        .reset_index(drop=True)
+    )
+    got = pd.DataFrame(env["data"])
+    assert list(got["TagName"]) == list(direct["TagName"])
+    assert [t[:23] for t in got["EventTime"]] == [
+        ts.isoformat(timespec="milliseconds") for ts in direct["EventTime"]
+    ]
+    assert all(t.endswith("000000") for t in got["EventTime"])
+
+
+def test_plot_envelope_quadruples(sf_dir):
+    """Every (tag, window) page group carries exactly the four OHLC arms."""
+    from core_ray.api import PlotQueryParams
+    from core_ray.api.v1 import plot_events_get
+
+    resp = plot_events_get(
+        _base(sf_dir),
+        RawQueryParams(start_date=START, end_date=END),
+        PlotQueryParams("6", "hour"),
+        TagsQueryParams(list(TAGS)),
+        limit_offset_parameters=LimitOffsetQueryParams(limit=16, offset=8),
+    )
+    env = _envelope(resp)
+    got = pd.DataFrame(env["data"])
+    assert len(got) == 16
+    per = got.groupby(["TagName", "EventTime"])["Aggregation"].agg(sorted)
+    assert all(list(a) == ["First", "Last", "Max", "Min"] for a in per)
