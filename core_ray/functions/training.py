@@ -2350,6 +2350,51 @@ _PACK_SCHEMA = pa.schema(
 )
 
 
+def _slice_spans(gstart, gend, n, doc_off, vals, cap):
+    """Shared span-slicing kernel: given each doc's global [gstart, gend)
+    stream range and its offset into ``vals``, emit one row per (doc, pack)
+    span — (pack, slice-start g0, token segment, doc-start offset or -1).
+    Pure vectorized ragged gather."""
+    start_pack = gstart // cap
+    spans = (gend - 1) // cap - start_pack + 1
+    pack = _ragged_range(start_pack, spans)
+    g0 = np.maximum(pack * cap, np.repeat(gstart, spans))
+    g1 = np.minimum((pack + 1) * cap, np.repeat(gend, spans))
+    slen = g1 - g0
+    src = np.repeat(doc_off - gstart, spans) + g0
+    flat = vals[_ragged_range(src, slen)]
+    seg_off = np.zeros(len(slen) + 1, dtype=np.int64)
+    np.cumsum(slen, out=seg_off[1:])
+    seg = pa.ListArray.from_arrays(
+        pa.array(seg_off.astype(np.int32)), pa.array(flat, pa.int32())
+    )
+    dstart = np.where(pack == np.repeat(start_pack, spans), g0 % cap, -1)
+    return pack, g0, seg, dstart
+
+
+def _concat_packs(boundary_new, seg, dstart):
+    """Shared pack-assembly kernel over rows already sorted by (pack key,
+    g0): concatenate each pack's segments and collect its doc-start
+    offsets.  ``boundary_new[i]`` is True where row i starts a new pack.
+    Returns (row_starts, tokens, n_tok, n_docs, doc_starts)."""
+    lens = pc.list_value_length(seg).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = seg.flatten().to_numpy(zero_copy_only=False)
+    row_starts = np.flatnonzero(boundary_new)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    tok_off = cum[np.concatenate((row_starts, [len(lens)]))]
+    tokens = pa.ListArray.from_arrays(
+        pa.array(tok_off.astype(np.int32)), pa.array(flat, pa.int32())
+    )
+    is_start = dstart >= 0
+    csum = np.concatenate(([0], np.cumsum(is_start)))
+    ds_off = csum[np.concatenate((row_starts, [len(lens)]))]
+    doc_starts = pa.ListArray.from_arrays(
+        pa.array(ds_off.astype(np.int32)),
+        pa.array(dstart[is_start], pa.int64()),
+    )
+    return row_starts, tokens, np.diff(tok_off), np.diff(ds_off), doc_starts
+
+
 def pack_token_sequences(
     source: str | ray.data.Dataset,
     cap: int = 512,
@@ -2454,20 +2499,7 @@ def pack_token_sequences(
         gstart, gend, n, doc_off = gstart[keep], gend[keep], n[keep], off[:-1][keep]
         if len(n) == 0:
             return seg_schema.empty_table()
-        start_pack = gstart // cap
-        spans = (gend - 1) // cap - start_pack + 1
-        pack = _ragged_range(start_pack, spans)
-        g0 = np.maximum(pack * cap, np.repeat(gstart, spans))
-        g1 = np.minimum((pack + 1) * cap, np.repeat(gend, spans))
-        slen = g1 - g0
-        src = np.repeat(doc_off - gstart, spans) + g0
-        flat = vals[_ragged_range(src, slen)]
-        seg_off = np.zeros(len(slen) + 1, dtype=np.int64)
-        np.cumsum(slen, out=seg_off[1:])
-        seg = pa.ListArray.from_arrays(
-            pa.array(seg_off.astype(np.int32)), pa.array(flat, pa.int32())
-        )
-        dstart = np.where(pack == np.repeat(start_pack, spans), g0 % cap, -1)
+        pack, g0, seg, dstart = _slice_spans(gstart, gend, n, doc_off, vals, cap)
         return pa.table(
             {"pack_id": pa.array(pack, pa.int64()),
              "g0": pa.array(g0, pa.int64()),
@@ -2488,27 +2520,15 @@ def pack_token_sequences(
         order = np.lexsort((g0, pack))
         pack = pack[order]
         seg = g["seg"].combine_chunks().take(pa.array(order))
-        lens = pc.list_value_length(seg).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = seg.flatten().to_numpy(zero_copy_only=False)
         dstart = g["dstart"].to_numpy(zero_copy_only=False)[order]
-        row_starts = np.concatenate(([0], np.flatnonzero(np.diff(pack)) + 1))
-        row_ends = np.concatenate((row_starts[1:], [len(pack)]))
-        cum = np.concatenate(([0], np.cumsum(lens)))
-        tok_off = cum[np.concatenate((row_starts, [len(lens)]))]
-        tokens = pa.ListArray.from_arrays(
-            pa.array(tok_off.astype(np.int32)), pa.array(flat, pa.int32())
-        )
-        is_start = dstart >= 0
-        csum = np.concatenate(([0], np.cumsum(is_start)))
-        ds_off = csum[np.concatenate((row_starts, [len(pack)]))]
-        doc_starts = pa.ListArray.from_arrays(
-            pa.array(ds_off.astype(np.int32)),
-            pa.array(dstart[is_start], pa.int64()),
+        new = np.concatenate(([True], pack[1:] != pack[:-1]))
+        row_starts, tokens, n_tok, n_docs, doc_starts = _concat_packs(
+            new, seg, dstart
         )
         return pa.table(
             {"pack_id": pa.array(pack[row_starts], pa.int64()),
-             "n_tok": pa.array(np.diff(tok_off), pa.int64()),
-             "n_docs": pa.array(np.diff(ds_off), pa.int64()),
+             "n_tok": pa.array(n_tok, pa.int64()),
+             "n_docs": pa.array(n_docs, pa.int64()),
              "tokens": tokens,
              "doc_starts": doc_starts},
             schema=_PACK_SCHEMA,
