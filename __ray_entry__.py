@@ -918,6 +918,79 @@ def _q_doc_byte_pair_counts(sf):
     return pair_counts(docs.map_batches(tok, batch_format="pyarrow"), "tokens", k=50)
 
 
+def _bpe_byte_corpus(sf, with_ids=False):
+    """documents.text -> byte-token Dataset (optionally carrying doc_id)."""
+    import ray.data
+
+    from core_ray.functions import text_to_byte_tokens
+
+    cols = (["doc_id"] if with_ids else []) + ["text"]
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=cols)
+
+    def tok(t):
+        import pyarrow as pa
+
+        out = {"tokens": text_to_byte_tokens(t["text"])}
+        if with_ids:
+            out = {"doc_id": t["doc_id"], **out}
+        return pa.table(out)
+
+    return docs.map_batches(tok, batch_format="pyarrow")
+
+
+def _q_tok_bpe_train(sf):
+    """FULL distributed BPE training run (4 merge rounds) over the
+    byte-tokenized corpus: per round, one counting pass whose shuffle
+    carries only (pair, cnt) partials, a k=1 argmax fetch, one vectorized
+    merge pass; rounds interact (round r counts pairs involving the ids
+    minted in rounds < r).  Output: the learned merge table.  Oracle:
+    DuckDB chained-CTE replay — each round's argmax as a LIMIT 1 over
+    exploded adjacent char pairs, each merge as replace() with a sentinel
+    control char (greedy left-to-right == the engine's overlap rule; the
+    corpus is pure ASCII with no \\x01-\\x08, so sentinels are unambiguous
+    and char-wise == byte-wise)."""
+    from core_ray.functions import bpe_train
+
+    tbl, _ = bpe_train(_bpe_byte_corpus(sf), n_merges=4)
+    return tbl
+
+
+def _q_tok_bpe_encode(sf):
+    """Tokenizer APPLICATION graded end-to-end: train 4 BPE merges, then
+    grade the re-tokenized corpus itself via per-doc exact-int statistics
+    — token count, id sum, and position-weighted id sum (order-sensitive:
+    a swapped or misplaced merge anywhere in any document changes
+    tok_wsum).  Sums come off the flat Arrow buffers with cumsum
+    differences; within-row positions keep every addend < 2^20 so int64
+    never overflows at any batch size."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from core_ray.functions import bpe_train
+    from core_ray.functions.bpe import _flat
+
+    _, enc = bpe_train(_bpe_byte_corpus(sf, with_ids=True), n_merges=4)
+
+    def stats(t):
+        vals, off = _flat(t["tokens"])
+        n = _np.diff(off)
+        cs = _np.concatenate([[0], _np.cumsum(vals)])
+        tok_sum = cs[off[1:]] - cs[off[:-1]]
+        pos = _np.arange(len(vals)) - _np.repeat(off[:-1], n)
+        cw = _np.concatenate([[0], _np.cumsum(vals * pos)])
+        tok_wsum = cw[off[1:]] - cw[off[:-1]]
+        return _pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": _pa.array(n, _pa.int64()),
+                "tok_sum": _pa.array(tok_sum, _pa.int64()),
+                "tok_wsum": _pa.array(tok_wsum, _pa.int64()),
+            }
+        )
+
+    return enc.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_doc_lang_freq_sketch(sf):
     """Misra-Gries heavy hitters over documents.lang with k=64 — more
     counters than distinct languages, so no decrement fires and the summary
@@ -3407,6 +3480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_topk": _q_doc_vocab_topk,
         "doc_lang_freq_sketch": _q_doc_lang_freq_sketch,
         "doc_byte_pair_counts": _q_doc_byte_pair_counts,
+        "tok_bpe_train": _q_tok_bpe_train,
+        "tok_bpe_encode": _q_tok_bpe_encode,
         "rel_bucketed_join": _q_rel_bucketed_join,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_sample_quota": _q_doc_sample_quota,
@@ -5073,6 +5148,54 @@ WITH p AS (
 SELECT CAST(f AS BIGINT) AS first, CAST(s AS BIGINT) AS second,
        CAST(count(*) AS BIGINT) AS cnt
 FROM p GROUP BY 1, 2 ORDER BY cnt DESC, first, second LIMIT 50
+"""
+
+
+def _bpe_replay_ctes(n_merges: int) -> str:
+    """Chained-CTE replay of ``n_merges`` BPE rounds over documents.text:
+    d{r} is the corpus after r merges (merged tokens spelled as sentinel
+    control chars chr(1)..chr(r)), t{r} the round-r argmax pair with ids
+    mapped back to the engine's numbering (sentinel c -> 255 + c).  Valid
+    because the corpus is pure ASCII with no \\x01-\\x08 bytes and DuckDB
+    replace() is greedy left-to-right, matching merge_values' overlap rule."""
+    parts = ["WITH d0 AS (SELECT doc_id, text AS t FROM documents)"]
+    for r in range(n_merges):
+        parts.append(f"""
+c{r} AS (
+  SELECT ascii(substring(t, i, 1)) AS rf, ascii(substring(t, i + 1, 1)) AS rs,
+         count(*) AS c
+  FROM d{r}, unnest(generate_series(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 2 GROUP BY 1, 2),
+t{r} AS (
+  SELECT CASE WHEN rf <= 8 THEN 255 + rf ELSE rf END AS f,
+         CASE WHEN rs <= 8 THEN 255 + rs ELSE rs END AS s, c
+  FROM c{r} ORDER BY c DESC, f, s LIMIT 1),
+d{r + 1} AS (
+  SELECT doc_id, replace(t,
+    (SELECT chr(CASE WHEN f >= 256 THEN f - 255 ELSE f END) ||
+            chr(CASE WHEN s >= 256 THEN s - 255 ELSE s END) FROM t{r}),
+    chr({r + 1})) AS t FROM d{r})""")
+    return ",".join(parts)
+
+
+_ORACLE["tok_bpe_train"] = _bpe_replay_ctes(4) + "\n" + " UNION ALL ".join(
+    f"SELECT {r} AS rank, CAST(f AS BIGINT) AS first, CAST(s AS BIGINT) AS second,"
+    f" CAST({256 + r} AS BIGINT) AS new_id, CAST(c AS BIGINT) AS cnt FROM t{r}"
+    for r in range(4)
+) + " ORDER BY rank"
+
+_ORACLE["tok_bpe_encode"] = _bpe_replay_ctes(4) + """,
+e AS (
+  SELECT doc_id,
+         CASE WHEN ascii(substring(t, i, 1)) <= 8
+              THEN 255 + ascii(substring(t, i, 1))
+              ELSE ascii(substring(t, i, 1)) END AS id,
+         i - 1 AS p
+  FROM d4, unnest(generate_series(1, length(t))) AS u(i))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(id) AS BIGINT) AS tok_sum,
+       CAST(sum(id * p) AS BIGINT) AS tok_wsum
+FROM e GROUP BY doc_id ORDER BY doc_id
 """
 
 # k=64 Misra-Gries with < 64 distinct values never decrements -> exact.

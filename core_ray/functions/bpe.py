@@ -172,6 +172,49 @@ def apply_merge(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def bpe_train(
+    ds: ray.data.Dataset,
+    n_merges: int,
+    first_new_id: int = 256,
+    tokens_col: str = "tokens",
+) -> tuple[pa.Table, ray.data.Dataset]:
+    """Full BPE training run: ``n_merges`` rounds of count -> argmax ->
+    merge (ties break by smallest (first, second), matching a sequential
+    trainer over sorted pair keys).  Returns ``(merge_table, final_ds)``:
+    the learned merge table (rank, first, second, new_id, cnt — cnt is the
+    pair's corpus frequency at selection time) and the corpus re-tokenized
+    with every merge applied.
+
+    Scale shape: per round the corpus streams twice — one counting pass
+    whose shuffle carries only (pair, cnt) partials (16 bytes per distinct
+    pair per batch, never token data) and one map_batches merge pass.  The
+    argmax is a k=1 fetch of the bounded distinct-pair table; the merge
+    table itself is vocabulary-sized and driver-resident by design.  The
+    working set is re-materialized per round so round r+1 doesn't
+    re-execute rounds 0..r.
+    """
+    rows: list[tuple[int, int, int, int]] = []
+    cur = ds
+    for r in range(n_merges):
+        top = pair_counts(cur, tokens_col, k=1).take(1)
+        if not top:
+            break
+        f, s, c = int(top[0]["first"]), int(top[0]["second"]), int(top[0]["cnt"])
+        nid = first_new_id + r
+        rows.append((r, f, s, nid, c))
+        cur = apply_merge(cur, f, s, nid, tokens_col).materialize()
+    table = pa.table(
+        {
+            "rank": pa.array([r[0] for r in rows], pa.int64()),
+            "first": pa.array([r[1] for r in rows], pa.int64()),
+            "second": pa.array([r[2] for r in rows], pa.int64()),
+            "new_id": pa.array([r[3] for r in rows], pa.int64()),
+            "cnt": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    return table, cur
+
+
 def train_merges(
     ds: ray.data.Dataset,
     n_merges: int,
@@ -179,17 +222,13 @@ def train_merges(
     tokens_col: str = "tokens",
 ) -> list[tuple[int, int, int]]:
     """Run ``n_merges`` BPE rounds; returns [(first, second, new_id), ...].
-    Each round: one counting pass + one merge pass over the corpus; the
-    working set is re-materialized per round so rounds don't re-execute the
-    whole lineage."""
-    merges: list[tuple[int, int, int]] = []
-    cur = ds
-    for r in range(n_merges):
-        try:
-            f, s, _ = top_pair(cur, tokens_col)
-        except ValueError:
-            break
-        nid = first_new_id + r
-        merges.append((f, s, nid))
-        cur = apply_merge(cur, f, s, nid, tokens_col).materialize()
-    return merges
+    Thin view over :func:`bpe_train` for callers that only need the merge
+    rules."""
+    tbl, _ = bpe_train(ds, n_merges, first_new_id, tokens_col)
+    return list(
+        zip(
+            tbl["first"].to_pylist(),
+            tbl["second"].to_pylist(),
+            tbl["new_id"].to_pylist(),
+        )
+    )

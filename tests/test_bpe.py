@@ -116,3 +116,34 @@ def test_train_merges_matches_python(corpus):
         assert (f, s) == best[0] and want[(f, s)] == best[1]
         rows = [_py_merge(r, f, s, nid) for r in rows]
     assert len(merges) == 4
+
+
+def test_bpe_train_full_run(corpus):
+    from core_ray.functions import bpe_train
+
+    tbl, final = bpe_train(_ds(corpus), n_merges=3, first_new_id=500)
+    # sequential reference: per round argmax (ties smallest pair) + merge
+    rows = [list(r) for r in corpus]
+    for rank in range(3):
+        want = _py_pair_counts(rows)
+        (f, s), c = max(want.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1]))
+        got = {k: tbl[k][rank].as_py() for k in tbl.column_names}
+        assert got == {"rank": rank, "first": f, "second": s,
+                       "new_id": 500 + rank, "cnt": c}
+        rows = [_py_merge(r, f, s, 500 + rank) for r in rows]
+    # the returned corpus has every merge applied
+    out = final.to_pandas().sort_values("doc")["tokens"].tolist()
+    assert [list(r) for r in out] == rows
+
+
+def test_bpe_train_exhausts_gracefully():
+    # corpus with exactly one mergeable pair type -> stops after 1 round
+    tbl, final = bpe_train_short()
+    assert tbl.num_rows == 1
+    assert list(final.to_pandas()["tokens"].tolist()[0]) == [900]
+
+
+def bpe_train_short():
+    from core_ray.functions import bpe_train
+
+    return bpe_train(_ds([[1, 2]], blocks=1), n_merges=5, first_new_id=900)
