@@ -991,6 +991,17 @@ def _q_tok_bpe_encode(sf):
     return enc.map_batches(stats, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_doc_skipgrams(sf):
+    """word2vec-style skip-gram pair generation as a counting op: every
+    directional (center, context) pair within a +-3 window inside one
+    document, counted corpus-wide, top 200 by (cnt DESC, w1, w2).  The
+    shuffle carries value_counts-compressed (pair, cnt) partials; the
+    oracle is the positional self-join."""
+    from core_ray.functions import skipgram_topk
+
+    return skipgram_topk(f"{sf}/documents.parquet", window=3, k=200)
+
+
 def _q_doc_lang_freq_sketch(sf):
     """Misra-Gries heavy hitters over documents.lang with k=64 — more
     counters than distinct languages, so no decrement fires and the summary
@@ -3482,6 +3493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_byte_pair_counts": _q_doc_byte_pair_counts,
         "tok_bpe_train": _q_tok_bpe_train,
         "tok_bpe_encode": _q_tok_bpe_encode,
+        "doc_skipgrams": _q_doc_skipgrams,
         "rel_bucketed_join": _q_rel_bucketed_join,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_sample_quota": _q_doc_sample_quota,
@@ -5183,6 +5195,22 @@ _ORACLE["tok_bpe_train"] = _bpe_replay_ctes(4) + "\n" + " UNION ALL ".join(
     f" CAST({256 + r} AS BIGINT) AS new_id, CAST(c AS BIGINT) AS cnt FROM t{r}"
     for r in range(4)
 ) + " ORDER BY rank"
+
+# skip-gram window join: words indexed per doc after the shared word
+# contract (lower + \s+ split + drop empties); directional pairs only
+_ORACLE["doc_skipgrams"] = r"""
+WITH w AS (
+  SELECT doc_id, i, words[i] AS w
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS words
+        FROM documents),
+       unnest(generate_series(1, len(words))) AS u(i)
+)
+SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS cnt
+FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i BETWEEN a.i + 1 AND a.i + 3
+GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 200
+"""
 
 _ORACLE["tok_bpe_encode"] = _bpe_replay_ctes(4) + """,
 e AS (

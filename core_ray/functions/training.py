@@ -2054,6 +2054,69 @@ def bigram_topk(source: str | ray.data.Dataset, k: int = 100) -> ray.data.Datase
     )
 
 
+def skipgram_topk(
+    source: str | ray.data.Dataset, window: int = 3, k: int = 200
+) -> ray.data.Dataset:
+    """Top-k skip-gram co-occurrence pairs — the word2vec training-pair
+    generator (Mikolov et al. 2013) as a counting op: every DIRECTIONAL
+    (center, context) pair with the context 1..``window`` words after the
+    center inside one document, counted corpus-wide.  Output
+    ``(w1, w2, cnt)`` by count desc then pair asc.
+
+    Scale shape: one corpus pass; per batch the ``window`` shifted
+    vectorized joins produce pair partials compressed by ``value_counts``
+    before the shuffle (the shuffle carries distinct-pairs-per-batch, not
+    one row per token position), then the shared hash-bucketed local-top-k
+    merge — no global sort at any pair cardinality.  Pair keys travel as
+    the single string ``"w1 w2"``: words are whitespace-split so ' ' can't
+    occur inside one, and ' ' sorts below every word byte, so the key's
+    lexicographic order IS the (w1, w2) tuple order the oracle uses."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = lists.flatten()
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(pa.array(keep)), parent[keep]
+        outs = []
+        for d in range(1, window + 1):
+            if len(flat) <= d:
+                break
+            same = pa.array(parent[:-d] == parent[d:])
+            left = flat.slice(0, len(flat) - d).filter(same)
+            right = flat.slice(d).filter(same)
+            outs.append(pc.binary_join_element_wise(left, right, " "))
+        if not outs:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        vc = pa.chunked_array(outs).value_counts()
+        return pa.table({"pair": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    top = _bucketed_topk(
+        _read_docs(source, ["text"]).map_batches(partial,
+                                                 batch_format="pyarrow"),
+        "pair", k,
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["pair"], " ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "cnt": t["cnt"],
+            }
+        )
+
+    return top.map_batches(unpack, batch_format="pyarrow")
+
+
 def pmi_collocations(
     source: str | ray.data.Dataset,
     vocab_size: int = 200,

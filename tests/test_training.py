@@ -807,6 +807,41 @@ def test_bigram_topk_hand():
     assert list(out["cnt"]) == [3, 1]
 
 
+def test_skipgram_topk_matches_brute(corpus_words=None):
+    import collections
+    import random
+
+    from core_ray.functions import skipgram_topk
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(60)]
+    want = collections.Counter()
+    for _, text in rows:
+        ws = text.split()
+        for i, w in enumerate(ws):
+            for d in (1, 2, 3):
+                if i + d < len(ws):
+                    want[(w, ws[i + d])] += 1
+    exp = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = skipgram_topk(_docs(rows), window=3, k=10).to_pandas()
+    got = [((r["w1"], r["w2"]), r["cnt"]) for _, r in out.iterrows()]
+    assert got == exp
+    # partitioning invariance
+    out8 = skipgram_topk(_docs(rows).repartition(8), window=3, k=10).to_pandas()
+    assert out8.equals(out)
+
+
+def test_skipgram_topk_hand_directional():
+    from core_ray.functions import skipgram_topk
+
+    # window 2 over 'a b c': pairs (a,b),(a,c),(b,c) — no reverse pairs
+    out = skipgram_topk(_docs([(0, "a b c")]), window=2, k=10).to_pandas()
+    assert list(map(tuple, out.to_numpy())) == [
+        ("a", "b", 1), ("a", "c", 1), ("b", "c", 1)]
+
+
 def test_pmi_collocations_orders_association():
     """A pair that always co-occurs ranks above independent pairs; the
     min_count gate drops rare pairs; partitioning-invariant."""
