@@ -3001,23 +3001,18 @@ def _q_emb_novel_full(sf):
     return emb_novel_full(sf, tmp, threshold=0.45)
 
 
-def _q_delta_read(sf):
-    """Native Delta transaction-log reader driven END-TO-END: a Delta table
-    is built in scratch from the ``nation`` parquet — one partition file per
-    n_regionkey, a v0 commit adding all five, a v1 commit REMOVING the
-    regionkey=2 file — then resolved and read back purely through
-    ``_delta_log`` (no delta-rs, no Spark).  The remove tombstone must be
-    visible in the result; partition values come back typed from the
-    schemaString."""
+def _build_delta_nation(sf, scratch_name="delta_nation"):
+    """Shared Delta fixture: nation split one parquet file per n_regionkey,
+    a v0 commit (commitInfo ts=1000) adding all five, a v1 commit
+    (commitInfo ts=2000) REMOVING the regionkey=2 file.  Returns the table
+    path."""
     import json as _json
     import os
 
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    from core_ray.sources.delta_log import read_delta
-
-    tmp = _scratch("delta_nation")
+    tmp = _scratch(scratch_name)
     t = _pq.read_table(f"{sf}/nation.parquet",
                        columns=["n_nationkey", "n_name", "n_regionkey"])
     os.makedirs(os.path.join(tmp, "_delta_log"), exist_ok=True)
@@ -3048,13 +3043,39 @@ def _q_delta_read(sf):
                          "partitionColumns": ["n_regionkey"],
                          "format": {"provider": "parquet"}}}
     with open(os.path.join(tmp, "_delta_log", f"{0:020d}.json"), "w") as f:
-        for a in [meta] + adds:
+        for a in [{"commitInfo": {"timestamp": 1000}}, meta] + adds:
             f.write(_json.dumps(a) + "\n")
     with open(os.path.join(tmp, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps({"commitInfo": {"timestamp": 2000}}) + "\n")
         f.write(_json.dumps(
             {"remove": {"path": "r2/part.parquet", "dataChange": True}}
         ) + "\n")
-    return read_delta(tmp).sort("n_nationkey")
+    return tmp
+
+
+def _q_delta_read(sf):
+    """Native Delta transaction-log reader driven END-TO-END: the nation
+    fixture table (one partition file per n_regionkey; v0 adds all five, v1
+    REMOVES the regionkey=2 file) resolved and read back purely through
+    ``_delta_log`` (no delta-rs, no Spark).  The remove tombstone must be
+    visible in the result; partition values come back typed from the
+    schemaString."""
+    from core_ray.sources.delta_log import read_delta
+
+    return read_delta(_build_delta_nation(sf)).sort("n_nationkey")
+
+
+def _q_delta_time_travel(sf):
+    """Delta TIME TRAVEL (reference ``sources/spark/delta.py:63-64``
+    versionAsOf/timestampAsOf): the same fixture read as of timestamp 1500
+    — between the v0 commitInfo (ts=1000) and the v1 remove (ts=2000) — so
+    timestamp resolution must pick version 0 and the regionkey=2 rows MUST
+    come back; the latest-state twin ``delta_read`` proves they are gone at
+    v1."""
+    from core_ray.sources.delta_log import read_delta
+
+    tmp = _build_delta_nation(sf, scratch_name="delta_nation_tt")
+    return read_delta(tmp, timestamp_ms=1500).sort("n_nationkey")
 
 
 def _q_delta_share_read(sf):
@@ -3494,6 +3515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tok_bpe_train": _q_tok_bpe_train,
         "tok_bpe_encode": _q_tok_bpe_encode,
         "doc_skipgrams": _q_doc_skipgrams,
+        "delta_time_travel": _q_delta_time_travel,
         "rel_bucketed_join": _q_rel_bucketed_join,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_sample_quota": _q_doc_sample_quota,
@@ -5884,6 +5906,13 @@ ORDER BY 1, 2, 3
 _ORACLE["delta_read"] = """
 SELECT n_nationkey, n_name, n_regionkey
 FROM nation WHERE n_regionkey <> 2
+ORDER BY n_nationkey
+"""
+
+# time travel to ts=1500 resolves version 0: the remove hasn't happened
+_ORACLE["delta_time_travel"] = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
 ORDER BY n_nationkey
 """
 

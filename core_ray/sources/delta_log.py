@@ -87,14 +87,69 @@ def _read_checkpoint(paths: list[str], state: dict) -> None:
         # removes in a checkpoint are expired tombstones — nothing to apply
 
 
-def snapshot(table_path: str, version: int | None = None) -> DeltaSnapshot:
-    """Reconstruct the live-file set at ``version`` (default: latest).
+def _commit_timestamp(path: str) -> int:
+    """Commit timestamp in epoch-ms: the ``commitInfo.timestamp`` action if
+    the commit carries one (what Spark writes), else the log file's mtime —
+    the same fallback the Delta protocol prescribes for time travel."""
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                info = json.loads(line).get("commitInfo")
+                if info and isinstance(info.get("timestamp"), int):
+                    return info["timestamp"]
+    except (OSError, ValueError):
+        pass
+    return int(os.path.getmtime(path) * 1000)
+
+
+def version_at_timestamp(table_path: str, timestamp_ms: int) -> int:
+    """``timestampAsOf`` resolution (reference ``sources/spark/delta.py:64``):
+    the LATEST version whose commit timestamp is <= the target.  Commit
+    timestamps are read from each commit's ``commitInfo`` (file-mtime
+    fallback); per the protocol they are treated as monotonic via a running
+    max, so a clock-skewed earlier commit can't shadow a later one."""
+    log = _log_dir(table_path)
+    versions = sorted(
+        int(m.group(1))
+        for n in os.listdir(log)
+        if (m := _COMMIT_RE.match(n))
+    )
+    if not versions:
+        raise FileNotFoundError(f"empty _delta_log in {table_path}")
+    best, running = None, None
+    for v in versions:
+        ts = _commit_timestamp(os.path.join(log, f"{v:020d}.json"))
+        running = ts if running is None else max(running, ts)
+        if running <= timestamp_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {timestamp_ms} predates the first commit "
+            f"({running} at version {versions[0]})"
+        )
+    return best
+
+
+def snapshot(
+    table_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DeltaSnapshot:
+    """Reconstruct the live-file set at ``version`` (default: latest), or at
+    the version live as of ``timestamp_ms`` (exclusive with ``version``).
 
     IO shape: ONE checkpoint read (the newest at or below the target
     version, found via ``_last_checkpoint`` or a directory scan) + the JSON
     commits after it — the log replay is O(commits since checkpoint), not
     O(table history).
     """
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass version OR timestamp_ms, not both")
+    if timestamp_ms is not None:
+        version = version_at_timestamp(table_path, timestamp_ms)
     log = _log_dir(table_path)
     names = sorted(os.listdir(log))
     commits: dict[int, str] = {}
@@ -192,13 +247,15 @@ def _typed_scalar(raw: str | None, typ: pa.DataType):
 def read_delta(
     table_path: str,
     version: int | None = None,
+    timestamp_ms: int | None = None,
     columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Delta table -> Ray Dataset.  Files are grouped by partition tuple so
     each group is ONE pruned ``read_parquet`` (reads stay parallel and
     column/predicate pushdown applies); partition values become constant
-    typed columns appended per batch."""
-    snap = snapshot(table_path, version=version)
+    typed columns appended per batch.  ``version`` / ``timestamp_ms`` are
+    the reference's versionAsOf / timestampAsOf time-travel options."""
+    snap = snapshot(table_path, version=version, timestamp_ms=timestamp_ms)
     if not snap.files:
         raise FileNotFoundError(f"Delta table {table_path} has no live files")
     return read_snapshot(snap, base_path=table_path, columns=columns)
@@ -270,4 +327,10 @@ def read_snapshot(
     return out
 
 
-__all__ = ["DeltaSnapshot", "snapshot", "read_delta", "read_snapshot"]
+__all__ = [
+    "DeltaSnapshot",
+    "snapshot",
+    "read_delta",
+    "read_snapshot",
+    "version_at_timestamp",
+]

@@ -207,3 +207,38 @@ def test_read_delta_null_partition_value(tmp_path):
     assert df["id"].tolist() == [1, 2]
     assert df["day"].iloc[0] == 1
     assert pd.isna(df["day"].iloc[1])
+
+
+def test_version_at_timestamp_resolution(delta_table):
+    from core_ray.sources.delta_log import version_at_timestamp
+
+    # stamp commitInfo timestamps: v0=1000, v1=2000, v2=1500 (SKEWED —
+    # earlier than v1), v3=3000.  Running-max monotonicity means v2's
+    # effective timestamp is 2000, so ts=1999 resolves v1, ts=2000 -> v2.
+    log = os.path.join(delta_table, "_delta_log")
+    for v, ts in [(0, 1000), (1, 2000), (2, 1500), (3, 3000)]:
+        path = os.path.join(log, f"{v:020d}.json")
+        lines = [json.dumps({"commitInfo": {"timestamp": ts}}) + "\n"]
+        with open(path) as f:
+            lines += f.readlines()
+        with open(path, "w") as f:
+            f.writelines(lines)
+    assert version_at_timestamp(delta_table, 1000) == 0
+    assert version_at_timestamp(delta_table, 1999) == 0  # before v1's 2000
+    assert version_at_timestamp(delta_table, 2000) == 2  # v2 shadows v1
+    assert version_at_timestamp(delta_table, 2999) == 2
+    assert version_at_timestamp(delta_table, 10_000) == 3
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(delta_table, 999)
+
+    # read_delta at ts=2000 == version 2 state: a, c, d live (b removed,
+    # e not yet added)
+    df = (
+        read_delta(delta_table, timestamp_ms=2000)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(df["id"]) == [1, 2, 4, 5]
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(delta_table, version=1, timestamp_ms=2000)
