@@ -2428,6 +2428,26 @@ def _q_rel_late_ship(sf):
     return late_shipment_rate(sf, late_days=60)
 
 
+def _q_rel_ship_priority(sf):
+    """TPC-H Q3 shape: top-10 open-order revenue for the BUILDING segment
+    at cutoff 1998-06-01 — all three predicates pushed into the parquet
+    scans, exact-e4-int revenue partials, two partitioned hash joins,
+    bucketed local top-k."""
+    from core_ray.pipelines import ship_priority_topk
+
+    return ship_priority_topk(sf, segment="BUILDING", cutoff="1998-06-01",
+                              k=10)
+
+
+def _q_rel_big_orders(sf):
+    """TPC-H Q18 shape: orders with total lineitem quantity > 300, customer
+    name + order header attached; exact-int quantity totals, HAVING filter
+    distributed, no driver key set."""
+    from core_ray.pipelines import big_volume_orders
+
+    return big_volume_orders(sf, min_qty=300)
+
+
 def _q_ev_sessionize(sf):
     from core_ray.pipelines import sessionize
 
@@ -3516,6 +3536,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tok_bpe_encode": _q_tok_bpe_encode,
         "doc_skipgrams": _q_doc_skipgrams,
         "delta_time_travel": _q_delta_time_travel,
+        "rel_ship_priority": _q_rel_ship_priority,
+        "rel_big_orders": _q_rel_big_orders,
         "rel_bucketed_join": _q_rel_bucketed_join,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_sample_quota": _q_doc_sample_quota,
@@ -4870,6 +4892,32 @@ SELECT n_name, round_even(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey
 GROUP BY 1 ORDER BY 1
+"""
+
+# Q3 shape: sum of per-row exact e4 ints == round_even per row then SUM
+_ORACLE["rel_ship_priority"] = """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000,
+                                0) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2
+ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+# Q18 shape: quantities are integral doubles -> exact int totals
+_ORACLE["rel_big_orders"] = """
+WITH tq AS (
+  SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+SELECT o_orderkey, total_qty, c_custkey, o_orderdate, o_totalprice, c_name
+FROM tq JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
 """
 
 _ORACLE["rel_top_customers"] = """

@@ -482,6 +482,166 @@ def late_shipment_rate(sf_dir: str, late_days: int = 60) -> ray.data.Dataset:
     )
 
 
+def ship_priority_topk(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+) -> ray.data.Dataset:
+    """Top-k OPEN-order revenue (TPC-H Q3 shape, minus the o_shippriority
+    column this schema doesn't have): orders placed before ``cutoff`` by
+    customers in ``segment``, revenue from lineitems shipped after it.
+
+    Shape: every predicate is pushed into its parquet scan (segment,
+    order-date, ship-date row filters — nothing irrelevant leaves storage);
+    lineitem revenue shrinks to per-order EXACT-e4-int partials before its
+    shuffle (the rollup kernel's round_even discipline, bitwise
+    SQL-reproducible); two partitioned hash joins (lineitem-partials x
+    orders, then x segment-filtered customer keys — customer scales with
+    the fact data, so no driver key set / broadcast); per-bucket local
+    top-k then a <= 64*k driver merge.  No global sort anywhere."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from ..functions.dedup import _duckdb_hash_con
+    from ..functions.join import hash_join
+    from ..ops.common import _arrow_add_bucket
+
+    cut = _dt.datetime.fromisoformat(cutoff)
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cut,
+    )
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        con = _duckdb_hash_con()
+        con.register("_q3_in", batch.select(["l_extendedprice", "l_discount"]))
+        r = con.execute(
+            "SELECT CAST(round_even(l_extendedprice * (1 - l_discount)"
+            " * 10000, 0) AS BIGINT) AS r FROM _q3_in"
+        ).fetch_arrow_table()["r"]
+        con.unregister("_q3_in")
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "r": r})
+        return t.group_by(["o_orderkey"], use_threads=False).aggregate(
+            [("r", "sum")]
+        ).rename_columns(["o_orderkey", "r"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < cut,
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == segment,
+    )
+    open_orders = hash_join(orders, cust, on="c_custkey")
+    joined = hash_join(
+        line.map_batches(order_partial, batch_format="pyarrow"),
+        open_orders,
+        on="o_orderkey",
+    )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["o_orderkey", "o_orderdate"], sort=False)["r"]
+            .sum()
+            .reset_index()
+            .rename(columns={"o_orderkey": "l_orderkey", "r": "revenue_e4"})
+        )
+        return out.sort_values(
+            ["revenue_e4", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+        ).head(k)
+
+    top = (
+        joined.map_batches(
+            _arrow_add_bucket(["o_orderkey"], 64), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_topk(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+        .to_pandas()  # bounded: <= 64*k rows
+        .sort_values(
+            ["revenue_e4", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(
+        top[["l_orderkey", "o_orderdate", "revenue_e4"]]
+    )
+
+
+def big_volume_orders(sf_dir: str, min_qty: int = 300) -> ray.data.Dataset:
+    """Large-volume customers (TPC-H Q18 shape): orders whose TOTAL lineitem
+    quantity exceeds ``min_qty``, with customer name and order header.
+
+    Shape: quantities (integral doubles) shrink to per-order exact-int64
+    partials per batch, one orderkey-grain groupby computes true totals,
+    the HAVING filter runs vectorized on its output (survivors are the
+    extreme tail — small by construction, but never collected to the
+    driver); two partitioned hash joins attach the order header and the
+    customer name.  Output sorted (total_qty DESC, o_orderkey)."""
+    import pyarrow.compute as pc_compute
+
+    from ..functions.join import hash_join
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "q": pc_compute.cast(
+                    pc_compute.round(t["l_quantity"]), pa.int64()
+                ),
+            }
+        )
+        return q.group_by(["o_orderkey"], use_threads=False).aggregate(
+            [("q", "sum")]
+        ).rename_columns(["o_orderkey", "q"])
+
+    totals = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .sum("q")
+        .map_batches(
+            lambda t: t.rename_columns(["o_orderkey", "total_qty"]),
+            batch_format="pyarrow",
+        )
+        .filter(expr=f"total_qty > {int(min_qty)}")
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    hdr = hash_join(totals, orders, on="o_orderkey").map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "total_qty", "c_custkey", "o_orderdate",
+             "o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    out = hash_join(hdr, cust, on="c_custkey")
+    return out.sort(["total_qty", "o_orderkey"], descending=[True, False])
+
+
 def window_distinct_users(
     sf_dir: str, start: str, end: str, size_s: int = 3600
 ) -> ray.data.Dataset:
