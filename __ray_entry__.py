@@ -1002,6 +1002,17 @@ def _q_doc_skipgrams(sf):
     return skipgram_topk(f"{sf}/documents.parquet", window=3, k=200)
 
 
+def _q_doc_textrank(sf):
+    """TextRank keyword scores: exact-int PageRank (5 supersteps, d=0.85,
+    all floor-division int64) over the DISTINCT word-adjacency graph; the
+    oracle replays the identical supersteps as chained CTEs.  Iteration =
+    raw Ray BSP tasks over object-store edge shards (the documented
+    drop-to-tasks case); the corpus pass + edge distinct are Datasets."""
+    from core_ray.functions import textrank
+
+    return textrank(f"{sf}/documents.parquet", iters=5, k=100)
+
+
 def _q_doc_lang_freq_sketch(sf):
     """Misra-Gries heavy hitters over documents.lang with k=64 — more
     counters than distinct languages, so no decrement fires and the summary
@@ -3594,6 +3605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "api_resample_json": _q_api_resample_json,
         "api_interpolate_json": _q_api_interpolate_json,
         "api_plot_json": _q_api_plot_json,
+        "doc_textrank": _q_doc_textrank,
     }
 
 
@@ -5280,6 +5292,42 @@ WITH w AS (
 SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS cnt
 FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i BETWEEN a.i + 1 AND a.i + 3
 GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 200
+"""
+
+def _textrank_ctes(iters: int) -> str:
+    """One CTE per PageRank superstep — the engine's exact-int update
+    ``rank' = 150e6 + (85 * Σ_in(rank // outdeg)) // 100`` replayed with
+    DuckDB floor division ('//'); LEFT JOIN keeps in-edge-less nodes at
+    pure teleport, exactly like the engine's zero-initialized accumulator."""
+    return ",".join(
+        f"""
+r{i} AS (SELECT n.word,
+         CAST(150000000 + (85 * COALESCE(s.cin, 0)) // 100 AS BIGINT) AS "rank"
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS word, SUM(r."rank" // d.outdeg) AS cin
+    FROM e JOIN r{i - 1} r ON r.word = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s USING (word))"""
+        for i in range(1, iters + 1)
+    )
+
+
+_ORACLE["doc_textrank"] = r"""
+WITH w AS (
+  SELECT doc_id, i, words[i] AS w
+  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS words
+        FROM documents),
+       unnest(generate_series(1, len(words))) AS u(i)
+),
+e AS (
+  SELECT DISTINCT a.w AS src, b.w AS dst
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT src AS word FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT word, CAST(1000000000 AS BIGINT) AS "rank" FROM nodes),
+""" + _textrank_ctes(5) + """
+SELECT word, "rank" FROM r5 ORDER BY "rank" DESC, word LIMIT 100
 """
 
 _ORACLE["tok_bpe_encode"] = _bpe_replay_ctes(4) + """,
