@@ -2418,6 +2418,51 @@ def _q_rel_revenue_nation(sf):
     return revenue_by_nation(sf)
 
 
+def _q_rel_returned_items(sf):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    quarter — filters pushed to both scans, exact-e4-int per-order partials,
+    one partitioned hash join, bucketed local top-k, key-pruned name fetch."""
+    from core_ray.pipelines import returned_item_topk
+
+    return returned_item_topk(sf, date_from="1996-10-01", date_to="1997-01-01", k=20)
+
+
+def _q_rel_cust_distribution(sf):
+    """TPC-H Q13 shape: order-count distribution including zero-order
+    customers, computed WITHOUT a customer join — (key,int) partials, a
+    histogram-bounded groupby, and a metadata-cheap total count for the
+    zero row."""
+    from core_ray.pipelines import customer_order_distribution
+
+    return customer_order_distribution(sf, exclude_status="F")
+
+
+def _q_rel_promo_share(sf):
+    """TPC-H Q14 shape: PROMO-part share of one month's revenue as exact
+    ints (promo*1e6 // total, floor both sides)."""
+    from core_ray.pipelines import promo_revenue_share
+
+    return promo_revenue_share(sf, month_from="1997-03-01", month_to="1997-04-01")
+
+
+def _q_rel_disc_revenue(sf):
+    """TPC-H Q19 shape: 3-arm (brand, quantity, size) disjunction with the
+    arms' union bounds pushed into both parquet scans; one exact-e4 scalar."""
+    from core_ray.pipelines import multi_arm_or_revenue
+
+    return multi_arm_or_revenue(sf)
+
+
+def _q_rel_idle_rich(sf):
+    """TPC-H Q22 shape: above-average-balance customers with no orders
+    since 2000-01-01, per segment.  The average test is an exact integer
+    cross-multiply (no float boundary), and the order anti-join runs the
+    DISTRIBUTED arm."""
+    from core_ray.pipelines import idle_customer_segments
+
+    return idle_customer_segments(sf, since="2000-01-01")
+
+
 def _q_rel_top_customers(sf):
     from core_ray.pipelines import top_customers
 
@@ -3606,6 +3651,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "api_interpolate_json": _q_api_interpolate_json,
         "api_plot_json": _q_api_plot_json,
         "doc_textrank": _q_doc_textrank,
+        "rel_returned_items": _q_rel_returned_items,
+        "rel_cust_distribution": _q_rel_cust_distribution,
+        "rel_promo_share": _q_rel_promo_share,
+        "rel_disc_revenue": _q_rel_disc_revenue,
+        "rel_idle_rich": _q_rel_idle_rich,
     }
 
 
@@ -4951,6 +5001,80 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+"""
+
+_ORACLE["rel_returned_items"] = """
+WITH r AS (
+  SELECT o_custkey AS c_custkey,
+         SUM(CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0)
+                  AS BIGINT)) AS revenue_e4
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1)
+SELECT c_custkey, c_name, c_acctbal, CAST(revenue_e4 AS BIGINT) AS revenue_e4
+FROM r JOIN customer USING (c_custkey)
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+"""
+
+# every o_custkey is a valid customer key (FK), so the LEFT-join count and
+# the engine's "total minus histogram mass" zero row agree by construction
+_ORACLE["rel_cust_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+  GROUP BY 1)
+SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*)::BIGINT AS custdist
+FROM per_cust GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+_ORACLE["rel_promo_share"] = """
+WITH j AS (
+  SELECT CAST(round_even(l_extendedprice * (1 - l_discount) * 10000, 0)
+              AS BIGINT) AS r, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01')
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN r ELSE 0 END) AS BIGINT)
+         AS promo_rev_e4,
+       CAST(SUM(r) AS BIGINT) AS total_rev_e4,
+       CAST((SUM(CASE WHEN p_type = 'PROMO' THEN r ELSE 0 END) * 1000000)
+            // SUM(r) AS BIGINT) AS promo_share_e6
+FROM j
+"""
+
+_ORACLE["rel_disc_revenue"] = """
+SELECT CAST(COALESCE(SUM(CAST(round_even(l_extendedprice * (1 - l_discount)
+                                         * 10000, 0) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+"""
+
+# the above-average test is the exact cross-multiply b_e2 * n_pos > sum_e2
+# on e2 ints — the same inequality the engine applies; no float average
+_ORACLE["rel_idle_rich"] = """
+WITH pos AS (
+  SELECT CAST(round_even(c_acctbal * 100, 0) AS BIGINT) AS b2
+  FROM customer WHERE c_acctbal > 0),
+st AS (SELECT CAST(SUM(b2) AS BIGINT) AS s, COUNT(*)::BIGINT AS n FROM pos),
+idle AS (
+  SELECT c_mktsegment,
+         CAST(round_even(c_acctbal * 100, 0) AS BIGINT) AS b2
+  FROM customer, st
+  WHERE CAST(round_even(c_acctbal * 100, 0) AS BIGINT) * n > s
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01'))
+SELECT c_mktsegment, COUNT(*)::BIGINT AS numcust,
+       CAST(SUM(b2) AS BIGINT) AS totacctbal_e2
+FROM idle GROUP BY 1 ORDER BY 1
 """
 
 _ORACLE["rel_order_priority"] = """

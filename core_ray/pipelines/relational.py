@@ -959,3 +959,387 @@ def revenue_rollup(sf_dir: str, grouping: str = "rollup") -> ray.data.Dataset:
     ).fetch_arrow_table()
     con.unregister("_rr_grid")
     return ray.data.from_arrow(out)
+
+
+# --- returned items (TPC-H Q10 shape) --------------------------------------
+
+
+def _rev_e4(batch: pa.Table) -> np.ndarray:
+    """Exact-e4-int line revenue: np.rint(ep * (1 - disc) * 1e4).  The true
+    value is an integer at e4 grain (both inputs are 2-decimal), float error
+    is << 0.5, and np.rint is round-half-even — bit-identical to the
+    oracle's CAST(round_even(l_extendedprice*(1-l_discount)*10000, 0) AS
+    BIGINT) evaluated over the same doubles in the same order."""
+    ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+    d = batch["l_discount"].to_numpy(zero_copy_only=False)
+    return np.rint(ep * (1.0 - d) * 10000.0).astype(np.int64)
+
+
+def returned_item_topk(
+    sf_dir: str,
+    date_from: str = "1996-10-01",
+    date_to: str = "1997-01-01",
+    k: int = 20,
+) -> ray.data.Dataset:
+    """Top-k customers by revenue lost to RETURNED items in one quarter
+    (TPC-H Q10 shape): lineitems with l_returnflag='R' joined to orders
+    placed in [date_from, date_to), summed per customer.
+
+    Shape: both predicates are parquet row filters (returnflag on lineitem,
+    the date window on orders); lineitem shrinks to per-order EXACT-e4-int
+    partials before its shuffle; one partitioned hash join; per-bucket
+    local top-k then a <= 64*k driver merge; the k winners' names/balances
+    are fetched with a key-pruned parquet read.  No global sort, no
+    customer-table shuffle at any cardinality."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from ..functions.join import hash_join
+    from ..ops.common import _arrow_add_bucket
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"o_orderkey": batch["l_orderkey"],
+             "r": pa.array(_rev_e4(batch), pa.int64())}
+        )
+        return t.group_by(["o_orderkey"], use_threads=False).aggregate(
+            [("r", "sum")]
+        ).rename_columns(["o_orderkey", "r"])
+
+    d0, d1 = _dt.datetime.fromisoformat(date_from), _dt.datetime.fromisoformat(date_to)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= d0) & (pads.field("o_orderdate") < d1),
+    )
+    joined = hash_join(
+        line.map_batches(order_partial, batch_format="pyarrow"), orders, on="o_orderkey"
+    )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("o_custkey", sort=False)["r"].sum().reset_index()
+            .rename(columns={"o_custkey": "c_custkey", "r": "revenue_e4"})
+        )
+        out["c_custkey"] = out["c_custkey"].astype("int64")
+        return out.sort_values(
+            ["revenue_e4", "c_custkey"], ascending=[False, True]
+        ).head(k)
+
+    top = (
+        joined.map_batches(_arrow_add_bucket(["o_custkey"], 64), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_topk(g.drop(columns=["_bucket"])), batch_format="pandas"
+        )
+        .to_pandas()  # bounded: <= 64*k candidate rows
+        .sort_values(["revenue_e4", "c_custkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    names = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+        filters=pads.field("c_custkey").isin(top["c_custkey"].tolist()),
+    ).to_pandas().set_index("c_custkey")
+    top["c_name"] = names["c_name"].reindex(top["c_custkey"]).to_numpy()
+    top["c_acctbal"] = names["c_acctbal"].reindex(top["c_custkey"]).to_numpy()
+    return ray.data.from_pandas(
+        top[["c_custkey", "c_name", "c_acctbal", "revenue_e4"]]
+    )
+
+
+# --- customer order-count distribution (TPC-H Q13 shape) -------------------
+
+
+def customer_order_distribution(
+    sf_dir: str, exclude_status: str = "F"
+) -> ray.data.Dataset:
+    """How many customers placed exactly N qualifying orders (TPC-H Q13
+    shape, the LEFT-join distribution): orders with status <>
+    ``exclude_status`` counted per customer, zero-order customers included.
+
+    Shape: NO customer join at all — per-batch (custkey, cnt) value-count
+    partials off the filtered orders scan, one (key,int) shuffle to
+    per-customer totals, per-batch histogram partials over the totals, a
+    histogram-sized groupby; the c_count=0 row is total_customers minus the
+    histogram's own mass (one metadata-cheap count, no row read).  The
+    driver holds only the histogram (bounded by max orders per customer)."""
+    import pyarrow.dataset as pads
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderstatus") != exclude_status,
+    )
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["o_custkey"], use_threads=False)
+            .aggregate([("o_custkey", "count")])
+            .rename_columns(["o_custkey", "cnt"])
+        )
+
+    per_cust = (
+        orders.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum("cnt")
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["sum(cnt)"], use_threads=False)
+            .aggregate([("sum(cnt)", "count")])
+            .rename_columns(["c_count", "custdist"])
+        )
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .sum("custdist")
+        .to_pandas()  # bounded: one row per distinct order count
+        .rename(columns={"sum(custdist)": "custdist"})
+    )
+    total = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    zero = int(total) - int(hist["custdist"].sum())
+    if zero > 0:  # the LEFT join materializes a 0 group only when it has mass
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    hist["c_count"] = hist["c_count"].astype("int64")
+    hist["custdist"] = hist["custdist"].astype("int64")
+    hist = hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+    return ray.data.from_pandas(hist)
+
+
+# --- promotion revenue share (TPC-H Q14 shape) ------------------------------
+
+
+def promo_revenue_share(
+    sf_dir: str, month_from: str = "1997-03-01", month_to: str = "1997-04-01"
+) -> ray.data.Dataset:
+    """Share of one month's revenue that came from PROMO-type parts (TPC-H
+    Q14 shape), as exact ints: (promo_rev_e4, total_rev_e4, promo_share_e6)
+    with share_e6 = promo*1e6 // total (floor division both sides).
+
+    Shape: the ship-date window is a parquet row filter; lineitem shrinks
+    to per-part exact-e4-int partials before the join; part is joined via
+    hash_join (auto-broadcast when small, partitioned otherwise); the
+    conditional sums ride per-batch single-row partials into one scalar
+    fold."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ..functions.join import hash_join
+
+    d0 = _dt.datetime.fromisoformat(month_from)
+    d1 = _dt.datetime.fromisoformat(month_to)
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= d0) & (pads.field("l_shipdate") < d1),
+    )
+
+    def part_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"l_partkey": batch["l_partkey"],
+             "r": pa.array(_rev_e4(batch), pa.int64())}
+        )
+        return t.group_by(["l_partkey"], use_threads=False).aggregate(
+            [("r", "sum")]
+        ).rename_columns(["l_partkey", "r"])
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_type"]), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        line.map_batches(part_partial, batch_format="pyarrow"), part, on="l_partkey"
+    )
+
+    def cond_partial(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        promo = pc.equal(t["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "promo_rev_e4": pa.array([int(r[promo].sum())], pa.int64()),
+                "total_rev_e4": pa.array([int(r.sum())], pa.int64()),
+            }
+        )
+
+    sums = joined.map_batches(cond_partial, batch_format="pyarrow").sum(
+        ["promo_rev_e4", "total_rev_e4"]
+    )
+    promo_e4 = int(sums["sum(promo_rev_e4)"])
+    total_e4 = int(sums["sum(total_rev_e4)"])
+    share_e6 = (promo_e4 * 1_000_000) // total_e4 if total_e4 else 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "promo_rev_e4": pa.array([promo_e4], pa.int64()),
+                "total_rev_e4": pa.array([total_e4], pa.int64()),
+                "promo_share_e6": pa.array([share_e6], pa.int64()),
+            }
+        )
+    )
+
+
+# --- multi-arm OR revenue (TPC-H Q19 shape) ---------------------------------
+
+_Q19_ARMS = (
+    ("Brand#12", 1.0, 11.0, 1, 5),
+    ("Brand#23", 10.0, 20.0, 1, 10),
+    ("Brand#34", 20.0, 30.0, 1, 15),
+)
+
+
+def multi_arm_or_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue matching a 3-arm disjunction of (brand, quantity-range,
+    size-range) predicates (TPC-H Q19 shape) as one exact-e4 int.
+
+    Shape: the UNION BOUNDS of the arms are pushed into both parquet scans
+    (quantity <= 30 on lineitem; brand-in-set AND size-bounds on part) so
+    non-candidate rows never leave storage; the join is row-level (each
+    arm needs quantity x brand x size together); the final arm mask is one
+    vectorized numpy expression; per-batch single-row partials fold to one
+    scalar."""
+    import pyarrow.dataset as pads
+
+    from ..functions.join import hash_join
+
+    qty_hi = max(a[2] for a in _Q19_ARMS)
+    qty_lo = min(a[1] for a in _Q19_ARMS)
+    size_hi = max(a[4] for a in _Q19_ARMS)
+    brands = sorted({a[0] for a in _Q19_ARMS})
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_quantity") >= qty_lo)
+        & (pads.field("l_quantity") <= qty_hi),
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=pads.field("p_brand").isin(brands)
+        & (pads.field("p_size") >= 1)
+        & (pads.field("p_size") <= size_hi),
+    ).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand", "p_size"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(line, part, on="l_partkey")
+
+    def arm_partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        brand = t["p_brand"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(qty), dtype=bool)
+        for b, qlo, qhi, slo, shi in _Q19_ARMS:
+            mask |= (brand == b) & (qty >= qlo) & (qty <= qhi) & (size >= slo) & (size <= shi)
+        r = _rev_e4(t)
+        return pa.table({"revenue_e4": pa.array([int(r[mask].sum())], pa.int64())})
+
+    total = joined.map_batches(arm_partial, batch_format="pyarrow").sum("revenue_e4")
+    return ray.data.from_arrow(
+        pa.table({"revenue_e4": pa.array([int(total)], pa.int64())})
+    )
+
+
+# --- idle rich customers per segment (TPC-H Q22 shape) ----------------------
+
+
+def idle_customer_segments(sf_dir: str, since: str = "2000-01-01") -> ray.data.Dataset:
+    """Per market segment: customers with above-average positive account
+    balance and NO orders since ``since`` (TPC-H Q22 shape — "rich but
+    lapsed").  Output (c_mktsegment, numcust, totacctbal_e2), balances as
+    exact e2 ints.
+
+    Exactness: the above-average test is the EXACT integer cross-multiply
+    ``acctbal_e2 * n_pos > sum_pos_e2`` — no float average on either side,
+    so the boundary can't drift (the oracle applies the same inequality).
+    Shape: one stats pass folds (sum_e2, count) scalar partials; the order
+    anti-join runs the DISTRIBUTED arm (orders custkeys are fact-scale —
+    deduped in their buckets and LEFT-joined, no driver key set); the final
+    rollup is a segment-bounded groupby."""
+    from ..functions.join import anti_join_filter
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        b = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = b > 0.0
+        e2 = np.rint(b[pos] * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(e2.sum())], pa.int64()),
+                "n": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    st = cust.map_batches(stats_partial, batch_format="pyarrow").sum(["s", "n"])
+    sum_pos_e2, n_pos = int(st["sum(s)"]), int(st["sum(n)"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        e2 = np.rint(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keep = e2 * n_pos > sum_pos_e2
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].filter(pa.array(keep)),
+                "c_mktsegment": t["c_mktsegment"].filter(pa.array(keep)),
+                "acctbal_e2": pa.array(e2[keep], pa.int64()),
+            }
+        )
+
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    rich_cust = cust.map_batches(rich, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= _dt.datetime.fromisoformat(since),
+    )
+    idle = anti_join_filter(
+        rich_cust, orders, on="c_custkey", key_cols=["o_custkey"], distributed=True
+    )
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["c_mktsegment", "acctbal_e2"])
+            .group_by(["c_mktsegment"], use_threads=False)
+            .aggregate([("acctbal_e2", "count"), ("acctbal_e2", "sum")])
+            .rename_columns(["c_mktsegment", "numcust", "totacctbal_e2"])
+        )
+
+    return (
+        idle.map_batches(seg_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .sum(["numcust", "totacctbal_e2"])
+        .map_batches(
+            lambda t: t.rename_columns(["c_mktsegment", "numcust", "totacctbal_e2"]),
+            batch_format="pyarrow",
+        )
+        .sort("c_mktsegment")
+    )
