@@ -58,16 +58,30 @@ DAMP_NUM, DAMP_DEN = 85, 100  # 0.85 as exact integer ratio
 
 def _adjacent_pairs(batch: pa.Table) -> pa.Table:
     """DISTINCT-within-batch directed adjacent word pairs (w[i] -> w[i+1])
-    inside one document, as string columns (src, dst)."""
+    inside one document, as string columns (src, dst).  The per-batch
+    combiner runs in integer code space: one dictionary encode of the flat
+    word array, then ``np.unique`` on packed (src_code, dst_code) int64
+    keys — no string group_by in the hot loop."""
+    empty = pa.table(
+        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+    )
     flat, parent = split_words_flat(batch["text"])
     if len(flat) < 2:
-        return pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+        return empty
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    words = enc.dictionary
     same_doc = parent[:-1] == parent[1:]
-    src = flat.slice(0, len(flat) - 1).filter(pa.array(same_doc))
-    dst = flat.slice(1).filter(pa.array(same_doc))
-    t = pa.table({"src": src, "dst": dst})
-    # local distinct before the shuffle: the per-batch combiner
-    return t.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
+    s, d = codes[:-1][same_doc], codes[1:][same_doc]
+    if len(s) == 0:
+        return empty
+    uk = np.unique(s * np.int64(len(words)) + d)
+    return pa.table(
+        {
+            "src": words.take(pa.array(uk // len(words), pa.int64())),
+            "dst": words.take(pa.array(uk % len(words), pa.int64())),
+        }
+    )
 
 
 @ray.remote
