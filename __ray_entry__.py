@@ -2540,6 +2540,15 @@ def _q_dq_moving_avg(sf):
     return moving_average(_events_ds(sf), window=5)
 
 
+def _q_dq_mad_filter(sf):
+    """Robust (median/MAD) anomaly filter — k_sigma's breakdown-resistant
+    sibling; exact per-tag medians via one pruned (tag,value) co-group,
+    broadcast-stats filter scan."""
+    from core_ray.dq import mad_anomaly_filter
+
+    return mad_anomaly_filter(_events_ds(sf), k=3.0)
+
+
 def _q_dq_zscore(sf):
     from core_ray.dq import normalize as dq_normalize
 
@@ -3656,6 +3665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_promo_share": _q_rel_promo_share,
         "rel_disc_revenue": _q_rel_disc_revenue,
         "rel_idle_rich": _q_rel_idle_rich,
+        "dq_mad_filter": _q_dq_mad_filter,
     }
 
 
@@ -5125,6 +5135,20 @@ stats AS (SELECT event_type, s / n AS mean,
 SELECT e.event_type AS TagName, e.ts AS EventTime, 'Good' AS Status, e.value AS Value
 FROM events e JOIN stats s ON e.event_type = s.event_type
 WHERE abs(e.value - s.mean) <= 2.0 * s.sd
+ORDER BY 1, 2
+"""
+
+# numpy's even-count median interpolation (lo+hi)/2 == DuckDB median()'s,
+# bit-identical in IEEE; the threshold is the same product of the same doubles
+_ORACLE["dq_mad_filter"] = """
+WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+mad AS (SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type) GROUP BY 1)
+SELECT e.event_type AS TagName, e.ts AS EventTime, 'Good' AS Status,
+       e.value AS Value
+FROM events e JOIN med m ON e.event_type = m.event_type
+              JOIN mad d ON e.event_type = d.event_type
+WHERE abs(e.value - m.med) <= 3.0 * d.mad
 ORDER BY 1, 2
 """
 

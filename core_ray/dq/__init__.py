@@ -8,6 +8,7 @@ from .manipulation import (
     duplicate_detection,
     interval_filtering,
     k_sigma_anomaly_filter,
+    mad_anomaly_filter,
     out_of_range_filter,
     flatline_filter,
     missing_value_imputation,
@@ -33,6 +34,7 @@ __all__ = [
     "duplicate_detection",
     "interval_filtering",
     "k_sigma_anomaly_filter",
+    "mad_anomaly_filter",
     "out_of_range_filter",
     "flatline_filter",
     "missing_value_imputation",

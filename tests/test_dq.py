@@ -89,6 +89,31 @@ def test_k_sigma_filters_planted_outlier():
     assert len(out) == 40
 
 
+def test_mad_filter_is_robust_to_mask_effect():
+    from core_ray.dq import k_sigma_anomaly_filter, mad_anomaly_filter
+
+    # 1/8 contamination: the spikes inflate the std enough that k-sigma
+    # keeps them all (the masking effect needs > 1/9 contamination);
+    # median/MAD barely move, so MAD still drops every spike.
+    vals = [10.0, 10.2] * 17 + [10.0] + [5000.0] * 5
+    rows = [("A", T0 + i * US, "Good", v) for i, v in enumerate(vals)]
+    mad_out = mad_anomaly_filter(_ds(rows), k=3.0).to_pandas()
+    assert 5000.0 not in mad_out["Value"].tolist()
+    assert len(mad_out) == 35
+    sig_out = k_sigma_anomaly_filter(_ds(rows), k=3.0).to_pandas()
+    assert 5000.0 in sig_out["Value"].tolist()  # masked for mean/std
+
+
+def test_mad_filter_per_tag_independent():
+    from core_ray.dq import mad_anomaly_filter
+
+    rows = [("A", T0 + i * US, "Good", 10.0 + (i % 3)) for i in range(30)]
+    # tag B's scale is 100x tag A's: B's values must not be judged by A's MAD
+    rows += [("B", T0 + i * US, "Good", 1000.0 + 100.0 * (i % 3)) for i in range(30)]
+    out = mad_anomaly_filter(_ds(rows), k=3.0).to_pandas()
+    assert len(out) == 60  # nothing dropped: each tag is typical of itself
+
+
 def test_linear_regression_forecast():
     from core_ray.dq.forecasting import linear_regression
 
