@@ -572,6 +572,37 @@ def _q_ev_match_pattern(sf):
     )
 
 
+def _q_ev_rank_funcs(sf):
+    """The SQL rank family per user: RANK / DENSE_RANK / PERCENT_RANK /
+    CUME_DIST tie on the order column (event_type); NTILE(4) splits the
+    tie-broken row sequence.  One hash shuffle, vectorized run-boundary
+    scans per bucket; the ratio columns are the same int/int double
+    divisions the oracle performs."""
+    import ray.data
+
+    from core_ray.functions import keyed_window
+
+    ev = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    out = keyed_window(
+        ev,
+        key="user_id",
+        order="event_type",
+        tiebreak="event_id",
+        specs=[
+            {"fn": "rank", "name": "rnk"},
+            {"fn": "dense_rank", "name": "drnk"},
+            {"fn": "percent_rank", "name": "prnk"},
+            {"fn": "cume_dist", "name": "cdist"},
+            {"fn": "ntile", "n": 4, "name": "tile4"},
+        ],
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "event_type", "rnk", "drnk", "prnk", "cdist", "tile4"]
+    ).sort(["user_id", "event_type", "event_id"])
+
+
 def _q_ev_window_funcs(sf):
     """Keyed analytic functions over the event stream: ROW_NUMBER, LAG,
     running SUM and a 3-row rolling SUM per user — one hash shuffle, pandas
@@ -3666,6 +3697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_disc_revenue": _q_rel_disc_revenue,
         "rel_idle_rich": _q_rel_idle_rich,
         "dq_mad_filter": _q_dq_mad_filter,
+        "ev_rank_funcs": _q_ev_rank_funcs,
     }
 
 
@@ -5337,6 +5369,19 @@ ORDER BY 1, 2, 4
 
 # Window frames: SQL's default growing frame at the partition head equals
 # rolling(min_periods=1); integer sums keep every value exact.
+_ORACLE["ev_rank_funcs"] = """
+SELECT event_id, user_id, event_type,
+       CAST(rank() OVER wt AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+       percent_rank() OVER wt AS prnk,
+       cume_dist() OVER wt AS cdist,
+       CAST(ntile(4) OVER wu AS BIGINT) AS tile4
+FROM events
+WINDOW wt AS (PARTITION BY user_id ORDER BY event_type),
+       wu AS (PARTITION BY user_id ORDER BY event_type, event_id)
+ORDER BY user_id, event_type, event_id
+"""
+
 _ORACLE["ev_window_funcs"] = """
 SELECT event_id, ts, user_id, value,
        CAST(row_number() OVER w AS BIGINT) AS rn,

@@ -21,6 +21,11 @@ Supported specs (dicts):
     (exponentially weighted mean per key in (order, tiebreak) sequence —
      pandas' C groupby-ewm kernel; no SQL analog, pinned by tests against
      the sequential recurrence)
+  {"fn": "rank"|"dense_rank"|"percent_rank"|"cume_dist", "name": ...}
+  {"fn": "ntile", "n": m, "name": ...}
+    (the SQL rank family: ties = equal ORDER-column values; ntile splits
+     the (order, tiebreak) row sequence with the first n_k % m buckets one
+     row larger, exactly SQL's NTILE)
 
 Partitioning assumption: one key's history fits in one bucket task — raise
 ``num_buckets`` for smaller buckets; a single pathological hot key needs the
@@ -48,7 +53,16 @@ _FNS = {
     "range_sum",
     "range_count",
     "ewm_mean",
+    "rank",
+    "dense_rank",
+    "percent_rank",
+    "cume_dist",
+    "ntile",
 }
+
+# rank-family fns rank over the ORDER column (ties = equal order values,
+# exactly SQL's ORDER BY semantics); the tiebreak only stabilizes row order
+_RANK_FNS = {"rank", "dense_rank", "percent_rank", "cume_dist", "ntile"}
 
 
 def keyed_window(
@@ -66,8 +80,14 @@ def keyed_window(
             raise ValueError(f"unknown window fn {s.get('fn')!r}")
         if "name" not in s:
             raise ValueError(f"spec needs a name: {s}")
-        if s["fn"] not in ("row_number", "range_count") and "col" not in s:
+        if (
+            s["fn"] not in ("row_number", "range_count")
+            and s["fn"] not in _RANK_FNS
+            and "col" not in s
+        ):
             raise ValueError(f"spec needs col: {s}")
+        if s["fn"] == "ntile" and "n" not in s:
+            raise ValueError(f"spec needs n: {s}")
         if s["fn"].startswith("range_") and "range_us" not in s:
             raise ValueError(f"spec needs range_us: {s}")
         if s["fn"] == "ewm_mean" and "alpha" not in s:
@@ -101,8 +121,63 @@ def keyed_window(
                 )
             return ts64
 
+        rank_cache: dict = {}
+
+        def _rank_arrays() -> dict:
+            """Shared rank-family arrays, computed once per bucket: rows are
+            (key, order, tiebreak)-sorted, so every kernel is one
+            vectorized pass — run boundaries where key or order value
+            changes, propagation via maximum.accumulate."""
+            if rank_cache:
+                return rank_cache
+            n = len(df)
+            rn = g.cumcount().to_numpy() + 1
+            sizes = df.groupby(kcodes, sort=False)[key].transform("size").to_numpy()
+            ov = df[order].to_numpy()
+            run_start = np.ones(n, dtype=bool)
+            if n > 1:
+                run_start[1:] = (kcodes[1:] != kcodes[:-1]) | (ov[1:] != ov[:-1])
+            idx = np.arange(n)
+            last_start = np.maximum.accumulate(np.where(run_start, idx, -1))
+            rank = rn[last_start]
+            dense = (
+                pd.Series(run_start.astype(np.int64)).groupby(kcodes, sort=False)
+                .cumsum().to_numpy()
+            )
+            run_id = np.cumsum(run_start)
+            run_end_rn = (
+                pd.Series(rn).groupby(run_id, sort=False).transform("max").to_numpy()
+            )
+            rank_cache.update(
+                rn=rn, sizes=sizes, rank=rank, dense=dense, run_end_rn=run_end_rn
+            )
+            return rank_cache
+
         for s in specs:
             fn, name = s["fn"], s["name"]
+            if fn in _RANK_FNS:
+                ra = _rank_arrays()
+                if fn == "rank":
+                    df[name] = ra["rank"].astype(np.int64)
+                elif fn == "dense_rank":
+                    df[name] = ra["dense"].astype(np.int64)
+                elif fn == "percent_rank":
+                    # SQL: (rank - 1) / (partition_rows - 1), 0 for n=1
+                    sz, rk = ra["sizes"], ra["rank"]
+                    df[name] = np.where(sz > 1, (rk - 1) / np.maximum(sz - 1, 1), 0.0)
+                elif fn == "cume_dist":
+                    df[name] = ra["run_end_rn"] / ra["sizes"]
+                else:  # ntile: first (n_k % m) buckets get one extra row
+                    m = int(s["n"])
+                    rn, sz = ra["rn"], ra["sizes"]
+                    rem, base = sz % m, sz // m
+                    cut = rem * (base + 1)
+                    df[name] = np.where(
+                        rn <= cut,
+                        (rn - 1) // (base + 1) + 1,
+                        rem + (rn - 1 - cut) // np.maximum(base, 1) + 1,
+                    ).astype(np.int64)
+                continue
             if fn in ("range_sum", "range_count"):
                 # SQL RANGE R PRECEDING .. CURRENT ROW, peers included: rows
                 # are (key, ts)-sorted, so encode (key, ts) into one int64

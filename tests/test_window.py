@@ -139,3 +139,69 @@ def test_ewm_mean_matches_recurrence():
         .to_numpy()
     )
     np.testing.assert_allclose(out["e"].to_numpy(), want, rtol=1e-12)
+
+
+def _rank_df():
+    # key 1: order values 10,10,20,20,20,30 (ties); key 2: single row
+    return pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 1, 1, 2],
+            "o": [10, 10, 20, 20, 20, 30, 5],
+            "id": [0, 1, 2, 3, 4, 5, 6],
+        }
+    )
+
+
+def _run_rank(specs, blocks=3):
+    ds = ray.data.from_pandas(_rank_df()).repartition(blocks)
+    out = keyed_window(ds, key="k", order="o", tiebreak="id", specs=specs)
+    return out.to_pandas().sort_values(["k", "o", "id"]).reset_index(drop=True)
+
+
+def test_rank_family_tie_semantics():
+    out = _run_rank(
+        [
+            {"fn": "rank", "name": "r"},
+            {"fn": "dense_rank", "name": "d"},
+            {"fn": "percent_rank", "name": "p"},
+            {"fn": "cume_dist", "name": "c"},
+        ]
+    )
+    assert out["r"].tolist() == [1, 1, 3, 3, 3, 6, 1]
+    assert out["d"].tolist() == [1, 1, 2, 2, 2, 3, 1]
+    assert out["p"].tolist() == [0.0, 0.0, 2 / 5, 2 / 5, 2 / 5, 1.0, 0.0]
+    assert out["c"].tolist() == [2 / 6, 2 / 6, 5 / 6, 5 / 6, 5 / 6, 1.0, 1.0]
+
+
+def test_ntile_uneven_buckets():
+    # 6 rows into 4 tiles: sizes 2,2,1,1 (first n%m buckets get the extra)
+    out = _run_rank([{"fn": "ntile", "n": 4, "name": "t"}])
+    assert out[out["k"] == 1]["t"].tolist() == [1, 1, 2, 2, 3, 4]
+    assert out[out["k"] == 2]["t"].tolist() == [1]
+
+
+def test_rank_matches_duckdb():
+    import duckdb
+
+    df = _rank_df()
+    out = _run_rank(
+        [
+            {"fn": "rank", "name": "r"},
+            {"fn": "percent_rank", "name": "p"},
+            {"fn": "cume_dist", "name": "c"},
+            {"fn": "ntile", "n": 4, "name": "t"},
+        ]
+    )
+    ora = duckdb.connect().execute(
+        """
+        SELECT k, o, id,
+               CAST(rank() OVER w AS BIGINT) AS r,
+               percent_rank() OVER w AS p,
+               cume_dist() OVER w AS c,
+               CAST(ntile(4) OVER (PARTITION BY k ORDER BY o, id) AS BIGINT) AS t
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY o)
+        ORDER BY k, o, id
+        """
+    ).df()
+    for col in ("r", "p", "c", "t"):
+        assert out[col].tolist() == ora[col].tolist(), col
