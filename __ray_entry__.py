@@ -1033,6 +1033,15 @@ def _q_doc_skipgrams(sf):
     return skipgram_topk(f"{sf}/documents.parquet", window=3, k=200)
 
 
+def _q_doc_containment(sf):
+    """Asymmetric shingle containment |A∩B|/min(|A|,|B|) — the doc-inside-doc
+    near-dup gate Jaccard misses; recall-1 inverted index, exact integer
+    cross-multiply threshold."""
+    from core_ray.functions import containment_pairs
+
+    return containment_pairs(f"{sf}/documents.parquet", threshold_pct=80)
+
+
 def _q_doc_textrank(sf):
     """TextRank keyword scores: exact-int PageRank (5 supersteps, d=0.85,
     all floor-division int64) over the DISTINCT word-adjacency graph; the
@@ -3698,6 +3707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_idle_rich": _q_rel_idle_rich,
         "dq_mad_filter": _q_dq_mad_filter,
         "ev_rank_funcs": _q_ev_rank_funcs,
+        "doc_containment": _q_doc_containment,
     }
 
 
@@ -4170,6 +4180,32 @@ FROM base ORDER BY doc_id
 """.replace("{de}", _lang_inlist("de")).replace("{en}", _lang_inlist("en")).replace(
     "{es}", _lang_inlist("es")
 ).replace("{fr}", _lang_inlist("fr"))
+
+# asymmetric containment over the same shingle CTEs; the gate is the exact
+# integer cross-multiply c*100 >= 80*min(n), float containment reporting-only
+_ORACLE["doc_containment"] = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2] AS g
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+cnts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(c AS BIGINT) AS inter,
+       round_even(c * 1.0 / least(na.n, nb.n), 4) AS containment
+FROM inter JOIN cnts na ON na.doc_id = inter.doc_a
+           JOIN cnts nb ON nb.doc_id = inter.doc_b
+WHERE c * 100 >= 80 * least(na.n, nb.n)
+ORDER BY 1, 2
+"""
 
 # exact inverted-index Jaccard: same exact-Jaccard SQL as the minhash oracle
 # (the two queries compute the same pair set by different distributed plans —

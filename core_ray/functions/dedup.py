@@ -477,6 +477,95 @@ def minhash_pairs(
     return cand.map_batches(verify, batch_format="pandas")
 
 
+def _distinct_shingle_rows(batch: pa.Table) -> pa.Table:
+    """Per-doc DISTINCT word-3-gram shingle hashes exploded to
+    ``(shingle, doc_id, set_size)`` rows — the inverted-index stage-1 shape
+    shared by :func:`jaccard_pairs` and :func:`containment_pairs`."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, counts = _batch_shingles(batch["text"])
+    doc_idx = np.repeat(np.arange(len(ids)), counts)
+    # distinct shingles per doc: sort (doc, shingle), drop adjacent repeats
+    order = np.lexsort((flat, doc_idx))
+    d, s = doc_idx[order], flat[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+    d, s = d[keep], s[keep]
+    sizes = np.bincount(d, minlength=len(ids)).astype(np.int64)
+    return pa.table(
+        {
+            "shingle": pa.array(s, pa.uint64()),
+            "doc_id": pa.array(ids[d], pa.int64()),
+            "set_size": pa.array(sizes[d], pa.int64()),
+        }
+    )
+
+
+def containment_pairs(
+    source: str | ray.data.Dataset,
+    threshold_pct: int = 80,
+    max_doc_freq: int | None = None,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Near-dup pairs by ASYMMETRIC shingle containment
+    ``|A∩B| / min(|A|, |B|)`` — catches a document EMBEDDED inside a much
+    larger one, where symmetric Jaccard stays tiny (a 100-word doc pasted
+    into a 10,000-word doc has J ~= 0.01 but containment 1.0).  The
+    standard companion metric to :func:`jaccard_pairs` in dedup literature
+    (Broder's containment).
+
+    Same recall-1 distributed inverted-index shape as ``jaccard_pairs``
+    (only hashes and ints shuffle, ``max_doc_freq`` caps stop-shingle
+    groups); the final gate is the EXACT integer cross-multiply
+    ``c * 100 >= threshold_pct * min(|A|, |B|)`` so the float containment
+    column is reporting-only.  Output ``(doc_a, doc_b, inter,
+    containment)`` sorted within buckets, doc_a < doc_b.
+
+    Exactness assumption: intersections are counted on 64-bit shingle
+    hashes while the oracle intersects shingle strings (~n²/2⁶⁴ collision
+    odds; same precedent as ``jaccard_pairs``)."""
+    ds = _read_docs(source, ["doc_id", "text"])
+
+    exploded = ds.map_batches(
+        _distinct_shingle_rows,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency or pool_size(),
+    )
+
+    from ..ops.common import _arrow_add_bucket, round4
+
+    pairs = bucketed_group_pairs(
+        exploded, ["shingle"], carry=("set_size",), max_group=max_doc_freq
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"])
+        agg = (
+            g.groupby(["doc_a", "doc_b"], sort=True)
+            .agg(
+                c=("set_size_a", "size"),
+                size_a=("set_size_a", "first"),
+                size_b=("set_size_b", "first"),
+            )
+            .reset_index()
+        )
+        c = agg["c"].to_numpy().astype(np.int64)
+        mn = np.minimum(agg["size_a"].to_numpy(), agg["size_b"].to_numpy())
+        keep = c * 100 >= threshold_pct * mn
+        out = agg.loc[keep, ["doc_a", "doc_b"]].copy()
+        out["inter"] = c[keep]
+        out["containment"] = round4(c[keep] / mn[keep])
+        return out
+
+    return (
+        pairs.map_batches(
+            _arrow_add_bucket(["doc_a", "doc_b"], 64), batch_format="pyarrow"
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def jaccard_pairs(
     source: str | ray.data.Dataset,
     threshold: float = 0.5,
@@ -509,27 +598,8 @@ def jaccard_pairs(
     """
     ds = _read_docs(source, ["doc_id", "text"])
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        flat, counts = _batch_shingles(batch["text"])
-        doc_idx = np.repeat(np.arange(len(ids)), counts)
-        # distinct shingles per doc: sort (doc, shingle), drop adjacent repeats
-        order = np.lexsort((flat, doc_idx))
-        d, s = doc_idx[order], flat[order]
-        keep = np.ones(len(d), dtype=bool)
-        keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
-        d, s = d[keep], s[keep]
-        sizes = np.bincount(d, minlength=len(ids)).astype(np.int64)
-        return pa.table(
-            {
-                "shingle": pa.array(s, pa.uint64()),
-                "doc_id": pa.array(ids[d], pa.int64()),
-                "set_size": pa.array(sizes[d], pa.int64()),
-            }
-        )
-
     exploded = ds.map_batches(
-        explode,
+        _distinct_shingle_rows,
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=concurrency or pool_size(),

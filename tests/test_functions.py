@@ -838,3 +838,46 @@ def test_dedup_near_best_keeps_highest_quality():
     kept = sorted(dedup_near_best(_docs_ds(rows)).to_pandas()["doc_id"])
     # 11 is longer than 10 -> wins despite the larger id
     assert kept == [11, 12]
+
+
+def test_containment_catches_doc_inside_doc():
+    from core_ray.functions import containment_pairs, jaccard_pairs
+
+    small = "the quick brown fox jumps over the lazy dog near the garden"
+    big = small + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(40))
+    rows = [
+        (0, small),
+        (1, big),  # doc 0 embedded verbatim in a much larger doc
+        (2, "completely different text about distributed query engines today"),
+    ]
+    # symmetric Jaccard misses the embedding (J = |small| / |big| is tiny)...
+    j = jaccard_pairs(_docs_ds(rows), threshold=0.5, concurrency=1).to_pandas()
+    assert len(j) == 0 or (0, 1) not in set(zip(j["doc_a"], j["doc_b"]))
+    # ...asymmetric containment reports it at 1.0 exactly
+    c = containment_pairs(_docs_ds(rows), threshold_pct=80, concurrency=1).to_pandas()
+    got = {(a, b): (i, ct) for a, b, i, ct in zip(
+        c["doc_a"], c["doc_b"], c["inter"], c["containment"])}
+    assert set(got) == {(0, 1)}
+    n_small_shingles = len(small.split()) - 2
+    assert got[(0, 1)] == (n_small_shingles, 1.0)
+
+
+def test_containment_threshold_is_exact_integer_gate():
+    from core_ray.functions import containment_pairs
+
+    # 10 shingles in doc 0; doc 1 shares exactly 8 -> containment 0.8:
+    # the >= 80 integer gate must INCLUDE the boundary pair
+    words = [f"w{i}" for i in range(12)]  # 12 words -> 10 trigram shingles
+    d0 = " ".join(words)
+    d1 = " ".join(words[:10]) + " zz qq"  # shares trigrams 0..7 -> 8 shingles
+    out = containment_pairs(
+        _docs_ds([(0, d0), (1, d1)]), threshold_pct=80, concurrency=1
+    ).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(0, 1)}
+    assert out["inter"].tolist() == [8]
+    assert out["containment"].tolist() == [0.8]
+    # one notch above the boundary excludes it
+    out81 = containment_pairs(
+        _docs_ds([(0, d0), (1, d1)]), threshold_pct=81, concurrency=1
+    ).to_pandas()
+    assert len(out81) == 0
