@@ -2503,6 +2503,16 @@ def _q_rel_idle_rich(sf):
     return idle_customer_segments(sf, since="2000-01-01")
 
 
+def _q_rel_full_outer(sf):
+    """FULL OUTER join shape: per-day order counts vs per-day shipment
+    counts — both sides pre-aggregated to (date,int) partials before the
+    one co-locating shuffle; days present on one side only keep a NULL
+    count on the other."""
+    from core_ray.pipelines import daily_order_ship_counts
+
+    return daily_order_ship_counts(sf)
+
+
 def _q_rel_top_customers(sf):
     from core_ray.pipelines import top_customers
 
@@ -3708,6 +3718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_mad_filter": _q_dq_mad_filter,
         "ev_rank_funcs": _q_ev_rank_funcs,
         "doc_containment": _q_doc_containment,
+        "rel_full_outer": _q_rel_full_outer,
     }
 
 
@@ -5079,6 +5090,16 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+"""
+
+_ORACLE["rel_full_outer"] = """
+WITH a AS (SELECT o_orderdate AS d, COUNT(*)::BIGINT AS n_orders
+           FROM orders GROUP BY 1),
+b AS (SELECT l_shipdate AS d, COUNT(*)::BIGINT AS n_ships
+      FROM lineitem GROUP BY 1)
+SELECT COALESCE(a.d, b.d) AS d, n_orders, n_ships
+FROM a FULL OUTER JOIN b ON a.d = b.d
+ORDER BY 1
 """
 
 _ORACLE["rel_returned_items"] = """

@@ -1343,3 +1343,41 @@ def idle_customer_segments(sf_dir: str, since: str = "2000-01-01") -> ray.data.D
         )
         .sort("c_mktsegment")
     )
+
+
+# --- daily order vs shipment counts (FULL OUTER join shape) -----------------
+
+
+def daily_order_ship_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-day order counts FULL-OUTER-joined with per-day shipment counts —
+    the outer-join family member (days with shipments but no orders, and
+    vice versa, survive with a NULL side).  Both sides shrink to per-day
+    int partials before the one co-locating shuffle (hash_join's outer arm
+    merges per bucket), so only (date, count) rows ever move."""
+    from ..functions.join import hash_join
+
+    def day_counts(col_in: str, col_out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return (
+                t.group_by([col_in], use_threads=False)
+                .aggregate([(col_in, "count")])
+                .rename_columns(["d", col_out])
+            )
+
+        return fn
+
+    orders = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+        .map_batches(day_counts("o_orderdate", "n"), batch_format="pyarrow")
+        .groupby("d")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["d", "n_orders"]), batch_format="pyarrow")
+    )
+    ships = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_shipdate"])
+        .map_batches(day_counts("l_shipdate", "n"), batch_format="pyarrow")
+        .groupby("d")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["d", "n_ships"]), batch_format="pyarrow")
+    )
+    return hash_join(orders, ships, on="d", how="outer").sort("d")
