@@ -1033,6 +1033,14 @@ def _q_doc_skipgrams(sf):
     return skipgram_topk(f"{sf}/documents.parquet", window=3, k=200)
 
 
+def _q_doc_readability(sf):
+    """Readability counters (sentence runs, words, vowel-group syllable
+    proxy) with floor-scaled exact-int ratios; one streamed RE2 pass."""
+    from core_ray.functions import readability_stats
+
+    return readability_stats(f"{sf}/documents.parquet").sort("doc_id")
+
+
 def _q_doc_containment(sf):
     """Asymmetric shingle containment |A∩B|/min(|A|,|B|) — the doc-inside-doc
     near-dup gate Jaccard misses; recall-1 inverted index, exact integer
@@ -3719,6 +3727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rank_funcs": _q_ev_rank_funcs,
         "doc_containment": _q_doc_containment,
         "rel_full_outer": _q_rel_full_outer,
+        "doc_readability": _q_doc_readability,
     }
 
 
@@ -4191,6 +4200,22 @@ FROM base ORDER BY doc_id
 """.replace("{de}", _lang_inlist("de")).replace("{en}", _lang_inlist("en")).replace(
     "{es}", _lang_inlist("es")
 ).replace("{fr}", _lang_inlist("fr"))
+
+# both sides count RE2 non-overlapping matches; ratios are floor-scaled ints
+_ORACLE["doc_readability"] = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+         CAST(length(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+           AS n_vowel_groups
+  FROM documents)
+SELECT doc_id, n_sents, n_words, n_vowel_groups,
+       CAST(n_words * 1000 // greatest(n_sents, 1) AS BIGINT) AS wps_e3,
+       CAST(CASE WHEN n_words > 0 THEN n_vowel_groups * 1000 // n_words
+                 ELSE 0 END AS BIGINT) AS vpw_e3
+FROM c ORDER BY doc_id
+"""
 
 # asymmetric containment over the same shingle CTEs; the gate is the exact
 # integer cross-multiply c*100 >= 80*min(n), float containment reporting-only

@@ -62,6 +62,45 @@ def token_count_bpe(source: str | ray.data.Dataset) -> ray.data.Dataset:
     return _read_docs(source, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+def readability_stats(source: str | ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc readability counters with exact-int ratio columns — the
+    Flesch-family inputs (words per sentence, vowel-group syllable proxy
+    per word) without the float formula: sentences = maximal ``[.!?]+``
+    runs (min 1), vowel groups = maximal ``[aeiou]+`` runs of the
+    lowercased text, and ratios as floor-scaled ints
+    (``wps_e3 = n_words*1000 // max(n_sents,1)``) so the oracle reproduces
+    every value bit-for-bit.  One streamed pass, all-RE2 Arrow kernels."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        lower = pc.utf8_lower(text)
+        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()).to_numpy()
+        n_sents = pc.cast(
+            pc.count_substring_regex(text, r"[.!?]+"), pa.int64()
+        ).to_numpy()
+        n_vg = pc.cast(
+            pc.count_substring_regex(lower, r"[aeiou]+"), pa.int64()
+        ).to_numpy()
+        sents = np.maximum(n_sents, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_sents": pa.array(n_sents, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_vowel_groups": pa.array(n_vg, pa.int64()),
+                "wps_e3": pa.array(n_words * 1000 // sents, pa.int64()),
+                "vpw_e3": pa.array(
+                    np.where(n_words > 0, n_vg * 1000 // np.maximum(n_words, 1), 0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _read_docs(source, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 def quality_score(source: str | ray.data.Dataset) -> ray.data.Dataset:
     """Per-doc quality features: n_chars, n_words, avg_word_len, digit_ratio,
     space_ratio (rounded to the canonical 4 decimals)."""
