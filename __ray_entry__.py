@@ -1041,6 +1041,21 @@ def _q_doc_readability(sf):
     return readability_stats(f"{sf}/documents.parquet").sort("doc_id")
 
 
+def _q_ev_json_field_stats(sf):
+    """Typed-column extraction out of a JSON-string payload column: pull the
+    integer field ``k`` from events.props with a vectorized RE2 kernel and
+    fold exact int stats per event_type (the oracle uses json_extract)."""
+    import ray.data
+
+    from core_ray.functions import json_field_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_type", "props"]
+    )
+    return json_field_stats(ds, column="props", field="k",
+                            group_by="event_type").sort("event_type")
+
+
 def _q_doc_containment(sf):
     """Asymmetric shingle containment |A∩B|/min(|A|,|B|) — the doc-inside-doc
     near-dup gate Jaccard misses; recall-1 inverted index, exact integer
@@ -3708,6 +3723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivfpq_scan": _q_emb_ivfpq_scan,
         "ev_funnel": _q_ev_funnel,
         "ev_retention": _q_ev_retention,
+        "ev_json_field_stats": _q_ev_json_field_stats,
         "doc_len_corr": _q_doc_len_corr,
         "doc_entropy": _q_doc_entropy,
         "emb_knn_filtered": _q_emb_knn_filtered,
@@ -7033,6 +7049,20 @@ SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
        CAST(count(*) AS BIGINT) AS n_users
 FROM p JOIN c USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# typed field out of a JSON-string payload; rows without the field are NULL
+# on both sides (the Ray arm's RE2 extract returns null exactly there)
+_ORACLE["ev_json_field_stats"] = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, CAST(count(v) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_k,
+       CAST(min(v) AS BIGINT) AS min_k,
+       CAST(max(v) AS BIGINT) AS max_k
+FROM x WHERE v IS NOT NULL GROUP BY 1 ORDER BY event_type
 """
 
 # exact Pearson r from integer sufficient statistics (HUGEINT products)

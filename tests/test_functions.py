@@ -881,3 +881,28 @@ def test_containment_threshold_is_exact_integer_gate():
         _docs_ds([(0, d0), (1, d1)]), threshold_pct=81, concurrency=1
     ).to_pandas()
     assert len(out81) == 0
+
+
+def test_json_field_stats_null_and_negative():
+    import ray.data
+
+    from core_ray.functions import json_field_stats
+
+    rows = [
+        {"event_type": "a", "props": '{"k": 5}'},
+        {"event_type": "a", "props": '{"k": -7}'},
+        {"event_type": "a", "props": '{"other": 1}'},  # no field -> not counted
+        {"event_type": "b", "props": '{"k": 0}'},
+        {"event_type": "b", "props": "not json"},
+    ]
+    out = (
+        json_field_stats(ray.data.from_items(rows))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert out["event_type"].tolist() == ["a", "b"]
+    assert out["n"].tolist() == [2, 1]
+    assert out["sum_k"].tolist() == [-2, 0]
+    assert out["min_k"].tolist() == [-7, 0]
+    assert out["max_k"].tolist() == [5, 0]
