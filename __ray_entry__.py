@@ -3744,6 +3744,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_containment": _q_doc_containment,
         "rel_full_outer": _q_rel_full_outer,
         "doc_readability": _q_doc_readability,
+        "rel_min_cost_supp": _q_rel_min_cost_supp,
+        "rel_nation_volume": _q_rel_nation_volume,
+        "rel_market_share": _q_rel_market_share,
+        "rel_profit": _q_rel_profit,
+        "rel_important_parts": _q_rel_important_parts,
+        "rel_top_supplier": _q_rel_top_supplier,
+        "rel_parts_supp_cnt": _q_rel_parts_supp_cnt,
+        "rel_small_qty_rev": _q_rel_small_qty_rev,
+        "rel_excess_supp": _q_rel_excess_supp,
+        "rel_waiting_supp": _q_rel_waiting_supp,
     }
 
 
@@ -7196,6 +7206,265 @@ win AS (
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT u FROM lbl) OR doc_id IN (SELECT u FROM win)
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H second half (Q2/Q7/Q8/Q9/Q11/Q15/Q16/Q17/Q20/Q21 shapes, adapted to
+# the no-partsupp schema; core_ray/pipelines/tpch2.py)
+# ---------------------------------------------------------------------------
+
+
+def _q_rel_min_cost_supp(sf):
+    """TPC-H Q2 shape: per-part minimum unit price among EUROPE suppliers +
+    the argmin supplier's attributes (distributed argmin via per-batch
+    local-min partials)."""
+    from core_ray.pipelines.tpch2 import min_unitprice_supplier
+
+    return min_unitprice_supplier(sf, max_size=10, ptype="SMALL",
+                                  region="EUROPE")
+
+
+def _q_rel_nation_volume(sf):
+    """TPC-H Q7 shape: shipping revenue between NATION_18 and NATION_19 per
+    ship year, both directions; one partitioned hash join, two dimension
+    broadcasts."""
+    from core_ray.pipelines.tpch2 import nation_pair_volume
+
+    return nation_pair_volume(sf, n1="NATION_18", n2="NATION_19")
+
+
+def _q_rel_market_share(sf):
+    """TPC-H Q8 shape: NATION_5's revenue share of PROMO-part sales to
+    AMERICA customers per order year; (num, den) partial pairs through one
+    join, exact e4 ints + round_even share."""
+    from core_ray.pipelines.tpch2 import market_share
+
+    return market_share(sf, nation="NATION_5", region="AMERICA",
+                        ptype="PROMO")
+
+
+def _q_rel_profit(sf):
+    """TPC-H Q9 shape: profit (revenue - retailprice*qty cost analog) per
+    supplier nation per order year for '%widget%' parts."""
+    from core_ray.pipelines.tpch2 import profit_by_nation_year
+
+    return profit_by_nation_year(sf, name_word="widget")
+
+
+def _q_rel_important_parts(sf):
+    """TPC-H Q11 shape: parts whose NATION_3-supplier sales value exceeds
+    8 basis points of the grand total (exact-int HAVING against a driver
+    scalar)."""
+    from core_ray.pipelines.tpch2 import important_parts
+
+    return important_parts(sf, nation="NATION_3", threshold_bp=8)
+
+
+def _q_rel_top_supplier(sf):
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue in 1996Q1
+    (argmax-equality against a global aggregate, ties kept)."""
+    from core_ray.pipelines.tpch2 import top_supplier
+
+    return top_supplier(sf, date_from="1996-01-01", date_to="1996-04-01")
+
+
+def _q_rel_parts_supp_cnt(sf):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per (brand, type, size)
+    outside Brand#2/PROMO, excluding negative-balance suppliers; bucketed
+    distinct + counted partials."""
+    from core_ray.pipelines.tpch2 import parts_supplier_counts
+
+    return parts_supplier_counts(sf)
+
+
+def _q_rel_small_qty_rev(sf):
+    """TPC-H Q17 shape: revenue of below-20%-of-part-average-quantity lines
+    for Brand#15/ECONOMY; the correlated mean broadcast back as the exact
+    integer predicate 5*qty*n < sum_qty."""
+    from core_ray.pipelines.tpch2 import small_quantity_revenue
+
+    return small_quantity_revenue(sf, brand="Brand#15", ptype="ECONOMY")
+
+
+def _q_rel_excess_supp(sf):
+    """TPC-H Q20 shape: NATION_3 suppliers who sold > 40 units of any
+    'small %' part (semi-join chain over qualifying (supp, part) totals)."""
+    from core_ray.pipelines.tpch2 import excess_suppliers
+
+    return excess_suppliers(sf, name_prefix="small", nation="NATION_3",
+                            min_qty=40)
+
+
+def _q_rel_waiting_supp(sf):
+    """TPC-H Q21 shape: NATION_3 suppliers who were the SOLE late shipper on
+    finished multi-supplier orders (EXISTS / NOT-EXISTS as one grouped
+    per-order set pass)."""
+    from core_ray.pipelines.tpch2 import waiting_suppliers
+
+    return waiting_suppliers(sf, nation="NATION_3", late_days=60)
+
+
+_ORACLE["rel_min_cost_supp"] = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey=n_nationkey
+       JOIN region ON n_regionkey=r_regionkey
+  WHERE r_name='EUROPE'),
+parts AS (SELECT p_partkey, p_name FROM part
+          WHERE p_size <= 10 AND p_type='SMALL'),
+elig AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round_even(l_extendedprice * 10000 / l_quantity, 0)
+              AS BIGINT) AS unit_e4
+  FROM lineitem JOIN supp ON l_suppkey=s_suppkey
+       JOIN parts ON l_partkey=p_partkey),
+m AS (SELECT l_partkey, MIN(unit_e4) AS min_unit_e4 FROM elig GROUP BY 1),
+w AS (SELECT e.l_partkey, min_unit_e4, MIN(e.l_suppkey) AS sk
+      FROM elig e JOIN m ON e.l_partkey=m.l_partkey
+                        AND e.unit_e4=m.min_unit_e4
+      GROUP BY 1,2)
+SELECT p_partkey, p_name, min_unit_e4, s_suppkey, s_name, n_name
+FROM w JOIN parts ON w.l_partkey=p_partkey JOIN supp ON sk=s_suppkey
+ORDER BY p_partkey
+"""
+
+_ORACLE["rel_nation_volume"] = """
+WITH supp AS (SELECT s_suppkey, n_name AS supp_nation
+              FROM supplier JOIN nation ON s_nationkey=n_nationkey
+              WHERE n_name IN ('NATION_18','NATION_19')),
+cust AS (SELECT c_custkey, n_name AS cust_nation
+         FROM customer JOIN nation ON c_nationkey=n_nationkey
+         WHERE n_name IN ('NATION_18','NATION_19'))
+SELECT supp_nation, cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(round_even(l_extendedprice*(1-l_discount)*10000,0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN supp ON l_suppkey=s_suppkey
+     JOIN orders ON l_orderkey=o_orderkey
+     JOIN cust ON o_custkey=c_custkey
+WHERE (supp_nation='NATION_18' AND cust_nation='NATION_19')
+   OR (supp_nation='NATION_19' AND cust_nation='NATION_18')
+GROUP BY 1,2,3 ORDER BY 1,2,3
+"""
+
+_ORACLE["rel_market_share"] = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round_even(l_extendedprice*(1-l_discount)*10000,0)
+              AS BIGINT) AS rev,
+         (s_nationkey = (SELECT n_nationkey FROM nation
+                         WHERE n_name='NATION_5')) AS is_t
+  FROM lineitem JOIN part ON l_partkey=p_partkey AND p_type='PROMO'
+       JOIN supplier ON l_suppkey=s_suppkey
+       JOIN orders ON l_orderkey=o_orderkey
+       JOIN customer ON o_custkey=c_custkey
+       JOIN nation cn ON c_nationkey=cn.n_nationkey
+       JOIN region ON cn.n_regionkey=r_regionkey AND r_name='AMERICA')
+SELECT o_year,
+       CAST(SUM(CASE WHEN is_t THEN rev ELSE 0 END) AS BIGINT) AS num_e4,
+       CAST(SUM(rev) AS BIGINT) AS den_e4,
+       round_even(SUM(CASE WHEN is_t THEN rev ELSE 0 END)::DOUBLE
+                  / SUM(rev), 4) AS mkt_share
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+_ORACLE["rel_profit"] = """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round_even(l_extendedprice*(1-l_discount)*10000,0)
+                     AS BIGINT)
+                - CAST(round_even(p_retailprice*10000,0) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+         AS profit_e4
+FROM lineitem JOIN part ON l_partkey=p_partkey
+     JOIN supplier ON l_suppkey=s_suppkey
+     JOIN nation ON s_nationkey=n_nationkey
+     JOIN orders ON l_orderkey=o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1,2 ORDER BY 1,2
+"""
+
+_ORACLE["rel_important_parts"] = """
+WITH nsupp AS (SELECT s_suppkey FROM supplier
+               JOIN nation ON s_nationkey=n_nationkey
+               WHERE n_name='NATION_3'),
+pv AS (SELECT l_partkey AS p_partkey,
+              CAST(SUM(CAST(round_even(l_extendedprice*(1-l_discount)
+                                       *10000,0) AS BIGINT)) AS BIGINT)
+                AS value_e4
+       FROM lineitem JOIN nsupp ON l_suppkey=s_suppkey GROUP BY 1),
+tot AS (SELECT SUM(value_e4) AS total FROM pv)
+SELECT p_partkey, value_e4 FROM pv, tot WHERE value_e4*10000 > total*8
+ORDER BY value_e4 DESC, p_partkey
+"""
+
+_ORACLE["rel_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(round_even(l_extendedprice*(1-l_discount)*10000,0)
+                       AS BIGINT)) AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_rev_e4
+FROM rev JOIN supplier USING (s_suppkey)
+WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+ORDER BY s_suppkey
+"""
+
+_ORACLE["rel_parts_supp_cnt"] = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey=p_partkey
+WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+  AND p_size IN (3,9,14,19,23,36,45,49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1,2,3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_ORACLE["rel_small_qty_rev"] = """
+WITH p AS (SELECT p_partkey FROM part
+           WHERE p_brand='Brand#15' AND p_type='ECONOMY'),
+st AS (SELECT l_partkey, COUNT(*) AS n,
+              SUM(CAST(round(l_quantity) AS BIGINT)) AS sq
+       FROM lineitem JOIN p ON l_partkey=p_partkey GROUP BY 1)
+SELECT CAST(COALESCE(SUM(CAST(round_even(l_extendedprice*10000,0)
+                              AS BIGINT)),0) AS BIGINT) AS total_eprice_e4,
+       COUNT(*)::BIGINT AS n_lines
+FROM lineitem JOIN st USING (l_partkey)
+WHERE 5 * CAST(round(l_quantity) AS BIGINT) * n < sq
+"""
+
+_ORACLE["rel_excess_supp"] = """
+WITH p AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+ns AS (SELECT s_suppkey, s_name FROM supplier
+       JOIN nation ON s_nationkey=n_nationkey WHERE n_name='NATION_3'),
+q AS (SELECT l_suppkey, l_partkey,
+             SUM(CAST(round(l_quantity) AS BIGINT)) AS qty
+      FROM lineitem JOIN p ON l_partkey=p_partkey
+           JOIN ns ON l_suppkey=s_suppkey
+      GROUP BY 1,2 HAVING qty > 40)
+SELECT DISTINCT s_suppkey, s_name FROM q JOIN ns ON l_suppkey=s_suppkey
+ORDER BY s_suppkey
+"""
+
+_ORACLE["rel_waiting_supp"] = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+  WHERE o_orderstatus='F' GROUP BY 1,2),
+po AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+              MAX(CASE WHEN late=1 THEN l_suppkey END) AS the_late
+       FROM l GROUP BY 1)
+SELECT s_name, COUNT(*)::BIGINT AS numwait
+FROM po JOIN supplier ON the_late=s_suppkey
+     JOIN nation ON s_nationkey=n_nationkey
+WHERE n_supp > 1 AND n_late = 1 AND n_name = 'NATION_3'
+GROUP BY 1 ORDER BY numwait DESC, s_name
 """
 
 
