@@ -3754,6 +3754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_small_qty_rev": _q_rel_small_qty_rev,
         "rel_excess_supp": _q_rel_excess_supp,
         "rel_waiting_supp": _q_rel_waiting_supp,
+        "doc_winnow": _q_doc_winnow,
     }
 
 
@@ -7465,6 +7466,47 @@ FROM po JOIN supplier ON the_late=s_suppkey
      JOIN nation ON s_nationkey=n_nationkey
 WHERE n_supp > 1 AND n_late = 1 AND n_name = 'NATION_3'
 GROUP BY 1 ORDER BY numwait DESC, s_name
+"""
+
+
+def _q_doc_winnow(sf):
+    """Winnowing fingerprints (Schleimer et al. 2003, MOSS): per-document
+    selected (position, hash) pairs — min DuckDB-hash per 4-shingle window,
+    rightmost on ties, 3-word shingles; fully vectorized, no per-doc loop."""
+    from core_ray.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(sf, k=3, w=4)
+
+
+_ORACLE["doc_winnow"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         hash(ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2]) AS h
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+win AS (
+  SELECT e.doc_id, e.pos AS wend, x.pos, x.h
+  FROM g e JOIN g x ON x.doc_id = e.doc_id
+                   AND x.pos BETWEEN e.pos - 3 AND e.pos
+  WHERE e.pos >= 4
+),
+sel AS (
+  SELECT doc_id, pos, h FROM win
+  QUALIFY row_number() OVER (PARTITION BY doc_id, wend
+                             ORDER BY h ASC, pos DESC) = 1
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                     THEN 18446744073709551616::HUGEINT ELSE 0 END
+            AS BIGINT) AS fp
+FROM sel ORDER BY doc_id, pos
 """
 
 

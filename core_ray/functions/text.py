@@ -748,3 +748,77 @@ def unigram_entropy(source: str | ray.data.Dataset) -> ray.data.Dataset:
         .map_batches(fn, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def winnow_fingerprints(
+    source: str | ray.data.Dataset, k: int = 3, w: int = 4
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS local fingerprinting algorithm): hash every ``k``-word shingle,
+    slide a window of ``w`` consecutive shingle hashes over each document,
+    and select each window's minimum hash (RIGHTMOST position on ties, the
+    paper's tie rule); the distinct selected ``(position, hash)`` pairs are
+    the document's fingerprint — guaranteed to share a fingerprint with any
+    document that has a matching run of ``k + w - 1`` words.
+
+    Fully vectorized across the batch: shingles and windows are computed on
+    the batch-wide flat word array with document boundaries enforced by a
+    parent-index mask (no per-document Python loop); hashes are DuckDB's own
+    ``hash()`` kernel so the fingerprints are exactly SQL-reproducible
+    (``dedup._duckdb_word_hash``, the round4-pattern applied to hashing).
+    Only fully-formed windows fingerprint (documents with fewer than
+    ``k + w - 1`` words emit nothing).  Output: ``(doc_id, pos, fp)`` with
+    1-based shingle positions and the hash reinterpreted as signed int64,
+    sorted.  Each document's rows live in one batch (row = document), so no
+    cross-batch dedup is needed and the stage is embarrassingly parallel —
+    the 100-TB path is pure map, no shuffle but the final sort (which a
+    real pipeline would skip, consuming fingerprints unsorted)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from .dedup import _duckdb_word_hash, split_words_flat
+
+    def stage(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.int64())})
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat, parent = split_words_flat(batch["text"])
+        n = len(flat)
+        if n < k:
+            return empty
+        # word position within its document (0-based)
+        first = np.concatenate(([0], np.flatnonzero(np.diff(parent)) + 1))
+        wpos = np.arange(n, dtype=np.int64) - np.repeat(
+            first, np.diff(np.concatenate((first, [n]))))
+        # k-shingles that stay inside one document
+        same = parent[: n - k + 1] == parent[k - 1:]
+        if not same.any():
+            return empty
+        parts = [flat.slice(j, n - k + 1) for j in range(k)]
+        grams = pc.binary_join_element_wise(*parts, "\x01").filter(pa.array(same))
+        gdoc = parent[: n - k + 1][same]
+        gpos = wpos[: n - k + 1][same] + 1  # 1-based shingle position
+        h = _duckdb_word_hash(grams)  # uint64, document order preserved
+        m = len(h)
+        if m < w:
+            return empty
+        # windows of w consecutive shingles that stay inside one document
+        ok = gdoc[: m - w + 1] == gdoc[w - 1:]
+        if not ok.any():
+            return empty
+        win = sliding_window_view(h, w)[ok]
+        # rightmost minimum: argmin over the reversed window
+        am = win[:, ::-1].argmin(axis=1)
+        sel = np.flatnonzero(ok) + (w - 1 - am)
+        sel = np.unique(sel)  # distinct selected shingles
+        return pa.table({
+            "doc_id": pa.array(ids[gdoc[sel]], pa.int64()),
+            "pos": pa.array(gpos[sel], pa.int64()),
+            "fp": pa.array(h[sel].view(np.int64), pa.int64()),
+        })
+
+    return (
+        _read_docs(source, ["doc_id", "text"])
+        .map_batches(stage, batch_format="pyarrow")
+        .sort(["doc_id", "pos"])
+    )

@@ -906,3 +906,47 @@ def test_json_field_stats_null_and_negative():
     assert out["sum_k"].tolist() == [-2, 0]
     assert out["min_k"].tolist() == [-7, 0]
     assert out["max_k"].tolist() == [5, 0]
+
+
+def test_winnow_rightmost_tie_rule():
+    """All-identical words -> every shingle hash equal -> each window selects
+    its RIGHTMOST shingle, so the fingerprint positions are exactly w..m."""
+    import ray.data
+
+    from core_ray.functions.text import winnow_fingerprints
+
+    docs = ray.data.from_items([{"doc_id": 1, "text": " ".join(["x"] * 10)}])
+    out = winnow_fingerprints(docs, k=3, w=4).to_pandas()
+    # 10 words -> 8 shingles -> windows end at shingle 4..8
+    assert out["pos"].tolist() == [4, 5, 6, 7, 8]
+    assert out["fp"].nunique() == 1
+
+
+def test_winnow_shared_run_guarantee():
+    """Two documents sharing a run of k+w-1 words share >= 1 fingerprint
+    hash (the winnowing coverage guarantee)."""
+    import ray.data
+
+    from core_ray.functions.text import winnow_fingerprints
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 = k+w-1 words
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "one two three " + run + " four five six seven"},
+        {"doc_id": 2, "text": "nine eight " + run + " ten eleven twelve"},
+    ])
+    out = winnow_fingerprints(docs, k=3, w=4).to_pandas()
+    f1 = set(out[out["doc_id"] == 1]["fp"])
+    f2 = set(out[out["doc_id"] == 2]["fp"])
+    assert f1 & f2
+
+
+def test_winnow_short_docs_emit_nothing():
+    import ray.data
+
+    from core_ray.functions.text import winnow_fingerprints
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "a b c d e"},   # 3 shingles < w
+        {"doc_id": 2, "text": "a b"},          # no shingles
+    ])
+    assert winnow_fingerprints(docs, k=3, w=4).count() == 0
