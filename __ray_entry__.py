@@ -3755,6 +3755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_excess_supp": _q_rel_excess_supp,
         "rel_waiting_supp": _q_rel_waiting_supp,
         "doc_winnow": _q_doc_winnow,
+        "stream_window_quantiles": _q_stream_window_quantiles,
     }
 
 
@@ -7507,6 +7508,60 @@ SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
                      THEN 18446744073709551616::HUGEINT ELSE 0 END
             AS BIGINT) AS fp
 FROM sel ORDER BY doc_id, pos
+"""
+
+
+def _q_stream_window_quantiles(sf):
+    """STREAMING windowed-quantile registers (``streaming/quantile.py``,
+    the EIGHTH streaming shape): per (source, tumbling window), the exact
+    p50/p90/p99 of the token VALUES — consume tasks bincount each (source,
+    window) group and route only nonzero histogram partials to the owning
+    partition actor; actors fold exact per-window histograms and emit
+    quantile_disc-rule percentiles every epoch.  Run WITH a mid-stream
+    crash + resume (a lost or doubled histogram partial shifts a
+    percentile).  The oracle recomputes every window's quantile_disc from
+    the deterministic input."""
+    from core_ray.streaming import (QuantileConfig, StreamQuantileJob,
+                                    final_quantiles)
+    from core_ray.synth import write_tokens_table
+
+    base = _scratch("stream_quant")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    cfg = QuantileConfig(input_dir=in_dir, out_dir=out_dir,
+                         num_partitions=8, files_per_epoch=1, window_s=60)
+    StreamQuantileJob(cfg).run(resume=False, stop_after_epoch=4)  # crash
+    StreamQuantileJob(cfg).run(resume=True)
+    return final_quantiles(out_dir, cfg.num_partitions)
+
+
+_ORACLE["stream_window_quantiles"] = f"""
+WITH t AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, source,
+         unnest(tokens) AS tok
+  FROM read_parquet('/tmp/graft_stream_quant_{_os.getpid()}/in/*.parquet')
+),
+e AS (
+  SELECT source, tok,
+         1704067200000000 + i * 137000 + ((i * 2654435761) % 7) * 250000
+           AS ev
+  FROM t
+),
+w AS (
+  SELECT source,
+         make_timestamp((ev // 60000000) * 60000000) AS window_start, tok
+  FROM e
+)
+SELECT source, window_start, CAST(500 AS BIGINT) AS q_permille,
+       CAST(quantile_disc(tok, 0.5) AS BIGINT) AS value
+FROM w GROUP BY 1, 2
+UNION ALL
+SELECT source, window_start, CAST(900 AS BIGINT),
+       CAST(quantile_disc(tok, 0.9) AS BIGINT) FROM w GROUP BY 1, 2
+UNION ALL
+SELECT source, window_start, CAST(990 AS BIGINT),
+       CAST(quantile_disc(tok, 0.99) AS BIGINT) FROM w GROUP BY 1, 2
+ORDER BY 1, 2, 3
 """
 
 

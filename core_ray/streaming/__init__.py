@@ -31,6 +31,7 @@ from .join import JoinConfig, StreamJoinJob, read_joined
 from .dedup import DedupConfig, StreamDedupJob, read_survivors
 from .freq import FreqConfig, StreamFreqJob, final_topk
 from .pattern import PatternConfig, StreamPatternJob, read_matches
+from .quantile import QuantileConfig, StreamQuantileJob, final_quantiles
 
 __all__ = [
     "StreamingJob",
@@ -47,4 +48,7 @@ __all__ = [
     "PatternConfig",
     "StreamPatternJob",
     "read_matches",
+    "QuantileConfig",
+    "StreamQuantileJob",
+    "final_quantiles",
 ]
