@@ -850,6 +850,69 @@ def _q_tok_dedup_exact(sf):
     return dedup_exact_tokens(in_dir)
 
 
+def _tok_decon_fixture(base: str) -> str:
+    """Corpus (4000 deterministic token rows) + benchmark (40 rows, the even
+    ones embedding a verbatim 32-token span lifted from an eligible corpus
+    doc) — the token-level contamination planting."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from core_ray.synth import make_chunk
+
+    corpus_dir, bench_dir = f"{base}/corpus", f"{base}/bench"
+    _os.makedirs(corpus_dir, exist_ok=True)
+    _os.makedirs(bench_dir, exist_ok=True)
+    corpus = make_chunk(0, 4_000)
+    _pq.write_table(corpus, f"{corpus_dir}/corpus.parquet")
+
+    tok = corpus["tokens"].combine_chunks()
+    off = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = tok.values.to_numpy(zero_copy_only=False)
+    n_tok = corpus["n_tok"].to_numpy(zero_copy_only=False)
+    eligible = np.flatnonzero(n_tok >= 45)  # span + margin always fits
+
+    bench = make_chunk(90_000, 40)
+    btok = bench["tokens"].combine_chunks()
+    boff = btok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    bvals = btok.values.to_numpy(zero_copy_only=False)
+    rows = []
+    for j in range(40):
+        frow = bvals[boff[j]:boff[j + 1]]
+        if j % 2 == 0:  # plant: 32 verbatim corpus tokens mid-row
+            v = int(eligible[(j * 53) % len(eligible)])
+            span = vals[off[v] + 7: off[v] + 39]
+            rows.append(np.concatenate([frow[:5], span, frow[5:]]))
+        else:  # clean benchmark row
+            rows.append(frow)
+    import pyarrow as pa
+
+    flat = np.concatenate(rows).astype(np.int32)
+    offs = np.zeros(len(rows) + 1, dtype=np.int32)
+    offs[1:] = np.cumsum([len(r) for r in rows]).astype(np.int32)
+    btbl = pa.table(
+        {
+            "doc_id": bench["doc_id"],
+            "tokens": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
+            "n_tok": pa.array(np.diff(offs).astype(np.int32)),
+            "source": pa.array(["bench"] * len(rows)),
+        },
+        schema=bench.schema,
+    )
+    _pq.write_table(btbl, f"{bench_dir}/bench.parquet")
+    return base
+
+
+def _q_tok_decontaminate(sf):
+    """TOKEN-level 13-gram benchmark decontamination (the GPT-3/PaLM
+    recipe on the pre-tokenized table): benchmark window-hash set is
+    broadcast once, corpus screened in ONE shuffle-free streamed pass.
+    The planted fixture guarantees both contaminated and clean docs."""
+    from core_ray.functions import decontaminate_tokens
+
+    base = _tok_decon_fixture(_scratch("tok_decon"))
+    return decontaminate_tokens(f"{base}/corpus", f"{base}/bench", w=13)
+
+
 def _q_rel_write_resume(sf):
     """The RESUMABLE partitioned batch writer graded end-to-end (the
     'failed run skips finished partitions' output contract): write the
@@ -3700,6 +3763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tok_dup_windows": _q_tok_dup_windows,
         "tok_dedup_exact": _q_tok_dedup_exact,
         "tok_novel_windows": _q_tok_novel_windows,
+        "tok_decontaminate": _q_tok_decontaminate,
         "doc_pipeline_prep": _q_doc_pipeline_prep,
         "fw_pipeline_prep_json": _q_fw_pipeline_prep_json,
         "stream_latest": _q_stream_latest,
@@ -6617,6 +6681,53 @@ FROM read_parquet('/tmp/graft_tok_dedup_{_os.getpid()}/in/*.parquet')
 QUALIFY row_number() OVER (PARTITION BY array_to_string(tokens, ',')
                            ORDER BY doc_id) = 1
 ORDER BY doc_id
+"""
+
+def _pk_values_sql(w: int) -> str:
+    """`(k, 1000003^(w-1-k) mod 2^64)` VALUES rows for the HUGEINT replay of
+    ``poly_window_hashes`` at window width ``w``."""
+    return ", ".join(f"({k}, {pow(1000003, w - 1 - k, 1 << 64)})" for k in range(w))
+
+
+# Token-level decontamination: both sides' window hashes replayed as
+# HUGEINT sums mod 2^64 at stride 1; corpus docs shorter than w keep
+# n_windows = 0 via the LEFT JOIN from the raw table.
+_ORACLE["tok_decontaminate"] = f"""
+WITH pk(k, p) AS (VALUES {_pk_values_sql(13)}),
+cw AS (
+  SELECT doc_id, CAST(u.s AS BIGINT) AS s,
+         sum(CAST(tokens[u.s + k + 1] AS HUGEINT) * CAST(p AS HUGEINT))
+           % 18446744073709551616 AS h
+  FROM read_parquet('/tmp/graft_tok_decon_{_os.getpid()}/corpus/*.parquet'),
+       unnest(range(0, n_tok - 12)) AS u(s)
+  CROSS JOIN pk
+  GROUP BY doc_id, u.s
+),
+bw AS (
+  SELECT DISTINCT h FROM (
+    SELECT doc_id, u.s,
+           sum(CAST(tokens[u.s + k + 1] AS HUGEINT) * CAST(p AS HUGEINT))
+             % 18446744073709551616 AS h
+    FROM read_parquet('/tmp/graft_tok_decon_{_os.getpid()}/bench/*.parquet'),
+         unnest(range(0, n_tok - 12)) AS u(s)
+    CROSS JOIN pk
+    GROUP BY doc_id, u.s
+  )
+),
+tot AS (
+  SELECT cw.doc_id,
+         count(*) AS n_windows,
+         sum(CASE WHEN bw.h IS NOT NULL THEN 1 ELSE 0 END) AS dirty
+  FROM cw LEFT JOIN bw ON cw.h = bw.h
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(tot.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(tot.dirty, 0) AS BIGINT) AS dirty_windows,
+       coalesce(tot.dirty, 0) = 0 AS keep
+FROM read_parquet('/tmp/graft_tok_decon_{_os.getpid()}/corpus/*.parquet') t
+LEFT JOIN tot ON t.doc_id = tot.doc_id
+ORDER BY t.doc_id
 """
 
 # Token-window memorization scan: the polynomial window hash is recomputed

@@ -1640,6 +1640,102 @@ def dedup_exact_tokens(
     return surv.select_columns([id_col, "n_tok", "source"]).sort(id_col)
 
 
+def decontaminate_tokens(
+    corpus: str | ray.data.Dataset,
+    benchmark: str | ray.data.Dataset,
+    w: int = 13,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """TOKEN-level benchmark decontamination (the GPT-3/PaLM recipe applied
+    to the engine's pre-tokenized sequence table): flag every training
+    document sharing ANY verbatim ``w``-token window (stride 1 — every
+    position, not a sampled grid) with the held-out benchmark corpus.
+
+    The text-shingle sibling is :func:`decontaminate`; this one runs on
+    token ids, so it catches contamination regardless of tokenizer-invisible
+    text differences, and its window hash is the same polynomial mod-2^64
+    as :func:`dup_token_windows` — bit-equal to a HUGEINT sum in SQL, so the
+    operator is exactly oracle-able.
+
+    Scale shape: a benchmark is MBs against a TB corpus, so its distinct
+    window-hash set is collected once (bounded by benchmark size BY
+    DEFINITION of the operator), sorted, and broadcast via ``ray.put``; the
+    corpus side is ONE streamed ``map_batches`` doing a vectorized
+    ``searchsorted`` membership test — no shuffle at all, and corpus tokens
+    never leave their batch.
+
+    Output: ``(doc_id, n_windows, dirty_windows, keep)`` for EVERY corpus
+    document (docs shorter than ``w`` have 0 windows and keep=true),
+    sorted by id.  ``dirty_windows`` counts window POSITIONS whose
+    ``w``-gram occurs anywhere in the benchmark.
+    """
+    W = int(w)
+    corp = (
+        ray.data.read_parquet(corpus, columns=[id_col, "tokens"])
+        if isinstance(corpus, str)
+        else corpus
+    )
+    bench = (
+        ray.data.read_parquet(benchmark, columns=["tokens"])
+        if isinstance(benchmark, str)
+        else benchmark
+    )
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        _, h = poly_window_hashes(vals, off, W, 1)
+        return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
+
+    # bounded driver pull: distinct benchmark window hashes (benchmark ~MBs);
+    # an all-empty benchmark yields pass-through blocks with the input schema
+    b_tbls = [
+        t
+        for t in ray.get(
+            bench.map_batches(bench_hashes, batch_format="pyarrow").to_arrow_refs()
+        )
+        if "h" in t.schema.names
+    ]
+    bset = (
+        np.unique(
+            pa.concat_tables(b_tbls)["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        if b_tbls
+        else np.zeros(0, np.uint64)
+    )
+    bset_ref = ray.put(bset)
+
+    def screen(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        nrows = len(batch)
+        row_idx, h = poly_window_hashes(vals, off, W, 1)
+        n_win = np.bincount(row_idx, minlength=nrows).astype(np.int64)
+        ref = ray.get(bset_ref)
+        if len(ref) and len(h):
+            pos = np.searchsorted(ref, h)
+            member = (pos < len(ref)) & (ref[np.minimum(pos, len(ref) - 1)] == h)
+            dirty = np.bincount(row_idx[member], minlength=nrows).astype(np.int64)
+        else:
+            dirty = np.zeros(nrows, np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_windows": pa.array(n_win, pa.int64()),
+                "dirty_windows": pa.array(dirty, pa.int64()),
+                "keep": pa.array(dirty == 0),
+            }
+        )
+
+    return corp.map_batches(screen, batch_format="pyarrow").sort(id_col)
+
+
 _TW_META = "token_window_index.json"
 
 

@@ -993,3 +993,46 @@ def test_pack_token_sequences_empty_input():
     out = pack_token_sequences(ray.data.from_arrow(t), cap=8)
     assert out.count() == 0
     assert out.schema().names == ["pack_id", "n_tok", "n_docs", "tokens", "doc_starts"]
+
+
+def test_decontaminate_tokens_hand_case():
+    """Corpus doc 0 shares its full 5-token run with benchmark doc 0 (3
+    windows at w=3); doc 1 is clean; doc 2 is shorter than w (0 windows,
+    keep)."""
+    import pyarrow as pa
+
+    from core_ray.functions import decontaminate_tokens
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "tokens": pa.array(
+                [[1, 2, 3, 4, 5], [9, 9, 9, 9], [1, 2]],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    bench = pa.table(
+        {"tokens": pa.array([[7, 1, 2, 3, 4, 5, 8]], pa.list_(pa.int32()))}
+    )
+    out = decontaminate_tokens(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(bench), w=3
+    ).to_pandas()
+    assert list(out["doc_id"]) == ["a", "b", "c"]
+    assert list(out["n_windows"]) == [3, 2, 0]
+    assert list(out["dirty_windows"]) == [3, 0, 0]
+    assert list(out["keep"]) == [False, True, True]
+
+
+def test_decontaminate_tokens_empty_benchmark():
+    import pyarrow as pa
+
+    from core_ray.functions import decontaminate_tokens
+
+    corpus = _tok_table([5, 8])
+    bench = pa.table({"tokens": pa.array([], pa.list_(pa.int32()))})
+    out = decontaminate_tokens(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(bench), w=4
+    ).to_pandas()
+    assert out["keep"].all()
+    assert int(out["dirty_windows"].sum()) == 0
