@@ -850,6 +850,49 @@ def _q_tok_dedup_exact(sf):
     return dedup_exact_tokens(in_dir)
 
 
+def _q_mm_phash_dups(sf):
+    """Perceptual-hash (dHash) near-duplicate image pairs over raw grayscale
+    frames: 40 base scenes x copies/perturbations/independents + one corrupt
+    row; 16-bit band blocking has recall 1 at hamming<=3 by pigeonhole, so
+    the exact n^2 SQL replay (get_bit pixel extraction -> neighbor
+    comparisons -> popcount) must match pair-for-pair."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    import ray.data
+
+    from core_ray.stages.multimodal import phash_dup_pairs
+
+    base = _scratch("mm_phash")
+    _os.makedirs(base, exist_ok=True)
+    rng = np.random.default_rng(7)
+    scenes = rng.integers(0, 256, size=(40, 72), dtype=np.uint8)
+    ids, payloads = [], []
+    for i in range(300):
+        s = scenes[(i * 7) % 40].copy()
+        if i % 3 == 1:  # near-dup: one pixel bumped -> flips <= 2 dHash bits
+            s[i % 72] = min(255, int(s[i % 72]) + 40)
+        elif i % 3 == 2:  # independent frame: expected hamming ~32
+            s = rng.integers(0, 256, size=72, dtype=np.uint8)
+        ids.append(i)
+        payloads.append(s.tobytes())
+    ids.append(9_999)
+    payloads.append(b"\x00" * 10)  # corrupt: wrong length, dropped
+    _pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        f"{base}/media.parquet",
+    )
+    return phash_dup_pairs(
+        ray.data.read_parquet(f"{base}/media.parquet"), max_hamming=3
+    )
+
+
 def _tok_decon_fixture(base: str) -> str:
     """Corpus (4000 deterministic token rows) + benchmark (40 rows, the even
     ones embedding a verbatim 32-token span lifted from an eligible corpus
@@ -3710,6 +3753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_interpolate_tz": _q_ts_interpolate_tz,
         "weather_latest_point": _q_weather_latest_point,
         "mm_decode_features": _q_mm_decode_features,
+        "mm_phash_dups": _q_mm_phash_dups,
         "ts_circular_std": _q_ts_circular_std,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
@@ -6688,6 +6732,44 @@ def _pk_values_sql(w: int) -> str:
     ``poly_window_hashes`` at window width ``w``."""
     return ", ".join(f"({k}, {pow(1000003, w - 1 - k, 1 << 64)})" for k in range(w))
 
+
+# Perceptual dHash replayed bit-for-bit in SQL: pixel bytes re-assembled
+# from the blob's bitstring (get_bit, MSB-first), neighbor comparisons ->
+# 64-bit fingerprint, exact n^2 popcount join (recall-1 at hamming<=3
+# justifies comparing the engine's banded candidates against ALL pairs).
+_ORACLE["mm_phash_dups"] = f"""
+WITH media AS (
+  SELECT media_id, payload
+  FROM read_parquet('/tmp/graft_mm_phash_{_os.getpid()}/media.parquet')
+  WHERE octet_length(payload) = 72
+),
+pxb AS (
+  SELECT media_id, CAST(u.i AS BIGINT) AS i,
+         sum(get_bit(payload::BITSTRING, CAST(8 * u.i + b.b AS INTEGER))
+             * (1 << (7 - CAST(b.b AS INTEGER)))) AS v
+  FROM media, unnest(range(0, 72)) u(i), unnest(range(0, 8)) b(b)
+  GROUP BY media_id, u.i
+),
+bits AS (
+  SELECT a.media_id,
+         (a.i // 9) * 8 + (a.i % 9) AS k,
+         CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+  FROM pxb a JOIN pxb b ON a.media_id = b.media_id AND b.i = a.i + 1
+  WHERE a.i % 9 < 8
+),
+h AS (
+  SELECT media_id,
+         CAST(sum(CAST(bit AS UBIGINT)
+                  * (CAST(1 AS UBIGINT) << CAST(63 - k AS INTEGER)))
+              AS UBIGINT) AS dh
+  FROM bits GROUP BY 1
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dh, b.dh)) <= 3
+ORDER BY 1, 2
+"""
 
 # Token-level decontamination: both sides' window hashes replayed as
 # HUGEINT sums mod 2^64 at stride 1; corpus docs shorter than w keep

@@ -153,3 +153,60 @@ def test_ecmwf_xarray_arm_parity(tmp_path):  # pragma: no cover - gated
     assert list(real.columns) == list(fake.columns)
     assert len(real) == len(fake)
     assert set(real["TagName"]) == set(fake["TagName"])
+
+
+def test_dhash_frames_bit_order_and_corrupt_drop():
+    """Bit k = r*8+c (MSB first) is 1 iff px[r,c] > px[r,c+1]: a frame whose
+    only descending neighbor pair is at (0,0) hashes to exactly 2^63; a
+    wrong-length payload is dropped."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from core_ray.stages.multimodal import dhash_frames
+
+    frame = np.zeros((8, 9), dtype=np.uint8)
+    frame[0, 0] = 5  # px[0,0] > px[0,1] -> bit 0 (MSB) set, nothing else
+    asc = np.tile(np.arange(9, dtype=np.uint8), (8, 1))  # strictly ascending rows
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [frame.tobytes(), asc.tobytes(), b"\x00" * 5], pa.binary()
+            ),
+        }
+    )
+    out = dhash_frames(ray.data.from_arrow(t)).to_pandas().sort_values("media_id")
+    assert list(out["media_id"]) == [1, 2]
+    assert int(out["dhash"].iloc[0]) == 1 << 63
+    assert int(out["dhash"].iloc[1]) == 0
+
+
+def test_phash_dup_pairs_hand_case():
+    """Two copies + a 1-pixel perturbation pair at hamming<=2; an inverted
+    frame is far from all and emits no pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from core_ray.stages.multimodal import phash_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=72, dtype=np.uint8)
+    pert = base.copy()
+    pert[10] = min(255, int(pert[10]) + 50)
+    far = 255 - base
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [base.tobytes(), base.tobytes(), pert.tobytes(), far.tobytes()],
+                pa.binary(),
+            ),
+        }
+    )
+    out = phash_dup_pairs(ray.data.from_arrow(t), max_hamming=3).to_pandas()
+    pairs = {(int(r.media_a), int(r.media_b)): int(r.hamming) for r in out.itertuples()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 2
+    assert all(3 not in p for p in pairs)
