@@ -472,6 +472,75 @@ def _q_ev_stream_join(sf):
     return ray.data.from_pandas(out)
 
 
+def _q_ev_stream_outer_join(sf):
+    """The streaming symmetric hash join in LEFT OUTER mode: clicks with no
+    purchase within 10 min are emitted null-extended exactly once, in the
+    epoch the watermark proves them dead (plus the end-of-stream flush
+    epoch).  Oracle: the equivalent batch LEFT JOIN."""
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from core_ray.streaming import JoinConfig, StreamJoinJob, read_joined
+
+    tmp = _scratch("stream_ojoin")
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    for side, etype, cols in (
+        ("l", "click", ["user_id", "ts_us", "event_id"]),
+        ("r", "purchase", ["user_id", "ts_us", "event_id", "value"]),
+    ):
+        part = (
+            ev.loc[ev["event_type"] == etype, cols]
+            .sort_values("ts_us", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        d = f"{tmp}/{side}"
+        _os.makedirs(d, exist_ok=True)
+        step = (len(part) + 3) // 4
+        for i in range(4):
+            pq.write_table(
+                pa.Table.from_pandas(part.iloc[i * step: (i + 1) * step], preserve_index=False),
+                f"{d}/f{i:03d}.parquet",
+            )
+    cfg = JoinConfig(
+        left_dir=f"{tmp}/l",
+        right_dir=f"{tmp}/r",
+        out_dir=f"{tmp}/out",
+        key_col="user_id",
+        band_lo_us=0,
+        band_hi_us=600_000_000,
+        num_partitions=4,
+        files_per_epoch=1,
+        left_payload=["event_id"],
+        right_payload=["event_id", "value"],
+        how="left_outer",
+    )
+    StreamJoinJob(cfg).run(resume=False)
+    df = read_joined(f"{tmp}/out").to_pandas()
+    import numpy as np
+
+    rts = df["r_ts_us"].to_numpy(dtype="float64", na_value=np.nan)
+    pts = np.full(len(rts), np.datetime64("NaT", "us"))
+    mask = ~np.isnan(rts)
+    pts[mask] = rts[mask].astype("int64").astype("datetime64[us]")
+    out = pd.DataFrame(
+        {
+            "user_id": df["user_id"].astype("int64"),
+            "click_id": df["l_event_id"].astype("int64"),
+            "purchase_id": df["r_event_id"].astype("float64"),
+            "click_ts": df["l_ts_us"].astype("datetime64[us]"),
+            "purchase_ts": pts,
+            "purchase_value": df["r_value"].astype("float64"),
+        }
+    ).sort_values(["user_id", "click_id", "purchase_id"]).reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
 def _ev_typed(sf, etype: str, cols: list[str], rename: dict[str, str] | None = None):
     """events filtered to one type, pruned to ``cols``, optionally renamed —
     vectorized Arrow filter, no per-row predicate."""
@@ -3702,6 +3771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_share_read": _q_delta_share_read,
         "ev_stream_pattern": _q_ev_stream_pattern,
         "ev_stream_join": _q_ev_stream_join,
+        "ev_stream_outer_join": _q_ev_stream_outer_join,
         "mm_resize_frames": _q_mm_resize_frames,
         "ts_circular_avg": _q_ts_circular_avg,
         "rel_pricing_summary": _q_rel_pricing,
@@ -5533,6 +5603,18 @@ _ORACLE["qb_twa"] = _ORACLE["ts_twa"]
 # The streaming symmetric hash join's incremental emission (newL x stateR +
 # newL x newR + stateL x newR per barrier) covers every qualifying pair
 # exactly once, so the committed output equals the batch interval join.
+_ORACLE["ev_stream_outer_join"] = """
+SELECT l.user_id, l.event_id AS click_id,
+       CAST(r.event_id AS DOUBLE) AS purchase_id,
+       l.ts AS click_ts, r.ts AS purchase_ts,
+       CAST(r.value AS DOUBLE) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+ORDER BY 1, 2, 3
+"""
+
 _ORACLE["ev_stream_join"] = """
 SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id,
        l.ts AS click_ts, r.ts AS purchase_ts, r.value AS purchase_value

@@ -242,3 +242,88 @@ def test_join_mid_barrier_crash_resume(tmp_path):
             os.remove(os.path.join(p0, n))
     StreamJoinJob(_cfg(ld, rd, out_b)).run(resume=True)
     assert _sink_hash(out_a) == _sink_hash(out_b)
+
+
+def _cfg_outer(ld, rd, out):
+    cfg = _cfg(ld, rd, out)
+    cfg.how = "left_outer"
+    return cfg
+
+
+def _batch_left_outer(left, right, lo, hi):
+    m = left.rename(columns={"ts_us": "l_ts_us", "l_id": "l_l_id"}).merge(
+        right.rename(columns={"ts_us": "r_ts_us", "r_id": "r_r_id"}),
+        on="key", how="left",
+    )
+    d = m["r_ts_us"] - m["l_ts_us"]
+    matched = m[(d >= lo) & (d <= hi)]
+    # left rows with no in-band match at all -> one null-extended row each
+    has = set(zip(matched["key"], matched["l_ts_us"], matched["l_l_id"]))
+    un = left[~left.apply(
+        lambda r: (r["key"], r["ts_us"], r["l_id"]) in has, axis=1)]
+    un = un.rename(columns={"ts_us": "l_ts_us", "l_id": "l_l_id"}).copy()
+    un["r_ts_us"] = np.nan
+    un["r_r_id"] = np.nan
+    cols = ["key", "l_ts_us", "r_ts_us", "l_l_id", "r_r_id"]
+    out = pd.concat([matched[cols], un[cols]], ignore_index=True)
+    return out.sort_values(cols).reset_index(drop=True)
+
+
+def test_outer_join_matches_batch_left_join(tmp_path):
+    from core_ray.streaming import StreamJoinJob
+
+    ld, rd, left, right = _mk_streams(tmp_path, n=2500)
+    out = str(tmp_path / "out")
+    StreamJoinJob(_cfg_outer(ld, rd, out)).run(resume=False)
+    got = _read_out(out).astype("float64")
+    expect = _batch_left_outer(left, right, *BAND)[got.columns.tolist()].astype("float64")
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_outer_join_hand_case_single_emission(tmp_path):
+    """One matched left row, one never-matched left row: the unmatched row
+    appears exactly once, null-extended; the matched row never gets a null
+    twin."""
+    from core_ray.streaming import StreamJoinJob
+
+    left = pd.DataFrame(
+        {"key": [1, 2], "ts_us": [1_000_000, 2_000_000], "l_id": [0, 1]}
+    )
+    right = pd.DataFrame(
+        {"key": [1], "ts_us": [100_000_000], "r_id": [9]}
+    )
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_stream(ld, left, 2)
+    _write_stream(rd, right, 2)
+    out = str(tmp_path / "out")
+    StreamJoinJob(_cfg_outer(ld, rd, out)).run(resume=False)
+    got = _read_out(out)
+    assert len(got) == 2
+    m = got[got["key"] == 1].iloc[0]
+    assert m["r_r_id"] == 9
+    u = got[got["key"] == 2].iloc[0]
+    assert pd.isna(u["r_r_id"]) and pd.isna(u["r_ts_us"])
+
+
+def test_outer_join_crash_resume_byte_identical(tmp_path):
+    from core_ray.streaming import StreamJoinJob
+
+    ld, rd, _, _ = _mk_streams(tmp_path, n=2500)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    StreamJoinJob(_cfg_outer(ld, rd, out_a)).run(resume=False)
+    StreamJoinJob(_cfg_outer(ld, rd, out_b)).run(resume=False, stop_after_epoch=2)
+    StreamJoinJob(_cfg_outer(ld, rd, out_b)).run(resume=True)
+    assert _sink_hash(out_a) == _sink_hash(out_b)
+
+
+def test_outer_join_resume_after_flush_is_noop(tmp_path):
+    """A second resume=True run after a completed (flushed) run re-commits
+    nothing and leaves bytes identical."""
+    from core_ray.streaming import StreamJoinJob
+
+    ld, rd, _, _ = _mk_streams(tmp_path, n=1000)
+    out = str(tmp_path / "out")
+    StreamJoinJob(_cfg_outer(ld, rd, out)).run(resume=False)
+    h1 = _sink_hash(out)
+    StreamJoinJob(_cfg_outer(ld, rd, out)).run(resume=True)
+    assert _sink_hash(out) == h1
