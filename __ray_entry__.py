@@ -2886,6 +2886,45 @@ def _q_ts_raw_json_ns(sf):
     )
 
 
+def _q_stream_rescale(sf):
+    """Checkpoint RESCALING graded end-to-end (the Flink-savepoint analog,
+    `core_ray/streaming/rescale.py`): run the windowed-aggregate job on 8
+    partitions, stop mid-stream, re-route the state snapshots to 5
+    partitions (seen registers by the job's own hash%Q, partials by
+    balance), resume at the new width — the merged window aggregates must
+    still equal the batch SQL recomputation exactly."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray
+
+    from core_ray.streaming import rescale_checkpoint
+    from core_ray.streaming.job import StreamConfig, StreamingJob
+    from core_ray.synth import write_tokens_table
+
+    base = _scratch("stream_rescale")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    write_tokens_table(in_dir, 20_000, rows_per_file=2_000)
+
+    def cfg(parts):
+        return StreamConfig(
+            input_dir=in_dir, out_dir=out_dir, num_partitions=parts,
+            window_s=60, lateness_s=2, files_per_epoch=1, token_stats=True,
+            sink_payload_rows=False,
+        )
+
+    StreamingJob(cfg(8)).run(resume=False, stop_after_epoch=4)
+    rescale_checkpoint(out_dir, 5)
+    StreamingJob(cfg(5)).run(resume=True)
+    files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
+    t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
+        ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
+         "max_n_tok", "sum_tok_values"]
+    )
+    return ray.data.from_arrow(t).sort(["source", "window_start"])
+
+
 def _q_stream_window_aggs(sf):
     """The flagship north-rule pipeline graded END-TO-END: pre-tokenized
     sequences stream through the checkpointed windowed-aggregate engine
@@ -3767,6 +3806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_session_aggs": _q_stream_session_aggs,
         "stream_sliding_aggs": _q_stream_sliding_aggs,
         "stream_lineage": _q_stream_lineage,
+        "stream_rescale": _q_stream_rescale,
         "delta_read": _q_delta_read,
         "delta_share_read": _q_delta_share_read,
         "ev_stream_pattern": _q_ev_stream_pattern,
@@ -7809,6 +7849,29 @@ def _q_stream_window_quantiles(sf):
     StreamQuantileJob(cfg).run(resume=True)
     return final_quantiles(out_dir, cfg.num_partitions)
 
+
+_ORACLE["stream_rescale"] = f"""
+WITH t AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source,
+         CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tsum
+  FROM read_parquet('/tmp/graft_stream_rescale_{_os.getpid()}/in/*.parquet')
+),
+e AS (
+  SELECT source, n_tok, tsum,
+         1704067200000000 + i * 137000 + ((i * 2654435761) % 7) * 250000 AS ev
+  FROM t
+)
+SELECT source,
+       make_timestamp((ev // 60000000) * 60000000) AS window_start,
+       count(*) AS cnt,
+       sum(n_tok) AS sum_n_tok,
+       min(n_tok) AS min_n_tok,
+       max(n_tok) AS max_n_tok,
+       sum(tsum) AS sum_tok_values
+FROM e
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
 
 _ORACLE["stream_window_quantiles"] = f"""
 WITH t AS (

@@ -32,8 +32,10 @@ from .dedup import DedupConfig, StreamDedupJob, read_survivors
 from .freq import FreqConfig, StreamFreqJob, final_topk
 from .pattern import PatternConfig, StreamPatternJob, read_matches
 from .quantile import QuantileConfig, StreamQuantileJob, final_quantiles
+from .rescale import rescale_checkpoint
 
 __all__ = [
+    "rescale_checkpoint",
     "StreamingJob",
     "StreamConfig",
     "JoinConfig",

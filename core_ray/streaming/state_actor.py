@@ -136,6 +136,13 @@ class StreamPartitionActor:
         # the (overlap-only) candidates, eviction drops/filters whole bands
         self.seen_bands: list[tuple[np.ndarray, np.ndarray]] = []
         self.max_ts = -1  # from restored snapshots (epochs before resume)
+        # dedup frontier: max event time whose rows may already have been
+        # emitted SOMEWHERE.  Equals max_ts in normal operation; after a
+        # checkpoint RESCALE it is the max over DONOR partitions while
+        # max_ts is their min (the watermark-conservative choice) — the
+        # dedup candidate gate must use the wider bound or re-sent rows
+        # above the min frontier would skip the seen check (rescale.py).
+        self.dedup_frontier = -1
         # per-epoch transient state, keyed by epoch so a prefetching driver
         # may ingest epoch e+1 while epoch e's barrier is still running
         self._epoch_rows: dict[int, list[pa.Table]] = {}
@@ -154,6 +161,7 @@ class StreamPartitionActor:
             return False
         meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
         self.max_ts = int(meta.get("max_ts", -1))
+        self.dedup_frontier = int(meta.get("dedup_frontier", self.max_ts))
         self.watermark = int(meta.get("watermark", -(1 << 62)))
         self.latest = {}
         seen_mask = pc.equal(t["kind"], "seen")
@@ -266,7 +274,8 @@ class StreamPartitionActor:
                 "w": pa.array(ws_col, pa.int64()),
             }
         ).replace_schema_metadata(
-            {"max_ts": str(self.max_ts), "watermark": str(self.watermark)}
+            {"max_ts": str(self.max_ts), "watermark": str(self.watermark),
+             "dedup_frontier": str(max(self.max_ts, self.dedup_frontier))}
         )
 
     # -- ingest -------------------------------------------------------------
@@ -301,7 +310,9 @@ class StreamPartitionActor:
         t_start = time.monotonic()
         buffered = self._epoch_rows.pop(epoch, [])
         self._epoch_batch_ids.pop(epoch, None)
-        frontier = self.max_ts  # max event time seen BEFORE this epoch
+        # max event time seen BEFORE this epoch (dedup_frontier kicks in
+        # only on the first epochs after a rescaled resume)
+        frontier = max(self.max_ts, self.dedup_frontier)
         if epoch in self._epoch_max:
             self.max_ts = max(self.max_ts, self._epoch_max.pop(epoch))
         # Deterministic base order: slices sorted by batch id (arrival order

@@ -1,0 +1,141 @@
+"""Checkpoint rescaling (Flink-savepoint-style): resume a streaming job at a
+different partition count with state re-routed — exactly-once preserved,
+window aggregates identical to an unbroken run, crash-interrupted rescale
+resumable from its journal."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from core_ray.streaming import StreamConfig, StreamingJob, rescale_checkpoint
+from core_ray.synth import make_chunk, write_tokens_table
+
+N_ROWS = 8_000
+ROWS_PER_FILE = 1_000
+
+
+def _cfg(in_dir, out_dir, parts):
+    return StreamConfig(
+        input_dir=str(in_dir), out_dir=str(out_dir),
+        num_partitions=parts, window_s=60,
+    )
+
+
+def _rows(out_dir) -> pa.Table:
+    files = sorted(glob.glob(f"{out_dir}/part=0*/rows-*.parquet"))
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def _agg(out_dir) -> pd.DataFrame:
+    files = sorted(glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
+    df = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def rescale_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("rescale")
+    in_dir = str(base / "in")
+    write_tokens_table(in_dir, N_ROWS, rows_per_file=ROWS_PER_FILE)
+    # the reference: one unbroken run at the ORIGINAL partition count
+    ref_out = str(base / "ref")
+    StreamingJob(_cfg(in_dir, ref_out, 4)).run(resume=False)
+    return base, in_dir, ref_out
+
+
+@pytest.mark.parametrize("new_parts", [7, 2])
+def test_rescale_preserves_output(rescale_dirs, new_parts):
+    """Stop mid-stream, rescale 4 -> Q, resume at Q: every doc exactly once,
+    token arrays intact, final window aggregates equal to the unbroken run."""
+    base, in_dir, ref_out = rescale_dirs
+    out = str(base / f"out_{new_parts}")
+    StreamingJob(_cfg(in_dir, out, 4)).run(resume=False, stop_after_epoch=3)
+    res = rescale_checkpoint(out, new_parts)
+    assert res["old"] == 4 and res["new"] == new_parts and res["epoch"] == 3
+    StreamingJob(_cfg(in_dir, out, new_parts)).run(resume=True)
+
+    rows = _rows(out)
+    idx = np.sort(rows["doc_idx"].to_numpy())
+    assert len(idx) == N_ROWS and (idx == np.arange(N_ROWS)).all()
+    rows_sorted = rows.sort_by([("doc_idx", "ascending")]).combine_chunks()
+    expected = make_chunk(0, N_ROWS)
+    assert rows_sorted["tokens"].combine_chunks().equals(
+        expected["tokens"].combine_chunks()
+    )
+    pd.testing.assert_frame_equal(_agg(out), _agg(ref_out))
+
+
+def test_rescale_dedup_registers_reroute(tmp_path):
+    """Duplicates re-sent AFTER the rescale must still be recognized: the
+    seen registers route by hash(doc_idx) % Q, so a register written under
+    P=4 must land on the partition the duplicate reaches under Q=6."""
+    in_dir, out = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir)
+    n, per = 2_400, 400
+    full = make_chunk(0, n)
+    for i in range(n // per):
+        sl = full.slice(i * per, per)
+        if i == 4:  # epoch 4 re-sends the tail of epoch 3 (inside lateness)
+            sl = pa.concat_tables([full.slice(4 * per - 100, 100), sl])
+        pq.write_table(sl, f"{in_dir}/f{i:03d}.parquet")
+
+    def cfg(parts):
+        return StreamConfig(input_dir=in_dir, out_dir=out,
+                            num_partitions=parts, window_s=60, lateness_s=60)
+
+    StreamingJob(cfg(4)).run(resume=False, stop_after_epoch=3)
+    rescale_checkpoint(out, 6)
+    res = StreamingJob(cfg(6)).run(resume=True)
+    idx = np.sort(_rows(out)["doc_idx"].to_numpy())
+    assert len(idx) == n and (idx == np.arange(n)).all()
+    assert res["totals"]["dupes"] >= 100  # the re-sent rows were caught
+
+
+def test_rescale_interrupted_then_rerun(rescale_dirs):
+    """A rescale killed mid-rewrite resumes from its journal: the second
+    invocation completes and the resumed job output is still exact."""
+    base, in_dir, ref_out = rescale_dirs
+    out = str(base / "out_crash")
+    StreamingJob(_cfg(in_dir, out, 4)).run(resume=False, stop_after_epoch=3)
+
+    from core_ray.streaming import rescale as rmod
+
+    orig = rmod.EpochSink.write_snapshot
+    calls = {"n": 0}
+
+    def boom(self, epoch, name, table):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-rescale")
+        return orig(self, epoch, name, table)
+
+    rmod.EpochSink.write_snapshot = boom
+    try:
+        with pytest.raises(RuntimeError):
+            rescale_checkpoint(out, 5)
+    finally:
+        rmod.EpochSink.write_snapshot = orig
+    assert os.path.exists(f"{out}/manifests/rescale.json")  # journaled
+    res = rescale_checkpoint(out, 5)  # re-run completes from the journal
+    assert res["new"] == 5
+    assert not os.path.exists(f"{out}/manifests/rescale.json")
+    StreamingJob(_cfg(in_dir, out, 5)).run(resume=True)
+    idx = np.sort(_rows(out)["doc_idx"].to_numpy())
+    assert len(idx) == N_ROWS and (idx == np.arange(N_ROWS)).all()
+    pd.testing.assert_frame_equal(_agg(out), _agg(ref_out))
+
+
+def test_rescale_guards(rescale_dirs, tmp_path):
+    base, in_dir, _ = rescale_dirs
+    out = str(base / "out_guard")
+    StreamingJob(_cfg(in_dir, out, 4)).run(resume=False, stop_after_epoch=1)
+    # same count: no-op
+    assert rescale_checkpoint(out, 4)["epoch"] is None
+    # un-rescaled partition change is still refused by the shape guard
+    with pytest.raises(ValueError, match="job shape changed"):
+        StreamingJob(_cfg(in_dir, out, 9)).run(resume=True)
