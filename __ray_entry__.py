@@ -3658,6 +3658,67 @@ def _q_api_interpolate_json(sf):
     return pd.DataFrame(env["data"])[["TagName", "EventTime", "Value"]]
 
 
+def _q_api_twa_json(sf):
+    """REST API v1 time-weighted-average endpoint end-to-end (reference
+    ``api/v1/time_weighted_average.py``): hourly trapezoid TWA (step=false,
+    1-interval lookback widening) over the two-tag set through the handler
+    envelope; 4-dp values and ns-ISO EventTime strings round-trip the JSON
+    writer exactly."""
+    import json
+
+    import pandas as pd
+
+    from core_ray.api import (
+        BaseQueryParams,
+        RawQueryParams,
+        TagsQueryParams,
+        TimeWeightedAverageQueryParams,
+    )
+    from core_ray.api.v1 import time_weighted_average_events_get
+
+    resp = time_weighted_average_events_get(
+        BaseQueryParams(
+            source=f"{sf}/events.parquet",
+            tagname_column="event_type",
+            timestamp_column="ts",
+            status_column=None,
+            value_column="value",
+        ),
+        RawQueryParams(start_date=START, end_date=END),
+        TimeWeightedAverageQueryParams("1", "hour", window_length=1, step="false"),
+        TagsQueryParams(list(TAGS2)),
+    )
+    env = json.loads(resp.content)
+    return pd.DataFrame(env["data"])[["TagName", "EventTime", "Value"]]
+
+
+def _q_api_latest_json(sf):
+    """REST API v1 latest endpoint end-to-end (reference
+    ``api/v1/latest.py``): per-tag latest-value registers through the
+    handler envelope (EventTime/GoodEventTime as ns-ISO strings)."""
+    import json
+
+    import pandas as pd
+
+    from core_ray.api import BaseQueryParams, TagsQueryParams
+    from core_ray.api.v1 import latest_events_get
+
+    resp = latest_events_get(
+        BaseQueryParams(
+            source=f"{sf}/events.parquet",
+            tagname_column="event_type",
+            timestamp_column="ts",
+            status_column=None,
+            value_column="value",
+        ),
+        TagsQueryParams(["click", "error", "purchase", "signup", "view"]),
+    )
+    env = json.loads(resp.content)
+    return pd.DataFrame(env["data"])[
+        ["TagName", "EventTime", "Status", "Value", "GoodEventTime", "GoodValue"]
+    ]
+
+
 def _q_api_plot_json(sf):
     """REST API v1 plot endpoint end-to-end (reference ``api/v1/plot.py``):
     6-hour OHLC decimation through the handler envelope, paged; the
@@ -3951,6 +4012,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "api_resample_json": _q_api_resample_json,
         "api_interpolate_json": _q_api_interpolate_json,
         "api_plot_json": _q_api_plot_json,
+        "api_twa_json": _q_api_twa_json,
+        "api_latest_json": _q_api_latest_json,
         "doc_textrank": _q_doc_textrank,
         "rel_returned_items": _q_rel_returned_items,
         "rel_cust_distribution": _q_rel_cust_distribution,
@@ -6618,6 +6681,60 @@ SELECT sel.TagName,
        sel.Aggregation, sel.Value
 FROM sel JOIN pg ON sel.TagName = pg.TagName AND sel.ws = pg.ws
 ORDER BY 1, 2, 3
+"""
+
+# API TWA = the ts_twa trapezoid oracle restricted to the two-tag set,
+# EventTime serialized through the ns-ISO JSON envelope format
+_ORACLE["api_twa_json"] = """
+WITH ev AS (SELECT event_type AS TagName, epoch_us(ts) AS tus, value AS v
+            FROM events
+            WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' - INTERVAL 1 HOUR
+                         AND TIMESTAMP '2024-01-31 00:00:00' + INTERVAL 1 HOUR
+              AND event_type IN ('click', 'purchase')),
+tags AS (SELECT DISTINCT TagName FROM ev),
+grid AS (SELECT unnest(generate_series(1704067200000000, 1706659200000000, 3600000000)) AS tus),
+pts AS (SELECT TagName, tus, v, 0 AS is_b FROM ev
+        UNION ALL
+        SELECT t.TagName, g.tus, NULL, 1 FROM tags t CROSS JOIN grid g),
+w AS (SELECT TagName, tus, v, is_b,
+  last_value(v IGNORE NULLS) OVER
+    (PARTITION BY TagName ORDER BY tus, is_b, v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+  last_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS) OVER
+    (PARTITION BY TagName ORDER BY tus, is_b, v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pt,
+  first_value(v IGNORE NULLS) OVER
+    (PARTITION BY TagName ORDER BY tus, is_b, v ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+  first_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS) OVER
+    (PARTITION BY TagName ORDER BY tus, is_b, v ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nt
+  FROM pts),
+filled AS (SELECT TagName, tus, is_b,
+  CASE WHEN is_b = 0 THEN v ELSE CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN   CASE WHEN pt = tus THEN pv ELSE pv + (nv - pv) * (tus - pt) / (nt - pt) END WHEN pv IS NOT NULL THEN pv END END AS v2
+  FROM w),
+seg AS (SELECT TagName, tus, v2,
+  lead(tus) OVER (PARTITION BY TagName ORDER BY tus, is_b) AS n_tus,
+  lead(v2) OVER (PARTITION BY TagName ORDER BY tus, is_b) AS n_v2
+  FROM filled),
+c AS (SELECT TagName,
+  1704067200000000 + CAST(floor((tus - 1704067200000000) / 3600000000.0) AS BIGINT) * 3600000000 AS ws,
+  (n_tus - tus) / 60000000.0 AS mins, v2, n_v2
+  FROM seg
+  WHERE n_tus IS NOT NULL AND v2 IS NOT NULL AND n_v2 IS NOT NULL)
+SELECT TagName,
+       strftime(make_timestamp(ws), '%Y-%m-%dT%H:%M:%S.%f') || '000' AS EventTime,
+       round_even(SUM((v2 + n_v2) / 2 * mins) / SUM(mins), 4) AS Value
+FROM c WHERE ws >= 1704067200000000 AND ws < 1706659200000000
+GROUP BY 1, 2 HAVING SUM(mins) > 0
+ORDER BY 1, 2
+"""
+
+_ORACLE["api_latest_json"] = """
+SELECT event_type AS TagName,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '000' AS EventTime,
+       'Good' AS Status, value AS Value,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '000' AS GoodEventTime,
+       value AS GoodValue
+FROM events
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, value DESC) = 1
+ORDER BY 1
 """
 
 _ORACLE["emb_novel_full"] = """
