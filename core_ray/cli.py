@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
         "pipeline", help="run a reference-format pipeline-job JSON spec"
     )
     pl.add_argument("spec", help="path to the pipeline JSON")
+
+    rs = sub.add_parser(
+        "rescale", help="re-route a stopped job's checkpoint to a new partition count"
+    )
+    rs.add_argument("--out-dir", required=True)
+    rs.add_argument("--num-partitions", type=int, required=True)
     return ap
 
 
@@ -145,6 +151,11 @@ def main(argv: list[str] | None = None) -> dict:
             files_per_epoch=args.files_per_epoch,
         )
         res = StreamPatternJob(cfg).run(resume=args.resume)
+    elif args.cmd == "rescale":
+        # offline: no Ray session needed, but _ensure_ray is harmless
+        from .streaming import rescale_checkpoint
+
+        res = rescale_checkpoint(args.out_dir, args.num_partitions)
     elif args.cmd == "pipeline":
         from .pipelines.converters import PipelineJobFromJsonConverter
 

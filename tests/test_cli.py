@@ -110,3 +110,24 @@ def test_cli_pipeline_spec(tmp_path):
     assert res["ok"] and res["steps"] == ["counts", "sink", "src"]
     files = glob.glob(str(tmp_path / "out" / "*.parquet"))
     assert files and sum(pq.read_table(f).num_rows for f in files) == 500
+
+
+def test_cli_rescale_roundtrip(tmp_path):
+    """stream-agg -> stop implicit (full run), rescale via CLI, resume at the
+    new width re-emits nothing and the checkpoint reports the new count."""
+    import glob
+    import json
+
+    from core_ray.synth import write_tokens_table
+
+    ind, out = str(tmp_path / "in"), str(tmp_path / "out")
+    write_tokens_table(ind, n_rows=4000, rows_per_file=1000)
+    main(["stream-agg", "--input-dir", ind, "--out-dir", out,
+          "--window-s", "60", "--num-partitions", "4"])
+    res = main(["rescale", "--out-dir", out, "--num-partitions", "6"])
+    assert res["old"] == 4 and res["new"] == 6
+    shape = json.load(open(f"{out}/manifests/job.json"))
+    assert shape["num_partitions"] == 6
+    res2 = main(["stream-agg", "--input-dir", ind, "--out-dir", out,
+                 "--window-s", "60", "--num-partitions", "6", "--resume"])
+    assert res2["totals"]["rows"] == 0  # nothing re-emitted after rescale
