@@ -3425,6 +3425,47 @@ def _build_delta_nation(sf, scratch_name="delta_nation"):
     return tmp
 
 
+def _q_delta_write_roundtrip(sf):
+    """The native Delta WRITER graded through its own reader: the orders
+    table written as a real Delta table in three commits (two distributed
+    partitioned appends, then an OVERWRITE that tombstones every live file
+    and rewrites the o_orderkey%3==0 subset) and read back purely through
+    ``_delta_log``.  Oracle: plain SELECT of the final overwrite subset."""
+    import ray.data
+
+    from core_ray.sources.delta_log import read_delta
+    from core_ray.sources.delta_write import write_delta
+
+    base = _scratch("delta_write")
+    tbl = f"{base}/orders_delta"
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+    ds = ray.data.read_parquet(f"{sf}/orders.parquet", columns=cols)
+
+    def half(par):
+        def fn(t):
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(pc.bit_wise_and(t["o_orderkey"], 1), par))
+
+        return fn
+
+    write_delta(ds.map_batches(half(0), batch_format="pyarrow"), tbl,
+                mode="append", partition_cols=["o_orderpriority"])
+    write_delta(ds.map_batches(half(1), batch_format="pyarrow"), tbl,
+                mode="append", partition_cols=["o_orderpriority"])
+
+    def third(t):
+        import pyarrow.compute as pc
+
+        keep = pc.equal(pc.subtract(t["o_orderkey"],
+                                    pc.multiply(pc.divide(t["o_orderkey"], 3), 3)), 0)
+        return t.filter(keep)
+
+    write_delta(ds.map_batches(third, batch_format="pyarrow"), tbl,
+                mode="overwrite", partition_cols=["o_orderpriority"])
+    return read_delta(tbl).sort("o_orderkey")
+
+
 def _q_delta_read(sf):
     """Native Delta transaction-log reader driven END-TO-END: the nation
     fixture table (one partition file per n_regionkey; v0 adds all five, v1
@@ -3952,6 +3993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tok_bpe_encode": _q_tok_bpe_encode,
         "doc_skipgrams": _q_doc_skipgrams,
         "delta_time_travel": _q_delta_time_travel,
+        "delta_write_roundtrip": _q_delta_write_roundtrip,
         "rel_ship_priority": _q_rel_ship_priority,
         "rel_big_orders": _q_rel_big_orders,
         "rel_bucketed_join": _q_rel_bucketed_join,
@@ -6735,6 +6777,12 @@ SELECT event_type AS TagName,
 FROM events
 QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, value DESC) = 1
 ORDER BY 1
+"""
+
+_ORACLE["delta_write_roundtrip"] = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 3 = 0
+ORDER BY o_orderkey
 """
 
 _ORACLE["emb_novel_full"] = """

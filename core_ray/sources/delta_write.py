@@ -1,0 +1,265 @@
+"""Minimal native Delta Lake transaction-log WRITER (no Spark, no delta-rs)
+— the write half of :mod:`delta_log`, so the engine's output is a real Delta
+table any Delta reader can consume.
+
+Reference ``destinations/spark/delta.py:23`` writes through Spark; this
+module implements the public delta.io PROTOCOL.md commit discipline
+directly:
+
+- data files are written DISTRIBUTED (one parquet per Ray block, written
+  task-side inside ``map_batches`` — the executors-write/driver-commits
+  split Delta itself uses); only (path, rows, size) manifests return to the
+  driver,
+- the driver serializes one commit ``<v>.json`` — ``commitInfo`` +
+  (first commit) ``protocol``/``metaData`` with the Spark-JSON
+  ``schemaString`` + one ``add`` action per file (``overwrite`` adds a
+  ``remove`` tombstone per previously-live file),
+- the commit is published with CREATE-EXCLUSIVE semantics (``os.link`` of a
+  temp file onto the final name): two racing writers cannot both win a
+  version — the loser retries at v+1, exactly the protocol's
+  put-if-absent rule.  A crash before the link leaves orphan parquet files
+  that no log entry references — invisible to every reader, per protocol.
+
+Partitioning: ``partition_cols`` splits each block by partition tuple
+(hive-style ``col=value`` directories, values recorded as strings in
+``add.partitionValues``; the data files EXCLUDE partition columns — the log
+is the authority, matching the reader's replace-then-attach rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+_ARROW_TO_SPARK = {
+    pa.string(): "string",
+    pa.large_string(): "string",
+    pa.int64(): "long",
+    pa.int32(): "integer",
+    pa.int16(): "short",
+    pa.int8(): "byte",
+    pa.float64(): "double",
+    pa.float32(): "float",
+    pa.bool_(): "boolean",
+    pa.date32(): "date",
+    pa.timestamp("us"): "timestamp",
+}
+
+
+def _schema_string(schema: pa.Schema) -> str:
+    fields = []
+    for f in schema:
+        typ = _ARROW_TO_SPARK.get(f.type)
+        if typ is None:
+            if pa.types.is_timestamp(f.type):
+                typ = "timestamp"
+            elif pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type):
+                typ = "binary"
+            elif pa.types.is_decimal(f.type):
+                typ = f"decimal({f.type.precision},{f.type.scale})"
+            else:
+                raise TypeError(f"no Delta schema mapping for {f.type}")
+        fields.append(
+            {"name": f.name, "type": typ, "nullable": f.nullable, "metadata": {}}
+        )
+    return json.dumps({"type": "struct", "fields": fields})
+
+
+def _partition_value(v) -> str | None:
+    """Log representation of a partition value (strings per protocol)."""
+    if v is None or (isinstance(v, float) and v != v):  # None / pandas NaN
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _write_block_files(table_path: str, partition_cols: list[str]):
+    """map_batches stage: write this block's rows as parquet data files
+    (one per partition tuple), return add-action manifests only."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        adds = []
+        if partition_cols:
+            kdf = t.select(partition_cols).to_pandas()
+            groups = [
+                (
+                    dict(zip(partition_cols, k if isinstance(k, tuple) else (k,))),
+                    rows,
+                )
+                for k, rows in kdf.groupby(
+                    partition_cols, dropna=False, sort=True
+                ).indices.items()
+            ]
+        else:
+            groups = [({}, None)]
+        data = t.drop_columns(partition_cols) if partition_cols else t
+        for tup, rows in groups:
+            part = data if rows is None else data.take(pa.array(rows))
+            pvals = {c: _partition_value(tup.get(c)) for c in partition_cols}
+            reldir = "/".join(
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if pvals[c] is None else pvals[c]}"
+                for c in partition_cols
+            )
+            fname = f"part-{uuid.uuid4().hex}.parquet"
+            rel = f"{reldir}/{fname}" if reldir else fname
+            full = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            pq.write_table(part, full)
+            adds.append(
+                {
+                    "path": rel,
+                    "partitionValues": json.dumps(pvals),
+                    "size": os.path.getsize(full),
+                    "rows": len(part),
+                }
+            )
+        return pa.table(
+            {
+                "path": pa.array([a["path"] for a in adds]),
+                "partitionValues": pa.array([a["partitionValues"] for a in adds]),
+                "size": pa.array([a["size"] for a in adds], pa.int64()),
+                "rows": pa.array([a["rows"] for a in adds], pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def _last_version(log_dir: str) -> int:
+    best = -1
+    if os.path.isdir(log_dir):
+        for name in os.listdir(log_dir):
+            if name.endswith(".json") and name[:-5].isdigit():
+                best = max(best, int(name[:-5]))
+    return best
+
+
+def _publish_commit(log_dir: str, actions: list[dict], start_version: int) -> int:
+    """Write the commit with put-if-absent semantics; on a version race,
+    retry at the next version (the loser's actions still apply cleanly —
+    append adds commute; overwrite correctness under true concurrency is the
+    caller's transaction-isolation concern, as in Delta itself)."""
+    os.makedirs(log_dir, exist_ok=True)
+    payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    v = start_version
+    while True:
+        final = os.path.join(log_dir, f"{v:020d}.json")
+        try:
+            os.link(tmp, final)  # atomic create-exclusive publish
+            os.unlink(tmp)
+            return v
+        except FileExistsError:
+            v += 1
+
+
+def write_delta(
+    source: ray.data.Dataset | pa.Table,
+    table_path: str,
+    mode: str = "append",
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Write a Dataset (or Arrow table) as a commit to a Delta table.
+
+    ``mode``: ``append`` | ``overwrite`` (tombstones every previously-live
+    file) | ``error`` (raise if the table exists) | ``ignore`` (no-op if the
+    table exists) — the reference PythonDeltaDestination's mode set.
+    Returns ``{version, files, rows}``.
+    """
+    partition_cols = list(partition_cols or [])
+    ds = (
+        ray.data.from_arrow(source) if isinstance(source, pa.Table) else source
+    )
+    log_dir = os.path.join(table_path, "_delta_log")
+    exists = _last_version(log_dir) >= 0
+    if mode == "error" and exists:
+        raise FileExistsError(f"Delta table already exists: {table_path}")
+    if mode == "ignore" and exists:
+        return {"version": _last_version(log_dir), "files": 0, "rows": 0}
+    if mode not in ("append", "overwrite", "error", "ignore"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    schema = ds.schema().base_schema
+    for c in partition_cols:
+        if c not in schema.names:
+            raise ValueError(f"partition column {c!r} not in schema")
+
+    os.makedirs(table_path, exist_ok=True)
+    # distributed write: one parquet per (block, partition tuple), manifests
+    # back to the driver — the only driver-side state is O(#files)
+    manifests = (
+        ds.map_batches(
+            _write_block_files(table_path, partition_cols),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+                "engineInfo": "core-ray-delta-writer/1.0",
+            }
+        }
+    ]
+    if not exists:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _schema_string(schema),
+                    "partitionColumns": partition_cols,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    if mode == "overwrite" and exists:
+        from .delta_log import snapshot
+
+        for f in snapshot(table_path).files:
+            actions.append(
+                {
+                    "remove": {
+                        "path": f["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for r in manifests.itertuples():
+        actions.append(
+            {
+                "add": {
+                    "path": r.path,
+                    "partitionValues": json.loads(r.partitionValues),
+                    "size": int(r.size),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    version = _publish_commit(log_dir, actions, _last_version(log_dir) + 1)
+    return {
+        "version": version,
+        "files": len(manifests),
+        "rows": int(manifests["rows"].sum()),
+    }

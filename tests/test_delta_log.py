@@ -242,3 +242,78 @@ def test_version_at_timestamp_resolution(delta_table):
     assert list(df["id"]) == [1, 2, 4, 5]
     with pytest.raises(ValueError, match="not both"):
         read_delta(delta_table, version=1, timestamp_ms=2000)
+
+
+def test_delta_writer_reader_roundtrip(tmp_path):
+    """Append + append + overwrite through the native writer, read back
+    through the native reader: modes, tombstones, partition typing, and
+    time travel across the writer's own commits."""
+    import pyarrow as pa
+    import pytest
+
+    from core_ray.sources.delta_log import read_delta, snapshot
+    from core_ray.sources.delta_write import write_delta
+
+    d = str(tmp_path / "tbl")
+    t1 = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                   "p": pa.array(["a", "a", "b", "b"]),
+                   "v": pa.array([1.5, 2.5, 3.5, 4.5])})
+    t2 = pa.table({"k": pa.array([5, 6], pa.int64()),
+                   "p": pa.array(["a", "c"]),
+                   "v": pa.array([5.5, 6.5])})
+    r1 = write_delta(t1, d, mode="append", partition_cols=["p"])
+    assert r1["version"] == 0 and r1["rows"] == 4
+    r2 = write_delta(t2, d, mode="append", partition_cols=["p"])
+    assert r2["version"] == 1
+    df = read_delta(d).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(df["k"]) == [1, 2, 3, 4, 5, 6]
+    assert list(df["p"]) == ["a", "a", "b", "b", "a", "c"]
+
+    # error / ignore modes
+    with pytest.raises(FileExistsError):
+        write_delta(t1, d, mode="error", partition_cols=["p"])
+    assert write_delta(t1, d, mode="ignore")["rows"] == 0
+
+    # overwrite tombstones everything live
+    t3 = pa.table({"k": pa.array([9], pa.int64()), "p": pa.array(["z"]),
+                   "v": pa.array([9.0])})
+    r3 = write_delta(t3, d, mode="overwrite", partition_cols=["p"])
+    assert read_delta(d).to_pandas()["k"].tolist() == [9]
+    # time travel still sees the pre-overwrite state
+    assert len(read_delta(d, version=1).to_pandas()) == 6
+    # snapshot partition metadata came from the writer's metaData action
+    snap = snapshot(d)
+    assert snap.partition_columns == ["p"]
+
+
+def test_delta_writer_concurrent_version_race(tmp_path):
+    """Two commits prepared against the same base version: the loser's
+    put-if-absent link fails and it lands on the next version."""
+    import pyarrow as pa
+
+    from core_ray.sources.delta_log import read_delta
+    from core_ray.sources.delta_write import _publish_commit, write_delta
+
+    d = str(tmp_path / "tbl")
+    t = pa.table({"k": pa.array([1], pa.int64())})
+    write_delta(t, d, mode="append")
+    log = f"{d}/_delta_log"
+    # both racers target version 1
+    v_a = _publish_commit(log, [{"commitInfo": {"timestamp": 1}}], 1)
+    v_b = _publish_commit(log, [{"commitInfo": {"timestamp": 2}}], 1)
+    assert {v_a, v_b} == {1, 2}
+
+
+def test_delta_writer_null_partition_value(tmp_path):
+    import pyarrow as pa
+
+    from core_ray.sources.delta_log import read_delta
+    from core_ray.sources.delta_write import write_delta
+
+    d = str(tmp_path / "tbl")
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "p": pa.array(["a", None])})
+    write_delta(t, d, mode="append", partition_cols=["p"])
+    df = read_delta(d).to_pandas().sort_values("k")
+    assert df["p"].tolist()[0] == "a"
+    assert df["p"].isna().tolist() == [False, True]
