@@ -541,6 +541,73 @@ def _q_ev_stream_outer_join(sf):
     return ray.data.from_pandas(out)
 
 
+def _q_ev_stream_asof_join(sf):
+    """The streaming TEMPORAL (as-of) join end to end: every click enriched
+    with the latest purchase at-or-before it by the same user; pending
+    clicks finalize exactly once when the watermark crosses them, right
+    history keeps only the per-key latest row below the watermark.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from core_ray.streaming import JoinConfig, StreamJoinJob, read_joined
+
+    tmp = _scratch("stream_asof")
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    for side, etype, cols in (
+        ("l", "click", ["user_id", "ts_us", "event_id"]),
+        ("r", "purchase", ["user_id", "ts_us", "value"]),
+    ):
+        part = (
+            ev.loc[ev["event_type"] == etype, cols]
+            .sort_values("ts_us", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        d = f"{tmp}/{side}"
+        _os.makedirs(d, exist_ok=True)
+        step = (len(part) + 3) // 4
+        for i in range(4):
+            pq.write_table(
+                pa.Table.from_pandas(part.iloc[i * step: (i + 1) * step], preserve_index=False),
+                f"{d}/f{i:03d}.parquet",
+            )
+    cfg = JoinConfig(
+        left_dir=f"{tmp}/l",
+        right_dir=f"{tmp}/r",
+        out_dir=f"{tmp}/out",
+        key_col="user_id",
+        num_partitions=4,
+        files_per_epoch=1,
+        left_payload=["event_id"],
+        right_payload=["value"],
+        how="asof",
+    )
+    StreamJoinJob(cfg).run(resume=False)
+    df = read_joined(f"{tmp}/out").to_pandas()
+    import numpy as np
+
+    rts = df["r_ts_us"].to_numpy(dtype="float64", na_value=np.nan)
+    pts = np.full(len(rts), np.datetime64("NaT", "us"))
+    mask = ~np.isnan(rts)
+    pts[mask] = rts[mask].astype("int64").astype("datetime64[us]")
+    out = pd.DataFrame(
+        {
+            "user_id": df["user_id"].astype("int64"),
+            "click_id": df["l_event_id"].astype("int64"),
+            "click_ts": df["l_ts_us"].astype("datetime64[us]"),
+            "purchase_ts": pts,
+            "purchase_value": df["r_value"].astype("float64"),
+        }
+    ).sort_values(["user_id", "click_id"]).reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
 def _ev_typed(sf, etype: str, cols: list[str], rename: dict[str, str] | None = None):
     """events filtered to one type, pruned to ``cols``, optionally renamed —
     vectorized Arrow filter, no per-row predicate."""
@@ -3914,6 +3981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_stream_pattern": _q_ev_stream_pattern,
         "ev_stream_join": _q_ev_stream_join,
         "ev_stream_outer_join": _q_ev_stream_outer_join,
+        "ev_stream_asof_join": _q_ev_stream_asof_join,
         "mm_resize_frames": _q_mm_resize_frames,
         "ts_circular_avg": _q_ts_circular_avg,
         "rel_pricing_summary": _q_rel_pricing,
@@ -5748,6 +5816,15 @@ _ORACLE["qb_twa"] = _ORACLE["ts_twa"]
 # The streaming symmetric hash join's incremental emission (newL x stateR +
 # newL x newR + stateL x newR per barrier) covers every qualifying pair
 # exactly once, so the committed output equals the batch interval join.
+_ORACLE["ev_stream_asof_join"] = """
+SELECT l.user_id, l.event_id AS click_id, l.ts AS click_ts,
+       r.ts AS purchase_ts, CAST(r.value AS DOUBLE) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY 1, 2
+"""
+
 _ORACLE["ev_stream_outer_join"] = """
 SELECT l.user_id, l.event_id AS click_id,
        CAST(r.event_id AS DOUBLE) AS purchase_id,

@@ -25,6 +25,18 @@ the driver appends one FLUSH epoch (index ``n_epochs``, watermark = +inf)
 once both streams are exhausted, draining the still-unmatched tail; the
 flush rides the same idempotent epoch-commit protocol.
 
+``how="asof"`` is the streaming TEMPORAL join (CDC/dimension enrichment):
+each left row matches the LATEST right row of its key with ``r.ts <=
+l.ts`` (left-outer: no such row -> nulls).  A left row is FINALIZED — its
+match can never change — once the watermark passes its event time (any
+future right arrival has ``ts >= wm > l.ts``), so pending left rows wait
+in state and emit exactly once in the epoch the watermark crosses them
+(or at the flush).  Right-history eviction is the classic temporal-table
+rule: per key, keep every row above the watermark plus the single latest
+row at-or-below it (it may still be the match for a future left row).
+The per-barrier match is one ``pd.merge_asof`` (C-speed) over the
+finalized lefts.  ``band_lo_us``/``band_hi_us`` are ignored in this mode.
+
 Exactly-once / resume: the same ``EpochSink`` commit protocol as the
 windowed-aggregate engine (``sink.py``) — deterministic per-(partition,
 epoch) files, atomic manifests, per-epoch state snapshots; a run killed
@@ -75,7 +87,7 @@ class JoinConfig:
     # payload columns carried through (prefixed l_/r_ in the output)
     left_payload: list = field(default_factory=list)
     right_payload: list = field(default_factory=list)
-    how: str = "inner"  # "inner" | "left_outer"
+    how: str = "inner"  # "inner" | "left_outer" | "asof"
 
 
 def _list_files(d: str) -> list[str]:
@@ -175,6 +187,28 @@ class JoinPartitionActor:
             self.max_ts[side] = max(self.max_ts[side], self._epoch_max.pop(k))
 
         import pyarrow.compute as pc
+
+        if self.how == "asof":
+            pieces = self._asof_apply(new_l, new_r, watermark_us)
+            self.watermark = watermark_us
+            if pieces:
+                out = pieces[0] if len(pieces) == 1 else pa.concat_tables(pieces)
+                out = out.sort_by([(c, "ascending") for c in out.column_names])
+            else:
+                out = self._empty_out()
+            counters = {
+                "rows_emitted": len(out),
+                "late_rows": self._late,
+                "state_l": 0 if self.state["l"] is None else len(self.state["l"]),
+                "state_r": 0 if self.state["r"] is None else len(self.state["r"]),
+                "state_bytes": sum(
+                    t.nbytes for t in self.state.values() if t is not None
+                ),
+            }
+            self.sink.commit_epoch(epoch, {"joined": out}, counters)
+            self._write_snapshot(epoch)
+            self.sink.gc_snapshots(epoch - 1)
+            return counters
 
         state_l, state_r = self.state["l"], self.state["r"]
         outer = self.how == "left_outer"
@@ -301,6 +335,109 @@ class JoinPartitionActor:
         return m.filter(
             pc.and_(pc.greater_equal(d, self.lo), pc.less_equal(d, self.hi))
         )
+
+    # -- asof mode --------------------------------------------------------
+
+    def _asof_apply(self, new_l, new_r, wm: int) -> list:
+        """Append arrivals, finalize left rows below the watermark (their
+        as-of match can never change), evict dominated right history."""
+        import pyarrow.compute as pc
+
+        st_l = self._concat(
+            self.state["l"],
+            None if new_l is None else new_l.select(self._side_cols("l")),
+        )
+        st_r = self._concat(
+            self.state["r"],
+            None if new_r is None else new_r.select(self._side_cols("r")),
+        )
+        pieces = []
+        if st_l is not None and len(st_l):
+            fin_mask = pc.less(st_l[self.ts], wm)
+            fin = st_l.filter(fin_mask)
+            self.state["l"] = st_l.filter(pc.invert(fin_mask))
+            if len(fin):
+                pieces.append(self._asof_match(fin, st_r))
+        else:
+            self.state["l"] = st_l
+        self.state["r"] = self._evict_asof(st_r, wm)
+        return pieces
+
+    def _asof_match(self, fin: pa.Table, st_r: pa.Table | None) -> pa.Table:
+        """Latest right <= left ts per key for the finalized lefts — one
+        C-speed ``pd.merge_asof``; output shaped/typed exactly like a band
+        join row (nullable right columns for unmatched lefts)."""
+        lf = (
+            fin.to_pandas()
+            .sort_values(self.ts, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        rtypes = {}
+        if st_r is not None:
+            for c in [self.ts] + self.rpay:
+                rtypes[c] = st_r.schema.field(c).type
+        elif self._schema["r"] is not None:
+            for c in [self.ts] + self.rpay:
+                rtypes[c] = self._schema["r"].field(c).type
+        if st_r is not None and len(st_r):
+            rf = (
+                st_r.to_pandas()
+                # full deterministic order: among duplicate (key, ts) right
+                # rows merge_asof takes the LAST in frame order, so the
+                # payload columns break the tie reproducibly
+                .sort_values([self.ts] + self.rpay, kind="mergesort")
+                .reset_index(drop=True)
+            )
+            rf = rf.rename(columns={c: f"r_{c}" for c in self.rpay})
+            rf["_r_ts"] = rf[self.ts]
+            m = pd.merge_asof(
+                lf, rf, on=self.ts, by=self.key, direction="backward"
+            )
+        else:
+            m = lf.copy()
+            m["_r_ts"] = np.nan
+            for c in self.rpay:
+                m[f"r_{c}"] = np.nan
+        cols: dict = {self.key: fin[self.key].type, f"l_{self.ts}": pa.int64()}
+        data = {
+            self.key: m[self.key],
+            f"l_{self.ts}": m[self.ts],
+        }
+        for c in self.lpay:
+            cols[f"l_{c}"] = fin.schema.field(c).type
+            data[f"l_{c}"] = m[c]
+        cols[f"r_{self.ts}"] = rtypes.get(self.ts, pa.int64())
+        data[f"r_{self.ts}"] = m["_r_ts"]
+        for c in self.rpay:
+            cols[f"r_{c}"] = rtypes.get(c, pa.null())
+            data[f"r_{c}"] = m[f"r_{c}"]
+        return pa.table(
+            {
+                name: pa.array(data[name], type=cols[name], from_pandas=True)
+                for name in cols
+            }
+        )
+
+    def _evict_asof(self, st_r: pa.Table | None, wm: int) -> pa.Table | None:
+        """Temporal-table eviction: per key keep all rows with ts >= wm plus
+        the single LATEST row below wm (it may match a future left)."""
+        if st_r is None or not len(st_r):
+            return st_r
+        st_r = st_r.sort_by(
+            [(c, "ascending") for c in [self.key, self.ts] + self.rpay]
+        )
+        keys = st_r[self.key].to_numpy(zero_copy_only=False)
+        ts = st_r[self.ts].to_numpy(zero_copy_only=False)
+        below = ts < wm
+        n = len(ts)
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = keys[:-1] == keys[1:]
+        next_below = np.zeros(n, dtype=bool)
+        next_below[:-1] = below[1:]
+        # last below-row of its key = below, and the next row is a different
+        # key or not below
+        last_below = below & ~(same_next & next_below)
+        return st_r.filter(pa.array(~below | last_below))
 
     def _null_extend(self, lt: pa.Table) -> pa.Table:
         """Unmatched left rows as output rows: left columns renamed as in a
@@ -482,7 +619,7 @@ class StreamJoinJob:
         # idempotent commit: a resume that already flushed skips the commit,
         # a resume that crashed mid-flush replays it deterministically.
         if (
-            cfg.how == "left_outer"
+            cfg.how in ("left_outer", "asof")
             and stop_after_epoch is None
             and start <= self.n_epochs
         ):

@@ -327,3 +327,74 @@ def test_outer_join_resume_after_flush_is_noop(tmp_path):
     h1 = _sink_hash(out)
     StreamJoinJob(_cfg_outer(ld, rd, out)).run(resume=True)
     assert _sink_hash(out) == h1
+
+
+def _cfg_asof(ld, rd, out):
+    cfg = _cfg(ld, rd, out)
+    cfg.how = "asof"
+    return cfg
+
+
+def _read_asof(out_dir):
+    from core_ray.streaming import read_joined
+
+    df = read_joined(out_dir).to_pandas()
+    cols = ["key", "l_ts_us", "r_ts_us", "l_l_id", "r_r_id"]
+    return df.sort_values(cols).reset_index(drop=True)[cols].astype("float64")
+
+
+def test_asof_join_matches_merge_asof(tmp_path):
+    from core_ray.streaming import StreamJoinJob
+
+    ld, rd, left, right = _mk_streams(tmp_path, n=3000)
+    out = str(tmp_path / "out")
+    StreamJoinJob(_cfg_asof(ld, rd, out)).run(resume=False)
+    got = _read_asof(out)
+    lf = left.sort_values("ts_us", kind="mergesort")
+    rf = right.sort_values(["ts_us", "r_id"], kind="mergesort")
+    exp = pd.merge_asof(lf, rf, on="ts_us", by="key", direction="backward",
+                        suffixes=("", "_r"))
+    exp = pd.DataFrame(
+        {
+            "key": exp["key"], "l_ts_us": exp["ts_us"],
+            "r_ts_us": np.where(exp["r_id"].notna(),
+                                 exp.get("ts_us_r", exp["ts_us"]), np.nan),
+            "l_l_id": exp["l_id"], "r_r_id": exp["r_id"],
+        }
+    )
+    # merge_asof drops the right ts column when names collide; recompute it
+    # from the matched r_id instead
+    rmap = right.set_index("r_id")["ts_us"]
+    exp["r_ts_us"] = exp["r_r_id"].map(rmap)
+    exp = exp.sort_values(list(exp.columns)).reset_index(drop=True).astype("float64")
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
+
+
+def test_asof_join_crash_resume_byte_identical(tmp_path):
+    from core_ray.streaming import StreamJoinJob
+
+    ld, rd, _, _ = _mk_streams(tmp_path, n=2000)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    StreamJoinJob(_cfg_asof(ld, rd, out_a)).run(resume=False)
+    StreamJoinJob(_cfg_asof(ld, rd, out_b)).run(resume=False, stop_after_epoch=2)
+    StreamJoinJob(_cfg_asof(ld, rd, out_b)).run(resume=True)
+    assert _sink_hash(out_a) == _sink_hash(out_b)
+
+
+def test_asof_right_state_keeps_latest_below_watermark(tmp_path):
+    """Eviction must NOT drop the newest right row below the watermark — a
+    later left still matches it (hand case: purchase long before the last
+    click)."""
+    from core_ray.streaming import StreamJoinJob
+
+    left = pd.DataFrame({"key": [1, 1], "ts_us": [5_000_000, 3_000_000_000],
+                         "l_id": [0, 1]})
+    right = pd.DataFrame({"key": [1], "ts_us": [1_000_000], "r_id": [7]})
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_stream(ld, left, 3)
+    _write_stream(rd, right, 3)
+    out = str(tmp_path / "out")
+    StreamJoinJob(_cfg_asof(ld, rd, out)).run(resume=False)
+    got = _read_asof(out)
+    assert len(got) == 2
+    assert got["r_r_id"].tolist() == [7.0, 7.0]  # both clicks enrich from it
