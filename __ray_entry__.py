@@ -1451,6 +1451,16 @@ def _q_ev_window_distinct(sf):
     return window_distinct_users(sf, start=START, end=END)
 
 
+def _q_emb_mmr(sf):
+    """Maximal-marginal-relevance diverse top-8 for query vec 0 (lambda 0.5):
+    greedy relevance-minus-redundancy selection with every cosine rounded by
+    the shared round_even kernel, so the oracle's chained-CTE replay of the
+    greedy trace is exact step for step."""
+    from core_ray.functions import mmr_select
+
+    return mmr_select(f"{sf}/embeddings.parquet", query_vec_id=0, k=8, lam=0.5)
+
+
 def _q_emb_knn_filtered(sf):
     """Filtered vector search: top-10 cosine among label == 2 rows only,
     predicate pushed into the parquet scan."""
@@ -4116,6 +4126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_corr": _q_doc_len_corr,
         "doc_entropy": _q_doc_entropy,
         "emb_knn_filtered": _q_emb_knn_filtered,
+        "emb_mmr": _q_emb_mmr,
         "emb_novel": _q_emb_novel,
         "rel_anti_join": _q_rel_anti_join,
         "emb_novel_ingest": _q_emb_novel_ingest,
@@ -6861,6 +6872,94 @@ SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
 FROM orders WHERE o_orderkey % 3 = 0
 ORDER BY o_orderkey
 """
+
+# MMR greedy trace replayed as chained CTEs (the BPE-oracle pattern):
+# step i selects argmax over the not-yet-selected candidates, with the
+# same round_even(·,4) cosines and exact 0.5 lambda as the engine.
+_ORACLE["emb_mmr"] = """WITH base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id <> 0
+),
+q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
+simq AS MATERIALIZED (
+  SELECT vec_id, e,
+         round_even(list_cosine_similarity(e, (SELECT e FROM q)), 4) AS sq
+  FROM base
+),
+s0 AS (SELECT 0 AS rank, vec_id, e, sq AS score FROM simq
+       ORDER BY sq DESC, vec_id LIMIT 1),
+sel1 AS (SELECT vec_id, e FROM s0),
+s1 AS (
+  SELECT 1 AS rank, c.vec_id, c.e,
+         c.sq - 0.5 * (
+           SELECT MAX(round_even(list_cosine_similarity(c.e, s.e), 4))
+           FROM sel1 s) AS score
+  FROM simq c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+  ORDER BY score DESC, c.vec_id LIMIT 1
+),
+sel2 AS (SELECT vec_id, e FROM s0 UNION ALL SELECT vec_id, e FROM s1),
+s2 AS (
+  SELECT 2 AS rank, c.vec_id, c.e,
+         c.sq - 0.5 * (
+           SELECT MAX(round_even(list_cosine_similarity(c.e, s.e), 4))
+           FROM sel2 s) AS score
+  FROM simq c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+  ORDER BY score DESC, c.vec_id LIMIT 1
+),
+sel3 AS (SELECT vec_id, e FROM s0 UNION ALL SELECT vec_id, e FROM s1 UNION ALL SELECT vec_id, e FROM s2),
+s3 AS (
+  SELECT 3 AS rank, c.vec_id, c.e,
+         c.sq - 0.5 * (
+           SELECT MAX(round_even(list_cosine_similarity(c.e, s.e), 4))
+           FROM sel3 s) AS score
+  FROM simq c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+  ORDER BY score DESC, c.vec_id LIMIT 1
+),
+sel4 AS (SELECT vec_id, e FROM s0 UNION ALL SELECT vec_id, e FROM s1 UNION ALL SELECT vec_id, e FROM s2 UNION ALL SELECT vec_id, e FROM s3),
+s4 AS (
+  SELECT 4 AS rank, c.vec_id, c.e,
+         c.sq - 0.5 * (
+           SELECT MAX(round_even(list_cosine_similarity(c.e, s.e), 4))
+           FROM sel4 s) AS score
+  FROM simq c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+  ORDER BY score DESC, c.vec_id LIMIT 1
+),
+sel5 AS (SELECT vec_id, e FROM s0 UNION ALL SELECT vec_id, e FROM s1 UNION ALL SELECT vec_id, e FROM s2 UNION ALL SELECT vec_id, e FROM s3 UNION ALL SELECT vec_id, e FROM s4),
+s5 AS (
+  SELECT 5 AS rank, c.vec_id, c.e,
+         c.sq - 0.5 * (
+           SELECT MAX(round_even(list_cosine_similarity(c.e, s.e), 4))
+           FROM sel5 s) AS score
+  FROM simq c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel5)
+  ORDER BY score DESC, c.vec_id LIMIT 1
+),
+sel6 AS (SELECT vec_id, e FROM s0 UNION ALL SELECT vec_id, e FROM s1 UNION ALL SELECT vec_id, e FROM s2 UNION ALL SELECT vec_id, e FROM s3 UNION ALL SELECT vec_id, e FROM s4 UNION ALL SELECT vec_id, e FROM s5),
+s6 AS (
+  SELECT 6 AS rank, c.vec_id, c.e,
+         c.sq - 0.5 * (
+           SELECT MAX(round_even(list_cosine_similarity(c.e, s.e), 4))
+           FROM sel6 s) AS score
+  FROM simq c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel6)
+  ORDER BY score DESC, c.vec_id LIMIT 1
+),
+sel7 AS (SELECT vec_id, e FROM s0 UNION ALL SELECT vec_id, e FROM s1 UNION ALL SELECT vec_id, e FROM s2 UNION ALL SELECT vec_id, e FROM s3 UNION ALL SELECT vec_id, e FROM s4 UNION ALL SELECT vec_id, e FROM s5 UNION ALL SELECT vec_id, e FROM s6),
+s7 AS (
+  SELECT 7 AS rank, c.vec_id, c.e,
+         c.sq - 0.5 * (
+           SELECT MAX(round_even(list_cosine_similarity(c.e, s.e), 4))
+           FROM sel7 s) AS score
+  FROM simq c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel7)
+  ORDER BY score DESC, c.vec_id LIMIT 1
+)
+SELECT rank, vec_id, score FROM s0 UNION ALL SELECT rank, vec_id, score FROM s1 UNION ALL SELECT rank, vec_id, score FROM s2 UNION ALL SELECT rank, vec_id, score FROM s3 UNION ALL SELECT rank, vec_id, score FROM s4 UNION ALL SELECT rank, vec_id, score FROM s5 UNION ALL SELECT rank, vec_id, score FROM s6 UNION ALL SELECT rank, vec_id, score FROM s7
+ORDER BY rank"""
 
 _ORACLE["emb_novel_full"] = """
 WITH hit AS (

@@ -1136,3 +1136,109 @@ def ivfpq_topk(
         .sort(["adist", "vec_id"])
         .limit(k)
     )
+
+
+def mmr_select(
+    source: str | ray.data.Dataset,
+    query_vec_id: int = 0,
+    k: int = 8,
+    lam: float = 0.5,
+) -> "pa.Table":
+    """Maximal-marginal-relevance DIVERSE top-k (Carbonell & Goldstein 1998)
+    — the data-curation selection primitive: greedily pick the candidate
+    maximizing ``r4(cos(c, q)) - lam * max_{s in selected} r4(cos(c, s))``
+    (ties to the smallest vec_id), so the selected set is both relevant to
+    the query and internally diverse.
+
+    Exactness: every cosine is rounded with the shared DuckDB ``round_even``
+    kernel BEFORE the comparison, and ``lam`` defaults to an exactly
+    representable 0.5 — the greedy trace is then bit-reproducible by a
+    chained-CTE SQL replay (the BPE-training oracle pattern applied to
+    selection).
+
+    Scale shape: k bounded corpus passes; pass i broadcasts the <= k
+    selected vectors via ``ray.put`` and each batch emits ONE partial
+    argmax row (id, score, embedding) — the driver merges #blocks rows per
+    pass.  At real scale you run MMR on a pre-filtered candidate pool (the
+    output of a kNN stage), not the raw corpus; the kernel is the same.
+    """
+    import pandas as pd
+
+    ds = _read_emb(source)
+    qrow = [
+        r
+        for b in ray.get(ds.to_arrow_refs())
+        for r in b.filter(
+            pc.equal(b["vec_id"], query_vec_id)
+        ).to_pylist()
+    ]
+    if not qrow:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+
+    selected: list[tuple[int, float, np.ndarray]] = []  # (id, score, vec)
+    for _ in range(int(k)):
+        sel_ids = np.array([i for i, _, _ in selected], dtype=np.int64)
+        sel_mat = (
+            np.stack([v for _, _, v in selected]) if selected else None
+        )
+        sel_ref = ray.put((sel_ids, sel_mat))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "e": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+            if len(batch) == 0:
+                return empty
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = _batch_matrix(batch)
+            s_ids, s_mat = ray.get(sel_ref)
+            keep = (ids != query_vec_id) & ~np.isin(ids, s_ids)
+            if not keep.any():
+                return empty
+            ids, mat = ids[keep], mat[keep]
+            score = round4(_cosine(mat, q))
+            if s_mat is not None:
+                msim = np.max(
+                    np.stack([round4(_cosine(mat, s)) for s in s_mat]), axis=0
+                )
+                score = score - lam * msim
+            best = np.lexsort((ids, -score))[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([ids[best]], pa.int64()),
+                    "score": pa.array([float(score[best])], pa.float64()),
+                    "e": pa.array([mat[best].tolist()], pa.list_(pa.float64())),
+                }
+            )
+
+        tops = pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+                )
+                if "score" in t.schema.names
+            ]
+        )
+        df = tops.to_pandas().sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        if not len(df):
+            break
+        win = df.iloc[0]
+        selected.append(
+            (int(win["vec_id"]), float(win["score"]), np.asarray(win["e"]))
+        )
+
+    return pa.table(
+        {
+            "rank": pa.array(range(len(selected)), pa.int64()),
+            "vec_id": pa.array([i for i, _, _ in selected], pa.int64()),
+            "score": pa.array([s for _, s, _ in selected], pa.float64()),
+        }
+    )

@@ -950,3 +950,30 @@ def test_winnow_short_docs_emit_nothing():
         {"doc_id": 2, "text": "a b"},          # no shingles
     ])
     assert winnow_fingerprints(docs, k=3, w=4).count() == 0
+
+
+def test_mmr_select_prefers_diverse_over_redundant():
+    """Three candidates: two near-clones of the query and one orthogonal-ish
+    vector — plain top-2 would take both clones, MMR's redundancy penalty
+    must pick the diverse vector second."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from core_ray.functions import mmr_select
+
+    rows = {
+        0: [1.0, 0.0, 0.0],       # query
+        1: [0.99, 0.05, 0.0],     # clone A (most relevant)
+        2: [0.98, 0.06, 0.0],     # clone B (redundant with A)
+        3: [0.6, 0.8, 0.0],       # diverse, less relevant
+    }
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(rows), pa.int64()),
+            "embedding": pa.array([rows[i] for i in rows], pa.list_(pa.float32())),
+        }
+    )
+    out = mmr_select(ray.data.from_arrow(t), query_vec_id=0, k=2, lam=0.5).to_pandas()
+    assert out["vec_id"].tolist() == [1, 3]
+    assert out["rank"].tolist() == [0, 1]
