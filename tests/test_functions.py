@@ -963,10 +963,11 @@ def test_mmr_select_prefers_diverse_over_redundant():
     from core_ray.functions import mmr_select
 
     rows = {
-        0: [1.0, 0.0, 0.0],       # query
-        1: [0.99, 0.05, 0.0],     # clone A (most relevant)
-        2: [0.98, 0.06, 0.0],     # clone B (redundant with A)
-        3: [0.6, 0.8, 0.0],       # diverse, less relevant
+        0: [1.0, 0.0],          # query
+        1: [0.95, 0.3122],      # winner (most relevant)
+        2: [0.93, 0.3674],      # near-clone of 1: equally relevant as 3 but
+                                # redundant (sim to 1 ~ 0.998 -> penalty 0.5)
+        3: [0.93, -0.3674],     # same relevance, diverse (sim to 1 ~ 0.77)
     }
     t = pa.table(
         {
