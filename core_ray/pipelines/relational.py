@@ -1364,30 +1364,68 @@ def daily_order_ship_counts(sf_dir: str) -> ray.data.Dataset:
     vice versa, survive with a NULL side).  Both sides shrink to per-day
     int partials before the one co-locating shuffle (hash_join's outer arm
     merges per bucket), so only (date, count) rows ever move."""
-    from ..functions.join import hash_join
+    from ..ops.common import _arrow_add_bucket
 
-    def day_counts(col_in: str, col_out: str):
+    def day_counts(col_in: str, side: int):
+        # tagged partials: (d, n_orders, has_o, n_ships, has_s) so BOTH
+        # sides ride one lineage and the outer-join NULL rule (day absent on
+        # a side -> NULL, not 0) survives the additive merge via the
+        # presence counters
         def fn(t: pa.Table) -> pa.Table:
-            return (
+            g = (
                 t.group_by([col_in], use_threads=False)
                 .aggregate([(col_in, "count")])
-                .rename_columns(["d", col_out])
+                .rename_columns(["d", "n"])
+            )
+            n = g["n"]
+            zero = pa.nulls(len(g), pa.int64()).fill_null(0)
+            cols = [n, n, zero, zero] if side == 0 else [zero, zero, n, n]
+            return pa.table(
+                {
+                    "d": g["d"],
+                    "n_orders": cols[0],
+                    "has_o": cols[1],
+                    "n_ships": cols[2],
+                    "has_s": cols[3],
+                }
             )
 
         return fn
 
-    orders = (
-        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
-        .map_batches(day_counts("o_orderdate", "n"), batch_format="pyarrow")
-        .groupby("d")
-        .sum("n")
-        .map_batches(lambda t: t.rename_columns(["d", "n_orders"]), batch_format="pyarrow")
+    def per_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcx
+
+        g = (
+            t.drop_columns(["_bucket"])
+            .group_by(["d"], use_threads=False)
+            .aggregate(
+                [("n_orders", "sum"), ("has_o", "sum"),
+                 ("n_ships", "sum"), ("has_s", "sum")]
+            )
+        )
+        no = pcx.if_else(
+            pcx.greater(g["has_o_sum"], 0), g["n_orders_sum"],
+            pa.nulls(len(g), pa.int64()),
+        )
+        ns = pcx.if_else(
+            pcx.greater(g["has_s_sum"], 0), g["n_ships_sum"],
+            pa.nulls(len(g), pa.int64()),
+        )
+        return pa.table({"d": g["d"], "n_orders": no, "n_ships": ns})
+
+    # one lineage, one shuffle: both sides' per-batch day partials union
+    # into a single 64-bucket co-locating exchange (the previous shape paid
+    # three full Ray executions — two sort-groupbys + an outer hash join)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    ).map_batches(day_counts("o_orderdate", 0), batch_format="pyarrow")
+    ships = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_shipdate"]
+    ).map_batches(day_counts("l_shipdate", 1), batch_format="pyarrow")
+    return (
+        orders.union(ships)
+        .map_batches(_arrow_add_bucket(["d"], 64), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .sort("d")
     )
-    ships = (
-        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_shipdate"])
-        .map_batches(day_counts("l_shipdate", "n"), batch_format="pyarrow")
-        .groupby("d")
-        .sum("n")
-        .map_batches(lambda t: t.rename_columns(["d", "n_ships"]), batch_format="pyarrow")
-    )
-    return hash_join(orders, ships, on="d", how="outer").sort("d")
