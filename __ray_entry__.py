@@ -3543,6 +3543,33 @@ def _q_delta_write_roundtrip(sf):
     return read_delta(tbl).sort("o_orderkey")
 
 
+def _q_delta_delete(sf):
+    """Copy-on-write DELETE on a native Delta table: the orders table
+    written priority-partitioned, then ``o_orderkey % 7 == 0`` rows deleted
+    — touched files tombstoned + rewritten in ONE committed version,
+    untouched files byte-identical — and the table read back through the
+    log.  Oracle: plain SELECT of the survivors."""
+    import pyarrow.compute as _pc
+
+    import ray.data
+
+    from core_ray.sources.delta_log import read_delta
+    from core_ray.sources.delta_write import delete_delta, write_delta
+
+    base = _scratch("delta_delete")
+    tbl = f"{base}/orders_delta"
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
+    ds = ray.data.read_parquet(f"{sf}/orders.parquet", columns=cols)
+    write_delta(ds, tbl, mode="append", partition_cols=["o_orderpriority"])
+
+    def pred(t):
+        k = t["o_orderkey"]
+        return _pc.equal(_pc.subtract(k, _pc.multiply(_pc.divide(k, 7), 7)), 0)
+
+    delete_delta(tbl, pred)
+    return read_delta(tbl).sort("o_orderkey")
+
+
 def _q_delta_read(sf):
     """Native Delta transaction-log reader driven END-TO-END: the nation
     fixture table (one partition file per n_regionkey; v0 adds all five, v1
@@ -4072,6 +4099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_skipgrams": _q_doc_skipgrams,
         "delta_time_travel": _q_delta_time_travel,
         "delta_write_roundtrip": _q_delta_write_roundtrip,
+        "delta_delete": _q_delta_delete,
         "rel_ship_priority": _q_rel_ship_priority,
         "rel_big_orders": _q_rel_big_orders,
         "rel_bucketed_join": _q_rel_bucketed_join,
@@ -6960,6 +6988,12 @@ s7 AS (
 )
 SELECT rank, vec_id, score FROM s0 UNION ALL SELECT rank, vec_id, score FROM s1 UNION ALL SELECT rank, vec_id, score FROM s2 UNION ALL SELECT rank, vec_id, score FROM s3 UNION ALL SELECT rank, vec_id, score FROM s4 UNION ALL SELECT rank, vec_id, score FROM s5 UNION ALL SELECT rank, vec_id, score FROM s6 UNION ALL SELECT rank, vec_id, score FROM s7
 ORDER BY rank"""
+
+_ORACLE["delta_delete"] = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 7 <> 0
+ORDER BY o_orderkey
+"""
 
 _ORACLE["emb_novel_full"] = """
 WITH hit AS (

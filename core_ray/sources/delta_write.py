@@ -263,3 +263,104 @@ def write_delta(
         "files": len(manifests),
         "rows": int(manifests["rows"].sum()),
     }
+
+
+def delete_delta(
+    table_path: str,
+    predicate,
+    partition_filter=None,
+) -> dict:
+    """Copy-on-write DELETE on a Delta table (the reference's keyed-delete
+    merge arm expressed at the table level): rewrite only the files that
+    contain matching rows — ``remove`` tombstone + rewritten ``add`` per
+    touched file, untouched files keep their entries — committed as ONE
+    atomic version.
+
+    ``predicate`` is a callable ``pa.Table -> pa.BooleanArray`` marking rows
+    to DELETE (evaluated vectorized per file, task-side).
+    ``partition_filter`` (optional) is ``dict[str, str] -> bool`` over a
+    file's partitionValues: files whose partitions can't match are never
+    read at all — the partition-pruning arm that makes a keyed delete on a
+    date-partitioned table touch only its dates.
+
+    Scale shape: one Ray task per candidate file (read, mask, rewrite);
+    only (path, stats) manifests reach the driver.  Files whose mask is
+    empty are left byte-identical (no tombstone, no rewrite churn).
+    """
+    import ray
+
+    from .delta_log import snapshot
+
+    snap = snapshot(table_path)
+    candidates = [
+        f
+        for f in snap.files
+        if partition_filter is None or partition_filter(dict(f["partitionValues"]))
+    ]
+
+    @ray.remote
+    def rewrite(f: dict) -> dict:
+        full = os.path.join(table_path, f["path"])
+        t = pq.read_table(full)
+        drop = predicate(t)
+        import pyarrow.compute as pc
+
+        n_drop = int(pc.sum(pc.fill_null(drop, False)).as_py() or 0)
+        if n_drop == 0:
+            return {"action": "keep", "path": f["path"]}
+        keep = t.filter(pc.invert(pc.fill_null(drop, False)))
+        if len(keep) == 0:
+            return {"action": "remove", "path": f["path"],
+                    "partitionValues": f["partitionValues"], "deleted": n_drop}
+        reldir = os.path.dirname(f["path"])
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        rel = f"{reldir}/{fname}" if reldir else fname
+        newfull = os.path.join(table_path, rel)
+        pq.write_table(keep, newfull)
+        return {
+            "action": "rewrite", "path": f["path"], "new_path": rel,
+            "partitionValues": f["partitionValues"],
+            "size": os.path.getsize(newfull), "deleted": n_drop,
+        }
+
+    results = ray.get([rewrite.remote(f) for f in candidates])
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "engineInfo": "core-ray-delta-writer/1.0",
+            }
+        }
+    ]
+    deleted = 0
+    for r in results:
+        if r["action"] == "keep":
+            continue
+        deleted += r["deleted"]
+        actions.append(
+            {"remove": {"path": r["path"], "deletionTimestamp": now_ms,
+                        "dataChange": True}}
+        )
+        if r["action"] == "rewrite":
+            actions.append(
+                {
+                    "add": {
+                        "path": r["new_path"],
+                        "partitionValues": dict(r["partitionValues"]),
+                        "size": r["size"],
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    if len(actions) == 1:  # nothing matched: no new version at all
+        return {"version": snap.version, "deleted": 0, "rewritten": 0}
+    log_dir = os.path.join(table_path, "_delta_log")
+    version = _publish_commit(log_dir, actions, _last_version(log_dir) + 1)
+    return {
+        "version": version,
+        "deleted": deleted,
+        "rewritten": sum(1 for r in results if r["action"] == "rewrite"),
+    }

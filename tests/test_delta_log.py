@@ -317,3 +317,55 @@ def test_delta_writer_null_partition_value(tmp_path):
     df = read_delta(d).to_pandas().sort_values("k")
     assert df["p"].tolist()[0] == "a"
     assert df["p"].isna().tolist() == [False, True]
+
+
+def test_delta_delete_partition_pruning_and_cow(tmp_path):
+    """Delete restricted by a partition filter: files of other partitions
+    are never read or tombstoned (byte-identical on disk); matched files
+    are tombstoned + rewritten in one version; an all-deleted file leaves
+    only a tombstone; a no-match delete creates NO new version."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from core_ray.sources.delta_log import read_delta, snapshot
+    from core_ray.sources.delta_write import delete_delta, write_delta
+
+    d = str(tmp_path / "tbl")
+    t = pa.table(
+        {
+            "k": pa.array(range(10), pa.int64()),
+            "p": pa.array(["a"] * 5 + ["b"] * 5),
+        }
+    )
+    write_delta(t, d, mode="append", partition_cols=["p"])
+    snap0 = snapshot(d)
+    b_files = [f["path"] for f in snap0.files if f["partitionValues"]["p"] == "b"]
+    b_hash = {
+        f: hashlib.sha256(open(os.path.join(d, f), "rb").read()).hexdigest()
+        for f in b_files
+    }
+
+    res = delete_delta(
+        d,
+        lambda tb: pc.equal(pc.bit_wise_and(tb["k"], 1), 1),  # odd k
+        partition_filter=lambda pv: pv["p"] == "a",
+    )
+    assert res["deleted"] == 2  # k in {1, 3} live in partition a
+    df = read_delta(d).to_pandas().sort_values("k")
+    assert df["k"].tolist() == [0, 2, 4, 5, 6, 7, 8, 9]
+    for f, h in b_hash.items():  # partition b untouched on disk
+        assert hashlib.sha256(open(os.path.join(d, f), "rb").read()).hexdigest() == h
+
+    # all rows of partition a deleted -> tombstone only, no rewrite
+    res2 = delete_delta(d, lambda tb: pc.greater_equal(tb["k"], 0),
+                        partition_filter=lambda pv: pv["p"] == "a")
+    assert res2["rewritten"] == 0 and res2["deleted"] == 3
+    assert sorted(read_delta(d).to_pandas()["k"]) == [5, 6, 7, 8, 9]
+
+    # no-match delete: version unchanged
+    v = snapshot(d).version
+    res3 = delete_delta(d, lambda tb: pc.greater(tb["k"], 99))
+    assert res3["deleted"] == 0 and snapshot(d).version == v
