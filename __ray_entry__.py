@@ -541,6 +541,66 @@ def _q_ev_stream_outer_join(sf):
     return ray.data.from_pandas(out)
 
 
+def _q_ev_stream_full_join(sf):
+    """FULL OUTER stream-stream join: matched pairs plus null-extended
+    emissions from BOTH sides as the watermark proves each row dead.
+    Oracle: batch FULL JOIN with the band condition."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from core_ray.streaming import JoinConfig, StreamJoinJob, read_joined
+
+    tmp = _scratch("stream_fjoin")
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    ).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    for side, etype in (("l", "click"), ("r", "purchase")):
+        part = (
+            ev.loc[ev["event_type"] == etype, ["user_id", "ts_us", "event_id"]]
+            .sort_values("ts_us", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        d = f"{tmp}/{side}"
+        _os.makedirs(d, exist_ok=True)
+        step = (len(part) + 3) // 4
+        for i in range(4):
+            pq.write_table(
+                pa.Table.from_pandas(part.iloc[i * step: (i + 1) * step], preserve_index=False),
+                f"{d}/f{i:03d}.parquet",
+            )
+    cfg = JoinConfig(
+        left_dir=f"{tmp}/l",
+        right_dir=f"{tmp}/r",
+        out_dir=f"{tmp}/out",
+        key_col="user_id",
+        band_lo_us=0,
+        band_hi_us=600_000_000,
+        num_partitions=4,
+        files_per_epoch=1,
+        left_payload=["event_id"],
+        right_payload=["event_id"],
+        how="full_outer",
+    )
+    StreamJoinJob(cfg).run(resume=False)
+    df = read_joined(f"{tmp}/out").to_pandas()
+    out = pd.DataFrame(
+        {
+            "user_id": df["user_id"].astype("int64"),
+            "click_id": df["l_event_id"].astype("float64"),
+            "purchase_id": df["r_event_id"].astype("float64"),
+            "click_ts_us": df["l_ts_us"].astype("float64"),
+            "purchase_ts_us": df["r_ts_us"].astype("float64"),
+        }
+    ).sort_values(
+        ["user_id", "click_id", "purchase_id"]
+    ).reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
 def _q_ev_stream_asof_join(sf):
     """The streaming TEMPORAL (as-of) join end to end: every click enriched
     with the latest purchase at-or-before it by the same user; pending
@@ -4019,6 +4079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_stream_join": _q_ev_stream_join,
         "ev_stream_outer_join": _q_ev_stream_outer_join,
         "ev_stream_asof_join": _q_ev_stream_asof_join,
+        "ev_stream_full_join": _q_ev_stream_full_join,
         "mm_resize_frames": _q_mm_resize_frames,
         "ts_circular_avg": _q_ts_circular_avg,
         "rel_pricing_summary": _q_rel_pricing,
@@ -5855,6 +5916,19 @@ _ORACLE["qb_twa"] = _ORACLE["ts_twa"]
 # The streaming symmetric hash join's incremental emission (newL x stateR +
 # newL x newR + stateL x newR per barrier) covers every qualifying pair
 # exactly once, so the committed output equals the batch interval join.
+_ORACLE["ev_stream_full_join"] = """
+SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+       CAST(l.event_id AS DOUBLE) AS click_id,
+       CAST(r.event_id AS DOUBLE) AS purchase_id,
+       CAST(epoch_us(l.ts) AS DOUBLE) AS click_ts_us,
+       CAST(epoch_us(r.ts) AS DOUBLE) AS purchase_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+ORDER BY 1, 2, 3
+"""
+
 _ORACLE["ev_stream_asof_join"] = """
 SELECT l.user_id, l.event_id AS click_id, l.ts AS click_ts,
        r.ts AS purchase_ts, CAST(r.value AS DOUBLE) AS purchase_value

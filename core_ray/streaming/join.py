@@ -24,6 +24,9 @@ identically).  Because the grading comparison is against a batch LEFT JOIN,
 the driver appends one FLUSH epoch (index ``n_epochs``, watermark = +inf)
 once both streams are exhausted, draining the still-unmatched tail; the
 flush rides the same idempotent epoch-commit protocol.
+``how="full_outer"`` applies the same flag discipline to BOTH sides: right
+rows that die unmatched (``ts < wm + band_lo``) emit with null LEFT
+columns.
 
 ``how="asof"`` is the streaming TEMPORAL join (CDC/dimension enrichment):
 each left row matches the LATEST right row of its key with ``r.ts <=
@@ -87,7 +90,7 @@ class JoinConfig:
     # payload columns carried through (prefixed l_/r_ in the output)
     left_payload: list = field(default_factory=list)
     right_payload: list = field(default_factory=list)
-    how: str = "inner"  # "inner" | "left_outer" | "asof"
+    how: str = "inner"  # "inner" | "left_outer" | "full_outer" | "asof"
 
 
 def _list_files(d: str) -> list[str]:
@@ -211,17 +214,23 @@ class JoinPartitionActor:
             return counters
 
         state_l, state_r = self.state["l"], self.state["r"]
-        outer = self.how == "left_outer"
-        # flagged left state never enters a join: strip the bookkeeping col
+        outer_l = self.how in ("left_outer", "full_outer")
+        outer_r = self.how == "full_outer"
+        # flagged state never enters a join: strip the bookkeeping col
         sl_plain = (
             state_l.drop_columns(["_matched"])
-            if outer and state_l is not None
+            if outer_l and state_l is not None
             else state_l
+        )
+        sr_plain = (
+            state_r.drop_columns(["_matched"])
+            if outer_r and state_r is not None
+            else state_r
         )
         pieces = []
         j1 = j2 = None
         if new_l is not None and len(new_l):
-            right_all = self._concat(state_r, new_r)
+            right_all = self._concat(sr_plain, new_r)
             if right_all is not None and len(right_all):
                 j1 = self._band_join(new_l, right_all)
                 if len(j1):
@@ -237,56 +246,22 @@ class JoinPartitionActor:
         # append new arrivals, then evict rows the watermark proves dead:
         # future rows have ts >= wm, so a left row needs ts >= wm - band_hi
         # and a right row needs ts >= wm + band_lo to ever match again
-        if outer:
-            nl = None
-            if new_l is not None:
-                nl = new_l.select(self._side_cols("l")).append_column(
-                    "_matched", pa.array(np.zeros(len(new_l), bool))
-                )
-            st = self._concat(state_l, nl)
-            if st is not None and len(st):
-                # matched (key, l_ts) values this epoch -> flag update.
-                # Aliasing on duplicate (key, ts) left rows is exact, not a
-                # shortcut: identical (key, ts) rows match identical right
-                # bands, so either both match or neither does.
-                mparts = [
-                    j.select([self.key, "l_" + self.ts])
-                    for j in (j1, j2)
-                    if j is not None and len(j)
-                ]
-                if mparts:
-                    mt = (
-                        pa.concat_tables(mparts)
-                        .group_by([self.key, "l_" + self.ts])
-                        .aggregate([])
-                        .rename_columns([self.key, self.ts])
-                    )
-                    mt = mt.append_column("_m", pa.array([True] * len(mt)))
-                    st = st.join(mt, keys=[self.key, self.ts],
-                                 join_type="left outer")
-                    flag = pc.or_(
-                        st["_matched"], pc.fill_null(st["_m"], False)
-                    )
-                    st = st.drop_columns(["_matched", "_m"]).append_column(
-                        "_matched", flag
-                    )
-                dead_mask = pc.less(st[self.ts], watermark_us - self.hi)
-                dead = st.filter(dead_mask)
-                self.state["l"] = st.filter(pc.invert(dead_mask))
-                unmatched = dead.filter(pc.invert(dead["_matched"]))
-                if len(unmatched):
-                    pieces.append(
-                        self._null_extend(unmatched.drop_columns(["_matched"]))
-                    )
-            else:
-                self.state["l"] = st
+        if outer_l:
+            self._update_flagged_side(
+                "l", state_l, new_l, (j1, j2), watermark_us - self.hi, pieces
+            )
         else:
             self.state["l"] = self._evict(
                 self._concat(state_l, new_l), watermark_us - self.hi
             )
-        self.state["r"] = self._evict(
-            self._concat(state_r, new_r), watermark_us + self.lo
-        )
+        if outer_r:
+            self._update_flagged_side(
+                "r", state_r, new_r, (j1, j2), watermark_us + self.lo, pieces
+            )
+        else:
+            self.state["r"] = self._evict(
+                self._concat(state_r, new_r), watermark_us + self.lo
+            )
         self.watermark = watermark_us
 
         if pieces:
@@ -439,22 +414,87 @@ class JoinPartitionActor:
         last_below = below & ~(same_next & next_below)
         return st_r.filter(pa.array(~below | last_below))
 
-    def _null_extend(self, lt: pa.Table) -> pa.Table:
-        """Unmatched left rows as output rows: left columns renamed as in a
-        match, right columns all-null WITH THE RIGHT SIDE'S REAL TYPES (so
-        the table concats with matched pieces); column order matches
-        ``_band_join`` output (left cols, then right non-key cols)."""
-        out = self._renamed(lt, "l")
-        rsch = self._schema["r"]
-        n = len(out)
-        for i, c in enumerate([self.ts] + self.rpay):
+    def _update_flagged_side(
+        self, side: str, cur, new_t, joins, dead_thresh: int, pieces: list
+    ) -> None:
+        """Outer-mode state update for one side: append arrivals with a
+        ``_matched=False`` flag, mark rows matched this epoch, evict rows
+        the watermark proves dead, and emit the dead-and-never-matched ones
+        null-extended.  Flag aliasing on duplicate (key, ts) rows is exact,
+        not a shortcut: identical (key, ts) rows match identical bands, so
+        either both match or neither does."""
+        import pyarrow.compute as pc
+
+        nl = None
+        if new_t is not None:
+            nl = new_t.select(self._side_cols(side)).append_column(
+                "_matched", pa.array(np.zeros(len(new_t), bool))
+            )
+        st = self._concat(cur, nl)
+        if st is None or not len(st):
+            self.state[side] = st
+            return
+        prefix = f"{side}_"
+        mparts = [
+            j.select([self.key, prefix + self.ts])
+            for j in joins
+            if j is not None and len(j)
+        ]
+        if mparts:
+            mt = (
+                pa.concat_tables(mparts)
+                .group_by([self.key, prefix + self.ts])
+                .aggregate([])
+                .rename_columns([self.key, self.ts])
+            )
+            mt = mt.append_column("_m", pa.array([True] * len(mt)))
+            st = st.join(mt, keys=[self.key, self.ts], join_type="left outer")
+            flag = pc.or_(st["_matched"], pc.fill_null(st["_m"], False))
+            st = st.drop_columns(["_matched", "_m"]).append_column(
+                "_matched", flag
+            )
+        dead_mask = pc.less(st[self.ts], dead_thresh)
+        dead = st.filter(dead_mask)
+        self.state[side] = st.filter(pc.invert(dead_mask))
+        unmatched = dead.filter(pc.invert(dead["_matched"]))
+        if len(unmatched):
+            pieces.append(
+                self._null_extend(unmatched.drop_columns(["_matched"]), side)
+            )
+
+    def _null_extend(self, lt: pa.Table, side: str = "l") -> pa.Table:
+        """Unmatched rows of ``side`` as output rows: that side's columns
+        renamed as in a match, the OTHER side's columns all-null WITH ITS
+        REAL TYPES (so the table concats with matched pieces); column order
+        matches ``_band_join`` output (left cols, then right non-key
+        cols)."""
+        other = "r" if side == "l" else "l"
+        osch = self._schema[other]
+        opay = self.rpay if other == "r" else self.lpay
+        n = len(lt)
+
+        def null_col(c):
             typ = (
-                rsch.field(c).type
-                if rsch is not None and c in rsch.names
+                osch.field(c).type
+                if osch is not None and c in osch.names
                 else (lt.schema.field(self.ts).type if c == self.ts else pa.null())
             )
-            out = out.append_column(f"r_{c}", pa.nulls(n, typ))
-        return out
+            return pa.nulls(n, typ)
+
+        if side == "l":
+            out = self._renamed(lt, "l")
+            for c in [self.ts] + self.rpay:
+                out = out.append_column(f"r_{c}", null_col(c))
+            return out
+        # side == "r": left columns null, ordered before the right ones
+        rt = self._renamed(lt, "r")
+        cols = {self.key: rt[self.key], f"l_{self.ts}": null_col(self.ts)}
+        for c in self.lpay:
+            cols[f"l_{c}"] = null_col(c)
+        cols[f"r_{self.ts}"] = rt[f"r_{self.ts}"]
+        for c in self.rpay:
+            cols[f"r_{c}"] = rt[f"r_{c}"]
+        return pa.table(cols)
 
     def _empty_out(self) -> pa.Table:
         if self._schema["l"] is not None and self._schema["r"] is not None:
@@ -619,7 +659,7 @@ class StreamJoinJob:
         # idempotent commit: a resume that already flushed skips the commit,
         # a resume that crashed mid-flush replays it deterministically.
         if (
-            cfg.how in ("left_outer", "asof")
+            cfg.how in ("left_outer", "full_outer", "asof")
             and stop_after_epoch is None
             and start <= self.n_epochs
         ):

@@ -398,3 +398,49 @@ def test_asof_right_state_keeps_latest_below_watermark(tmp_path):
     got = _read_asof(out)
     assert len(got) == 2
     assert got["r_r_id"].tolist() == [7.0, 7.0]  # both clicks enrich from it
+
+
+def test_full_outer_join_matches_batch_full_join(tmp_path):
+    from core_ray.streaming import StreamJoinJob
+
+    ld, rd, left, right = _mk_streams(tmp_path, n=2000)
+    out = str(tmp_path / "out")
+    cfg = _cfg(ld, rd, out)
+    cfg.how = "full_outer"
+    StreamJoinJob(cfg).run(resume=False)
+    got = _read_out(out).astype("float64")
+
+    m = left.rename(columns={"ts_us": "l_ts_us", "l_id": "l_l_id"}).merge(
+        right.rename(columns={"ts_us": "r_ts_us", "r_id": "r_r_id"}),
+        on="key", how="outer",
+    )
+    d = m["r_ts_us"] - m["l_ts_us"]
+    in_band = (d >= BAND[0]) & (d <= BAND[1])
+    matched = m[in_band.fillna(False)]
+    lkeys = set(zip(matched["key"], matched["l_ts_us"], matched["l_l_id"]))
+    rkeys = set(zip(matched["key"], matched["r_ts_us"], matched["r_r_id"]))
+    ul = left[~left.apply(lambda r: (r["key"], r["ts_us"], r["l_id"]) in lkeys, axis=1)]
+    ur = right[~right.apply(lambda r: (r["key"], r["ts_us"], r["r_id"]) in rkeys, axis=1)]
+    ul = ul.rename(columns={"ts_us": "l_ts_us", "l_id": "l_l_id"}).copy()
+    ul["r_ts_us"] = np.nan
+    ul["r_r_id"] = np.nan
+    ur = ur.rename(columns={"ts_us": "r_ts_us", "r_id": "r_r_id"}).copy()
+    ur["l_ts_us"] = np.nan
+    ur["l_l_id"] = np.nan
+    cols = ["key", "l_ts_us", "r_ts_us", "l_l_id", "r_r_id"]
+    exp = pd.concat([matched[cols], ul[cols], ur[cols]], ignore_index=True)
+    exp = exp.sort_values(cols).reset_index(drop=True).astype("float64")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_full_outer_join_crash_resume_byte_identical(tmp_path):
+    from core_ray.streaming import StreamJoinJob
+
+    ld, rd, _, _ = _mk_streams(tmp_path, n=1500)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    cfg_a, cfg_b = _cfg(ld, rd, out_a), _cfg(ld, rd, out_b)
+    cfg_a.how = cfg_b.how = "full_outer"
+    StreamJoinJob(cfg_a).run(resume=False)
+    StreamJoinJob(cfg_b).run(resume=False, stop_after_epoch=2)
+    StreamJoinJob(cfg_b).run(resume=True)
+    assert _sink_hash(out_a) == _sink_hash(out_b)
