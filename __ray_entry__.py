@@ -2339,6 +2339,36 @@ def _q_fc_linreg(sf):
     )
 
 
+def _q_fc_holt(sf):
+    """Holt double exponential smoothing (level+trend) over daily LAST
+    resamples, 3-day horizon: the recurrence is coded in the literal float64
+    op order a SQL RECURSIVE CTE replays one step per day, with exactly
+    representable alpha=0.5 / beta=0.25 — 4-dp forecasts bit-equal."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from core_ray.dq import holt_forecast
+    from core_ray.ops import resample
+
+    DAY_US = 86_400_000_000
+    daily = resample(sf, start=START, end=END, rate=1, unit="day", agg="last")
+
+    def to_internal(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "TagName": t["TagName"],
+                "ts_us": pc.cast(pc.cast(t["EventTime"], pa.timestamp("us")), pa.int64()),
+                "Status": pa.array(["Good"] * t.num_rows),
+                "Value": t["Value"],
+            }
+        )
+
+    return holt_forecast(
+        daily.map_batches(to_internal, batch_format="pyarrow"),
+        horizon=3, step_us=DAY_US,
+    ).sort(["TagName", "EventTime"])
+
+
 def _q_dq_flatline(sf):
     """FlatlineFilter over a derived zero-run column: values < 2 are zeroed
     (the planted flat runs), then runs longer than tolerance=1 are removed."""
@@ -4042,6 +4072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_expectations": _q_dq_expectations,
         "fc_arima": _q_fc_arima,
         "fc_linreg": _q_fc_linreg,
+        "fc_holt": _q_fc_holt,
         "fw_pipeline_json": _q_fw_pipeline_json,
         "vendor_opcua_pcdm": _q_vendor_opcua_pcdm,
         "bus_pcdm_ingest": _q_bus_pcdm_ingest,
@@ -7067,6 +7098,44 @@ _ORACLE["delta_delete"] = """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
 FROM orders WHERE o_orderkey % 7 <> 0
 ORDER BY o_orderkey
+"""
+
+_ORACLE["fc_holt"] = """
+WITH RECURSIVE
+f AS (SELECT event_type AS TagName, epoch_us(ts) AS tus, value,
+             (1704067200000000 + ((epoch_us(ts) - 1704067200000000) // 86400000000) * 86400000000) AS ws
+      FROM events
+      WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-31 00:00:00'),
+r0 AS (SELECT *, row_number() OVER (PARTITION BY TagName, ws ORDER BY tus DESC, value DESC) rn FROM f),
+d AS (SELECT TagName, ws, round_even(value, 4) AS v,
+             CAST(row_number() OVER (PARTITION BY TagName ORDER BY ws) - 1 AS BIGINT) AS x
+      FROM r0 WHERE rn = 1),
+lastx AS (SELECT TagName, MAX(x) AS xmax, MAX(ws) AS ws_last FROM d GROUP BY 1),
+base AS (
+  SELECT d0.TagName, CAST(1 AS BIGINT) AS x,
+         CAST(0.5 AS DOUBLE) * d1.v + CAST(0.5 AS DOUBLE) * (d0.v + (d1.v - d0.v)) AS l,
+         CAST(0.25 AS DOUBLE)
+           * ((CAST(0.5 AS DOUBLE) * d1.v + CAST(0.5 AS DOUBLE) * (d0.v + (d1.v - d0.v))) - d0.v)
+           + CAST(0.75 AS DOUBLE) * (d1.v - d0.v) AS b
+  FROM d d0 JOIN d d1 ON d0.TagName = d1.TagName AND d0.x = 0 AND d1.x = 1
+),
+rec AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT r.TagName, r.x + 1,
+         CAST(0.5 AS DOUBLE) * d.v + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+         CAST(0.25 AS DOUBLE)
+           * ((CAST(0.5 AS DOUBLE) * d.v + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+           + CAST(0.75 AS DOUBLE) * r.b
+  FROM rec r JOIN d ON d.TagName = r.TagName AND d.x = r.x + 1
+)
+SELECT rec.TagName,
+       make_timestamp(la.ws_last + k.i * 86400000000) AS EventTime,
+       'Forecast' AS Status,
+       round_even(rec.l + CAST(k.i AS DOUBLE) * rec.b, 4) AS Value
+FROM rec JOIN lastx la ON la.TagName = rec.TagName AND rec.x = la.xmax,
+     (SELECT unnest(range(1, 4)) AS i) k
+ORDER BY 1, 2
 """
 
 _ORACLE["emb_novel_full"] = """

@@ -25,6 +25,7 @@ from .monitoring import (
 )
 from .forecasting import (
     arima_forecast,
+    holt_forecast,
     data_binning,
     knn_regressor,
     linear_regression,
@@ -49,6 +50,7 @@ __all__ = [
     "identify_missing_data_pattern",
     "linear_regression",
     "arima_forecast",
+    "holt_forecast",
     "data_binning",
     "knn_regressor",
 ]

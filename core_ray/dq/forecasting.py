@@ -328,3 +328,58 @@ def knn_regressor(
     from ..ops.common import grouped_map
 
     return grouped_map(ds, [TS.TAG], per_tag)
+
+
+def holt_forecast(
+    ds: ray.data.Dataset,
+    horizon: int = 3,
+    step_us: int = 86_400_000_000,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> ray.data.Dataset:
+    """Holt double exponential smoothing (level + linear trend) per tag,
+    emitting ``horizon`` forecast rows: ``l_t = a*x_t + (1-a)*(l+b)``,
+    ``b_t = g*(l_t - l) + (1-g)*b``, forecast ``l_n + h*b_n`` — the classic
+    trend sibling of the reference's Arima/LinearRegression family.
+
+    Exactness: ``alpha``/``beta`` default to exactly-representable binary
+    fractions and the recurrence is coded with the literal op order a SQL
+    RECURSIVE CTE replays (one iteration per input step, all float64), so
+    the 4-dp outputs are bit-reproducible.  Init: ``l_1 = a*x_1 +
+    (1-a)*(x_0 + (x_1 - x_0))``, ``b`` seeded from the first difference.
+
+    Input series should be regular (e.g. resample output); tags with < 2
+    points emit nothing.  Scale: the recurrence is inherently sequential
+    per SERIES — tags parallelize across the pool, like every forecaster
+    here.
+    """
+
+    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
+        v = g[TS.VALUE].to_numpy().astype(np.float64)
+        ts = g[TS.TS_US].to_numpy()
+        if len(v) < 2:
+            return pd.DataFrame(
+                columns=["TagName", "EventTime", "Status", "Value"]
+            )
+        l, b = float(v[0]), float(v[1] - v[0])
+        for t in range(1, len(v)):
+            # literal op order — the recursive-CTE oracle repeats these
+            # exact expressions, so the doubles stay bit-identical
+            l_new = alpha * v[t] + (1.0 - alpha) * (l + b)
+            b = beta * (l_new - l) + (1.0 - beta) * b
+            l = l_new
+        fut_ts = ts[-1] + step_us * np.arange(1, horizon + 1)
+        fut_v = np.array([l + h * b for h in range(1, horizon + 1)])
+        return pd.DataFrame(
+            {
+                "TagName": g[TS.TAG].iloc[0],
+                "EventTime": fut_ts.astype(np.int64).astype("datetime64[us]"),
+                "Status": "Forecast",
+                "Value": round4(fut_v),
+            }
+        )
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], per_tag)

@@ -27,3 +27,41 @@ def test_arima_auto_order_search(events_like_ds=None):
     order = out["order"].iloc[0]
     assert order.split(",")[0] != "0"  # searched past the trivial order
     assert out["Value"].notna().all()
+
+
+def test_holt_forecast_hand_case():
+    """Pure trend series 10,12,14,...: level tracks the line, trend -> 2,
+    forecasts continue it exactly."""
+    import pandas as pd
+    import ray.data
+
+    from core_ray.dq import holt_forecast
+
+    n = 8
+    df = pd.DataFrame(
+        {
+            "TagName": ["t"] * n,
+            "ts_us": [i * 1_000_000 for i in range(n)],
+            "Status": ["Good"] * n,
+            "Value": [10.0 + 2.0 * i for i in range(n)],
+        }
+    )
+    out = holt_forecast(
+        ray.data.from_pandas(df), horizon=3, step_us=1_000_000
+    ).to_pandas().sort_values("EventTime")
+    # a perfectly linear series is reproduced exactly by Holt: l_n = x_n,
+    # b_n = slope, forecast = x_n + h*slope
+    assert out["Value"].tolist() == [26.0, 28.0, 30.0]
+    assert out["Status"].unique().tolist() == ["Forecast"]
+
+
+def test_holt_forecast_short_series_emits_nothing():
+    import pandas as pd
+    import ray.data
+
+    from core_ray.dq import holt_forecast
+
+    df = pd.DataFrame(
+        {"TagName": ["t"], "ts_us": [0], "Status": ["Good"], "Value": [1.0]}
+    )
+    assert holt_forecast(ray.data.from_pandas(df)).count() == 0
