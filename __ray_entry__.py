@@ -3092,6 +3092,45 @@ def _q_stream_rescale(sf):
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
+def _q_stream_update_mode(sf):
+    """Spark's UPDATE output mode graded end-to-end: per epoch the engine
+    emits the cross-actor merged RUNNING totals of every window touched by
+    that epoch's rows.  The oracle replays it in SQL — epoch(e) of a row is
+    derivable from doc_idx (2000 rows/file, 1 file/epoch), touched =
+    DISTINCT (epoch, source, window), totals = all rows of that window with
+    epoch <= e."""
+    import glob as _glob
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray
+
+    from core_ray.streaming.job import StreamConfig, StreamingJob
+    from core_ray.synth import write_tokens_table
+
+    base = _scratch("stream_update")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    write_tokens_table(in_dir, 20_000, rows_per_file=2_000)
+    cfg = StreamConfig(
+        input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
+        lateness_s=2, files_per_epoch=1, token_stats=True,
+        sink_payload_rows=False, output_mode="update",
+    )
+    StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
+    StreamingJob(cfg).run(resume=True)
+    parts = []
+    for f in sorted(_glob.glob(f"{out_dir}/part=9999/updates-*.parquet")):
+        ep = int(_re.search(r"epoch-(\d+)", f).group(1))
+        t = _pq.read_table(f).select(
+            ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
+             "max_n_tok", "sum_tok_values"]
+        )
+        parts.append(t.append_column("epoch", pa.array([ep] * len(t), pa.int64())))
+    out = pa.concat_tables(parts)
+    return ray.data.from_arrow(out).sort(["epoch", "source", "window_start"])
+
+
 def _q_stream_window_aggs(sf):
     """The flagship north-rule pipeline graded END-TO-END: pre-tokenized
     sequences stream through the checkpointed windowed-aggregate engine
@@ -4104,6 +4143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_sliding_aggs": _q_stream_sliding_aggs,
         "stream_lineage": _q_stream_lineage,
         "stream_rescale": _q_stream_rescale,
+        "stream_update_mode": _q_stream_update_mode,
         "delta_read": _q_delta_read,
         "delta_share_read": _q_delta_share_read,
         "ev_stream_pattern": _q_ev_stream_pattern,
@@ -8389,6 +8429,32 @@ SELECT source,
 FROM e
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+_ORACLE["stream_update_mode"] = f"""
+WITH t AS (
+  SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source,
+         CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tsum
+  FROM read_parquet('/tmp/graft_stream_update_{_os.getpid()}/in/*.parquet')
+),
+w AS (
+  SELECT source, n_tok, tsum, i // 2000 AS ep,
+         ((1704067200000000 + i * 137000 + ((i * 2654435761) % 7) * 250000)
+          // 60000000) * 60000000 AS ws
+  FROM t
+),
+touched AS (SELECT DISTINCT ep, source, ws FROM w)
+SELECT tou.ep AS epoch, tou.source,
+       make_timestamp(tou.ws) AS window_start,
+       count(*) AS cnt,
+       sum(r.n_tok) AS sum_n_tok,
+       min(r.n_tok) AS min_n_tok,
+       max(r.n_tok) AS max_n_tok,
+       sum(r.tsum) AS sum_tok_values
+FROM touched tou
+JOIN w r ON r.source = tou.source AND r.ws = tou.ws AND r.ep <= tou.ep
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
 """
 
 _ORACLE["stream_window_quantiles"] = f"""

@@ -78,6 +78,12 @@ class StreamConfig:
     # rows gain a weighted token contribution and every closed window
     # additionally reports sum_weighted = SUM(n_tok * weight).
     dim_path: str | None = None
+    # "append" emits each window once, when the watermark closes it (the
+    # engine's native mode); "update" ADDITIONALLY writes, per epoch, the
+    # cross-actor merged RUNNING totals of every window touched by that
+    # epoch's rows (Spark structured streaming's update output mode) to an
+    # `updates` stream in the agg partition.  Tumbling/sliding only.
+    output_mode: str = "append"
     # False = aggregation-only job: the token payload is read and aggregated
     # but not re-materialized at the sink (the data-reduction path).  In this
     # sandbox every NEW byte through the object store page-faults at a fixed
@@ -437,6 +443,7 @@ def spawn_actors(cfg: StreamConfig) -> list:
             slide_us=cfg.slide_s * 1_000_000,
             gap_us=cfg.gap_s * 1_000_000,
             sink_payload_rows=cfg.sink_payload_rows,
+            output_mode=cfg.output_mode,
         )
         for p in range(cfg.num_partitions)
     ]
@@ -461,7 +468,7 @@ class StreamingJob:
     _SHAPE_FIELDS = (
         "num_partitions", "window_s", "lateness_s", "files_per_epoch",
         "route_seed", "window_kind", "slide_s", "gap_s", "token_stats",
-        "dim_path",
+        "dim_path", "output_mode",
     )
 
     def _guard_job_shape(self, resume: bool) -> None:
@@ -609,6 +616,32 @@ class StreamingJob:
                 t_barrier = _time.monotonic() - t0
                 t0 = _time.monotonic()
                 streams = {"agg": merge_closed(results, cfg.token_stats, weighted=cfg.dim_path is not None)}
+                if cfg.output_mode == "update":
+                    # running totals for the UNION of keys touched this
+                    # epoch: every actor reported ALL its open partials, so
+                    # the cross-actor merge IS the current total per window
+                    merged = merge_closed(
+                        [{"closed": r["updated"]} for r in results],
+                        cfg.token_stats, weighted=cfg.dim_path is not None,
+                    )
+                    tk = {
+                        (str(sname), int(w))
+                        for r in results
+                        for sname, w in zip(r["touched"]["source"],
+                                            r["touched"]["ws"])
+                    }
+                    if len(merged) and tk:
+                        keys = list(
+                            zip(
+                                merged["source"].to_pylist(),
+                                merged["window_start"]
+                                .cast("int64").to_pylist(),
+                            )
+                        )
+                        mask = pa.array([k in tk for k in keys])
+                        streams["updates"] = merged.filter(mask)
+                    else:
+                        streams["updates"] = merged.slice(0, 0)
                 if cfg.window_kind == "session":
                     for r in results:
                         merge_fragments(sessions, r.get("fragments", []), cfg.gap_s * 1_000_000)

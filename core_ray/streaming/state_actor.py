@@ -101,6 +101,7 @@ class StreamPartitionActor:
         slide_us: int | None = None,
         gap_us: int | None = None,
         sink_payload_rows: bool = True,
+        output_mode: str = "append",
     ):
         pa.set_cpu_count(1)  # one logical slot per partition actor
         self.part = partition_id
@@ -112,6 +113,10 @@ class StreamPartitionActor:
         self.slide_us = slide_us or window_us
         self.gap_us = gap_us or 300_000_000
         self.sink_payload_rows = sink_payload_rows
+        self.output_mode = output_mode
+        if output_mode == "update" and window_kind == "session":
+            raise ValueError("update output mode supports tumbling/sliding "
+                             "windows (session state merges on the driver)")
         self.reset()
 
     def reset(self) -> bool:
@@ -400,6 +405,7 @@ class StreamPartitionActor:
 
         # --- window partials (on-time rows only; late go to the side output)
         fragments: list = []
+        touched = None  # update-mode: this epoch's (c, ws) keys
         if on_time.any():
             codes_t = src_codes[on_time]
             ts_t = ts[on_time]
@@ -449,6 +455,8 @@ class StreamPartitionActor:
                     }
                 )
                 self.partials = _merge_partials([self.partials, new])
+                if self.output_mode == "update":
+                    touched = new[["c", "ws"]]
 
             timings["window_partials"] = time.monotonic() - t_mark
             t_lat = time.monotonic()
@@ -529,13 +537,37 @@ class StreamPartitionActor:
         timings["snapshot"] = time.monotonic() - t_mark
         timings["total"] = time.monotonic() - t_start
 
-        return {
+        result = {
             "partition": self.part,
             "closed": self._closed_payload(closed),
             "fragments": fragments,
             "counters": counters,
             "timings": timings,
         }
+        if self.output_mode == "update":
+            # Spark update-mode support: report ALL open running partials
+            # (bounded by open windows, not rows) + the keys THIS epoch's
+            # rows touched; the driver emits the cross-actor merged running
+            # totals for the UNION of touched keys.  A window closed this
+            # epoch was merged above before removal, so its final update
+            # rides the same report.
+            names = np.asarray(self.src_names, dtype=object)
+            t = touched
+            all_partials = _merge_partials([self.partials, closed])
+            result["updated"] = self._closed_payload(all_partials)
+            result["touched"] = {
+                "source": (
+                    names[t["c"].to_numpy(dtype=np.int64)]
+                    if t is not None and len(t)
+                    else np.zeros(0, dtype=object)
+                ),
+                "ws": (
+                    t["ws"].to_numpy(dtype=np.int64)
+                    if t is not None and len(t)
+                    else np.zeros(0, dtype=np.int64)
+                ),
+            }
+        return result
 
     def _closed_payload(self, closed: pd.DataFrame) -> dict:
         """Closed-window partials for the driver merge (source names, arrays)."""

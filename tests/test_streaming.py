@@ -672,3 +672,63 @@ def test_stream_static_dim_join(stream_dirs, tmp_path):
     assert got["window_start"].astype("int64").tolist() == exp["ws"].tolist()
     for c in ("cnt", "sum_n_tok", "sum_tok_values", "sum_weighted"):
         assert got[c].astype("int64").tolist() == exp[c].tolist(), c
+
+
+def test_update_mode_converges_to_append_windows(stream_dirs):
+    """The LAST update row of every window equals the window's append-mode
+    (closed) aggregate — running totals converge to the final ones; resume
+    replays the same update stream byte-for-byte."""
+    base, in_dir = stream_dirs
+    out_u, out_a = base / "out_upd", base / "out_upd_ref"
+
+    def run(out, **kw):
+        cfg = StreamConfig(input_dir=in_dir, out_dir=str(out),
+                           num_partitions=4, window_s=60,
+                           sink_payload_rows=False, **kw)
+        return StreamingJob(cfg).run(resume=kw.pop("resume", False))
+
+    run(out_a)
+    cfg_u = StreamConfig(input_dir=in_dir, out_dir=str(out_u),
+                         num_partitions=4, window_s=60,
+                         sink_payload_rows=False, output_mode="update")
+    StreamingJob(cfg_u).run(resume=False)
+
+    import pandas as pd
+
+    upd = []
+    for f in sorted(glob.glob(f"{out_u}/part=9999/updates-*.parquet")):
+        ep = int(f.rsplit("epoch-", 1)[1].split(".")[0])
+        df = pq.read_table(f).to_pandas()
+        df["epoch"] = ep
+        upd.append(df)
+    upd = pd.concat(upd, ignore_index=True)
+    last = upd.sort_values("epoch").groupby(
+        ["source", "window_start"], as_index=False).last()
+
+    agg = pd.concat(
+        [pq.read_table(f).to_pandas()
+         for f in sorted(glob.glob(f"{out_a}/part=9999/agg-*.parquet"))],
+        ignore_index=True,
+    )
+    m = agg.merge(last, on=["source", "window_start"], suffixes=("", "_u"))
+    assert len(m) == len(agg)
+    for c in ("cnt", "sum_n_tok", "min_n_tok", "max_n_tok"):
+        assert (m[c].to_numpy() == m[f"{c}_u"].to_numpy()).all()
+
+    # crash/resume byte identity for the update stream too
+    out_b = base / "out_upd_resume"
+    cfg_b = StreamConfig(input_dir=in_dir, out_dir=str(out_b),
+                         num_partitions=4, window_s=60,
+                         sink_payload_rows=False, output_mode="update")
+    StreamingJob(cfg_b).run(resume=False, stop_after_epoch=3)
+    StreamingJob(cfg_b).run(resume=True)
+    assert _dir_hashes(out_u) == _dir_hashes(out_b)
+
+
+def test_update_mode_refuses_session_windows(stream_dirs):
+    base, in_dir = stream_dirs
+    cfg = StreamConfig(input_dir=in_dir, out_dir=str(base / "out_upd_sess"),
+                       num_partitions=2, window_kind="session",
+                       output_mode="update")
+    with pytest.raises(Exception, match="update output mode"):
+        StreamingJob(cfg).run(resume=False)
