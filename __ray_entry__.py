@@ -4100,9 +4100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_twa": _q_ts_twa,
         "ts_latest": _q_ts_latest,
         "ts_plot": _q_ts_plot,
-        "ts_summary": _q_ts_summary,
+        "mm_phash_dups": _q_mm_phash_dups,
         "ts_raw_json": _q_ts_raw_json,
-        "tok_pack_sequences": _q_tok_pack_sequences,
+        "tok_decontaminate": _q_tok_decontaminate,
         "tok_pack_tokens": _q_tok_pack_tokens,
         "dq_dedup": _q_dq_dedup,
         "dq_ksigma": _q_dq_ksigma,
@@ -4122,7 +4122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mdm_usage": _q_mdm_usage,
         "sql_passthrough": _q_sql_passthrough,
         "api_raw_json": _q_api_raw_json,
-        "api_batch_json": _q_api_batch_json,
+        "delta_write_roundtrip": _q_delta_write_roundtrip,
         "stream_window_aggs": _q_stream_window_aggs,
         "stream_static_join": _q_stream_static_join,
         "stream_dedup": _q_stream_dedup,
@@ -4135,21 +4135,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": _q_emb_knn,
         "emb_knn_indexed": _q_emb_knn_indexed,
         "emb_dedup_semantic": _q_emb_dedup_semantic,
-        "emb_cluster_assign": _q_emb_cluster_assign,
+        "emb_mmr": _q_emb_mmr,
         "emb_novel_full": _q_emb_novel_full,
         "rel_rollup": _q_rel_rollup,
         "rel_top_customers": _q_rel_top_customers,
         "stream_session_aggs": _q_stream_session_aggs,
-        "stream_sliding_aggs": _q_stream_sliding_aggs,
+        "ev_stream_asof_join": _q_ev_stream_asof_join,
         "stream_lineage": _q_stream_lineage,
         "stream_rescale": _q_stream_rescale,
         "stream_update_mode": _q_stream_update_mode,
+        "ts_summary": _q_ts_summary,
+        "emb_cluster_assign": _q_emb_cluster_assign,
+        "stream_sliding_aggs": _q_stream_sliding_aggs,
+        "api_batch_json": _q_api_batch_json,
+        "tok_pack_sequences": _q_tok_pack_sequences,
         "delta_read": _q_delta_read,
         "delta_share_read": _q_delta_share_read,
         "ev_stream_pattern": _q_ev_stream_pattern,
         "ev_stream_join": _q_ev_stream_join,
         "ev_stream_outer_join": _q_ev_stream_outer_join,
-        "ev_stream_asof_join": _q_ev_stream_asof_join,
         "ev_stream_full_join": _q_ev_stream_full_join,
         "mm_resize_frames": _q_mm_resize_frames,
         "ts_circular_avg": _q_ts_circular_avg,
@@ -4202,7 +4206,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_interpolate_tz": _q_ts_interpolate_tz,
         "weather_latest_point": _q_weather_latest_point,
         "mm_decode_features": _q_mm_decode_features,
-        "mm_phash_dups": _q_mm_phash_dups,
         "ts_circular_std": _q_ts_circular_std,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
@@ -4230,7 +4233,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tok_bpe_encode": _q_tok_bpe_encode,
         "doc_skipgrams": _q_doc_skipgrams,
         "delta_time_travel": _q_delta_time_travel,
-        "delta_write_roundtrip": _q_delta_write_roundtrip,
         "delta_delete": _q_delta_delete,
         "rel_ship_priority": _q_rel_ship_priority,
         "rel_big_orders": _q_rel_big_orders,
@@ -4258,7 +4260,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tok_dup_windows": _q_tok_dup_windows,
         "tok_dedup_exact": _q_tok_dedup_exact,
         "tok_novel_windows": _q_tok_novel_windows,
-        "tok_decontaminate": _q_tok_decontaminate,
         "doc_pipeline_prep": _q_doc_pipeline_prep,
         "fw_pipeline_prep_json": _q_fw_pipeline_prep_json,
         "stream_latest": _q_stream_latest,
@@ -4286,7 +4287,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_corr": _q_doc_len_corr,
         "doc_entropy": _q_doc_entropy,
         "emb_knn_filtered": _q_emb_knn_filtered,
-        "emb_mmr": _q_emb_mmr,
         "emb_novel": _q_emb_novel,
         "rel_anti_join": _q_rel_anti_join,
         "emb_novel_ingest": _q_emb_novel_ingest,
