@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--slide-s", type=int, default=30)
     sa.add_argument("--gap-s", type=int, default=300)
     sa.add_argument("--token-stats", action="store_true")
+    sa.add_argument("--output-mode", choices=["append", "update"],
+                    default="append")
     _add_common(sa)
 
     sj = sub.add_parser("stream-join", help="stream-stream symmetric hash join")
@@ -67,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
     sj.add_argument("--band-hi-us", type=int, default=600_000_000)
     sj.add_argument("--left-payload", default="")
     sj.add_argument("--right-payload", default="")
+    sj.add_argument("--how", choices=["inner", "left_outer", "full_outer", "asof"],
+                    default="inner")
     _add_common(sj)
 
     sp = sub.add_parser("stream-pattern", help="streaming CEP sequence matching")
@@ -114,6 +118,7 @@ def main(argv: list[str] | None = None) -> dict:
             slide_s=args.slide_s,
             gap_s=args.gap_s,
             token_stats=args.token_stats,
+            output_mode=args.output_mode,
         )
         res = StreamingJob(cfg).run(resume=args.resume)
     elif args.cmd == "stream-join":
@@ -132,6 +137,7 @@ def main(argv: list[str] | None = None) -> dict:
             files_per_epoch=args.files_per_epoch,
             left_payload=[c for c in args.left_payload.split(",") if c],
             right_payload=[c for c in args.right_payload.split(",") if c],
+            how=args.how,
         )
         res = StreamJoinJob(cfg).run(resume=args.resume)
     elif args.cmd == "stream-pattern":
