@@ -1722,6 +1722,15 @@ def _q_doc_dedup_spans(sf):
     return dedup_spans(sf)
 
 
+def _q_doc_dedup_intradoc(sf):
+    """WITHIN-document repeated-trigram removal (the C4-style in-doc
+    repetition cleaner): later occurrences of a trigram inside the same
+    document drop their covered words — one shuffle-free streamed pass."""
+    from core_ray.functions import dedup_intradoc
+
+    return dedup_intradoc(sf)
+
+
 def _q_doc_group_topk(sf):
     """Top-3 longest documents per language, no global sort."""
     from core_ray.functions import group_topk
@@ -4130,6 +4139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_near": _q_doc_dedup_near,
         "doc_dedup_near_dist": _q_doc_dedup_near_dist,
         "doc_dedup_spans": _q_doc_dedup_spans,
+        "doc_dedup_intradoc": _q_doc_dedup_intradoc,
         "doc_minhash_novel": _q_doc_minhash_novel,
         "doc_search_bm25": _q_doc_search_bm25,
         "emb_knn": _q_emb_knn,
@@ -7176,6 +7186,45 @@ SELECT rec.TagName,
 FROM rec JOIN lastx la ON la.TagName = rec.TagName AND rec.x = la.xmax,
      (SELECT unnest(range(1, 4)) AS i) k
 ORDER BY 1, 2
+"""
+
+_ORACLE["doc_dedup_intradoc"] = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS lws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i, lws[i] || chr(1) || lws[i+1] || chr(1) || lws[i+2] AS g,
+         row_number() OVER (PARTITION BY doc_id,
+                            lws[i] || chr(1) || lws[i+1] || chr(1) || lws[i+2]
+                            ORDER BY i) AS occ
+  FROM w, unnest(range(1, len(lws) - 1)) AS t(i)
+  WHERE len(lws) >= 3
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, u.p
+  FROM sh s, unnest([s.i, s.i + 1, s.i + 2]) AS u(p)
+  WHERE s.occ >= 2
+),
+kept AS (
+  SELECT w.doc_id, p.p AS pos, w.ws[p.p] AS word
+  FROM w, unnest(range(1, len(ws) + 1)) AS p(p)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = w.doc_id AND c.p = p.p
+  )
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(a.text_clean, '') AS text_clean
+FROM w LEFT JOIN agg a USING (doc_id)
+ORDER BY w.doc_id
 """
 
 _ORACLE["emb_novel_full"] = """

@@ -1831,3 +1831,76 @@ def dedup_near_best(
     return anti_join_filter(
         ids, drops, on="doc_id", key_cols=["node"], distributed=True
     ).sort("doc_id")
+
+
+def dedup_intradoc(source: str | ray.data.Dataset) -> ray.data.Dataset:
+    """Remove WITHIN-document repeated word trigrams (the in-document
+    repetition-cleaning step C4-style pipelines run before cross-document
+    dedup): every trigram occurrence after the FIRST in its own document
+    drops its three covered words; survivors rejoin with single spaces.
+    The cross-document sibling is :func:`dedup_spans`; this one needs NO
+    shuffle at all — each document resolves entirely inside its own batch,
+    so the operator is one streamed ``map_batches``.
+
+    Output: ``(doc_id, n_words, n_kept, text_clean)`` sorted by doc_id
+    (whitespace-normalized for every document, like ``dedup_spans``).
+
+    Exactness assumption: repeats are detected on 64-bit trigram hashes
+    (``_tri_mix``) while the oracle compares trigram strings; as in
+    ``dedup_spans`` this operator MUTATES text, so the documented
+    ~n²/2⁶⁴-odds collision would corrupt output rather than misreport.
+    """
+    from .text import _read_docs
+
+    ds = _read_docs(source, ["doc_id", "text"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        # lowercase hashes decide duplication; original-case words rebuild
+        hashes, wc = _word_hashes_batch(texts)
+        words = pc.utf8_split_whitespace(texts)
+        flat = words.flatten()
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        keep = np.ones(len(flat), bool)
+        if len(hashes) >= 3:
+            doc_idx = parent  # identical split contract
+            tri_all = _tri_mix(hashes)
+            m = doc_idx[:-2] == doc_idx[2:]  # trigram stays inside its doc
+            starts = np.flatnonzero(m)
+            tri = tri_all[starts]
+            tdoc = doc_idx[starts]
+            # later-occurrence mask per (doc, trigram), order = position
+            rep = (
+                pd.DataFrame({"d": tdoc, "g": tri})
+                .duplicated(keep="first")
+                .to_numpy()
+            )
+            if rep.any():
+                cov = (starts[rep][:, None] + np.arange(3)[None, :]).ravel()
+                keep[cov] = False
+        kept_words = flat.filter(pa.array(keep))
+        wcnt = np.bincount(parent, minlength=len(ids)).astype(np.int64)
+        n_kept = np.zeros(len(ids), np.int64)
+        np.add.at(n_kept, parent[keep], 1)
+        offsets = np.concatenate(([0], np.cumsum(n_kept)))
+        joined_txt = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                          kept_words),
+            " ",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(wcnt, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "text_clean": joined_txt,
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow").sort("doc_id")

@@ -978,3 +978,39 @@ def test_mmr_select_prefers_diverse_over_redundant():
     out = mmr_select(ray.data.from_arrow(t), query_vec_id=0, k=2, lam=0.5).to_pandas()
     assert out["vec_id"].tolist() == [1, 3]
     assert out["rank"].tolist() == [0, 1]
+
+
+def test_dedup_intradoc_hand_case():
+    """'a b c a b c d': the second 'a b c' trigram occurrence drops its 3
+    words; cross-document repeats are untouched (per-doc scope)."""
+    import pyarrow as pa
+    import ray.data
+
+    from core_ray.functions import dedup_intradoc
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b c a b c d", "a b c x"]),
+        }
+    )
+    out = dedup_intradoc(ray.data.from_arrow(t)).to_pandas()
+    assert out.loc[0, "text_clean"] == "a b c d"
+    assert int(out.loc[0, "n_kept"]) == 4 and int(out.loc[0, "n_words"]) == 7
+    # doc 1 shares the trigram with doc 0 but has no IN-doc repeat: intact
+    assert out.loc[1, "text_clean"] == "a b c x"
+
+
+def test_dedup_intradoc_overlapping_repeats():
+    """'x y x y x y' (1-indexed trigrams at 1..4): 'x y x' repeats at 3,
+    'y x y' repeats at 4 -> covered positions 3..6, so 'x y' survives."""
+    import pyarrow as pa
+    import ray.data
+
+    from core_ray.functions import dedup_intradoc
+
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array(["x y x y x y"])})
+    out = dedup_intradoc(ray.data.from_arrow(t)).to_pandas()
+    assert out.loc[0, "text_clean"] == "x y"
+    assert int(out.loc[0, "n_kept"]) == 2
