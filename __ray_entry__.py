@@ -2378,6 +2378,34 @@ def _q_fc_holt(sf):
     ).sort(["TagName", "EventTime"])
 
 
+def _q_fc_seasonal(sf):
+    """Classical additive seasonal decomposition over the hourly LAST
+    series (period 24, centered 25-row MA): trend/seasonal/resid exact to
+    4 dp — int window sums + per-phase int ratios, floats only in the
+    literal op order the SQL replays."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from core_ray.dq import seasonal_decompose
+    from core_ray.ops import resample
+
+    hourly = resample(sf, start=START, end=END, rate=1, unit="hour", agg="last")
+
+    def to_internal(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "TagName": t["TagName"],
+                "ts_us": pc.cast(pc.cast(t["EventTime"], pa.timestamp("us")), pa.int64()),
+                "Status": pa.array(["Good"] * t.num_rows),
+                "Value": t["Value"],
+            }
+        )
+
+    return seasonal_decompose(
+        hourly.map_batches(to_internal, batch_format="pyarrow"), period=24
+    ).sort(["TagName", "EventTime"])
+
+
 def _q_dq_flatline(sf):
     """FlatlineFilter over a derived zero-run column: values < 2 are zeroed
     (the planted flat runs), then runs longer than tolerance=1 are removed."""
@@ -4121,6 +4149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fc_arima": _q_fc_arima,
         "fc_linreg": _q_fc_linreg,
         "fc_holt": _q_fc_holt,
+        "fc_seasonal": _q_fc_seasonal,
         "fw_pipeline_json": _q_fw_pipeline_json,
         "vendor_opcua_pcdm": _q_vendor_opcua_pcdm,
         "bus_pcdm_ingest": _q_bus_pcdm_ingest,
@@ -7225,6 +7254,36 @@ SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
        COALESCE(a.text_clean, '') AS text_clean
 FROM w LEFT JOIN agg a USING (doc_id)
 ORDER BY w.doc_id
+"""
+
+_ORACLE["fc_seasonal"] = """
+WITH f AS (SELECT event_type AS TagName, epoch_us(ts) AS tus, value,
+                  (1704067200000000 + ((epoch_us(ts) - 1704067200000000) // 3600000000) * 3600000000) AS ws
+           FROM events
+           WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-31 00:00:00'),
+r AS (SELECT *, row_number() OVER (PARTITION BY TagName, ws ORDER BY tus DESC, value DESC) rn FROM f),
+d AS (SELECT TagName, ws,
+             CAST(round_even(round_even(value, 4) * 10000, 0) AS BIGINT) AS vi,
+             CAST(row_number() OVER (PARTITION BY TagName ORDER BY ws) - 1 AS BIGINT) AS x,
+             COUNT(*) OVER (PARTITION BY TagName) AS n
+      FROM r WHERE rn = 1),
+m AS (SELECT *, SUM(vi) OVER (PARTITION BY TagName ORDER BY x
+                              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS sw
+      FROM d),
+c AS (SELECT TagName, ws, x, vi, sw FROM m WHERE x >= 12 AND x <= n - 13),
+s AS (SELECT TagName, x % 24 AS ph, SUM(vi * 25 - sw) AS sum_d, COUNT(*) AS cnt
+      FROM c GROUP BY 1, 2)
+SELECT c.TagName, make_timestamp(c.ws) AS EventTime,
+       round_even(CAST(c.vi AS DOUBLE) / 10000.0, 4) AS Value,
+       round_even(CAST(c.sw AS DOUBLE) / 250000.0, 4) AS trend,
+       round_even(CAST(s.sum_d AS DOUBLE)
+                  / (CAST(s.cnt AS DOUBLE) * 25 * 10000), 4) AS seasonal,
+       round_even(CAST(c.vi AS DOUBLE) / 10000.0
+                  - CAST(c.sw AS DOUBLE) / 250000.0
+                  - CAST(s.sum_d AS DOUBLE)
+                    / (CAST(s.cnt AS DOUBLE) * 25 * 10000), 4) AS resid
+FROM c JOIN s ON s.TagName = c.TagName AND s.ph = c.x % 24
+ORDER BY 1, 2
 """
 
 _ORACLE["emb_novel_full"] = """

@@ -26,6 +26,7 @@ from .monitoring import (
 from .forecasting import (
     arima_forecast,
     holt_forecast,
+    seasonal_decompose,
     data_binning,
     knn_regressor,
     linear_regression,
@@ -51,6 +52,7 @@ __all__ = [
     "linear_regression",
     "arima_forecast",
     "holt_forecast",
+    "seasonal_decompose",
     "data_binning",
     "knn_regressor",
 ]

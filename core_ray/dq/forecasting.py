@@ -383,3 +383,70 @@ def holt_forecast(
     from ..ops.common import grouped_map
 
     return grouped_map(ds, [TS.TAG], per_tag)
+
+
+def seasonal_decompose(
+    ds: ray.data.Dataset,
+    period: int = 24,
+    exact_decimals: int = 4,
+) -> ray.data.Dataset:
+    """Classical ADDITIVE seasonal decomposition per tag (the
+    statsmodels-`seasonal_decompose` shape): ``trend`` = centered moving
+    average over an odd window ``w = period + 1 - (period % 2 == 0) ...``
+    — here simply ``w = period | 1`` (odd) — ``seasonal`` = per-phase mean
+    of the detrended series (phase = row position mod ``period``),
+    ``resid`` = value - trend - seasonal.  Rows whose MA window is
+    incomplete (the first/last ``w//2`` of each tag) are excluded, as in
+    the classical method.
+
+    Exactness: values scale to ``10^exact_decimals`` ints, the MA is an
+    int window SUM (cumsum), the per-phase mean an int ratio — every float
+    appears only in the final literal op order the SQL oracle repeats
+    (``CAST(int) / denom`` then subtractions then ``round_even``), so the
+    4-dp outputs are bit-reproducible at any parallelism.
+    """
+    w = period if period % 2 == 1 else period + 1
+    h = w // 2
+    scale = 10 ** exact_decimals
+
+    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
+        v = g[TS.VALUE].to_numpy().astype(np.float64)
+        vi = np.round(round4(v) * scale).astype(np.int64)
+        n = len(vi)
+        if n < w:
+            return pd.DataFrame(
+                columns=["TagName", "EventTime", "Value", "trend", "seasonal", "resid"]
+            )
+        cs = np.concatenate(([0], np.cumsum(vi)))
+        sw = cs[w:] - cs[:-w]  # window sum for centers h..n-h-1 (ints)
+        centers = np.arange(h, n - h)
+        phase = centers % period
+        dnum = vi[centers] * w - sw  # detrended numerator (x w), int
+        sum_d = np.zeros(period, np.int64)
+        cnt_d = np.zeros(period, np.int64)
+        np.add.at(sum_d, phase, dnum)
+        np.add.at(cnt_d, phase, 1)
+        # literal float op order shared with the oracle
+        denom_t = float(w * scale)
+        trend_u = sw.astype(np.float64) / denom_t
+        seas_u = (
+            sum_d[phase].astype(np.float64)
+            / (cnt_d[phase].astype(np.float64) * w * scale)
+        )
+        vf = vi[centers].astype(np.float64) / float(scale)
+        resid_u = vf - trend_u - seas_u
+        return pd.DataFrame(
+            {
+                "TagName": g[TS.TAG].iloc[0],
+                "EventTime": g[TS.TS_US].to_numpy()[centers].astype("datetime64[us]"),
+                "Value": round4(vf),
+                "trend": round4(trend_u),
+                "seasonal": round4(seas_u),
+                "resid": round4(resid_u),
+            }
+        )
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], per_tag)

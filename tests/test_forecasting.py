@@ -65,3 +65,49 @@ def test_holt_forecast_short_series_emits_nothing():
         {"TagName": ["t"], "ts_us": [0], "Status": ["Good"], "Value": [1.0]}
     )
     assert holt_forecast(ray.data.from_pandas(df)).count() == 0
+
+
+def test_seasonal_decompose_planted_cycle():
+    """value = 10*phase + linear drift (period 4, w=5): the additive split
+    must reassemble exactly (value == trend + seasonal + resid at 4dp) and
+    the seasonal component must order phases correctly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from core_ray.dq import seasonal_decompose
+
+    n, period = 40, 4
+    i = np.arange(n)
+    vals = 10.0 * (i % period) + 0.5 * i
+    df = pd.DataFrame(
+        {
+            "TagName": ["t"] * n,
+            "ts_us": i * 1_000_000,
+            "Status": ["Good"] * n,
+            "Value": vals,
+        }
+    )
+    out = seasonal_decompose(
+        ray.data.from_pandas(df), period=period
+    ).to_pandas().sort_values("EventTime").reset_index(drop=True)
+    assert len(out) == n - 4  # w=5 -> 2 rows trimmed each end
+    recon = out["trend"] + out["seasonal"] + out["resid"]
+    assert np.allclose(recon, out["Value"], atol=2e-4)  # 4dp rounding only
+    ph = (np.arange(2, n - 2) % period)
+    seas = out["seasonal"].to_numpy()
+    for p in range(period):  # one seasonal value per phase
+        assert np.ptp(seas[ph == p]) < 1e-9
+
+
+def test_seasonal_decompose_short_series_empty():
+    import pandas as pd
+    import ray.data
+
+    from core_ray.dq import seasonal_decompose
+
+    df = pd.DataFrame(
+        {"TagName": ["t"] * 3, "ts_us": [0, 1, 2], "Status": ["Good"] * 3,
+         "Value": [1.0, 2.0, 3.0]}
+    )
+    assert seasonal_decompose(ray.data.from_pandas(df), period=24).count() == 0
