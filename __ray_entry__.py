@@ -2406,6 +2406,18 @@ def _q_fc_seasonal(sf):
     ).sort(["TagName", "EventTime"])
 
 
+def _q_dq_cusum(sf):
+    """Two-sided CUSUM drift detection over the raw event series (4-sigma
+    threshold): the reset-at-zero recurrence computed loop-free as
+    cumsum-minus-running-min on exact ints; oracle = the same window
+    functions in SQL."""
+    from core_ray.dq import cusum_detection
+
+    return cusum_detection(_events_ds(sf), threshold_sigmas=4).sort(
+        ["TagName", "EventTime", "Value"]
+    )
+
+
 def _q_dq_flatline(sf):
     """FlatlineFilter over a derived zero-run column: values < 2 are zeroed
     (the planted flat runs), then runs longer than tolerance=1 are removed."""
@@ -4213,6 +4225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_raw_uom": _q_ts_raw_uom,
         "ts_raw_paged": _q_ts_raw_paged,
         "dq_moving_avg": _q_dq_moving_avg,
+        "dq_cusum": _q_dq_cusum,
         "dq_zscore": _q_dq_zscore,
         "dq_out_of_range": _q_dq_out_of_range,
         "dq_missing_intervals": _q_dq_missing_intervals,
@@ -7284,6 +7297,36 @@ SELECT c.TagName, make_timestamp(c.ws) AS EventTime,
                     / (CAST(s.cnt AS DOUBLE) * 25 * 10000), 4) AS resid
 FROM c JOIN s ON s.TagName = c.TagName AND s.ph = c.x % 24
 ORDER BY 1, 2
+"""
+
+_ORACLE["dq_cusum"] = """
+WITH f AS (SELECT event_type AS TagName, epoch_us(ts) AS tus, value,
+                  CAST(round_even(round_even(value, 4) * 10000, 0) AS BIGINT) AS vi
+           FROM events
+           WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-31 00:00:00'),
+d AS (SELECT *, COUNT(*) OVER (PARTITION BY TagName) AS n,
+             SUM(vi) OVER (PARTITION BY TagName) AS s,
+             SUM(CAST(vi AS HUGEINT) * vi) OVER (PARTITION BY TagName) AS sxx
+      FROM f),
+c AS (SELECT *, SUM(CAST(vi AS HUGEINT) * n - s) OVER (
+          PARTITION BY TagName ORDER BY tus, value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d),
+w AS (SELECT *,
+          cum - least(CAST(0 AS HUGEINT), MIN(cum) OVER (
+              PARTITION BY TagName ORDER BY tus, value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS spos,
+          greatest(CAST(0 AS HUGEINT), MAX(cum) OVER (
+              PARTITION BY TagName ORDER BY tus, value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - cum AS sneg,
+          CAST(n AS HUGEINT) * sxx - CAST(s AS HUGEINT) * s AS var_num
+      FROM c)
+SELECT TagName, make_timestamp(tus) AS EventTime, value AS Value,
+       round_even(CAST(spos AS DOUBLE) / (n * 10000.0), 4) AS cusum_pos,
+       round_even(CAST(sneg AS DOUBLE) / (n * 10000.0), 4) AS cusum_neg,
+       (spos * spos > 16 * var_num) OR (sneg * sneg > 16 * var_num) AS alarm
+FROM w
+ORDER BY 1, 2, 3
 """
 
 _ORACLE["emb_novel_full"] = """

@@ -22,6 +22,7 @@ from .monitoring import (
     flatline_detection,
     identify_missing_intervals,
     moving_average,
+    cusum_detection,
 )
 from .forecasting import (
     arima_forecast,
@@ -44,6 +45,7 @@ __all__ = [
     "normalize",
     "denormalize",
     "check_value_ranges",
+    "cusum_detection",
     "flatline_detection",
     "identify_missing_intervals",
     "moving_average",

@@ -139,3 +139,69 @@ def moving_average(ds: ray.data.Dataset, window: int = 5) -> ray.data.Dataset:
     from ..ops.common import grouped_map
 
     return grouped_map(ds, [TS.TAG], per_tag)
+
+
+def cusum_detection(
+    ds: ray.data.Dataset,
+    threshold_sigmas: int = 4,
+    exact_decimals: int = 4,
+) -> ray.data.Dataset:
+    """Two-sided CUSUM drift detection per tag (Page 1954, the classic
+    control-chart sibling of :func:`check_value_ranges`): cumulative sums
+    of deviations from the TAG MEAN, reset at zero —
+    ``s+_t = max(0, s+_{t-1} + (x_t - mu))`` and the mirrored ``s-`` —
+    with an alarm when either exceeds ``threshold_sigmas * sigma``.
+
+    Exactness: the recurrence is computed WITHOUT any loop or recursion —
+    ``max(0, prev + d)`` over a stream equals ``cumsum(d) - running_min
+    (cumsum(d))`` — on integers scaled by ``n`` (deviation*n = x_int*n -
+    S), so both sides of the oracle are pure window functions on exact
+    ints; sigma^2 uses the exact population form ``(n*Sxx - S^2) / n^2``.
+    Floats appear only in the final literal op order.
+
+    Output per row: ``(TagName, EventTime, Value, cusum_pos, cusum_neg,
+    alarm)`` with the cusums de-scaled to value units (4 dp).
+
+    Exact-parity envelope (same rule as ``linear_regression``): the
+    de-scaled cusum cast to DOUBLE must stay < 2^53 — i.e.
+    ``n * max|deviation| * 10^exact_decimals`` per tag — or the SQL
+    HUGEINT->DOUBLE cast stops being correctly rounded.
+    """
+    scale = 10 ** exact_decimals
+
+    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
+        v = g[TS.VALUE].to_numpy().astype(np.float64)
+        vi = np.round(round4(v) * scale).astype(np.int64)
+        n = len(vi)
+        S = int(vi.sum())
+        d = vi * n - S  # deviation x n, exact ints
+        c = np.cumsum(d)
+        s_pos = c - np.minimum.accumulate(np.concatenate(([0], c)))[1:]
+        s_neg = np.maximum.accumulate(np.concatenate(([0], c)))[1:] - c
+        # population sigma^2 * n^2 * scale^2 as an exact int
+        sxx = int((vi.astype(object) * vi.astype(object)).sum())
+        var_num = n * sxx - S * S  # = n^2 * var * scale^2
+        # literal float op order (shared with the oracle): de-scale by n,
+        # compare against threshold * sqrt(var_num / n^2)... all x n here:
+        # alarm iff s > T * n * sigma  <=>  s^2 > T^2 * var_num (exact ints)
+        t2 = threshold_sigmas * threshold_sigmas
+        alarm = (
+            (s_pos.astype(object) * s_pos.astype(object) > t2 * var_num)
+            | (s_neg.astype(object) * s_neg.astype(object) > t2 * var_num)
+        ).astype(bool)
+        denom = float(n * scale)
+        return pd.DataFrame(
+            {
+                "TagName": g[TS.TAG],
+                "EventTime": g[TS.TS_US].astype("datetime64[us]"),
+                "Value": g[TS.VALUE],
+                "cusum_pos": round4(s_pos.astype(np.float64) / denom),
+                "cusum_neg": round4(s_neg.astype(np.float64) / denom),
+                "alarm": alarm,
+            }
+        )
+
+    from ..ops.common import grouped_map
+
+    return grouped_map(ds, [TS.TAG], per_tag)

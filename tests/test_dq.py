@@ -248,3 +248,36 @@ def test_denormalize_unknown_tag_raises():
     )
     with _pytest.raises(Exception, match="no stats"):
         denormalize(alien, params).materialize()
+
+
+def test_cusum_detects_planted_level_shift():
+    """Flat series with a level shift at the midpoint (reference = the tag
+    mean, so BOTH halves drift from it): the first rows are quiet, alarms
+    eventually fire, and the reset-at-zero sides stay sign-correct."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from core_ray.dq import cusum_detection
+
+    n = 200
+    v = np.concatenate([np.zeros(n // 2), np.full(n // 2, 5.0)])
+    v += np.tile([0.01, -0.01], n // 2)  # tiny jitter, nonzero sigma
+    df = pd.DataFrame(
+        {
+            "TagName": ["t"] * n,
+            "ts_us": np.arange(n) * 1_000_000,
+            "Status": ["Good"] * n,
+            "Value": v,
+        }
+    )
+    out = cusum_detection(
+        ray.data.from_pandas(df), threshold_sigmas=4
+    ).to_pandas().sort_values("EventTime").reset_index(drop=True)
+    # sigma here = 2.5 (the shift is the variance): 4-sigma = 10 cusum
+    # units = 4 rows of accumulation at 2.5/row
+    assert not out.loc[:3, "alarm"].any()
+    assert out.loc[4:, "alarm"].all()
+    # reset-at-zero: cusum_pos is 0 while the series sits below its mean
+    assert (out.loc[: n // 2 - 1, "cusum_pos"] == 0).all()
+    assert (out["cusum_neg"] >= 0).all() and (out["cusum_pos"] >= 0).all()
