@@ -1674,6 +1674,15 @@ def _q_doc_len_corr(sf):
     return corr_chars_words(sf)
 
 
+def _q_ev_rfm(sf):
+    """RFM customer segmentation over purchases: recency/frequency/monetary
+    quartile scores with exact disc-quantile thresholds (1 + #thresholds
+    strictly below; recency inverted)."""
+    from core_ray.pipelines import rfm_segments
+
+    return rfm_segments(sf)
+
+
 def _q_ev_funnel(sf):
     """Ordered conversion funnel view -> click -> purchase: users reaching
     each step with an event strictly after the previous step's
@@ -4334,6 +4343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pq_scan": _q_emb_pq_scan,
         "emb_ivfpq_scan": _q_emb_ivfpq_scan,
         "ev_funnel": _q_ev_funnel,
+        "ev_rfm": _q_ev_rfm,
         "ev_retention": _q_ev_retention,
         "ev_json_field_stats": _q_ev_json_field_stats,
         "doc_len_corr": _q_doc_len_corr,
@@ -7327,6 +7337,46 @@ SELECT TagName, make_timestamp(tus) AS EventTime, value AS Value,
        (spos * spos > 16 * var_num) OR (sneg * sneg > 16 * var_num) AS alarm
 FROM w
 ORDER BY 1, 2, 3
+"""
+
+_ORACLE["ev_rfm"] = """
+WITH p AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_ts, count(*) AS freq,
+         sum(CAST(round_even(round_even(value, 4) * 10000, 0) AS BIGINT)) AS mon
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+u AS (
+  SELECT user_id,
+         (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - last_ts) // 86400000000 AS rec,
+         freq, mon
+  FROM p
+),
+t AS (
+  SELECT quantile_disc(rec, [0.25, 0.5, 0.75]) AS tr,
+         quantile_disc(freq, [0.25, 0.5, 0.75]) AS tf,
+         quantile_disc(mon, [0.25, 0.5, 0.75]) AS tm
+  FROM u
+),
+s AS (
+  SELECT u.user_id, u.rec, u.freq, u.mon,
+         4 - (CASE WHEN u.rec > t.tr[1] THEN 1 ELSE 0 END
+            + CASE WHEN u.rec > t.tr[2] THEN 1 ELSE 0 END
+            + CASE WHEN u.rec > t.tr[3] THEN 1 ELSE 0 END) AS r_score,
+         1 + (CASE WHEN u.freq > t.tf[1] THEN 1 ELSE 0 END
+            + CASE WHEN u.freq > t.tf[2] THEN 1 ELSE 0 END
+            + CASE WHEN u.freq > t.tf[3] THEN 1 ELSE 0 END) AS f_score,
+         1 + (CASE WHEN u.mon > t.tm[1] THEN 1 ELSE 0 END
+            + CASE WHEN u.mon > t.tm[2] THEN 1 ELSE 0 END
+            + CASE WHEN u.mon > t.tm[3] THEN 1 ELSE 0 END) AS m_score
+  FROM u, t
+)
+SELECT user_id, CAST(rec AS BIGINT) AS recency_days,
+       CAST(freq AS BIGINT) AS frequency,
+       round_even(CAST(mon AS DOUBLE) / 10000.0, 4) AS monetary,
+       CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(100 * r_score + 10 * f_score + m_score AS BIGINT) AS rfm
+FROM s ORDER BY user_id
 """
 
 _ORACLE["emb_novel_full"] = """

@@ -1429,3 +1429,119 @@ def daily_order_ship_counts(sf_dir: str) -> ray.data.Dataset:
         .map_groups(per_bucket, batch_format="pyarrow")
         .sort("d")
     )
+
+
+def rfm_segments(
+    sf_dir: str,
+    asof: str = "2024-02-01",
+    etype: str = "purchase",
+) -> ray.data.Dataset:
+    """RFM (recency / frequency / monetary) customer segmentation over the
+    event stream — the classic behavioral-analytics shape: per user, days
+    since last ``etype`` event, event count, and exact-int monetary total,
+    each scored 1-4 by its corpus-wide DISC-QUANTILE quartile (recency
+    inverted: most recent = 4), plus the combined ``rfm = 100r + 10f + m``.
+
+    Exactness: monetary sums are 4-dp ints; quartile thresholds follow the
+    DuckDB ``quantile_disc`` rule (sorted[max(1, ceil(q*n)) - 1]) with
+    exactly-representable q ∈ {1/4, 1/2, 3/4}, computed from merged
+    value-count histograms; a dimension score is ``1 + #thresholds below``
+    (strictly) so ties bucket deterministically.
+
+    Shape: per-batch user partials → one user groupby (max/count/sum) →
+    per-dimension value histograms (bounded by DISTINCT aggregate values —
+    at extreme user counts swap the exact histogram for the t-digest
+    sketch in ``functions/sketches.py``) → broadcast thresholds → one
+    scoring pass.  Output sorted by user_id.
+    """
+    import pyarrow.dataset as pads
+
+    from ..ops.common import _arrow_add_bucket, round4
+
+    asof_us = int(np.datetime64(asof, "us").astype(np.int64))
+    DAY_US = 86_400_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_type"],
+        filter=pads.field("event_type") == etype,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vi = np.round(round4(v) * 10_000).astype(np.int64)
+        g = (
+            pd.DataFrame({"u": t["user_id"].to_numpy(zero_copy_only=False),
+                          "ts": ts, "m": vi})
+            .groupby("u", sort=False, as_index=False)
+            .agg(last_ts=("ts", "max"), freq=("ts", "size"), mon=("m", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = (
+            t.drop_columns(["_bucket"]).to_pandas()
+            .groupby("u", sort=False, as_index=False)
+            .agg(last_ts=("last_ts", "max"), freq=("freq", "sum"),
+                 mon=("mon", "sum"))
+        )
+        g["rec"] = (asof_us - g["last_ts"]) // DAY_US
+        return pa.Table.from_pandas(
+            g[["u", "rec", "freq", "mon"]], preserve_index=False
+        )
+
+    users = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_arrow_add_bucket(["u"], 64), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .materialize()  # feeds both the histogram pass and the scoring pass
+    )
+
+    def hist(col):
+        def fn(t: pa.Table) -> pa.Table:
+            vals, cnts = np.unique(
+                t[col].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table({"v": pa.array(vals.astype(np.int64)),
+                             "c": pa.array(cnts.astype(np.int64))})
+
+        return fn
+
+    def thresholds(col) -> np.ndarray:
+        merged = (
+            users.map_batches(hist(col), batch_format="pyarrow")
+            .groupby("v").sum("c").to_pandas().sort_values("v")
+        )
+        vals = merged["v"].to_numpy()
+        cum = merged["sum(c)"].to_numpy().cumsum()
+        n = int(cum[-1])
+        out = []
+        for num, den in ((1, 4), (1, 2), (3, 4)):
+            rank = max(1, -((-num * n) // den))  # ceil(q*n), exact ints
+            out.append(int(vals[int(np.searchsorted(cum, rank, side="left"))]))
+        return np.array(out, dtype=np.int64)
+
+    t_rec, t_freq, t_mon = (thresholds(c) for c in ("rec", "freq", "mon"))
+
+    def score(t: pa.Table) -> pa.Table:
+        rec = t["rec"].to_numpy(zero_copy_only=False)
+        freq = t["freq"].to_numpy(zero_copy_only=False)
+        mon = t["mon"].to_numpy(zero_copy_only=False)
+        r = 4 - (rec[:, None] > t_rec[None, :]).sum(axis=1)
+        f = 1 + (freq[:, None] > t_freq[None, :]).sum(axis=1)
+        m = 1 + (mon[:, None] > t_mon[None, :]).sum(axis=1)
+        return pa.table(
+            {
+                "user_id": t["u"],
+                "recency_days": pa.array(rec.astype(np.int64)),
+                "frequency": pa.array(freq.astype(np.int64)),
+                "monetary": pa.array(round4(mon.astype(np.float64) / 10_000.0)),
+                "r_score": pa.array(r.astype(np.int64)),
+                "f_score": pa.array(f.astype(np.int64)),
+                "m_score": pa.array(m.astype(np.int64)),
+                "rfm": pa.array((100 * r + 10 * f + m).astype(np.int64)),
+            }
+        )
+
+    return users.map_batches(score, batch_format="pyarrow").sort("user_id")

@@ -116,3 +116,32 @@ def test_q19_arm_disjunction(ray_session, micro_sf):
     # size 1-10): line 2 qty 15 -> 200.0 matches.
     out = multi_arm_or_revenue(micro_sf).to_pandas()
     assert out.loc[0, "revenue_e4"] == 2_900_000
+
+
+def test_rfm_scores_hand_case(tmp_path):
+    """4 users with strictly ordered R/F/M: quartile thresholds = the sorted
+    values themselves (n=4, ranks 1/2/3), scores come out 1..4 with recency
+    inverted."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from core_ray.pipelines import rfm_segments
+
+    rows = []
+    # user u: freq = u purchases of value 10*u, last at Jan (u*3)th
+    for u in (1, 2, 3, 4):
+        for j in range(u):
+            rows.append((u, np.datetime64(f"2024-01-{3*u:02d}", "us"),
+                         "purchase", 10.0 * u))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = rfm_segments(str(tmp_path)).to_pandas().sort_values("user_id")
+    # later last-purchase => smaller recency => higher r_score
+    assert out["r_score"].tolist() == [1, 2, 3, 4]
+    assert out["f_score"].tolist() == [1, 2, 3, 4]
+    assert out["m_score"].tolist() == [1, 2, 3, 4]
+    assert out["rfm"].tolist() == [111, 222, 333, 444]
+    assert out["monetary"].tolist() == [10.0, 40.0, 90.0, 160.0]
