@@ -2352,7 +2352,7 @@ def _q_fc_linreg(sf):
         daily.map_batches(to_internal, batch_format="pyarrow"),
         horizon=5, step_us=DAY_US, exact_decimals=4, x_unit_us=DAY_US,
     )
-    return fc.filter(expr="Status = 'Forecast'").sort(
+    return fc.filter(expr="Status == 'Forecast'").sort(
         ["TagName", "EventTime"]
     )
 
