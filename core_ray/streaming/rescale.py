@@ -176,3 +176,129 @@ def rescale_checkpoint(out_dir: str, new_partitions: int) -> dict:
     os.unlink(journal_path)
     os.unlink(backup_path)
     return {"old": old_p, "new": q, "epoch": k, "moved_rows": moved}
+
+
+def rescale_join_checkpoint(
+    out_dir: str,
+    old_partitions: int,
+    new_partitions: int,
+    key_col: str = "key",
+    route_seed: int = 7,
+) -> dict:
+    """Rescale a stopped :class:`~core_ray.streaming.join.StreamJoinJob`
+    checkpoint from P to Q partitions.  Unlike the window engine, EVERY
+    join-state row has a placement constraint — future arrivals of a key
+    route to ``hash(route_seed, key) % Q``, and matching is key-local — so
+    both sides' rows re-route by exactly that function ( ``_matched``
+    outer-mode flags ride along as ordinary columns).  Per-side
+    ``max_ts`` metadata takes the conservative min over donors (the next
+    conservative watermark then equals the old layout's); there are no
+    cross-epoch dedup registers in the join engine (ingest dedup is
+    per-epoch batch-id based), so no dedup-frontier split is needed.
+
+    Same journal+backup crash-safety discipline as
+    :func:`rescale_checkpoint`; the journal/backup live under
+    ``manifests/`` of the join's out_dir.  The caller resumes with
+    ``JoinConfig(num_partitions=Q)`` (the join config carries no persisted
+    shape file — keep the rest of the config identical).
+    """
+    mdir = os.path.join(out_dir, "manifests")
+    journal_path = os.path.join(mdir, "rescale-join.json")
+    backup_paths = {
+        s: os.path.join(mdir, f"rescale-join-backup-{s}.parquet")
+        for s in ("l", "r")
+    }
+    q = int(new_partitions)
+    if q < 1:
+        raise ValueError("new_partitions must be >= 1")
+
+    if os.path.exists(journal_path):
+        with open(journal_path) as f:
+            journal = json.load(f)
+        old_p, k = int(journal["old_p"]), int(journal["epoch"])
+        tables = {
+            s: (pq.read_table(p) if os.path.exists(p) else None)
+            for s, p in backup_paths.items()
+        }
+        metas = journal["meta"]
+    else:
+        old_p = int(old_partitions)
+        if q == old_p:
+            return {"old": old_p, "new": q, "epoch": None, "moved_rows": 0}
+        sinks = [EpochSink(out_dir, p) for p in range(old_p)]
+        k = min(s.last_committed_epoch() for s in sinks)
+        if k < 0:
+            raise ValueError("nothing committed yet — start fresh instead")
+        tables = {}
+        metas = {}
+        for side in ("l", "r"):
+            parts, mmax, mwm, mlate = [], [], [], 0
+            for p, s in enumerate(sinks):
+                t = s.read_snapshot(k, f"join-{side}")
+                if t is None:
+                    raise RuntimeError(
+                        f"join-{side} snapshot for epoch {k} missing on "
+                        f"partition {p}"
+                    )
+                m = {kk.decode(): v.decode()
+                     for kk, v in (t.schema.metadata or {}).items()}
+                mmax.append(int(m.get("max_ts", -1)))
+                mwm.append(int(m.get("watermark", -(1 << 62))))
+                mlate += int(m.get("late", 0))
+                if t.num_columns:
+                    parts.append(t.replace_schema_metadata(None))
+            tables[side] = pa.concat_tables(parts) if parts else None
+            metas[side] = {"max_ts": str(min(mmax)),
+                           "watermark": str(max(mwm)),
+                           # late counters are global lineage: carry the sum
+                           # on partition 0, zeros elsewhere
+                           "late_total": str(mlate)}
+        for side, t in tables.items():
+            if t is not None:
+                pq.write_table(t, backup_paths[side] + ".tmp")
+                os.replace(backup_paths[side] + ".tmp", backup_paths[side])
+        jtmp = journal_path + ".tmp"
+        with open(jtmp, "w") as f:
+            json.dump({"old_p": old_p, "new_q": q, "epoch": k, "meta": metas},
+                      f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(jtmp, journal_path)
+
+    moved = 0
+    for p in range(q):
+        sink = EpochSink(out_dir, p)
+        for side in ("l", "r"):
+            t = tables[side]
+            meta = {
+                "max_ts": metas[side]["max_ts"],
+                "watermark": metas[side]["watermark"],
+                # late counters are global lineage: partition 0 carries the
+                # donors' sum, the rest restart at 0
+                "late": metas[side]["late_total"] if p == 0 else "0",
+            }
+            if t is None or not len(t):
+                part_rows = (
+                    t if t is not None
+                    else pa.Table.from_pydict({})
+                )
+            else:
+                keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                dest = (_hash2(route_seed, keys) % np.uint64(q)).astype(np.int64)
+                part_rows = t.filter(pa.array(dest == p))
+                part_rows = part_rows.sort_by(
+                    [(c, "ascending") for c in part_rows.column_names
+                     if c != "_matched"]
+                )
+                moved += len(part_rows)
+            sink.write_snapshot(
+                k, f"join-{side}", part_rows.replace_schema_metadata(meta)
+            )
+        if sink.last_committed_epoch() < k:
+            sink.commit_epoch(k, {}, {"rescaled_from": old_p,
+                                      "rescaled_to": q})
+    os.unlink(journal_path)
+    for pth in backup_paths.values():
+        if os.path.exists(pth):
+            os.unlink(pth)
+    return {"old": old_p, "new": q, "epoch": k, "moved_rows": moved}

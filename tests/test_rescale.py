@@ -139,3 +139,59 @@ def test_rescale_guards(rescale_dirs, tmp_path):
     # un-rescaled partition change is still refused by the shape guard
     with pytest.raises(ValueError, match="job shape changed"):
         StreamingJob(_cfg(in_dir, out, 9)).run(resume=True)
+
+
+@pytest.mark.parametrize("new_parts,how", [(7, "inner"), (3, "left_outer")])
+def test_join_rescale_preserves_output(tmp_path, new_parts, how):
+    """Stop the stream-stream join mid-run, rescale 4 -> Q (state re-routed
+    by key hash), resume at Q: the joined row SET equals an unbroken run's
+    (matched-flag state survives in outer mode)."""
+    from core_ray.streaming import (
+        JoinConfig,
+        StreamJoinJob,
+        read_joined,
+        rescale_join_checkpoint,
+    )
+
+    rng = np.random.default_rng(5)
+    nrows = 3000
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "key": r.integers(0, 40, nrows).astype("int64"),
+            "ts_us": np.sort(r.integers(0, 3_600_000_000, nrows)).astype("int64"),
+            "pid": np.arange(nrows, dtype="int64"),
+        })
+    left, right = mk(5), mk(6)
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    for d, df_ in ((ld, left), (rd, right)):
+        os.makedirs(d, exist_ok=True)
+        step = (len(df_) + 5) // 6
+        for i in range(6):
+            pq.write_table(
+                pa.Table.from_pandas(df_.iloc[i*step:(i+1)*step], preserve_index=False),
+                f"{d}/f{i:03d}.parquet")
+
+    def cfg(out, parts):
+        return JoinConfig(left_dir=ld, right_dir=rd, out_dir=out,
+                          key_col="key", band_lo_us=0, band_hi_us=300_000_000,
+                          num_partitions=parts, files_per_epoch=1,
+                          left_payload=["pid"], right_payload=["pid"],
+                          how=how)
+
+    ref_out = str(tmp_path / "ref")
+    StreamJoinJob(cfg(ref_out, 4)).run(resume=False)
+    out = str(tmp_path / "out")
+    StreamJoinJob(cfg(out, 4)).run(resume=False, stop_after_epoch=2)
+    res = rescale_join_checkpoint(out, 4, new_parts, key_col="key")
+    assert res["old"] == 4 and res["new"] == new_parts
+    StreamJoinJob(cfg(out, new_parts)).run(resume=True)
+
+    def rows(d):
+        df = read_joined(d).to_pandas()
+        # `part` is hive-inferred from the sink layout — the one thing a
+        # rescale legitimately changes
+        df = df.drop(columns=[c for c in ("part",) if c in df]).astype("float64")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(rows(out), rows(ref_out))
