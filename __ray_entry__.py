@@ -2415,6 +2415,18 @@ def _q_fc_seasonal(sf):
     ).sort(["TagName", "EventTime"])
 
 
+def _q_fc_binning(sf):
+    """1-D k-means Value binning per tag (k=4, 6 Lloyd iterations) in EXACT
+    integer arithmetic: disc-quantile seeds, cross-multiplied
+    nearest-centroid comparisons, (sum,count) rational centroids — the full
+    iteration trace replayed by generated chained CTEs."""
+    from core_ray.dq import data_binning
+
+    return data_binning(_events_ds(sf), n_bins=4, iters=6, exact_decimals=4).sort(
+        ["TagName", "EventTime", "Value"]
+    )
+
+
 def _q_dq_cusum(sf):
     """Two-sided CUSUM drift detection over the raw event series (4-sigma
     threshold): the reset-at-zero recurrence computed loop-free as
@@ -4171,6 +4183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fc_linreg": _q_fc_linreg,
         "fc_holt": _q_fc_holt,
         "fc_seasonal": _q_fc_seasonal,
+        "fc_binning": _q_fc_binning,
         "fw_pipeline_json": _q_fw_pipeline_json,
         "vendor_opcua_pcdm": _q_vendor_opcua_pcdm,
         "bus_pcdm_ingest": _q_bus_pcdm_ingest,
@@ -7377,6 +7390,71 @@ SELECT user_id, CAST(rec AS BIGINT) AS recency_days,
        CAST(m_score AS BIGINT) AS m_score,
        CAST(100 * r_score + 10 * f_score + m_score AS BIGINT) AS rfm
 FROM s ORDER BY user_id
+"""
+
+_ORACLE["fc_binning"] = """
+WITH f AS (
+  SELECT event_type AS TagName, epoch_us(ts) AS tus, value,
+         CAST(round_even(round_even(value, 4) * 10000, 0) AS BIGINT) AS vi
+  FROM events
+),
+nn AS (SELECT event_type AS TagName, COUNT(*) AS n FROM events GROUP BY 1),
+rkd AS (
+  SELECT f.TagName, f.vi, nn.n,
+         row_number() OVER (PARTITION BY f.TagName ORDER BY f.vi) AS rk
+  FROM f JOIN nn USING (TagName)
+),
+st0 AS (
+  SELECT TagName, MAX(CASE WHEN rk = greatest(1, (0 * n + 2) // 3) THEN vi END) AS s1, CAST(1 AS BIGINT) AS n1, MAX(CASE WHEN rk = greatest(1, (1 * n + 2) // 3) THEN vi END) AS s2, CAST(1 AS BIGINT) AS n2, MAX(CASE WHEN rk = greatest(1, (2 * n + 2) // 3) THEN vi END) AS s3, CAST(1 AS BIGINT) AS n3, MAX(CASE WHEN rk = greatest(1, (3 * n + 2) // 3) THEN vi END) AS s4, CAST(1 AS BIGINT) AS n4
+  FROM rkd GROUP BY TagName
+),
+a1 AS (
+  SELECT x.*, (CASE WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n4 THEN 3 ELSE 0 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n4 THEN 3 ELSE 1 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 2 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n3 < abs(x.vi * x.n3 - x.s3) * x.n4 THEN 3 ELSE 2 END) END) AS a
+  FROM (SELECT f.TagName, f.vi, p.s1, p.n1, p.s2, p.n2, p.s3, p.n3, p.s4, p.n4 FROM f JOIN st0 p USING (TagName)) x
+),
+st1 AS (
+  SELECT TagName, COALESCE(SUM(CASE WHEN a = 0 THEN vi END), ANY_VALUE(s1)) AS s1, CASE WHEN COUNT(CASE WHEN a = 0 THEN 1 END) = 0 THEN ANY_VALUE(n1) ELSE COUNT(CASE WHEN a = 0 THEN 1 END) END AS n1, COALESCE(SUM(CASE WHEN a = 1 THEN vi END), ANY_VALUE(s2)) AS s2, CASE WHEN COUNT(CASE WHEN a = 1 THEN 1 END) = 0 THEN ANY_VALUE(n2) ELSE COUNT(CASE WHEN a = 1 THEN 1 END) END AS n2, COALESCE(SUM(CASE WHEN a = 2 THEN vi END), ANY_VALUE(s3)) AS s3, CASE WHEN COUNT(CASE WHEN a = 2 THEN 1 END) = 0 THEN ANY_VALUE(n3) ELSE COUNT(CASE WHEN a = 2 THEN 1 END) END AS n3, COALESCE(SUM(CASE WHEN a = 3 THEN vi END), ANY_VALUE(s4)) AS s4, CASE WHEN COUNT(CASE WHEN a = 3 THEN 1 END) = 0 THEN ANY_VALUE(n4) ELSE COUNT(CASE WHEN a = 3 THEN 1 END) END AS n4 FROM a1 GROUP BY TagName
+),
+a2 AS (
+  SELECT x.*, (CASE WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n4 THEN 3 ELSE 0 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n4 THEN 3 ELSE 1 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 2 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n3 < abs(x.vi * x.n3 - x.s3) * x.n4 THEN 3 ELSE 2 END) END) AS a
+  FROM (SELECT f.TagName, f.vi, p.s1, p.n1, p.s2, p.n2, p.s3, p.n3, p.s4, p.n4 FROM f JOIN st1 p USING (TagName)) x
+),
+st2 AS (
+  SELECT TagName, COALESCE(SUM(CASE WHEN a = 0 THEN vi END), ANY_VALUE(s1)) AS s1, CASE WHEN COUNT(CASE WHEN a = 0 THEN 1 END) = 0 THEN ANY_VALUE(n1) ELSE COUNT(CASE WHEN a = 0 THEN 1 END) END AS n1, COALESCE(SUM(CASE WHEN a = 1 THEN vi END), ANY_VALUE(s2)) AS s2, CASE WHEN COUNT(CASE WHEN a = 1 THEN 1 END) = 0 THEN ANY_VALUE(n2) ELSE COUNT(CASE WHEN a = 1 THEN 1 END) END AS n2, COALESCE(SUM(CASE WHEN a = 2 THEN vi END), ANY_VALUE(s3)) AS s3, CASE WHEN COUNT(CASE WHEN a = 2 THEN 1 END) = 0 THEN ANY_VALUE(n3) ELSE COUNT(CASE WHEN a = 2 THEN 1 END) END AS n3, COALESCE(SUM(CASE WHEN a = 3 THEN vi END), ANY_VALUE(s4)) AS s4, CASE WHEN COUNT(CASE WHEN a = 3 THEN 1 END) = 0 THEN ANY_VALUE(n4) ELSE COUNT(CASE WHEN a = 3 THEN 1 END) END AS n4 FROM a2 GROUP BY TagName
+),
+a3 AS (
+  SELECT x.*, (CASE WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n4 THEN 3 ELSE 0 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n4 THEN 3 ELSE 1 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 2 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n3 < abs(x.vi * x.n3 - x.s3) * x.n4 THEN 3 ELSE 2 END) END) AS a
+  FROM (SELECT f.TagName, f.vi, p.s1, p.n1, p.s2, p.n2, p.s3, p.n3, p.s4, p.n4 FROM f JOIN st2 p USING (TagName)) x
+),
+st3 AS (
+  SELECT TagName, COALESCE(SUM(CASE WHEN a = 0 THEN vi END), ANY_VALUE(s1)) AS s1, CASE WHEN COUNT(CASE WHEN a = 0 THEN 1 END) = 0 THEN ANY_VALUE(n1) ELSE COUNT(CASE WHEN a = 0 THEN 1 END) END AS n1, COALESCE(SUM(CASE WHEN a = 1 THEN vi END), ANY_VALUE(s2)) AS s2, CASE WHEN COUNT(CASE WHEN a = 1 THEN 1 END) = 0 THEN ANY_VALUE(n2) ELSE COUNT(CASE WHEN a = 1 THEN 1 END) END AS n2, COALESCE(SUM(CASE WHEN a = 2 THEN vi END), ANY_VALUE(s3)) AS s3, CASE WHEN COUNT(CASE WHEN a = 2 THEN 1 END) = 0 THEN ANY_VALUE(n3) ELSE COUNT(CASE WHEN a = 2 THEN 1 END) END AS n3, COALESCE(SUM(CASE WHEN a = 3 THEN vi END), ANY_VALUE(s4)) AS s4, CASE WHEN COUNT(CASE WHEN a = 3 THEN 1 END) = 0 THEN ANY_VALUE(n4) ELSE COUNT(CASE WHEN a = 3 THEN 1 END) END AS n4 FROM a3 GROUP BY TagName
+),
+a4 AS (
+  SELECT x.*, (CASE WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n4 THEN 3 ELSE 0 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n4 THEN 3 ELSE 1 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 2 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n3 < abs(x.vi * x.n3 - x.s3) * x.n4 THEN 3 ELSE 2 END) END) AS a
+  FROM (SELECT f.TagName, f.vi, p.s1, p.n1, p.s2, p.n2, p.s3, p.n3, p.s4, p.n4 FROM f JOIN st3 p USING (TagName)) x
+),
+st4 AS (
+  SELECT TagName, COALESCE(SUM(CASE WHEN a = 0 THEN vi END), ANY_VALUE(s1)) AS s1, CASE WHEN COUNT(CASE WHEN a = 0 THEN 1 END) = 0 THEN ANY_VALUE(n1) ELSE COUNT(CASE WHEN a = 0 THEN 1 END) END AS n1, COALESCE(SUM(CASE WHEN a = 1 THEN vi END), ANY_VALUE(s2)) AS s2, CASE WHEN COUNT(CASE WHEN a = 1 THEN 1 END) = 0 THEN ANY_VALUE(n2) ELSE COUNT(CASE WHEN a = 1 THEN 1 END) END AS n2, COALESCE(SUM(CASE WHEN a = 2 THEN vi END), ANY_VALUE(s3)) AS s3, CASE WHEN COUNT(CASE WHEN a = 2 THEN 1 END) = 0 THEN ANY_VALUE(n3) ELSE COUNT(CASE WHEN a = 2 THEN 1 END) END AS n3, COALESCE(SUM(CASE WHEN a = 3 THEN vi END), ANY_VALUE(s4)) AS s4, CASE WHEN COUNT(CASE WHEN a = 3 THEN 1 END) = 0 THEN ANY_VALUE(n4) ELSE COUNT(CASE WHEN a = 3 THEN 1 END) END AS n4 FROM a4 GROUP BY TagName
+),
+a5 AS (
+  SELECT x.*, (CASE WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n4 THEN 3 ELSE 0 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n4 THEN 3 ELSE 1 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 2 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n3 < abs(x.vi * x.n3 - x.s3) * x.n4 THEN 3 ELSE 2 END) END) AS a
+  FROM (SELECT f.TagName, f.vi, p.s1, p.n1, p.s2, p.n2, p.s3, p.n3, p.s4, p.n4 FROM f JOIN st4 p USING (TagName)) x
+),
+st5 AS (
+  SELECT TagName, COALESCE(SUM(CASE WHEN a = 0 THEN vi END), ANY_VALUE(s1)) AS s1, CASE WHEN COUNT(CASE WHEN a = 0 THEN 1 END) = 0 THEN ANY_VALUE(n1) ELSE COUNT(CASE WHEN a = 0 THEN 1 END) END AS n1, COALESCE(SUM(CASE WHEN a = 1 THEN vi END), ANY_VALUE(s2)) AS s2, CASE WHEN COUNT(CASE WHEN a = 1 THEN 1 END) = 0 THEN ANY_VALUE(n2) ELSE COUNT(CASE WHEN a = 1 THEN 1 END) END AS n2, COALESCE(SUM(CASE WHEN a = 2 THEN vi END), ANY_VALUE(s3)) AS s3, CASE WHEN COUNT(CASE WHEN a = 2 THEN 1 END) = 0 THEN ANY_VALUE(n3) ELSE COUNT(CASE WHEN a = 2 THEN 1 END) END AS n3, COALESCE(SUM(CASE WHEN a = 3 THEN vi END), ANY_VALUE(s4)) AS s4, CASE WHEN COUNT(CASE WHEN a = 3 THEN 1 END) = 0 THEN ANY_VALUE(n4) ELSE COUNT(CASE WHEN a = 3 THEN 1 END) END AS n4 FROM a5 GROUP BY TagName
+),
+a6 AS (
+  SELECT x.*, (CASE WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n4 THEN 3 ELSE 0 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n4 THEN 3 ELSE 1 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 2 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n3 < abs(x.vi * x.n3 - x.s3) * x.n4 THEN 3 ELSE 2 END) END) AS a
+  FROM (SELECT f.TagName, f.vi, p.s1, p.n1, p.s2, p.n2, p.s3, p.n3, p.s4, p.n4 FROM f JOIN st5 p USING (TagName)) x
+),
+st6 AS (
+  SELECT TagName, COALESCE(SUM(CASE WHEN a = 0 THEN vi END), ANY_VALUE(s1)) AS s1, CASE WHEN COUNT(CASE WHEN a = 0 THEN 1 END) = 0 THEN ANY_VALUE(n1) ELSE COUNT(CASE WHEN a = 0 THEN 1 END) END AS n1, COALESCE(SUM(CASE WHEN a = 1 THEN vi END), ANY_VALUE(s2)) AS s2, CASE WHEN COUNT(CASE WHEN a = 1 THEN 1 END) = 0 THEN ANY_VALUE(n2) ELSE COUNT(CASE WHEN a = 1 THEN 1 END) END AS n2, COALESCE(SUM(CASE WHEN a = 2 THEN vi END), ANY_VALUE(s3)) AS s3, CASE WHEN COUNT(CASE WHEN a = 2 THEN 1 END) = 0 THEN ANY_VALUE(n3) ELSE COUNT(CASE WHEN a = 2 THEN 1 END) END AS n3, COALESCE(SUM(CASE WHEN a = 3 THEN vi END), ANY_VALUE(s4)) AS s4, CASE WHEN COUNT(CASE WHEN a = 3 THEN 1 END) = 0 THEN ANY_VALUE(n4) ELSE COUNT(CASE WHEN a = 3 THEN 1 END) END AS n4 FROM a6 GROUP BY TagName
+)
+SELECT x.TagName, make_timestamp(x.tus) AS EventTime, x.value AS Value,
+       CAST((CASE WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n4 THEN 3 ELSE 0 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n4 THEN 3 ELSE 1 END) WHEN (CASE WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 0 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n3 THEN 2 ELSE 0 END) WHEN (CASE WHEN 0 = 0 THEN (CASE WHEN abs(x.vi * x.n2 - x.s2) * x.n1 < abs(x.vi * x.n1 - x.s1) * x.n2 THEN 1 ELSE 0 END) END) = 1 THEN (CASE WHEN abs(x.vi * x.n3 - x.s3) * x.n2 < abs(x.vi * x.n2 - x.s2) * x.n3 THEN 2 ELSE 1 END) END) = 2 THEN (CASE WHEN abs(x.vi * x.n4 - x.s4) * x.n3 < abs(x.vi * x.n3 - x.s3) * x.n4 THEN 3 ELSE 2 END) END) AS BIGINT) AS bin
+FROM (SELECT f.TagName, f.tus, f.value, f.vi, p.s1, p.n1, p.s2, p.n2, p.s3, p.n3, p.s4, p.n4
+      FROM f JOIN st6 p USING (TagName)) x
+ORDER BY 1, 2, 3
 """
 
 _ORACLE["emb_novel_full"] = """

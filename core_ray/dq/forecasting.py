@@ -259,20 +259,75 @@ def arima_auto_forecast(
     return grouped_map(ds, [TS.TAG], per_tag)
 
 
-def data_binning(ds: ray.data.Dataset, n_bins: int = 4, iters: int = 10) -> ray.data.Dataset:
-    """Assign each row a k-means bin of its Value per tag (seeded, 1-D)."""
+def data_binning(
+    ds: ray.data.Dataset,
+    n_bins: int = 4,
+    iters: int = 10,
+    exact_decimals: int | None = None,
+) -> ray.data.Dataset:
+    """Assign each row a k-means bin of its Value per tag (seeded, 1-D).
+
+    ``exact_decimals``: run Lloyd's iterations in EXACT integer arithmetic
+    — values as fixed-point ints, centroids as (sum, count) rational pairs,
+    nearest-centroid via cross-multiplied comparisons
+    ``|v*n_c - S_c| * n_b  <  |v*n_b - S_b| * n_c`` (ties to the lowest
+    index), init = disc-quantile seeds (rank ``max(1, ceil(j*n/(k-1)))``)
+    — so the whole k-means TRACE is bit-reproducible by a chained-CTE SQL
+    replay; no float appears anywhere in the exact arm.  Envelope: every
+    cross product must fit int64 — ``max|v*n - S| * n < 2^63``.  Empty
+    clusters carry their previous (sum, count) centroid, as in the float
+    arm."""
+
+    def _exact_assign(vi: np.ndarray, cents: list[tuple[int, int]]) -> np.ndarray:
+        best = np.zeros(len(vi), dtype=np.int64)
+        d_best = np.abs(vi * cents[0][1] - cents[0][0])
+        n_best = np.full(len(vi), cents[0][1], dtype=np.int64)
+        for c in range(1, len(cents)):
+            s_c, n_c = cents[c]
+            d_c = np.abs(vi * n_c - s_c)
+            win = d_c * n_best < d_best * n_c  # strict: ties keep lower idx
+            best[win] = c
+            d_best = np.where(win, d_c, d_best)
+            n_best = np.where(win, n_c, n_best)
+        return best
 
     def per_tag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
         v = g[TS.VALUE].to_numpy().astype(np.float64)
-        # deterministic init: quantile seeds
-        cents = np.quantile(v, np.linspace(0, 1, min(n_bins, len(v))))
-        for _ in range(iters):
+        if exact_decimals is not None:
+            scale = 10 ** exact_decimals
+            vi = np.round(round4(v) * scale).astype(np.int64)
+            n = len(vi)
+            k = min(n_bins, n)
+            sv = np.sort(vi)
+            if k == 1:
+                cents = [(int(sv[0]), 1)]
+            else:
+                cents = [
+                    (int(sv[max(1, -((-j * n) // (k - 1))) - 1]), 1)
+                    for j in range(k)
+                ]
+            for _ in range(iters):
+                assign = _exact_assign(vi, cents)
+                new_c = []
+                for c in range(k):
+                    m = assign == c
+                    new_c.append(
+                        (int(vi[m].sum()), int(m.sum())) if m.any() else cents[c]
+                    )
+                cents = new_c
+            assign = _exact_assign(vi, cents)
+        else:
+            # float arm: quantile seeds + float means (not SQL-replayable —
+            # use exact_decimals for oracle parity)
+            cents = np.quantile(v, np.linspace(0, 1, min(n_bins, len(v))))
+            for _ in range(iters):
+                assign = np.abs(v[:, None] - cents[None, :]).argmin(axis=1)
+                for c in range(len(cents)):
+                    m = v[assign == c]
+                    if len(m):
+                        cents[c] = m.mean()
             assign = np.abs(v[:, None] - cents[None, :]).argmin(axis=1)
-            for c in range(len(cents)):
-                m = v[assign == c]
-                if len(m):
-                    cents[c] = m.mean()
-        assign = np.abs(v[:, None] - cents[None, :]).argmin(axis=1)
         return pd.DataFrame(
             {
                 "TagName": g[TS.TAG],

@@ -111,3 +111,38 @@ def test_seasonal_decompose_short_series_empty():
          "Value": [1.0, 2.0, 3.0]}
     )
     assert seasonal_decompose(ray.data.from_pandas(df), period=24).count() == 0
+
+
+def test_data_binning_exact_arm_separated_clusters():
+    """Four well-separated value clusters: the exact-int arm and the float
+    arm agree on the (unique) clustering, and bins are ordered with value."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from core_ray.dq import data_binning
+
+    rng = np.random.default_rng(9)
+    centers = [0.0, 100.0, 200.0, 300.0]
+    v = np.concatenate([c + rng.uniform(-1, 1, 50) for c in centers])
+    rng.shuffle(v)
+    df = pd.DataFrame(
+        {
+            "TagName": ["t"] * len(v),
+            "ts_us": np.arange(len(v)) * 1_000_000,
+            "Status": ["Good"] * len(v),
+            "Value": v,
+        }
+    )
+    exact = data_binning(
+        ray.data.from_pandas(df), n_bins=4, iters=6, exact_decimals=4
+    ).to_pandas().sort_values(["EventTime"]).reset_index(drop=True)
+    # each true cluster lands in exactly one bin, bins ascend with value
+    lab = exact["bin"].to_numpy()
+    val = exact["Value"].to_numpy()
+    for b in range(4):
+        vals_b = val[lab == b]
+        assert len(vals_b) == 50
+        assert vals_b.max() - vals_b.min() < 3.0
+    order = [val[lab == b].mean() for b in range(4)]
+    assert order == sorted(order)
