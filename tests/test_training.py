@@ -1036,3 +1036,47 @@ def test_decontaminate_tokens_empty_benchmark():
     ).to_pandas()
     assert out["keep"].all()
     assert int(out["dirty_windows"].sum()) == 0
+
+
+def test_dedup_token_spans_hand_case():
+    """Two docs share a verbatim 16-token run (at different offsets): both
+    lose exactly those positions; the unique doc is untouched; surviving
+    order is preserved."""
+    import pyarrow as pa
+
+    from core_ray.functions import dedup_token_spans
+
+    run = list(range(100, 116))
+    t = pa.table(
+        {
+            "doc_id": pa.array(["doc-a", "doc-b", "doc-c"]),
+            "tokens": pa.array(
+                [run + [1, 2, 3], [7, 8] + run, list(range(50, 70))],
+                pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([19, 18, 20], pa.int32()),
+        }
+    )
+    out = dedup_token_spans(ray.data.from_arrow(t)).to_pandas()
+    assert out["n_kept"].tolist() == [3, 2, 20]
+    assert out["tokens_key"].tolist()[0] == "1,2,3"
+    assert out["tokens_key"].tolist()[1] == "7,8"
+
+
+def test_dedup_token_spans_overlapping_runs_fully_covered():
+    """A doc that IS the shared run (n_tok == w) empties entirely."""
+    import pyarrow as pa
+
+    from core_ray.functions import dedup_token_spans
+
+    run = list(range(200, 216))
+    t = pa.table(
+        {
+            "doc_id": pa.array(["doc-a", "doc-b"]),
+            "tokens": pa.array([run, [5] + run + [6]], pa.list_(pa.int32())),
+            "n_tok": pa.array([16, 18], pa.int32()),
+        }
+    )
+    out = dedup_token_spans(ray.data.from_arrow(t)).to_pandas()
+    assert out["n_kept"].tolist() == [0, 2]
+    assert out["tokens_key"].tolist() == ["", "5,6"]
