@@ -1685,6 +1685,14 @@ def _q_doc_len_corr(sf):
     return corr_chars_words(sf)
 
 
+def _q_ev_window_topk(sf):
+    """Top-2 event types per hourly tumbling window: per-batch count
+    partials, one window-bucket shuffle, exact per-window rank."""
+    from core_ray.pipelines import windowed_type_topk
+
+    return windowed_type_topk(sf, window_s=3600, k=2)
+
+
 def _q_ev_rfm(sf):
     """RFM customer segmentation over purchases: recency/frequency/monetary
     quartile scores with exact disc-quantile thresholds (1 + #thresholds
@@ -4369,6 +4377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivfpq_scan": _q_emb_ivfpq_scan,
         "ev_funnel": _q_ev_funnel,
         "ev_rfm": _q_ev_rfm,
+        "ev_window_topk": _q_ev_window_topk,
         "ev_retention": _q_ev_retention,
         "ev_json_field_stats": _q_ev_json_field_stats,
         "doc_len_corr": _q_doc_len_corr,
@@ -7467,6 +7476,18 @@ SELECT x.TagName, make_timestamp(x.tus) AS EventTime, x.value AS Value,
 FROM (SELECT f.TagName, f.tus, f.value, f.vi, p.s1, p.n1, p.s2, p.n2, p.s3, p.n3, p.s4, p.n4
       FROM f JOIN st6 p USING (TagName)) x
 ORDER BY 1, 2, 3
+"""
+
+_ORACLE["ev_window_topk"] = """
+WITH f AS (SELECT event_type,
+                  1704067200000000 + ((epoch_us(ts) - 1704067200000000) // 3600000000) * 3600000000 AS ws
+           FROM events),
+c AS (SELECT ws, event_type, count(*) AS cnt FROM f GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, event_type) AS rnk FROM c)
+SELECT make_timestamp(ws) AS window_start, event_type,
+       CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 2
+ORDER BY 1, 4
 """
 
 _ORACLE["emb_novel_full"] = """

@@ -1545,3 +1545,59 @@ def rfm_segments(
         )
 
     return users.map_batches(score, batch_format="pyarrow").sort("user_id")
+
+
+def windowed_type_topk(
+    sf_dir: str, window_s: int = 3600, k: int = 2
+) -> ray.data.Dataset:
+    """Top-k event types per tumbling window by count (the grouped-top-k
+    discipline applied to the time axis): per-batch (window, type) count
+    partials -> ONE window-bucket shuffle co-locating each window -> exact
+    merged counts + per-window rank (count desc, type asc) -> rank <= k.
+    No global sort; only (window, type, cnt) ints shuffle."""
+    from ..ops.common import _arrow_add_bucket
+
+    T0 = 1_704_067_200_000_000
+    win_us = window_s * 1_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        ws = T0 + ((ts - T0) // win_us) * win_us
+        g = (
+            pd.DataFrame({"ws": ws, "etype": t["event_type"].to_numpy(zero_copy_only=False)})
+            .groupby(["ws", "etype"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns=["_bucket"])
+            .groupby(["ws", "etype"], sort=False, as_index=False)["cnt"].sum()
+        )
+        g = g.sort_values(["ws", "cnt", "etype"], ascending=[True, False, True],
+                          kind="mergesort")
+        g["rnk"] = g.groupby("ws", sort=False).cumcount() + 1
+        g = g[g["rnk"] <= k]
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    g["ws"].to_numpy(dtype=np.int64).astype("datetime64[us]")
+                ),
+                "event_type": pa.array(g["etype"].tolist(), pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64)),
+                "rnk": pa.array(g["rnk"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_arrow_add_bucket(["ws"], 64), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(["window_start", "rnk"])
+    )
