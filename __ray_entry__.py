@@ -1089,6 +1089,52 @@ def _q_mm_phash_dups(sf):
     )
 
 
+def _q_mm_audio_dups(sf):
+    """Energy-contour audio fingerprint near-dup pairs over raw int16 PCM:
+    12 base clips x copies/perturbations/independents + one corrupt row;
+    the oracle re-derives every sample from the blob's bitstring (LE int16
+    reassembly), frame energies, the 64-bit contour hash, and the exact
+    n^2 popcount pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    import ray.data
+
+    from core_ray.stages.multimodal import audio_dup_pairs
+
+    base = _scratch("mm_audio")
+    _os.makedirs(base, exist_ok=True)
+    rng = np.random.default_rng(13)
+    scenes = rng.integers(-20_000, 20_000, size=(12, 2080)).astype("<i2")
+    ids, payloads = [], []
+    for i in range(80):
+        s = scenes[(i * 5) % 12].copy()
+        if i % 3 == 1:  # near-dup: nudge 3 samples in one frame
+            f = (i * 7) % 64
+            s[f * 32: f * 32 + 3] = np.clip(
+                s[f * 32: f * 32 + 3].astype(np.int64) + 900, -32768, 32767
+            ).astype("<i2")
+        elif i % 3 == 2:  # independent clip
+            s = rng.integers(-20_000, 20_000, size=2080).astype("<i2")
+        ids.append(i)
+        payloads.append(s.tobytes())
+    ids.append(9_999)
+    payloads.append(b"\x01\x02")  # wrong length: dropped
+    _pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        f"{base}/media.parquet",
+    )
+    return audio_dup_pairs(
+        ray.data.read_parquet(f"{base}/media.parquet"), max_hamming=3
+    )
+
+
 def _tok_decon_fixture(base: str) -> str:
     """Corpus (4000 deterministic token rows) + benchmark (40 rows, the even
     ones embedding a verbatim 32-token span lifted from an eligible corpus
@@ -4190,6 +4236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_latest": _q_ts_latest,
         "ts_plot": _q_ts_plot,
         "mm_phash_dups": _q_mm_phash_dups,
+        "mm_audio_dups": _q_mm_audio_dups,
         "ts_raw_json": _q_ts_raw_json,
         "tok_decontaminate": _q_tok_decontaminate,
         "tok_dedup_spans": _q_tok_dedup_spans,
@@ -7729,6 +7776,44 @@ def _pk_values_sql(w: int) -> str:
 # from the blob's bitstring (get_bit, MSB-first), neighbor comparisons ->
 # 64-bit fingerprint, exact n^2 popcount join (recall-1 at hamming<=3
 # justifies comparing the engine's banded candidates against ALL pairs).
+_ORACLE["mm_audio_dups"] = f"""
+WITH media AS (
+  SELECT media_id, payload
+  FROM read_parquet('/tmp/graft_mm_audio_{_os.getpid()}/media.parquet')
+  WHERE octet_length(payload) = 4160
+),
+smp AS (
+  SELECT media_id, CAST(u.s AS BIGINT) AS s,
+         sum(get_bit(payload::BITSTRING, CAST(16 * u.s + b.b AS INTEGER))
+             * (CASE WHEN b.b < 8
+                     THEN (1 << (7 - CAST(b.b AS INTEGER)))
+                     ELSE 256 * (1 << (15 - CAST(b.b AS INTEGER))) END)) AS u
+  FROM media, unnest(range(0, 2080)) u(s), unnest(range(0, 16)) b(b)
+  GROUP BY media_id, u.s
+),
+sv AS (SELECT media_id, s,
+              CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+       FROM smp),
+en AS (SELECT media_id, s // 32 AS f, SUM(abs(v)) AS e FROM sv GROUP BY 1, 2),
+bits AS (
+  SELECT a.media_id, a.f AS k, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en b ON a.media_id = b.media_id AND b.f = a.f + 1
+  WHERE a.f < 64
+),
+h AS (
+  SELECT media_id,
+         CAST(sum(CAST(bit AS UBIGINT)
+                  * (CAST(1 AS UBIGINT) << CAST(63 - k AS INTEGER)))
+              AS UBIGINT) AS fp
+  FROM bits GROUP BY 1
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+ORDER BY 1, 2
+"""
+
 _ORACLE["mm_phash_dups"] = f"""
 WITH media AS (
   SELECT media_id, payload

@@ -266,13 +266,24 @@ def phash_dup_pairs(
     leave the fingerprint stage; candidates group per 64-way hash bucket and
     verify vectorized.
     """
+    fps = dhash_frames(ds, height, width, id_col=id_col)
+    return _banded_hamming_pairs(fps, "dhash", max_hamming, id_col)
+
+
+def _banded_hamming_pairs(
+    fps: ray.data.Dataset, fp_col: str, max_hamming: int, id_col: str
+) -> ray.data.Dataset:
+    """Shared tail of every 64-bit-fingerprint near-dup operator: 4x16-bit
+    band blocking (recall 1 at hamming<=3 by pigeonhole), candidate pairs
+    per band bucket, exact popcount verify, cross-band dedup.  Only
+    (band, key, id, fp) ints ever shuffle."""
     import pandas as pd
 
     from ..functions.dedup import bucketed_group_pairs, popcount64
     from ..ops.common import bucketed_distinct
 
     _U64 = np.uint64
-    fps = dhash_frames(ds, height, width, id_col=id_col).map_batches(
+    fps = fps.map_batches(
         lambda b: b.rename_columns(
             ["doc_id" if c == id_col else c for c in b.schema.names]
         ),
@@ -280,7 +291,7 @@ def phash_dup_pairs(
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        fp = batch["dhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        fp = batch[fp_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         bands, keys, out_ids, out_fp = [], [], [], []
         for b in range(4):
@@ -293,19 +304,19 @@ def phash_dup_pairs(
                 "band": pa.array(np.concatenate(bands)),
                 "key": pa.array(np.concatenate(keys), pa.uint64()),
                 "doc_id": pa.array(np.concatenate(out_ids)),
-                "dhash": pa.array(np.concatenate(out_fp), pa.uint64()),
+                fp_col: pa.array(np.concatenate(out_fp), pa.uint64()),
             }
         )
 
     pairs = bucketed_group_pairs(
         fps.map_batches(explode, batch_format="pyarrow"),
         ["band", "key"],
-        carry=("dhash",),
+        carry=(fp_col,),
     )
 
     def hamming_filter(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["dhash_a"].to_numpy().astype(np.uint64)
-        b = g["dhash_b"].to_numpy().astype(np.uint64)
+        a = g[f"{fp_col}_a"].to_numpy().astype(np.uint64)
+        b = g[f"{fp_col}_b"].to_numpy().astype(np.uint64)
         d = popcount64(a ^ b)
         keep = d <= max_hamming
         out = g.loc[keep, ["doc_a", "doc_b"]].copy()
@@ -320,3 +331,56 @@ def phash_dup_pairs(
         ),
         batch_format="pyarrow",
     ).sort(["media_a", "media_b"])
+
+
+def audio_energy_fingerprint(
+    ds: ray.data.Dataset,
+    frame_len: int = 32,
+    n_frames: int = 65,
+    id_col: str = "media_id",
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """64-bit AUDIO fingerprint over raw 16-bit PCM — the acoustic sibling
+    of :func:`dhash_frames`: the clip is cut into ``n_frames`` frames of
+    ``frame_len`` samples, each frame's ENERGY is the exact integer sum of
+    absolute sample values, and bit ``k`` (MSB first, ``n_frames - 1 = 64``
+    bits) is 1 iff ``energy[k] > energy[k+1]`` — a tempo-invariant
+    loudness-contour hash, all integer arithmetic so the SQL oracle
+    reproduces it bit-for-bit from the blob.  Rows whose payload isn't
+    exactly ``2 * frame_len * n_frames`` bytes are dropped (corrupt-input
+    arm)."""
+    need = 2 * frame_len * n_frames
+
+    def fn(batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        keep = [p is not None and len(p) == need for p in payloads]
+        good = [p for p, k in zip(payloads, keep) if k]
+        out = batch.filter(pa.array(keep)).drop_columns(["payload"])
+        if not good:
+            return out.append_column("afp", pa.array([], pa.uint64()))
+        pcm = np.frombuffer(b"".join(good), dtype="<i2").reshape(
+            len(good), n_frames, frame_len
+        )
+        energy = np.abs(pcm.astype(np.int64)).sum(axis=2)
+        bits = energy[:, :-1] > energy[:, 1:]
+        packed = np.packbits(bits, axis=1).astype(np.uint64)
+        w8 = np.uint64(1) << (np.uint64(8) * np.arange(7, -1, -1, dtype=np.uint64))
+        h = (packed * w8).sum(axis=1, dtype=np.uint64)
+        return out.append_column("afp", pa.array(h, pa.uint64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def audio_dup_pairs(
+    ds: ray.data.Dataset,
+    max_hamming: int = 3,
+    frame_len: int = 32,
+    n_frames: int = 65,
+    id_col: str = "media_id",
+) -> ray.data.Dataset:
+    """Near-duplicate AUDIO pairs by energy-contour fingerprint: same banded
+    blocking + exact popcount verify as :func:`phash_dup_pairs` (recall 1
+    at hamming<=3), so only fingerprint ints ever shuffle — PCM bytes never
+    leave the fingerprint stage."""
+    fps = audio_energy_fingerprint(ds, frame_len, n_frames, id_col=id_col)
+    return _banded_hamming_pairs(fps, "afp", max_hamming, id_col)

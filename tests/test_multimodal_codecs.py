@@ -210,3 +210,35 @@ def test_phash_dup_pairs_hand_case():
     assert pairs[(0, 1)] == 0
     assert (0, 2) in pairs and pairs[(0, 2)] <= 2
     assert all(3 not in p for p in pairs)
+
+
+def test_audio_fingerprint_bit_order_and_pairs():
+    """Rising-energy clip hashes to 0; one emphatic frame flips exactly the
+    adjacent contour bits; corrupt payload dropped; near-dup pairs found."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from core_ray.stages.multimodal import audio_dup_pairs, audio_energy_fingerprint
+
+    fl, nf = 32, 65
+    base = np.repeat(np.arange(nf) * 10, fl).astype("<i2")  # rising energy
+    twin = base.copy()
+    twin[5 * fl] += 30  # tiny nudge: energy order mostly intact
+    noise = np.random.default_rng(2).integers(-5000, 5000, nf * fl).astype("<i2")
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [base.tobytes(), twin.tobytes(), noise.tobytes(), b"xx"],
+                pa.binary(),
+            ),
+        }
+    )
+    fp = audio_energy_fingerprint(ray.data.from_arrow(t)).to_pandas()
+    assert fp["media_id"].tolist() == [0, 1, 2]  # corrupt row dropped
+    assert int(fp.loc[0, "afp"]) == 0  # strictly rising: no bit set
+    pairs = audio_dup_pairs(ray.data.from_arrow(t), max_hamming=3).to_pandas()
+    got = {(int(r.media_a), int(r.media_b)) for r in pairs.itertuples()}
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
