@@ -32,11 +32,16 @@ from .dedup import DedupConfig, StreamDedupJob, read_survivors
 from .freq import FreqConfig, StreamFreqJob, final_topk
 from .pattern import PatternConfig, StreamPatternJob, read_matches
 from .quantile import QuantileConfig, StreamQuantileJob, final_quantiles
-from .rescale import rescale_checkpoint, rescale_join_checkpoint
+from .rescale import (
+    rescale_checkpoint,
+    rescale_join_checkpoint,
+    rescale_keyed_checkpoint,
+)
 
 __all__ = [
     "rescale_checkpoint",
     "rescale_join_checkpoint",
+    "rescale_keyed_checkpoint",
     "StreamingJob",
     "StreamConfig",
     "JoinConfig",

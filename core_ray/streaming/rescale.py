@@ -302,3 +302,101 @@ def rescale_join_checkpoint(
         if os.path.exists(pth):
             os.unlink(pth)
     return {"old": old_p, "new": q, "epoch": k, "moved_rows": moved}
+
+
+def rescale_keyed_checkpoint(
+    out_dir: str,
+    old_partitions: int,
+    new_partitions: int,
+    snapshot_name: str,
+    key_col: str = "key",
+    route_seed: int = 7,
+    sum_meta: tuple[str, ...] = ("late",),
+) -> dict:
+    """Generic rescaler for the single-keyed-snapshot-table engines (CEP
+    ``"cep"`` state, and any future engine whose snapshot rows carry the
+    routing key): concatenate the donors' snapshot tables at the resume
+    epoch, re-route every row by the job's own ``hash(route_seed, key) %
+    Q``, min/max-merge the watermark metadata (conservative), and carry
+    each summed lineage counter in ``sum_meta`` on partition 0.
+
+    Crash safety: same journal+backup discipline as
+    :func:`rescale_checkpoint`, namespaced per ``snapshot_name``.
+    """
+    mdir = os.path.join(out_dir, "manifests")
+    journal_path = os.path.join(mdir, f"rescale-{snapshot_name}.json")
+    backup_path = os.path.join(mdir, f"rescale-{snapshot_name}-backup.parquet")
+    q = int(new_partitions)
+    if q < 1:
+        raise ValueError("new_partitions must be >= 1")
+
+    if os.path.exists(journal_path):
+        with open(journal_path) as f:
+            journal = json.load(f)
+        old_p, k = int(journal["old_p"]), int(journal["epoch"])
+        allt = pq.read_table(backup_path) if os.path.exists(backup_path) else None
+        meta = journal["meta"]
+    else:
+        old_p = int(old_partitions)
+        if q == old_p:
+            return {"old": old_p, "new": q, "epoch": None, "moved_rows": 0}
+        sinks = [EpochSink(out_dir, p) for p in range(old_p)]
+        k = min(s.last_committed_epoch() for s in sinks)
+        if k < 0:
+            raise ValueError("nothing committed yet — start fresh instead")
+        parts, maxes, wms = [], [], []
+        sums = {name: 0 for name in sum_meta}
+        for p, s in enumerate(sinks):
+            t = s.read_snapshot(k, snapshot_name)
+            if t is None:
+                raise RuntimeError(
+                    f"{snapshot_name} snapshot for epoch {k} missing on "
+                    f"partition {p}"
+                )
+            m = {kk.decode(): v.decode()
+                 for kk, v in (t.schema.metadata or {}).items()}
+            maxes.append(int(m.get("max_ts", -1)))
+            wms.append(int(m.get("watermark", -(1 << 62))))
+            for name in sum_meta:
+                sums[name] += int(m.get(name, 0))
+            if t.num_columns and len(t):
+                parts.append(t.replace_schema_metadata(None))
+        allt = pa.concat_tables(parts) if parts else None
+        meta = {"max_ts": str(min(maxes)), "watermark": str(max(wms)),
+                "sums": {name: str(v) for name, v in sums.items()}}
+        if allt is not None:
+            pq.write_table(allt, backup_path + ".tmp")
+            os.replace(backup_path + ".tmp", backup_path)
+        jtmp = journal_path + ".tmp"
+        with open(jtmp, "w") as f:
+            json.dump({"old_p": old_p, "new_q": q, "epoch": k, "meta": meta}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(jtmp, journal_path)
+
+    if allt is not None:
+        keys = allt[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dest = (_hash2(route_seed, keys) % np.uint64(q)).astype(np.int64)
+    moved = 0
+    for p in range(q):
+        m = {"max_ts": meta["max_ts"], "watermark": meta["watermark"]}
+        for name, v in meta["sums"].items():
+            m[name] = v if p == 0 else "0"
+        if allt is None:
+            part_rows = pa.Table.from_pydict({})
+        else:
+            part_rows = allt.filter(pa.array(dest == p))
+            part_rows = part_rows.sort_by(
+                [(c, "ascending") for c in part_rows.column_names]
+            )
+            moved += len(part_rows)
+        sink = EpochSink(out_dir, p)
+        sink.write_snapshot(k, snapshot_name,
+                            part_rows.replace_schema_metadata(m))
+        if sink.last_committed_epoch() < k:
+            sink.commit_epoch(k, {}, {"rescaled_from": old_p,
+                                      "rescaled_to": q})
+    if os.path.exists(backup_path):
+        os.unlink(backup_path)
+    os.unlink(journal_path)
+    return {"old": old_p, "new": q, "epoch": k, "moved_rows": moved}

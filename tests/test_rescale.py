@@ -195,3 +195,53 @@ def test_join_rescale_preserves_output(tmp_path, new_parts, how):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(rows(out), rows(ref_out))
+
+
+def test_pattern_rescale_preserves_matches(tmp_path):
+    """CEP engine rescale via the generic keyed rescaler: stop mid-stream,
+    re-route the 'cep' state 4 -> 6 by key hash, resume — matches equal an
+    unbroken run's."""
+    from core_ray.streaming import (
+        PatternConfig,
+        StreamPatternJob,
+        read_matches,
+        rescale_keyed_checkpoint,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 40, n).astype("int64"),
+            "ts_us": np.sort(rng.integers(0, 3_600_000_000, n)).astype("int64"),
+            "etype": rng.choice(["A", "B", "C", "D"], n),
+            "event_id": np.arange(n, dtype="int64"),
+        }
+    )
+    ind = str(tmp_path / "in")
+    os.makedirs(ind)
+    step = (n + 5) // 6
+    for i in range(6):
+        pq.write_table(pa.Table.from_pandas(df.iloc[i*step:(i+1)*step], preserve_index=False),
+                       f"{ind}/f{i:03d}.parquet")
+
+    def cfg(out, parts):
+        return PatternConfig(in_dir=ind, out_dir=out, pattern=["A", "B", "C"],
+                             within_us=120_000_000, num_partitions=parts,
+                             files_per_epoch=1)
+
+    ref = str(tmp_path / "ref")
+    StreamPatternJob(cfg(ref, 4)).run(resume=False)
+    out = str(tmp_path / "out")
+    StreamPatternJob(cfg(out, 4)).run(resume=False, stop_after_epoch=2)
+    res = rescale_keyed_checkpoint(out, 4, 6, snapshot_name="cep",
+                                   key_col="key")
+    assert res["old"] == 4 and res["new"] == 6
+    StreamPatternJob(cfg(out, 6)).run(resume=True)
+
+    def rows(d):
+        m = read_matches(d).to_pandas()
+        m = m.drop(columns=[c for c in ("part",) if c in m])
+        return m.sort_values(list(m.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(rows(out), rows(ref))
