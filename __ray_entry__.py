@@ -1209,6 +1209,21 @@ def _q_tok_dedup_spans(sf):
     return dedup_token_spans(in_dir, w=16)
 
 
+def _q_tok_vocab_coverage(sf):
+    """Per-source coverage of the corpus-wide top-1000 token vocabulary
+    (the vocab-truncation analysis): bounded (token,cnt) partials, driver
+    top-k, one broadcast membership pass."""
+    import pyarrow.parquet as _pq
+
+    from core_ray.functions import vocab_coverage
+    from core_ray.synth import make_chunk
+
+    base = _scratch("tok_vocab")
+    _os.makedirs(base, exist_ok=True)
+    _pq.write_table(make_chunk(0, 5_000), f"{base}/corpus.parquet")
+    return vocab_coverage(base + "/corpus.parquet", k=1000)
+
+
 def _q_rel_write_resume(sf):
     """The RESUMABLE partitioned batch writer graded end-to-end (the
     'failed run skips finished partitions' output contract): write the
@@ -4240,6 +4255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_raw_json": _q_ts_raw_json,
         "tok_decontaminate": _q_tok_decontaminate,
         "tok_dedup_spans": _q_tok_dedup_spans,
+        "tok_vocab_coverage": _q_tok_vocab_coverage,
         "tok_pack_tokens": _q_tok_pack_tokens,
         "dq_dedup": _q_dq_dedup,
         "dq_ksigma": _q_dq_ksigma,
@@ -7887,6 +7903,24 @@ SELECT t.doc_id, CAST(t.n_tok AS BIGINT) AS n_tok,
        COALESCE(a.tokens_key, '') AS tokens_key
 FROM t LEFT JOIN agg a USING (doc_id)
 ORDER BY t.doc_id
+"""
+
+_ORACLE["tok_vocab_coverage"] = f"""
+WITH t AS (
+  SELECT source, tokens
+  FROM read_parquet('/tmp/graft_tok_vocab_{_os.getpid()}/corpus.parquet')
+),
+flat AS (SELECT source, unnest(tokens) AS tok FROM t),
+cnts AS (SELECT tok, count(*) AS c FROM flat GROUP BY 1),
+topk AS (SELECT tok FROM cnts ORDER BY c DESC, tok LIMIT 1000)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN tok IN (SELECT tok FROM topk) THEN 1 ELSE 0 END)
+            AS BIGINT) AS covered_tokens,
+       round_even(100.0 * sum(CASE WHEN tok IN (SELECT tok FROM topk)
+                                   THEN 1 ELSE 0 END) / count(*), 4)
+         AS coverage_pct
+FROM flat GROUP BY source ORDER BY source
 """
 
 _ORACLE["tok_decontaminate"] = f"""

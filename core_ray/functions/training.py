@@ -2905,3 +2905,98 @@ def dedup_token_spans(
         )
 
     return joined.map_batches(rebuild, batch_format="pyarrow").sort("doc_id")
+
+
+def vocab_coverage(
+    source: str | ray.data.Dataset,
+    k: int = 1000,
+) -> ray.data.Dataset:
+    """Per-source coverage of the corpus-wide TOP-``k`` token vocabulary —
+    the vocab-truncation analysis run before choosing a tokenizer budget:
+    what fraction of each source's token stream survives if only the k most
+    frequent token ids are kept (ties at the cutoff break to the smaller
+    id, deterministically).
+
+    Shape: pass 1 reduces each batch to (token, cnt) partials (bounded by
+    the VOCABULARY, not rows), one small groupby merges them, and the
+    driver takes the top-k (bounded pull — the vocabulary is ~50k ids by
+    construction); pass 2 broadcasts the sorted top-k set and streams the
+    corpus once with a vectorized ``np.isin`` membership per batch — only
+    (source, total, covered) int partials shuffle.
+
+    Output: ``(source, total_tokens, covered_tokens, coverage_pct)``
+    sorted by source; pct = round_even(100.0 * covered / total, 4).
+    """
+    from ..ops.common import round4
+
+    ds = (
+        ray.data.read_parquet(source, columns=["source", "tokens"])
+        if isinstance(source, str)
+        else source
+    )
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        vals = tokens.values.to_numpy(zero_copy_only=False)
+        u, c = np.unique(vals, return_counts=True)
+        return pa.table({"t": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    merged = (
+        ds.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("t").sum("c").to_pandas()  # bounded: <= vocab ids
+    )
+    merged = merged.sort_values(["sum(c)", "t"], ascending=[False, True],
+                                kind="mergesort").head(k)
+    top = np.sort(merged["t"].to_numpy(dtype=np.int64))
+    top_ref = ray.put(top)
+
+    def cover(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = vals[off[0]: off[-1]]
+        member = np.isin(vals, ray.get(top_ref))
+        row_len = np.diff(off)
+        parent = np.repeat(np.arange(len(batch)), row_len)
+        cov = np.zeros(len(batch), np.int64)
+        np.add.at(cov, parent[member], 1)
+        g = (
+            pd.DataFrame(
+                {"source": batch["source"].to_numpy(zero_copy_only=False),
+                 "total": row_len.astype(np.int64), "covered": cov}
+            )
+            .groupby("source", sort=False, as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    import pandas as pd
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t["total"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cov = t["covered"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "source": t["source"],
+                "total_tokens": t["total"],
+                "covered_tokens": t["covered"],
+                "coverage_pct": pa.array(round4(100.0 * cov / tot)),
+            }
+        )
+
+    return (
+        ds.map_batches(cover, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["total", "covered"])
+        .map_batches(
+            lambda b: b.rename_columns(["source", "total", "covered"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("source")
+    )

@@ -1080,3 +1080,24 @@ def test_dedup_token_spans_overlapping_runs_fully_covered():
     out = dedup_token_spans(ray.data.from_arrow(t)).to_pandas()
     assert out["n_kept"].tolist() == [0, 2]
     assert out["tokens_key"].tolist() == ["", "5,6"]
+
+
+def test_vocab_coverage_hand_case():
+    """k=2 vocabulary over tokens {1:x4, 2:x3, 3:x1}: top-2 = {1,2};
+    coverage per source follows exactly."""
+    import pyarrow as pa
+
+    from core_ray.functions import vocab_coverage
+
+    t = pa.table(
+        {
+            "source": pa.array(["a", "a", "b"]),
+            "tokens": pa.array([[1, 1, 2], [1, 2, 3], [1, 2]],
+                               pa.list_(pa.int32())),
+        }
+    )
+    out = vocab_coverage(ray.data.from_arrow(t), k=2).to_pandas()
+    assert out["source"].tolist() == ["a", "b"]
+    assert out["total_tokens"].tolist() == [6, 2]
+    assert out["covered_tokens"].tolist() == [5, 2]
+    assert out["coverage_pct"].tolist() == [83.3333, 100.0]
