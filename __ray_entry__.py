@@ -3018,6 +3018,15 @@ def _q_rel_idle_rich(sf):
     return idle_customer_segments(sf, since="2000-01-01")
 
 
+def _q_rel_running_revenue(sf):
+    """Cumulative daily revenue per order priority: exact-e4-int day
+    partials, one priority-co-locating shuffle, vectorized per-group
+    cumsum."""
+    from core_ray.pipelines import running_daily_revenue
+
+    return running_daily_revenue(sf)
+
+
 def _q_rel_full_outer(sf):
     """FULL OUTER join shape: per-day order counts vs per-day shipment
     counts — both sides pre-aggregated to (date,int) partials before the
@@ -4464,6 +4473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rank_funcs": _q_ev_rank_funcs,
         "doc_containment": _q_doc_containment,
         "rel_full_outer": _q_rel_full_outer,
+        "rel_running_revenue": _q_rel_running_revenue,
         "doc_readability": _q_doc_readability,
         "rel_min_cost_supp": _q_rel_min_cost_supp,
         "rel_nation_volume": _q_rel_nation_volume,
@@ -7551,6 +7561,21 @@ SELECT make_timestamp(ws) AS window_start, event_type,
        CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 2
 ORDER BY 1, 4
+"""
+
+_ORACLE["rel_running_revenue"] = """
+WITH d AS (
+  SELECT o_orderpriority, o_orderdate,
+         SUM(CAST(round_even(o_totalprice * 10000, 0) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, o_orderdate,
+       round_even(CAST(rev AS DOUBLE) / 10000.0, 4) AS day_revenue,
+       round_even(CAST(SUM(rev) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_orderdate) AS DOUBLE)
+                  / 10000.0, 4) AS running_revenue
+FROM d
+ORDER BY 1, 2
 """
 
 _ORACLE["emb_novel_full"] = """

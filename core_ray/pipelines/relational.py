@@ -1601,3 +1601,62 @@ def windowed_type_topk(
         .map_groups(per_bucket, batch_format="pandas")
         .sort(["window_start", "rnk"])
     )
+
+
+def running_daily_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative (running) daily revenue per order priority — the
+    running-aggregate shape on the relational side: per-batch exact-e4-int
+    (priority, day) partials, one co-locating shuffle per PRIORITY (each
+    priority's days must be scanned in order), a vectorized cumsum per
+    group, 4-dp money out.  Priorities are a bounded dimension, so the
+    per-priority groups are day-count-sized, never row-sized."""
+    from ..ops.common import _arrow_add_bucket, round4
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        e4 = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 10_000
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "prio": t["o_orderpriority"].to_numpy(zero_copy_only=False),
+                    "d": t["o_orderdate"].to_numpy(zero_copy_only=False),
+                    "rev": e4,
+                }
+            )
+            .groupby(["prio", "d"], sort=False, as_index=False)["rev"].sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns=["_bucket"])
+            .groupby(["prio", "d"], sort=False, as_index=False)["rev"].sum()
+            .sort_values(["prio", "d"], kind="mergesort")
+        )
+        g["cum"] = g.groupby("prio", sort=False)["rev"].cumsum()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["prio"].tolist(), pa.string()),
+                "o_orderdate": pa.array(g["d"].tolist()),
+                "day_revenue": pa.array(
+                    round4(g["rev"].to_numpy(dtype=np.float64) / 10_000.0)
+                ),
+                "running_revenue": pa.array(
+                    round4(g["cum"].to_numpy(dtype=np.float64) / 10_000.0)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(_arrow_add_bucket(["prio"], 8), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(["o_orderpriority", "o_orderdate"])
+    )
