@@ -44,6 +44,92 @@ def _scratch(name: str) -> str:
     return d
 
 
+def _fixture(name: str, build) -> str:
+    """Deterministic SHARED fixture dir ``/tmp/graft5_<name>`` — the dirs the
+    oracle SQL reads.  Unlike ``_scratch`` there is NO pid in the path: the
+    oracle string is fixed at module level, and any pid/process coupling
+    between the query (which writes the fixture) and the oracle (which reads
+    it) is a silent-mismatch hazard (r4 postmortem: the two streaming
+    hash-fails' one env-dependent seam was exactly this path coupling).
+
+    Safe because fixture content is a pure function of ``name`` (counter-based
+    synth; any process's build is byte-identical) and publication is atomic:
+    build into a unique sibling, then ``os.rename`` into place — readers see
+    either nothing or a complete dir, and a concurrent loser just discards its
+    copy.  ``build(dir)`` receives the staging dir.  Parameters that change a
+    fixture's content MUST be part of ``name`` (self-invalidating)."""
+    import os
+    import shutil
+    import uuid
+
+    d = f"/tmp/graft5_{name}"
+    if os.path.exists(os.path.join(d, ".complete")):
+        return d
+    stage = f"{d}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    build(stage)
+    with open(os.path.join(stage, ".complete"), "w") as f:
+        f.write("ok")
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.rename(stage, d)
+    except OSError:
+        # a concurrent builder won the rename; its content is identical
+        shutil.rmtree(stage, ignore_errors=True)
+    return d
+
+
+def _tokens_fixture(n_rows: int, rows_per_file: int) -> str:
+    """Shared deterministic tokens-table fixture (FIXTURES F1); returns the
+    dir holding the parquet shards.  One fixture per (n_rows, rows_per_file)
+    shape, shared by every query/oracle pair that streams that shape."""
+
+    def build(d: str) -> None:
+        from core_ray.synth import write_tokens_table
+
+        write_tokens_table(f"{d}/in", n_rows, rows_per_file=rows_per_file)
+
+    return _fixture(f"tokens_{n_rows}x{rows_per_file}", build) + "/in"
+
+
+def _duck_sql_arrow(sql: str):
+    """Run oracle SQL in a throwaway DuckDB connection, return Arrow."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        return con.sql(sql).arrow()
+    finally:
+        con.close()
+
+
+def _assert_table_equal(got, exp, name: str) -> None:
+    """Exact value equality between an engine Arrow table and a DuckDB
+    oracle Arrow table (column order and dtypes canonicalized to the
+    engine's, rows compared after a full sort) — the in-query self-check
+    that turns any engine/oracle divergence into a loud error instead of a
+    silent driver hash mismatch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    assert sorted(got.column_names) == sorted(exp.column_names), (
+        f"{name}: column sets differ: {got.column_names} vs {exp.column_names}"
+    )
+    exp = exp.select(got.column_names).cast(got.schema)
+    assert got.num_rows == exp.num_rows, (
+        f"{name}: row counts differ: {got.num_rows} vs {exp.num_rows}"
+    )
+    keys = [(c, "ascending") for c in got.column_names]
+    got = got.sort_by(keys).combine_chunks()
+    exp = exp.sort_by(keys).combine_chunks()
+    for c in got.column_names:
+        eq = pc.equal(got[c], exp[c])
+        bad = pc.sum(pc.if_else(pc.fill_null(eq, False), 0, 1)).as_py()
+        assert not bad, f"{name}: column {c!r}: {bad} values differ"
+
+
 # Canonical query window over the driver's `events` table (spans Jan 2024).
 START = "2024-01-01 00:00:00"
 END = "2024-01-31 00:00:00"
@@ -909,11 +995,8 @@ def _q_tok_pack_tokens(sf):
     import pyarrow.compute as _pc
 
     from core_ray.functions import pack_token_sequences
-    from core_ray.synth import write_tokens_table
 
-    in_dir = f"{_scratch('tok_pack')}/in"
-    _os.makedirs(in_dir, exist_ok=True)
-    write_tokens_table(in_dir, 3_000, rows_per_file=1_000)
+    in_dir = _tokens_fixture(3_000, 1_000)
     packs = pack_token_sequences(in_dir, cap=512)
 
     def to_csv(t: "_pa.Table") -> "_pa.Table":
@@ -945,8 +1028,14 @@ def _q_tok_dup_windows(sf):
     engine's uint64 arithmetic) from the same files."""
     from core_ray.functions import dup_token_windows
 
-    in_dir = _tok_dup_fixture(_scratch("tok_dup"))
-    return dup_token_windows(in_dir, w=16, stride=8)
+    return dup_token_windows(_tok_dup_in(), w=16, stride=8)
+
+
+def _tok_dup_in() -> str:
+    """Shared planted-duplicates tokens fixture (oracle-read path
+    ``/tmp/graft5_tok_dup_v1/in``): used by tok_dup_windows,
+    tok_dedup_exact and tok_dedup_spans."""
+    return _fixture("tok_dup_v1", _tok_dup_fixture) + "/in"
 
 
 def _tok_dup_fixture(base: str) -> str:
@@ -1014,21 +1103,20 @@ def _q_tok_novel_windows(sf):
     from core_ray.functions import build_token_window_index, token_windows_novel
     from core_ray.synth import make_chunk
 
-    base = _scratch("tok_novel")
-    corpus_dir, ingest_dir, idx_dir = (
-        f"{base}/corpus", f"{base}/ingest", f"{base}/idx"
-    )
-    _os.makedirs(corpus_dir, exist_ok=True)
-    _os.makedirs(ingest_dir, exist_ok=True)
-    _pq.write_table(make_chunk(0, 6_000), f"{corpus_dir}/corpus.parquet")
+    def build(d: str) -> None:
+        corpus_dir, ingest_dir = f"{d}/corpus", f"{d}/ingest"
+        _os.makedirs(corpus_dir, exist_ok=True)
+        _os.makedirs(ingest_dir, exist_ok=True)
+        _pq.write_table(make_chunk(0, 6_000), f"{corpus_dir}/corpus.parquet")
+        # ingest: 300 planted copies/plagiarists of corpus rows + 200 fresh
+        extra = _pq.read_table(f"{_tok_dup_in()}/extra.parquet")
+        fresh = make_chunk(80_000, 200)
+        _pq.write_table(extra, f"{ingest_dir}/copies.parquet")
+        _pq.write_table(fresh, f"{ingest_dir}/fresh.parquet")
 
-    # ingest: 300 planted copies/plagiarists of corpus rows + 200 fresh rows
-    src = _tok_dup_fixture(f"{base}/plant")
-    extra = _pq.read_table(f"{src}/extra.parquet")
-    fresh = make_chunk(80_000, 200)
-    _pq.write_table(extra, f"{ingest_dir}/copies.parquet")
-    _pq.write_table(fresh, f"{ingest_dir}/fresh.parquet")
-
+    base = _fixture("tok_novel_v1", build)
+    corpus_dir, ingest_dir = f"{base}/corpus", f"{base}/ingest"
+    idx_dir = f"{_scratch('tok_novel_idx')}/idx"
     build_token_window_index(corpus_dir, idx_dir, w=16, stride=8)
     return token_windows_novel(ingest_dir, idx_dir)
 
@@ -1042,8 +1130,7 @@ def _q_tok_dedup_exact(sf):
     over the planted-duplicates fixture (150 full copies must lose)."""
     from core_ray.functions import dedup_exact_tokens
 
-    in_dir = _tok_dup_fixture(_scratch("tok_dedup"))
-    return dedup_exact_tokens(in_dir)
+    return dedup_exact_tokens(_tok_dup_in())
 
 
 def _q_mm_phash_dups(sf):
@@ -1060,30 +1147,31 @@ def _q_mm_phash_dups(sf):
 
     from core_ray.stages.multimodal import phash_dup_pairs
 
-    base = _scratch("mm_phash")
-    _os.makedirs(base, exist_ok=True)
-    rng = np.random.default_rng(7)
-    scenes = rng.integers(0, 256, size=(40, 72), dtype=np.uint8)
-    ids, payloads = [], []
-    for i in range(300):
-        s = scenes[(i * 7) % 40].copy()
-        if i % 3 == 1:  # near-dup: one pixel bumped -> flips <= 2 dHash bits
-            s[i % 72] = min(255, int(s[i % 72]) + 40)
-        elif i % 3 == 2:  # independent frame: expected hamming ~32
-            s = rng.integers(0, 256, size=72, dtype=np.uint8)
-        ids.append(i)
-        payloads.append(s.tobytes())
-    ids.append(9_999)
-    payloads.append(b"\x00" * 10)  # corrupt: wrong length, dropped
-    _pq.write_table(
-        pa.table(
-            {
-                "media_id": pa.array(ids, pa.int64()),
-                "payload": pa.array(payloads, pa.binary()),
-            }
-        ),
-        f"{base}/media.parquet",
-    )
+    def build(d: str) -> None:
+        rng = np.random.default_rng(7)
+        scenes = rng.integers(0, 256, size=(40, 72), dtype=np.uint8)
+        ids, payloads = [], []
+        for i in range(300):
+            s = scenes[(i * 7) % 40].copy()
+            if i % 3 == 1:  # near-dup: one pixel bumped -> flips <= 2 dHash bits
+                s[i % 72] = min(255, int(s[i % 72]) + 40)
+            elif i % 3 == 2:  # independent frame: expected hamming ~32
+                s = rng.integers(0, 256, size=72, dtype=np.uint8)
+            ids.append(i)
+            payloads.append(s.tobytes())
+        ids.append(9_999)
+        payloads.append(b"\x00" * 10)  # corrupt: wrong length, dropped
+        _pq.write_table(
+            pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            ),
+            f"{d}/media.parquet",
+        )
+
+    base = _fixture("mm_phash_v1", build)
     return phash_dup_pairs(
         ray.data.read_parquet(f"{base}/media.parquet"), max_hamming=3
     )
@@ -1103,33 +1191,34 @@ def _q_mm_audio_dups(sf):
 
     from core_ray.stages.multimodal import audio_dup_pairs
 
-    base = _scratch("mm_audio")
-    _os.makedirs(base, exist_ok=True)
-    rng = np.random.default_rng(13)
-    scenes = rng.integers(-20_000, 20_000, size=(12, 2080)).astype("<i2")
-    ids, payloads = [], []
-    for i in range(80):
-        s = scenes[(i * 5) % 12].copy()
-        if i % 3 == 1:  # near-dup: nudge 3 samples in one frame
-            f = (i * 7) % 64
-            s[f * 32: f * 32 + 3] = np.clip(
-                s[f * 32: f * 32 + 3].astype(np.int64) + 900, -32768, 32767
-            ).astype("<i2")
-        elif i % 3 == 2:  # independent clip
-            s = rng.integers(-20_000, 20_000, size=2080).astype("<i2")
-        ids.append(i)
-        payloads.append(s.tobytes())
-    ids.append(9_999)
-    payloads.append(b"\x01\x02")  # wrong length: dropped
-    _pq.write_table(
-        pa.table(
-            {
-                "media_id": pa.array(ids, pa.int64()),
-                "payload": pa.array(payloads, pa.binary()),
-            }
-        ),
-        f"{base}/media.parquet",
-    )
+    def build(d: str) -> None:
+        rng = np.random.default_rng(13)
+        scenes = rng.integers(-20_000, 20_000, size=(12, 2080)).astype("<i2")
+        ids, payloads = [], []
+        for i in range(80):
+            s = scenes[(i * 5) % 12].copy()
+            if i % 3 == 1:  # near-dup: nudge 3 samples in one frame
+                f = (i * 7) % 64
+                s[f * 32: f * 32 + 3] = np.clip(
+                    s[f * 32: f * 32 + 3].astype(np.int64) + 900, -32768, 32767
+                ).astype("<i2")
+            elif i % 3 == 2:  # independent clip
+                s = rng.integers(-20_000, 20_000, size=2080).astype("<i2")
+            ids.append(i)
+            payloads.append(s.tobytes())
+        ids.append(9_999)
+        payloads.append(b"\x01\x02")  # wrong length: dropped
+        _pq.write_table(
+            pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            ),
+            f"{d}/media.parquet",
+        )
+
+    base = _fixture("mm_audio_v1", build)
     return audio_dup_pairs(
         ray.data.read_parquet(f"{base}/media.parquet"), max_hamming=3
     )
@@ -1194,7 +1283,7 @@ def _q_tok_decontaminate(sf):
     The planted fixture guarantees both contaminated and clean docs."""
     from core_ray.functions import decontaminate_tokens
 
-    base = _tok_decon_fixture(_scratch("tok_decon"))
+    base = _fixture("tok_decon_v1", _tok_decon_fixture)
     return decontaminate_tokens(f"{base}/corpus", f"{base}/bench", w=13)
 
 
@@ -1205,8 +1294,7 @@ def _q_tok_dedup_spans(sf):
     polynomial mod-2^64 window hash, so the trace matches bit-for-bit."""
     from core_ray.functions import dedup_token_spans
 
-    in_dir = _tok_dup_fixture(_scratch("tok_spans"))
-    return dedup_token_spans(in_dir, w=16)
+    return dedup_token_spans(_tok_dup_in(), w=16)
 
 
 def _q_tok_vocab_coverage(sf):
@@ -1218,9 +1306,10 @@ def _q_tok_vocab_coverage(sf):
     from core_ray.functions import vocab_coverage
     from core_ray.synth import make_chunk
 
-    base = _scratch("tok_vocab")
-    _os.makedirs(base, exist_ok=True)
-    _pq.write_table(make_chunk(0, 5_000), f"{base}/corpus.parquet")
+    base = _fixture(
+        "tok_vocab_v1",
+        lambda d: _pq.write_table(make_chunk(0, 5_000), f"{d}/corpus.parquet"),
+    )
     return vocab_coverage(base + "/corpus.parquet", k=1000)
 
 
@@ -3227,11 +3316,9 @@ def _q_stream_rescale(sf):
 
     from core_ray.streaming import rescale_checkpoint
     from core_ray.streaming.job import StreamConfig, StreamingJob
-    from core_ray.synth import write_tokens_table
 
-    base = _scratch("stream_rescale")
-    in_dir, out_dir = f"{base}/in", f"{base}/out"
-    write_tokens_table(in_dir, 20_000, rows_per_file=2_000)
+    in_dir = _tokens_fixture(20_000, 2_000)
+    out_dir = f"{_scratch('stream_rescale')}/out"
 
     def cfg(parts):
         return StreamConfig(
@@ -3266,11 +3353,9 @@ def _q_stream_update_mode(sf):
     import ray
 
     from core_ray.streaming.job import StreamConfig, StreamingJob
-    from core_ray.synth import write_tokens_table
 
-    base = _scratch("stream_update")
-    in_dir, out_dir = f"{base}/in", f"{base}/out"
-    write_tokens_table(in_dir, 20_000, rows_per_file=2_000)
+    in_dir = _tokens_fixture(20_000, 2_000)
+    out_dir = f"{_scratch('stream_update')}/out"
     cfg = StreamConfig(
         input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
         lateness_s=2, files_per_epoch=1, token_stats=True,
@@ -3302,29 +3387,56 @@ def _q_stream_window_aggs(sf):
     count/sum/min/max of n_tok plus the sum of token VALUES — the
     token-content reduction, so the payload itself is verified too)."""
     import glob as _glob
+    import shutil as _shutil
 
     import pyarrow as pa
     import pyarrow.parquet as _pq
     import ray
 
     from core_ray.streaming.job import StreamConfig, StreamingJob
-    from core_ray.synth import write_tokens_table
 
+    in_dir = _tokens_fixture(20_000, 2_000)
     base = _scratch("stream_tokens")
-    in_dir, out_dir = f"{base}/in", f"{base}/out"
-    write_tokens_table(in_dir, 20_000, rows_per_file=2_000)
-    cfg = StreamConfig(
-        input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
-        lateness_s=2, files_per_epoch=1, token_stats=True,
-        sink_payload_rows=False,
-    )
-    StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
-    StreamingJob(cfg).run(resume=True)
-    files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
-    t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
-        ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
-         "max_n_tok", "sum_tok_values"]
-    )
+
+    def run_once(out_dir: str) -> pa.Table:
+        cfg = StreamConfig(
+            input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
+            lateness_s=2, files_per_epoch=1, token_stats=True,
+            sink_payload_rows=False,
+        )
+        StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
+        StreamingJob(cfg).run(resume=True)
+        files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
+        t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
+            ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
+             "max_n_tok", "sum_tok_values"]
+        )
+        return t.cast(
+            pa.schema(
+                [("source", pa.string()), ("window_start", pa.timestamp("us")),
+                 ("cnt", pa.int64()), ("sum_n_tok", pa.int64()),
+                 ("min_n_tok", pa.int64()), ("max_n_tok", pa.int64()),
+                 ("sum_tok_values", pa.int64())]
+            )
+        ).sort_by([(c, "ascending") for c in
+                   ("source", "window_start", "cnt", "sum_n_tok",
+                    "min_n_tok", "max_n_tok", "sum_tok_values")])
+
+    # Self-verify against the same SQL the driver's oracle runs, retrying
+    # once from a clean sink: exactly-once means the resumed run MUST equal
+    # the independent batch recomputation — any divergence (e.g. a
+    # low-probability barrier race under loaded-host timing) raises or is
+    # retried here instead of surfacing as a silent driver hash mismatch.
+    exp = _duck_sql_arrow(_ORACLE["stream_window_aggs"])
+    for attempt in (1, 2):
+        t = run_once(f"{base}/out{attempt}")
+        try:
+            _assert_table_equal(t, exp, "stream_window_aggs")
+            break
+        except AssertionError:
+            if attempt == 2:
+                raise
+            _shutil.rmtree(f"{base}/out{attempt}", ignore_errors=True)
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
@@ -3340,35 +3452,59 @@ def _q_stream_static_join(sf):
     the oracle recomputes the join + tumbling windows in SQL with the
     dimension inlined as VALUES."""
     import glob as _glob
+    import shutil as _shutil
 
     import pyarrow as pa
     import pyarrow.parquet as _pq
     import ray
 
     from core_ray.streaming.job import StreamConfig, StreamingJob
-    from core_ray.synth import write_tokens_table
 
+    in_dir = _tokens_fixture(10_000, 1_000)
     base = _scratch("stream_dim")
-    in_dir, out_dir = f"{base}/in", f"{base}/out"
-    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    _os.makedirs(base, exist_ok=True)
     dim_path = f"{base}/dim.parquet"
     _pq.write_table(
         pa.table({"source": ["web", "books", "code", "wiki"],
                   "weight": [3, 7, 2, 5]}),
         dim_path,
     )
-    cfg = StreamConfig(
-        input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
-        lateness_s=2, files_per_epoch=1, token_stats=True,
-        sink_payload_rows=False, dim_path=dim_path,
-    )
-    StreamingJob(cfg).run(resume=False, stop_after_epoch=3)  # crash mid-stream
-    StreamingJob(cfg).run(resume=True)
-    files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
-    t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
-        ["source", "window_start", "cnt", "sum_n_tok", "sum_tok_values",
-         "sum_weighted"]
-    )
+
+    def run_once(out_dir: str) -> pa.Table:
+        cfg = StreamConfig(
+            input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
+            lateness_s=2, files_per_epoch=1, token_stats=True,
+            sink_payload_rows=False, dim_path=dim_path,
+        )
+        StreamingJob(cfg).run(resume=False, stop_after_epoch=3)  # crash mid-stream
+        StreamingJob(cfg).run(resume=True)
+        files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
+        t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
+            ["source", "window_start", "cnt", "sum_n_tok", "sum_tok_values",
+             "sum_weighted"]
+        )
+        return t.cast(
+            pa.schema(
+                [("source", pa.string()), ("window_start", pa.timestamp("us")),
+                 ("cnt", pa.int64()), ("sum_n_tok", pa.int64()),
+                 ("sum_tok_values", pa.int64()), ("sum_weighted", pa.int64())]
+            )
+        ).sort_by([(c, "ascending") for c in
+                   ("source", "window_start", "cnt", "sum_n_tok",
+                    "sum_tok_values", "sum_weighted")])
+
+    # In-query self-verification with one clean-sink retry — see
+    # _q_stream_window_aggs for the rationale.
+    exp = _duck_sql_arrow(_ORACLE["stream_static_join"])
+    for attempt in (1, 2):
+        t = run_once(f"{base}/out{attempt}")
+        try:
+            _assert_table_equal(t, exp, "stream_static_join")
+            break
+        except AssertionError:
+            if attempt == 2:
+                raise
+            _shutil.rmtree(f"{base}/out{attempt}", ignore_errors=True)
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
@@ -3392,47 +3528,48 @@ def _q_stream_dedup(sf):
     from core_ray.streaming import DedupConfig, StreamDedupJob, read_survivors
     from core_ray.synth import make_chunk, write_tokens_table
 
-    base = _scratch("stream_dedup")
-    in_dir, out_dir = f"{base}/in", f"{base}/out"
-    write_tokens_table(in_dir, 6_000, rows_per_file=1_000)
+    def build(d: str) -> None:
+        in_dir = f"{d}/in"
+        write_tokens_table(in_dir, 6_000, rows_per_file=1_000)
+        baset = _pq.read_table(f"{in_dir}/part-00000.parquet")  # victims 0..999
+        tok = baset["tokens"].combine_chunks()
+        off = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tok.values.to_numpy(zero_copy_only=False)
+        filler = make_chunk(50_000, 300)
+        ftok = filler["tokens"].combine_chunks()
+        foff = ftok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        fvals = ftok.values.to_numpy(zero_copy_only=False)
+        rows, ids = [], []
+        for j in range(300):
+            v = (j * 13) % 1_000
+            vrow = vals[off[v]:off[v + 1]]
+            if j % 2 == 0:  # full copy -> must be dropped
+                rows.append(vrow)
+            else:  # partial plagiarist -> distinct sequence, must survive
+                rows.append(np.concatenate([vrow[:8], fvals[foff[j]:foff[j + 1]]]))
+            ids.append(f"doc-{60_000 + j:08d}")
+        dup = make_chunk(90_000, 1)["tokens"].combine_chunks()
+        dvals = dup.values.to_numpy(zero_copy_only=False)
+        rows += [dvals, dvals]  # intra-epoch duplicate pair: 70000 wins
+        ids += ["doc-00070000", "doc-00070001"]
+        flat = np.concatenate(rows).astype(np.int32)
+        offs = np.zeros(len(rows) + 1, dtype=np.int32)
+        offs[1:] = np.cumsum([len(r) for r in rows]).astype(np.int32)
+        _pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "tokens": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
+                    "n_tok": pa.array(np.diff(offs).astype(np.int32)),
+                    "source": pa.array(["copy"] * len(ids)),
+                },
+                schema=baset.schema,
+            ),
+            f"{in_dir}/z-extra.parquet",
+        )
 
-    baset = _pq.read_table(f"{in_dir}/part-00000.parquet")  # victims: ids 0..999
-    tok = baset["tokens"].combine_chunks()
-    off = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    vals = tok.values.to_numpy(zero_copy_only=False)
-    filler = make_chunk(50_000, 300)
-    ftok = filler["tokens"].combine_chunks()
-    foff = ftok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    fvals = ftok.values.to_numpy(zero_copy_only=False)
-    rows, ids = [], []
-    for j in range(300):
-        v = (j * 13) % 1_000
-        vrow = vals[off[v]:off[v + 1]]
-        if j % 2 == 0:  # full copy -> must be dropped
-            rows.append(vrow)
-        else:  # partial plagiarist -> distinct sequence, must survive
-            rows.append(np.concatenate([vrow[:8], fvals[foff[j]:foff[j + 1]]]))
-        ids.append(f"doc-{60_000 + j:08d}")
-    dup = make_chunk(90_000, 1)["tokens"].combine_chunks()
-    dvals = dup.values.to_numpy(zero_copy_only=False)
-    rows += [dvals, dvals]  # intra-epoch duplicate pair: 70000 wins
-    ids += ["doc-00070000", "doc-00070001"]
-    flat = np.concatenate(rows).astype(np.int32)
-    offs = np.zeros(len(rows) + 1, dtype=np.int32)
-    offs[1:] = np.cumsum([len(r) for r in rows]).astype(np.int32)
-    _pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array(ids),
-                "tokens": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
-                "n_tok": pa.array(np.diff(offs).astype(np.int32)),
-                "source": pa.array(["copy"] * len(ids)),
-            },
-            schema=baset.schema,
-        ),
-        f"{in_dir}/z-extra.parquet",
-    )
-
+    in_dir = _fixture("stream_dedup_v1", build) + "/in"
+    out_dir = f"{_scratch('stream_dedup')}/out"
     cfg = DedupConfig(input_dir=in_dir, out_dir=out_dir, num_partitions=8,
                       files_per_epoch=2)
     StreamDedupJob(cfg).run(resume=False, stop_after_epoch=1)  # crash mid-stream
@@ -3462,11 +3599,9 @@ def _q_stream_session_aggs(sf):
     import ray
 
     from core_ray.streaming.job import StreamConfig, StreamingJob
-    from core_ray.synth import write_tokens_table
 
-    base = _scratch("stream_sess")
-    in_dir, out_dir = f"{base}/in", f"{base}/out"
-    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    in_dir = _tokens_fixture(10_000, 1_000)
+    out_dir = f"{_scratch('stream_sess')}/out"
     cfg = StreamConfig(
         input_dir=in_dir, out_dir=out_dir, num_partitions=8,
         window_kind="session", gap_s=1, lateness_s=2, files_per_epoch=1,
@@ -3497,11 +3632,9 @@ def _q_stream_sliding_aggs(sf):
     import ray
 
     from core_ray.streaming.job import StreamConfig, StreamingJob
-    from core_ray.synth import write_tokens_table
 
-    base = _scratch("stream_slide")
-    in_dir, out_dir = f"{base}/in", f"{base}/out"
-    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    in_dir = _tokens_fixture(10_000, 1_000)
+    out_dir = f"{_scratch('stream_slide')}/out"
     cfg = StreamConfig(
         input_dir=in_dir, out_dir=out_dir, num_partitions=8,
         window_kind="sliding", window_s=60, slide_s=30, lateness_s=2,
@@ -3527,11 +3660,9 @@ def _q_stream_topk_tokens(sf):
     Graded: the final global top-100 under (cnt desc, token asc); oracle
     recounts the whole input with a plain unnest GROUP BY."""
     from core_ray.streaming import FreqConfig, StreamFreqJob, final_topk
-    from core_ray.synth import write_tokens_table
 
-    base = _scratch("stream_topk")
-    in_dir, out_dir = f"{base}/in", f"{base}/out"
-    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    in_dir = _tokens_fixture(10_000, 1_000)
+    out_dir = f"{_scratch('stream_topk')}/out"
     cfg = FreqConfig(input_dir=in_dir, out_dir=out_dir, num_partitions=8,
                      files_per_epoch=1, k=100)
     StreamFreqJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
@@ -3553,11 +3684,9 @@ def _q_stream_latest(sf):
     import ray
 
     from core_ray.streaming.job import StreamConfig, StreamingJob
-    from core_ray.synth import write_tokens_table
 
-    base = _scratch("stream_latest")
-    in_dir, out_dir = f"{base}/in", f"{base}/out"
-    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    in_dir = _tokens_fixture(10_000, 1_000)
+    out_dir = f"{_scratch('stream_latest')}/out"
     cfg = StreamConfig(
         input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
         lateness_s=2, files_per_epoch=1, sink_payload_rows=False,
@@ -3588,11 +3717,8 @@ def _q_stream_cli_job(sf):
     import pyarrow.parquet as _pq
     import ray
 
-    from core_ray.synth import write_tokens_table
-
-    base = _scratch("stream_cli")
-    in_dir, out_dir = f"{base}/in", f"{base}/out"
-    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    in_dir = _tokens_fixture(10_000, 1_000)
+    out_dir = f"{_scratch('stream_cli')}/out"
     env = dict(_os.environ, RAY_ADDRESS="local", PYTHONPATH="/root/repo")
     cmd = [
         _sys.executable, "-m", "core_ray.cli", "stream-agg",
@@ -3631,11 +3757,9 @@ def _q_stream_lineage(sf):
     import ray
 
     from core_ray.streaming.job import AGG_PARTITION_ID, StreamConfig, StreamingJob
-    from core_ray.synth import write_tokens_table
 
-    base = _scratch("stream_lineage")
-    in_dir, out_dir = f"{base}/in", f"{base}/out"
-    write_tokens_table(in_dir, 12_000, rows_per_file=1_000)
+    in_dir = _tokens_fixture(12_000, 1_000)
+    out_dir = f"{_scratch('stream_lineage')}/out"
     cfg = StreamConfig(
         input_dir=in_dir, out_dir=out_dir, num_partitions=8,
         window_s=60, lateness_s=2, files_per_epoch=1,
@@ -7603,7 +7727,7 @@ _ORACLE["stream_window_aggs"] = f"""
 WITH t AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source,
          CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tsum
-  FROM read_parquet('/tmp/graft_stream_tokens_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tokens_20000x2000/in/*.parquet')
 ),
 e AS (
   SELECT source, n_tok, tsum,
@@ -7626,7 +7750,7 @@ _ORACLE["stream_static_join"] = f"""
 WITH t AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source,
          CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tsum
-  FROM read_parquet('/tmp/graft_stream_dim_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tokens_10000x1000/in/*.parquet')
 ),
 d AS (SELECT * FROM (VALUES ('web', 3), ('books', 7), ('code', 2),
                             ('wiki', 5)) AS d(source, weight)),
@@ -7651,7 +7775,7 @@ ORDER BY 1, 2
 _ORACLE["stream_latest"] = f"""
 WITH t AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source
-  FROM read_parquet('/tmp/graft_stream_latest_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tokens_10000x1000/in/*.parquet')
 ),
 e AS (
   SELECT source, n_tok,
@@ -7691,7 +7815,7 @@ SELECT CAST(i // 1000 AS BIGINT) AS epoch,
        sum(n_tok) AS tokens_emitted
 FROM (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok
-  FROM read_parquet('/tmp/graft_stream_lineage_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tokens_12000x1000/in/*.parquet')
 )
 GROUP BY 1
 ORDER BY 1
@@ -7714,7 +7838,7 @@ cw AS (
   SELECT DISTINCT
          sum(CAST(tokens[u.s + k + 1] AS HUGEINT) * CAST(p AS HUGEINT))
            % 18446744073709551616 AS h
-  FROM read_parquet('/tmp/graft_tok_novel_{_os.getpid()}/corpus/*.parquet'),
+  FROM read_parquet('/tmp/graft5_tok_novel_v1/corpus/*.parquet'),
        unnest(range(0, n_tok - 15, 8)) AS u(s)
   CROSS JOIN pk
   GROUP BY doc_id, u.s
@@ -7723,7 +7847,7 @@ iw AS (
   SELECT doc_id, u.s,
          sum(CAST(tokens[u.s + k + 1] AS HUGEINT) * CAST(p AS HUGEINT))
            % 18446744073709551616 AS h
-  FROM read_parquet('/tmp/graft_tok_novel_{_os.getpid()}/ingest/*.parquet'),
+  FROM read_parquet('/tmp/graft5_tok_novel_v1/ingest/*.parquet'),
        unnest(range(0, n_tok - 15, 8)) AS u(s)
   CROSS JOIN pk
   GROUP BY doc_id, u.s
@@ -7749,7 +7873,7 @@ FROM per ORDER BY doc_id
 _ORACLE["stream_topk_tokens"] = f"""
 SELECT CAST(token AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT unnest(tokens) AS token
-      FROM read_parquet('/tmp/graft_stream_topk_{_os.getpid()}/in/*.parquet'))
+      FROM read_parquet('/tmp/graft5_tokens_10000x1000/in/*.parquet'))
 GROUP BY token
 ORDER BY cnt DESC, token
 LIMIT 100
@@ -7757,7 +7881,7 @@ LIMIT 100
 
 _ORACLE["stream_dedup"] = f"""
 SELECT doc_id, n_tok, source
-FROM read_parquet('/tmp/graft_stream_dedup_{_os.getpid()}/in/*.parquet')
+FROM read_parquet('/tmp/graft5_stream_dedup_v1/in/*.parquet')
 QUALIFY row_number() OVER (PARTITION BY array_to_string(tokens, ',')
                            ORDER BY doc_id) = 1
 ORDER BY doc_id
@@ -7772,7 +7896,7 @@ WITH d AS (
          COALESCE(SUM(CAST(n_tok AS BIGINT)) OVER (
            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
            0) AS pre
-  FROM read_parquet('/tmp/graft_tok_pack_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tokens_3000x1000/in/*.parquet')
 ),
 t AS (
   SELECT CAST((d.pre + u.i - 1) // 512 AS BIGINT) AS pack_id,
@@ -7801,7 +7925,7 @@ ORDER BY p.pack_id
 
 _ORACLE["tok_dedup_exact"] = f"""
 SELECT doc_id, n_tok, source
-FROM read_parquet('/tmp/graft_tok_dedup_{_os.getpid()}/in/*.parquet')
+FROM read_parquet('/tmp/graft5_tok_dup_v1/in/*.parquet')
 QUALIFY row_number() OVER (PARTITION BY array_to_string(tokens, ',')
                            ORDER BY doc_id) = 1
 ORDER BY doc_id
@@ -7820,7 +7944,7 @@ def _pk_values_sql(w: int) -> str:
 _ORACLE["mm_audio_dups"] = f"""
 WITH media AS (
   SELECT media_id, payload
-  FROM read_parquet('/tmp/graft_mm_audio_{_os.getpid()}/media.parquet')
+  FROM read_parquet('/tmp/graft5_mm_audio_v1/media.parquet')
   WHERE octet_length(payload) = 4160
 ),
 smp AS (
@@ -7858,7 +7982,7 @@ ORDER BY 1, 2
 _ORACLE["mm_phash_dups"] = f"""
 WITH media AS (
   SELECT media_id, payload
-  FROM read_parquet('/tmp/graft_mm_phash_{_os.getpid()}/media.parquet')
+  FROM read_parquet('/tmp/graft5_mm_phash_v1/media.parquet')
   WHERE octet_length(payload) = 72
 ),
 pxb AS (
@@ -7896,7 +8020,7 @@ _ORACLE["tok_dedup_spans"] = f"""
 WITH pk(k, p) AS (VALUES {_pk_values_sql(16)}),
 t AS (
   SELECT doc_id, tokens, n_tok
-  FROM read_parquet('/tmp/graft_tok_spans_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tok_dup_v1/in/*.parquet')
 ),
 wins AS (
   SELECT doc_id, CAST(u.s AS BIGINT) AS s,
@@ -7933,7 +8057,7 @@ ORDER BY t.doc_id
 _ORACLE["tok_vocab_coverage"] = f"""
 WITH t AS (
   SELECT source, tokens
-  FROM read_parquet('/tmp/graft_tok_vocab_{_os.getpid()}/corpus.parquet')
+  FROM read_parquet('/tmp/graft5_tok_vocab_v1/corpus.parquet')
 ),
 flat AS (SELECT source, unnest(tokens) AS tok FROM t),
 cnts AS (SELECT tok, count(*) AS c FROM flat GROUP BY 1),
@@ -7954,7 +8078,7 @@ cw AS (
   SELECT doc_id, CAST(u.s AS BIGINT) AS s,
          sum(CAST(tokens[u.s + k + 1] AS HUGEINT) * CAST(p AS HUGEINT))
            % 18446744073709551616 AS h
-  FROM read_parquet('/tmp/graft_tok_decon_{_os.getpid()}/corpus/*.parquet'),
+  FROM read_parquet('/tmp/graft5_tok_decon_v1/corpus/*.parquet'),
        unnest(range(0, n_tok - 12)) AS u(s)
   CROSS JOIN pk
   GROUP BY doc_id, u.s
@@ -7964,7 +8088,7 @@ bw AS (
     SELECT doc_id, u.s,
            sum(CAST(tokens[u.s + k + 1] AS HUGEINT) * CAST(p AS HUGEINT))
              % 18446744073709551616 AS h
-    FROM read_parquet('/tmp/graft_tok_decon_{_os.getpid()}/bench/*.parquet'),
+    FROM read_parquet('/tmp/graft5_tok_decon_v1/bench/*.parquet'),
          unnest(range(0, n_tok - 12)) AS u(s)
     CROSS JOIN pk
     GROUP BY doc_id, u.s
@@ -7981,7 +8105,7 @@ SELECT t.doc_id,
        CAST(coalesce(tot.n_windows, 0) AS BIGINT) AS n_windows,
        CAST(coalesce(tot.dirty, 0) AS BIGINT) AS dirty_windows,
        coalesce(tot.dirty, 0) = 0 AS keep
-FROM read_parquet('/tmp/graft_tok_decon_{_os.getpid()}/corpus/*.parquet') t
+FROM read_parquet('/tmp/graft5_tok_decon_v1/corpus/*.parquet') t
 LEFT JOIN tot ON t.doc_id = tot.doc_id
 ORDER BY t.doc_id
 """
@@ -7992,7 +8116,7 @@ ORDER BY t.doc_id
 _ORACLE["tok_dup_windows"] = f"""
 WITH t AS (
   SELECT doc_id, tokens, n_tok
-  FROM read_parquet('/tmp/graft_tok_dup_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tok_dup_v1/in/*.parquet')
 ),
 pos AS (
   SELECT doc_id, tokens, CAST(u.s AS BIGINT) AS s
@@ -8029,7 +8153,7 @@ _ORACLE["stream_cli_job"] = f"""
 WITH t AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source,
          CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tsum
-  FROM read_parquet('/tmp/graft_stream_cli_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tokens_10000x1000/in/*.parquet')
 ),
 e AS (
   SELECT source, n_tok, tsum,
@@ -8054,7 +8178,7 @@ ORDER BY 1, 2
 _ORACLE["stream_session_aggs"] = f"""
 WITH t AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source
-  FROM read_parquet('/tmp/graft_stream_sess_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tokens_10000x1000/in/*.parquet')
 ),
 e AS (
   SELECT source, n_tok,
@@ -8089,7 +8213,7 @@ _ORACLE["stream_sliding_aggs"] = f"""
 WITH t AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source,
          CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tsum
-  FROM read_parquet('/tmp/graft_stream_slide_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tokens_10000x1000/in/*.parquet')
 ),
 e AS (
   SELECT source, n_tok, tsum,
@@ -8890,11 +9014,9 @@ def _q_stream_window_quantiles(sf):
     the deterministic input."""
     from core_ray.streaming import (QuantileConfig, StreamQuantileJob,
                                     final_quantiles)
-    from core_ray.synth import write_tokens_table
 
-    base = _scratch("stream_quant")
-    in_dir, out_dir = f"{base}/in", f"{base}/out"
-    write_tokens_table(in_dir, 10_000, rows_per_file=1_000)
+    in_dir = _tokens_fixture(10_000, 1_000)
+    out_dir = f"{_scratch('stream_quant')}/out"
     cfg = QuantileConfig(input_dir=in_dir, out_dir=out_dir,
                          num_partitions=8, files_per_epoch=1, window_s=60)
     StreamQuantileJob(cfg).run(resume=False, stop_after_epoch=4)  # crash
@@ -8906,7 +9028,7 @@ _ORACLE["stream_rescale"] = f"""
 WITH t AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source,
          CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tsum
-  FROM read_parquet('/tmp/graft_stream_rescale_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tokens_20000x2000/in/*.parquet')
 ),
 e AS (
   SELECT source, n_tok, tsum,
@@ -8929,7 +9051,7 @@ _ORACLE["stream_update_mode"] = f"""
 WITH t AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, n_tok, source,
          CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tsum
-  FROM read_parquet('/tmp/graft_stream_update_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tokens_20000x2000/in/*.parquet')
 ),
 w AS (
   SELECT source, n_tok, tsum, i // 2000 AS ep,
@@ -8955,7 +9077,7 @@ _ORACLE["stream_window_quantiles"] = f"""
 WITH t AS (
   SELECT CAST(substr(doc_id, 5) AS BIGINT) AS i, source,
          unnest(tokens) AS tok
-  FROM read_parquet('/tmp/graft_stream_quant_{_os.getpid()}/in/*.parquet')
+  FROM read_parquet('/tmp/graft5_tokens_10000x1000/in/*.parquet')
 ),
 e AS (
   SELECT source, tok,
