@@ -2866,6 +2866,22 @@ def dedup_token_spans(
         n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
         base0 = np.concatenate(([0], np.cumsum(n_tok)))
         vals = tl.flatten()
+        # n_tok == 0 guard: split_pattern('') yields [''] — one phantom
+        # element per empty doc that would shift the flattened alignment
+        # (and keep[] coverage) of every later doc in the batch
+        split_lens = pc.list_value_length(tl).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if (split_lens != n_tok).any():
+            split_base = np.concatenate(([0], np.cumsum(split_lens)))
+            good = np.ones(int(split_base[-1]), bool)
+            for i in np.nonzero(split_lens != n_tok)[0]:
+                if n_tok[i] != 0 or split_lens[i] != 1:
+                    raise ValueError(
+                        f"tok_str element count mismatch on row {i}: "
+                        f"{split_lens[i]} vs n_tok {n_tok[i]}"
+                    )
+                good[split_base[i]] = False
+            vals = vals.filter(pa.array(good))
         keep = np.ones(int(base0[-1]), bool)
         starts_col = batch["starts"]
         valid = pc.is_valid(starts_col).to_numpy(zero_copy_only=False)

@@ -104,8 +104,14 @@ def _write_block_files(table_path: str, partition_cols: list[str]):
         for tup, rows in groups:
             part = data if rows is None else data.take(pa.array(rows))
             pvals = {c: _partition_value(tup.get(c)) for c in partition_cols}
+            # Percent-escape the DIRECTORY component the way delta-rs/Spark
+            # writers do (a raw '/', '=', '%', ... in a value would change
+            # the hive layout other readers reconstruct from add.path); the
+            # unescaped value stays in add.partitionValues.
+            from urllib.parse import quote as _quote
+
             reldir = "/".join(
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if pvals[c] is None else pvals[c]}"
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if pvals[c] is None else _quote(pvals[c], safe='')}"
                 for c in partition_cols
             )
             fname = f"part-{uuid.uuid4().hex}.parquet"

@@ -96,6 +96,16 @@ def rescale_checkpoint(out_dir: str, new_partitions: int) -> dict:
         # trusted; the journaled backup is the source of truth
         with open(journal_path) as f:
             journal = json.load(f)
+        if int(journal["new_q"]) != q:
+            # a resumed rescale MUST finish the journaled plan: the first
+            # attempt may already have written snapshots/manifests for
+            # partitions in [q, journal.new_q) — retargeting would leave
+            # them as live-looking stale state the resume rule then trusts
+            raise ValueError(
+                f"interrupted rescale in progress targets "
+                f"{int(journal['new_q'])} partitions; re-run with that "
+                f"count to finish it (got {q})"
+            )
         old_p, k = int(journal["old_p"]), int(journal["epoch"])
         allt = pq.read_table(backup_path)
         metas = [journal["meta"]]
@@ -215,6 +225,12 @@ def rescale_join_checkpoint(
     if os.path.exists(journal_path):
         with open(journal_path) as f:
             journal = json.load(f)
+        if int(journal["new_q"]) != q:
+            # same contract as rescale_checkpoint: finish the journaled plan
+            raise ValueError(
+                f"interrupted join rescale targets {int(journal['new_q'])} "
+                f"partitions; re-run with that count to finish it (got {q})"
+            )
         old_p, k = int(journal["old_p"]), int(journal["epoch"])
         tables = {
             s: (pq.read_table(p) if os.path.exists(p) else None)

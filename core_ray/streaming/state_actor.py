@@ -207,13 +207,33 @@ class StreamPartitionActor:
         # to the handful of latest rows BEFORE any per-row Python
         lt = t.filter(pc.equal(t["kind"], "latest"))
         for i in range(len(lt)):
-            self.latest[lt["skey"][i].as_py()] = {
+            new = {
                 "ts": lt["ws"][i].as_py(),
                 "value": lt["cnt"][i].as_py(),
                 "status": lt["status"][i].as_py(),
                 "good_ts": lt["sum_n_tok"][i].as_py(),
                 "good_value": lt["good_value"][i].as_py(),
             }
+            reg = self.latest.get(lt["skey"][i].as_py())
+            if reg is None:
+                self.latest[lt["skey"][i].as_py()] = new
+                continue
+            # Component-wise fold, NOT last-write-wins: a rescale co-locates
+            # several donors' registers for one source onto this partition,
+            # and the (ts, value) argmax and the Good-only (good_ts,
+            # good_value) argmax may come from DIFFERENT donor rows —
+            # overwriting whole rows silently regresses the Good register
+            # (merge_latest semantics, mirrored here).
+            if (new["ts"], new["value"]) > (reg["ts"], reg["value"]):
+                reg["ts"], reg["value"], reg["status"] = (
+                    new["ts"], new["value"], new["status"]
+                )
+            if (new["good_ts"], new["good_value"]) > (
+                reg["good_ts"], reg["good_value"]
+            ):
+                reg["good_ts"], reg["good_value"] = (
+                    new["good_ts"], new["good_value"]
+                )
         return True
 
     def _persist_codes(self, cats: np.ndarray) -> np.ndarray:

@@ -369,3 +369,31 @@ def test_delta_delete_partition_pruning_and_cow(tmp_path):
     v = snapshot(d).version
     res3 = delete_delta(d, lambda tb: pc.greater(tb["k"], 99))
     assert res3["deleted"] == 0 and snapshot(d).version == v
+
+
+def test_delta_writer_escapes_partition_directory(tmp_path):
+    """Partition VALUES containing '/', '=', '%' or spaces must be
+    percent-escaped in the hive directory component (delta-rs/Spark
+    convention) while add.partitionValues keeps the raw value — a raw '/'
+    would silently nest directories and change the recorded layout."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from core_ray.sources.delta_log import read_delta
+    from core_ray.sources.delta_write import write_delta
+
+    d = str(tmp_path / "tbl")
+    vals = ["a/b", "x=y", "sp ace", "pct%20"]
+    t = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "p": pa.array(vals)})
+    write_delta(t, d, mode="append", partition_cols=["p"])
+    # raw values round-trip through the log's partitionValues
+    df = read_delta(d).to_pandas().sort_values("k")
+    assert list(df["p"]) == vals
+    # no nested a/b directory leaked out of the value
+    dirs = sorted(
+        os.path.basename(p) for p in glob.glob(f"{d}/p=*") if os.path.isdir(p)
+    )
+    assert dirs == ["p=a%2Fb", "p=pct%2520", "p=sp%20ace", "p=x%3Dy"]

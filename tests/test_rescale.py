@@ -245,3 +245,74 @@ def test_pattern_rescale_preserves_matches(tmp_path):
         return m.sort_values(list(m.columns)).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(rows(out), rows(ref))
+
+
+def test_rescaled_latest_registers_fold_component_wise(tmp_path):
+    """A rescale co-locates several donors' latest registers for one source
+    on a single partition; restore must fold them with merge_latest
+    semantics — the (ts, value) argmax and the Good-only (good_ts,
+    good_value) argmax can come from DIFFERENT donor rows, so
+    last-write-wins per skey silently regresses the Good register."""
+    import ray
+
+    from core_ray.streaming.sink import EpochSink
+    from core_ray.streaming.state_actor import StreamPartitionActor
+
+    out = str(tmp_path / "out")
+    sink = EpochSink(out, 0)
+    # donor B: (ts=80, Good, good_ts=80, good_value=9); donor A: (ts=100,
+    # Bad, good_ts=3, good_value=1).  Snapshot order puts A last (the
+    # rescale sorts by ws), so naive overwrite would keep good_ts=3.
+    t = pa.table(
+        {
+            "kind": pa.array(["latest", "latest"]),
+            "skey": pa.array(["web", "web"]),
+            "ws": pa.array([80, 100], pa.int64()),
+            "cnt": pa.array([9, 1], pa.int64()),
+            "sum_n_tok": pa.array([80, 3], pa.int64()),
+            "status": pa.array(["Good", "Bad"]),
+            "good_value": pa.array([9, 1], pa.int64()),
+            "st": pa.array([None, None], pa.int64()),
+            "w": pa.array([None, None], pa.int64()),
+        }
+    ).replace_schema_metadata(
+        {"max_ts": "100", "watermark": "0", "dedup_frontier": "100"}
+    )
+    sink.write_snapshot(5, "state", t)
+    a = StreamPartitionActor.options(num_cpus=0).remote(
+        0, out, 60_000_000, 2_000_000, 0
+    )
+    try:
+        assert ray.get(a.load_snapshot.remote(5))
+        reg = ray.get(a.flush_final.remote(6))["latest"]["web"]
+        assert (reg["ts"], reg["value"], reg["status"]) == (100, 1, "Bad")
+        assert (reg["good_ts"], reg["good_value"]) == (80, 9)
+    finally:
+        ray.kill(a)
+
+
+def test_interrupted_rescale_refuses_new_target(rescale_dirs):
+    """Re-running an interrupted rescale with a DIFFERENT target count must
+    fail loudly: the first attempt may already have committed snapshots for
+    partitions beyond the new target, which resume would then trust."""
+    import json
+
+    base, in_dir, _ = rescale_dirs
+    out = str(base / "out_target_guard")
+    StreamingJob(_cfg(in_dir, out, 4)).run(resume=False, stop_after_epoch=2)
+    # forge an interrupted rescale: journal present, job.json untouched
+    res = rescale_checkpoint(out, 6)
+    assert res["new"] == 6
+    jpath = f"{out}/manifests/rescale.json"
+    with open(f"{out}/manifests/job.json") as f:
+        shape = json.load(f)
+    shape["num_partitions"] = 4  # roll back the commit point
+    with open(f"{out}/manifests/job.json", "w") as f:
+        json.dump(shape, f)
+    with open(jpath, "w") as f:
+        json.dump({"old_p": 4, "new_q": 6, "epoch": 2,
+                   "meta": {"max_ts": "0", "watermark": "0",
+                            "dedup_frontier": "0"}}, f)
+    # backup file must exist for a resume; reuse none -> expect the guard
+    with pytest.raises(ValueError, match="targets 6 partitions"):
+        rescale_checkpoint(out, 3)

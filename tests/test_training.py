@@ -1101,3 +1101,37 @@ def test_vocab_coverage_hand_case():
     assert out["total_tokens"].tolist() == [6, 2]
     assert out["covered_tokens"].tolist() == [5, 2]
     assert out["coverage_pct"].tolist() == [83.3333, 100.0]
+
+
+def test_dedup_token_spans_empty_doc_alignment():
+    """A zero-length token row must not shift the rebuilt alignment of the
+    docs after it in the batch (split_pattern('') yields one phantom
+    element): the doc following two empty rows keeps its tokens verbatim."""
+    import pyarrow as pa
+
+    from core_ray.functions import dedup_token_spans
+
+    seq = list(range(100, 132))  # 32 tokens, shared between doc a and c
+    fresh = list(range(900, 920))
+    rows = [
+        ("a", seq),
+        ("b_empty", []),
+        ("c", seq),
+        ("d_empty", []),
+        ("e", fresh),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) for r in rows], pa.int32()),
+        }
+    )
+    out = dedup_token_spans(ray.data.from_arrow(t), w=16).to_pandas()
+    out = out.set_index("doc_id")
+    # duplicated span fully covers a and c; e is untouched, empties survive
+    assert out.loc["a", "n_kept"] == 0 and out.loc["c", "n_kept"] == 0
+    assert out.loc["b_empty", "n_kept"] == 0
+    assert out.loc["d_empty", "n_kept"] == 0
+    assert out.loc["e", "n_kept"] == len(fresh)
+    assert out.loc["e", "tokens_key"] == ",".join(str(v) for v in fresh)
