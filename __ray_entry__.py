@@ -3203,6 +3203,41 @@ def _q_dq_moving_avg(sf):
     return moving_average(_events_ds(sf), window=5)
 
 
+def _q_dq_gaussian_spatial(sf):
+    """GaussianSmoothing mode="spatial" (reference
+    ``gaussian_smoothing.py:138-142``: partition by timestamp, order by id,
+    smooth ACROSS sensors) over a dense 17-sensor x 240-timestamp grid.
+    The oracle replays the exact convolution in SQL: the kernel weights are
+    inlined as round-trip float literals and the engine's mirror padding is
+    a CASE on the neighbor index, so values match to the shared round4."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray
+
+    from core_ray.dq import gaussian_smoothing
+    from core_ray.synth import _hash2
+
+    def build(d: str) -> None:
+        tags = np.array([f"S{i:02d}" for i in range(17)])
+        n_t = 240
+        idx = np.arange(17 * n_t, dtype=np.int64)
+        v = (_hash2(99, idx) % np.uint64(1_000_000)).astype(np.float64) / 100.0
+        t = pa.table(
+            {
+                "TagName": pa.array(tags[(idx % 17)]),
+                "ts_us": pa.array(S_US + (idx // 17) * 60_000_000),
+                "Status": pa.array(np.full(len(idx), "Good")),
+                "Value": pa.array(v),
+            }
+        )
+        _pq.write_table(t, f"{d}/grid.parquet")
+
+    base = _fixture("dq_spatial_v1", build)
+    ds = ray.data.read_parquet(f"{base}/grid.parquet")
+    return gaussian_smoothing(ds, sigma=2.0, mode="spatial")
+
+
 def _q_dq_mad_filter(sf):
     """Robust (median/MAD) anomaly filter — k_sigma's breakdown-resistant
     sibling; exact per-tag medians via one pruned (tag,value) co-group,
@@ -4594,6 +4629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_disc_revenue": _q_rel_disc_revenue,
         "rel_idle_rich": _q_rel_idle_rich,
         "dq_mad_filter": _q_dq_mad_filter,
+        "dq_gaussian_spatial": _q_dq_gaussian_spatial,
         "ev_rank_funcs": _q_ev_rank_funcs,
         "doc_containment": _q_doc_containment,
         "rel_full_outer": _q_rel_full_outer,
@@ -6154,6 +6190,36 @@ SELECT event_type AS TagName, ts AS EventTime,
        round_even(AVG(value) OVER (PARTITION BY event_type ORDER BY ts, value
                                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS Value
 FROM events ORDER BY 1, 2
+"""
+
+def _gauss_kernel_values() -> str:
+    """Kernel weights for sigma=2 as round-trip float literals — DuckDB
+    parses each literal to the exact float64 numpy computed."""
+    import numpy as np
+
+    radius = 8  # int(4 * 2.0 + 0.5), the engine's radius rule
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / 2.0) ** 2)
+    k /= k.sum()
+    return ", ".join(f"({int(o)}, {float(w)!r})" for o, w in zip(x, k))
+
+
+_ORACLE["dq_gaussian_spatial"] = f"""
+WITH v AS (
+  SELECT TagName, ts_us, Value, CAST(substr(TagName, 2) AS BIGINT) AS i
+  FROM read_parquet('/tmp/graft5_dq_spatial_v1/grid.parquet')
+),
+k(off, w) AS (VALUES {_gauss_kernel_values()})
+SELECT v.TagName, make_timestamp(v.ts_us) AS EventTime, 'Good' AS Status,
+       round_even(SUM(k.w * nb.Value), 4) AS Value
+FROM v
+CROSS JOIN k
+JOIN v nb ON nb.ts_us = v.ts_us AND nb.i =
+     CASE WHEN v.i + k.off < 0 THEN -(v.i + k.off)
+          WHEN v.i + k.off > 16 THEN 32 - (v.i + k.off)
+          ELSE v.i + k.off END
+GROUP BY v.TagName, v.ts_us
+ORDER BY 1, 2
 """
 
 _ORACLE["dq_zscore"] = f"""

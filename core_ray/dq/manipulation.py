@@ -324,32 +324,50 @@ def missing_value_imputation(
     return grouped_map(ds, [TS.TAG], per_tag)
 
 
-def gaussian_smoothing(ds: ray.data.Dataset, sigma: float = 2.0) -> ray.data.Dataset:
-    """Per-tag temporal gaussian smoothing (reference ``GaussianSmoothing``,
-    scipy ``gaussian_filter1d``): numpy convolution with reflect padding."""
+def gaussian_smoothing(
+    ds: ray.data.Dataset, sigma: float = 2.0, mode: str = "temporal"
+) -> ray.data.Dataset:
+    """Gaussian smoothing (reference ``GaussianSmoothing``, scipy
+    ``gaussian_filter1d``): numpy convolution with reflect padding.
+
+    ``mode="temporal"`` smooths each tag's series along the time axis (the
+    reference's ``Window.partitionBy(id_col).orderBy(timestamp_col)``);
+    ``mode="spatial"`` smooths ACROSS tags at each timestamp (reference
+    ``gaussian_smoothing.py:138-142``: partition by timestamp, order by id)
+    — the cross-sensor arm.  Both are one ``grouped_map`` shuffle on the
+    partition key; the convolution itself is identical."""
+    if mode not in ("temporal", "spatial"):
+        raise ValueError("mode must be either 'temporal' or 'spatial'")
     radius = max(1, int(4.0 * sigma + 0.5))
     x = np.arange(-radius, radius + 1, dtype=np.float64)
     kernel = np.exp(-0.5 * (x / sigma) ** 2)
     kernel /= kernel.sum()
 
-    def per_tag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort").reset_index(drop=True)
-        v = g[TS.VALUE].to_numpy(dtype=np.float64)
-        if len(v) == 0:
-            return _finalize(g)
+    def smooth(v: np.ndarray) -> np.ndarray:
         padded = np.concatenate([v[radius:0:-1], v, v[-2 : -radius - 2 : -1]])
         if len(padded) < len(v) + 2 * radius:  # series shorter than radius
             padded = np.pad(v, radius, mode="reflect") if len(v) > 1 else v.repeat(
                 2 * radius + 1
             )
-        sm = np.convolve(padded, kernel, mode="valid")
+        return np.convolve(padded, kernel, mode="valid")[: len(v)]
+
+    order = (
+        [TS.TS_US, TS.VALUE] if mode == "temporal" else [TS.TAG, TS.TS_US, TS.VALUE]
+    )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+        v = g[TS.VALUE].to_numpy(dtype=np.float64)
+        if len(v) == 0:
+            return _finalize(g)
         g = g.copy()
-        g[TS.VALUE] = round4(sm[: len(v)])
+        g[TS.VALUE] = round4(smooth(v))
         return _finalize(g)
 
     from ..ops.common import grouped_map
 
-    return grouped_map(ds, [TS.TAG], per_tag)
+    key = [TS.TAG] if mode == "temporal" else [TS.TS_US]
+    return grouped_map(ds, key, per_group)
 
 
 # --- normalization ---------------------------------------------------------

@@ -1040,19 +1040,21 @@ def dedup_near(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     concurrency: int | None = None,
-    distributed_components: bool = False,
+    distributed_components: bool = True,
 ) -> ray.data.Dataset:
     """Corpus-level near-duplicate dedup: the end-to-end "give me the cleaned
     corpus" operator.  ``jaccard_pairs`` (exact n-gram Jaccard, recall 1)
     feeds connected components; the minimum doc_id of every duplicate
     component survives.  Returns the kept ``doc_id`` rows.
 
-    Default path: driver union-find over the (tiny) pair list, drop set
-    broadcast once via the object store, anti-filtered per batch with a
-    vectorized ``is_in``.  ``distributed_components=True`` switches to
+    Default path (the one a 100 TB corpus must take):
     :func:`component_labels_distributed` + a left ``hash_join`` keep-filter —
-    nothing ever reaches the driver, for corpora whose duplicate-pair list
-    itself is at data scale."""
+    nothing ever reaches the driver, so a dirty corpus whose duplicate-pair
+    list is itself at data scale still streams.
+    ``distributed_components=False`` switches to the small-corpus shortcut:
+    driver union-find over the pair list, drop set broadcast once via the
+    object store, anti-filtered per batch with a vectorized ``is_in`` —
+    fewer shuffles, but the pair list must fit on the driver."""
     pairs = jaccard_pairs(
         source, threshold=threshold, max_doc_freq=max_doc_freq, concurrency=concurrency
     )

@@ -416,19 +416,48 @@ def dedup_semantic(
     n_planes: int = 32,
     bands: int = 4,
     seed: int = 23,
+    distributed_components: bool = True,
 ) -> ray.data.Dataset:
     """Semantic (embedding-space) dedup of the corpus: near-duplicate pairs
     from ``cosine_dup_pairs`` (hyperplane-LSH blocked, exact cosine verified)
     feed connected components; the minimum vec_id of each duplicate component
-    survives and the table is anti-filtered against the drop set.  This is
-    the SemDeDup-shaped "keep one representative per semantic cluster"
-    operator; returns the kept ``vec_id`` rows.
+    survives.  This is the SemDeDup-shaped "keep one representative per
+    semantic cluster" operator; returns the kept ``vec_id`` rows.
+
+    Default path: distributed min-label components + a left ``hash_join``
+    keep-filter (nothing reaches the driver — the 100 TB shape).
+    ``distributed_components=False`` is the small-corpus shortcut: driver
+    union-find + broadcast drop set, anti-filtered per batch.
     """
-    from .dedup import component_drop_ids
+    from .dedup import component_drop_ids, component_labels_distributed
 
     pairs = cosine_dup_pairs(
         source, threshold=threshold, n_planes=n_planes, bands=bands, seed=seed
     )
+    if isinstance(source, str):
+        path = source if source.endswith(".parquet") else f"{source}/embeddings.parquet"
+        ids = ray.data.read_parquet(path, columns=["vec_id"])
+    else:
+        ids = source.select_columns(["vec_id"])
+
+    if distributed_components:
+        from .join import hash_join
+
+        labels = component_labels_distributed(
+            pairs, a="vec_a", b="vec_b"
+        ).map_batches(
+            lambda t: t.rename_columns(["vec_id", "label"]),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(ids, labels, on="vec_id", how="left")
+
+        def keep_joined(batch: pa.Table) -> pa.Table:
+            lbl = batch["label"]
+            mask = pc.or_kleene(pc.is_null(lbl), pc.equal(lbl, batch["vec_id"]))
+            return batch.filter(pc.fill_null(mask, True)).select(["vec_id"])
+
+        return joined.map_batches(keep_joined, batch_format="pyarrow")
+
     drops = component_drop_ids(pairs, a="vec_a", b="vec_b")
     drops_ref = ray.put(pa.array(drops, pa.int64()))
 
@@ -436,11 +465,6 @@ def dedup_semantic(
         mask = pc.invert(pc.is_in(batch["vec_id"], value_set=ray.get(drops_ref)))
         return batch.filter(mask)
 
-    if isinstance(source, str):
-        path = source if source.endswith(".parquet") else f"{source}/embeddings.parquet"
-        ids = ray.data.read_parquet(path, columns=["vec_id"])
-    else:
-        ids = source.select_columns(["vec_id"])
     return ids.map_batches(keep, batch_format="pyarrow")
 
 

@@ -281,3 +281,37 @@ def test_cusum_detects_planted_level_shift():
     # reset-at-zero: cusum_pos is 0 while the series sits below its mean
     assert (out.loc[: n // 2 - 1, "cusum_pos"] == 0).all()
     assert (out["cusum_neg"] >= 0).all() and (out["cusum_pos"] >= 0).all()
+
+
+def test_gaussian_smoothing_spatial_across_tags():
+    """Spatial mode (reference gaussian_smoothing.py:138-142): partition by
+    timestamp, order by tag, smooth ACROSS sensors.  A constant cross-
+    sensor profile is preserved; a spike at one sensor bleeds into its
+    neighbors at the same timestamp but leaves other timestamps untouched."""
+    from core_ray.dq import gaussian_smoothing
+
+    tags = [f"S{i:02d}" for i in range(17)]
+    rows = [(tag, T0, "Good", 4.0) for tag in tags]
+    rows += [
+        (tag, T0 + US, "Good", 100.0 if i == 8 else 0.0)
+        for i, tag in enumerate(tags)
+    ]
+    out = gaussian_smoothing(_ds(rows), sigma=1.0, mode="spatial").to_pandas()
+    out["t"] = (out["EventTime"].astype("int64") - T0) // US
+    flat = out[out["t"] == 0].sort_values("TagName")["Value"].to_numpy()
+    assert np.allclose(flat, 4.0)
+    spike = out[out["t"] == 1].sort_values("TagName")["Value"].to_numpy()
+    # mass is redistributed around the center sensor, not amplified
+    assert spike[8] < 100.0 and spike[7] > 0.0 and spike[9] > 0.0
+    assert spike[7] == spike[9]  # symmetric kernel, symmetric neighbors
+    # sigma=1 kernel support (radius 4) stays inside the 17 sensors, so the
+    # spike's mass is conserved up to the round4 output convention
+    assert abs(spike.sum() - 100.0) < 1e-3
+    assert spike.argmax() == 8
+
+
+def test_gaussian_smoothing_mode_guard():
+    from core_ray.dq import gaussian_smoothing
+
+    with pytest.raises(ValueError, match="temporal.*spatial"):
+        gaussian_smoothing(_ds([("A", T0, "Good", 1.0)]), mode="sideways")
