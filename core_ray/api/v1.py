@@ -22,7 +22,7 @@ from .models import ApiError, Response
 def _to_df(result) -> pd.DataFrame:
     if isinstance(result, pd.DataFrame):
         return result
-    return result.to_pandas()
+    return result.to_pandas()  # bounded: one API page
 
 
 def _run_direct_or_lookup(get_fn, parameters: dict) -> pd.DataFrame:

@@ -77,7 +77,7 @@ def _shape_result(batches: list[pa.Table], return_type: ConnectionReturnType):
     (``db_sql_connector.py:113-163``)."""
     table = pa.concat_tables(batches) if batches else pa.table({})
     if return_type == ConnectionReturnType.Pandas:
-        return table.to_pandas()
+        return table.to_pandas()  # bounded: cursor fetch contract
     if return_type == ConnectionReturnType.Pyarrow:
         return table
     if return_type == ConnectionReturnType.List:

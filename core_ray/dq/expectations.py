@@ -146,7 +146,7 @@ def validate(ds: ray.data.Dataset, suite: ExpectationSuite) -> pd.DataFrame:
                 ray.data.aggregate.Sum("bad", alias_name="bad"),
                 ray.data.aggregate.Sum("sum", alias_name="sum"),
             )
-            .to_pandas()
+            .to_pandas()  # bounded: per-column aggregate
         )
         for _, r in agg.iterrows():
             rows[int(r["idx"])] = {
@@ -164,7 +164,7 @@ def validate(ds: ray.data.Dataset, suite: ExpectationSuite) -> pd.DataFrame:
             lambda t, c=column: t.filter(_pc.is_valid(t[c])),
             batch_format="pyarrow",
         )
-        counts = nn.groupby(column).count().to_pandas()
+        counts = nn.groupby(column).count().to_pandas()  # bounded: distinct-value counts
         dup_rows = int(counts.loc[counts["count()"] > 1, "count()"].sum())
         rows[i] = {"elem": int(counts["count()"].sum()), "bad": dup_rows, "sum": 0.0}
 

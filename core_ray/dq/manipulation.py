@@ -54,13 +54,28 @@ def interval_filtering(ds: ray.data.Dataset, interval_us: int) -> ray.data.Datas
 
     def per_tag(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([TS.TS_US, TS.VALUE], kind="mergesort")
-        ts = g[TS.TS_US].to_numpy()
-        keep = np.zeros(len(ts), dtype=bool)
-        last = None
-        for i, t in enumerate(ts.tolist()):
-            if last is None or t - last >= interval_us:
+        ts = g[TS.TS_US].to_numpy(dtype=np.int64)
+        n = len(ts)
+        if n == 0:
+            return _finalize(g)
+        keep = np.zeros(n, dtype=bool)
+        # #emitted is bounded by span/interval + 1.  When that bound is far
+        # below n (a hot tag being heavily downsampled — the op's primary
+        # use), jump emit-to-emit with one searchsorted per EMIT (O(k log n))
+        # instead of a Python compare per ROW; otherwise the linear scan's
+        # ~100ns/row is already optimal for a near-keep-all pass.
+        bound = (int(ts[-1]) - int(ts[0])) // max(interval_us, 1) + 1
+        if bound * 16 < n:
+            i = 0
+            while i < n:
                 keep[i] = True
-                last = t
+                i = int(np.searchsorted(ts, ts[i] + interval_us, side="left"))
+        else:
+            last = None
+            for i, t in enumerate(ts.tolist()):
+                if last is None or t - last >= interval_us:
+                    keep[i] = True
+                    last = t
         return _finalize(g[keep])
 
     from ..ops.common import grouped_map
@@ -87,7 +102,7 @@ def _tag_stats(ds: ray.data.Dataset) -> dict:
         )
         return out.rename_columns([TS.TAG, "cnt", "s", "sq"])
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()  # bounded: per-tag moment partials
     agg = parts.groupby(TS.TAG).agg(cnt=("cnt", "sum"), s=("s", "sum"), sq=("sq", "sum"))
     stats = {}
     for tag, r in agg.iterrows():
@@ -398,7 +413,7 @@ def normalize(ds: ray.data.Dataset, method: str = "zscore"):
 
         mm = (
             ds.map_batches(mm_partial, batch_format="pyarrow")
-            .to_pandas()
+            .to_pandas()  # bounded: per-tag min/max partials
             .groupby(TS.TAG)
             .agg(mn=("mn", "min"), mx=("mx", "max"))
         )

@@ -41,7 +41,7 @@ def dimensionality_reduction(
                 out[f"x_{i}_{j}"] = pa.array([(mat[:, i] * mat[:, j]).sum()])
         return pa.table(out)
 
-    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas().sum()  # bounded: moment partials
     n = parts["n"]
     mean = np.array([parts[f"s_{c}"] for c in columns]) / n
     cov = np.zeros((k, k))

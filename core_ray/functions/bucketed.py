@@ -129,7 +129,7 @@ def bucketed_join(
                         rt.to_pandas(types_mapper=pd.ArrowDtype), on=key, how="left"
                     )
                 else:
-                    m = lt.to_pandas().merge(rt.to_pandas(), on=key, how="inner")
+                    m = lt.to_pandas().merge(rt.to_pandas(), on=key, how="inner")  # per-batch
                 if not len(m):
                     continue
                 t = pa.Table.from_pandas(m, preserve_index=False)

@@ -131,7 +131,7 @@ def textrank(
         u = pc.unique(pa.chunked_array(arrs, pa.string()))
         return pa.table({"word": u})
 
-    vocab_parts = edges.map_batches(_words, batch_format="pyarrow").take_all()
+    vocab_parts = edges.map_batches(_words, batch_format="pyarrow").take_all()  # bounded: vocab partials
     vocab = np.unique(np.asarray([r["word"] for r in vocab_parts], dtype=object))
     vocab_ref = ray.put(vocab)
     n = len(vocab)

@@ -49,14 +49,14 @@ def hash_join(
         except Exception:
             rsize = None
         if rsize is not None and 0 < rsize <= broadcast_threshold_bytes:
-            rt = right.to_pandas()
+            rt = right.to_pandas()  # bounded: size-gated broadcast side
             if rt.shape[1] == 0:
                 # a 0-row dataset loses its columns through to_pandas();
                 # rebuild the typed empty frame from the Arrow schema so the
                 # merge still sees the key column (empty right = no matches)
                 rt = pa.schema(
                     list(zip(rschema.names, rschema.types))
-                ).empty_table().to_pandas()
+                ).empty_table().to_pandas()  # bounded: typed empty
 
             import ray as _ray
 
@@ -115,8 +115,8 @@ def hash_join(
         # split sides IN ARROW so each side drops the other's null-padded
         # columns before the pandas conversion (an int column with union
         # nulls would otherwise come back float64)
-        lf = t.filter(pc.equal(t["_side"], 0)).select(lcols).to_pandas()
-        rf = t.filter(pc.equal(t["_side"], 1)).select(rcols).to_pandas()
+        lf = t.filter(pc.equal(t["_side"], 0)).select(lcols).to_pandas()  # per-batch
+        rf = t.filter(pc.equal(t["_side"], 1)).select(rcols).to_pandas()  # per-batch
         return pa.Table.from_pandas(lf.merge(rf, on=on, how=how), preserve_index=False)
 
     return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")

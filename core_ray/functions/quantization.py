@@ -38,7 +38,7 @@ def train_pq(
     """Codebooks of shape (m, 2^nbits, d/m) from a seeded driver-side sample
     (the same build-once pattern as the IVF coarse quantizer)."""
     ds = _read_emb(source)
-    sample_tbl = ds.limit(sample_rows).to_pandas()
+    sample_tbl = ds.limit(sample_rows).to_pandas()  # bounded: sample_rows
     sample = np.stack(sample_tbl["embedding"].to_numpy()).astype(np.float64)
     d = sample.shape[1]
     if d % m:

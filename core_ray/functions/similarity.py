@@ -204,7 +204,7 @@ def knn_ivf(
     q = np.asarray(query, dtype=np.float64)
     ds = _read_emb(source)
     # one driver-side seeded sample builds the coarse quantizer; broadcast it
-    sample_tbl = ds.limit(sample_rows).to_pandas()
+    sample_tbl = ds.limit(sample_rows).to_pandas()  # bounded: sample_rows
     sample = np.stack(sample_tbl["embedding"].to_numpy()).astype(np.float64)
     cents = _kmeans(sample, n_centroids)
     cents_ref = ray.put(cents)
@@ -253,7 +253,7 @@ def build_ivf_index(
     import pyarrow.parquet as pq
 
     ds = _read_emb(source)
-    sample_tbl = ds.limit(sample_rows).to_pandas()
+    sample_tbl = ds.limit(sample_rows).to_pandas()  # bounded: sample_rows
     sample = np.stack(sample_tbl["embedding"].to_numpy()).astype(np.float64)
     cents = _kmeans(sample, n_centroids, seed=seed)
     cents_ref = ray.put(cents)
@@ -337,7 +337,7 @@ def cosine_dup_pairs(
 
     rng = np.random.default_rng(seed)
     ds = _read_emb(source)
-    sample = ds.limit(1).to_pandas()
+    sample = ds.limit(1).to_pandas()  # bounded: one row (dim probe)
     dim = len(sample["embedding"].iloc[0])
     planes = rng.normal(size=(dim, n_planes))
     planes_ref = ray.put(planes)
@@ -576,7 +576,7 @@ def kmeans_fit(
                 }
             )
 
-        parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+        parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()  # bounded: centroid partials
         sums = np.zeros_like(cents)
         cnts = np.zeros(len(cents), np.int64)
         new_inertia = float(parts["err"].sum())
@@ -1249,7 +1249,7 @@ def mmr_select(
                 if "score" in t.schema.names
             ]
         )
-        df = tops.to_pandas().sort_values(
+        df = tops.to_pandas().sort_values(  # bounded: global top-k
             ["score", "vec_id"], ascending=[False, True], kind="mergesort"
         )
         if not len(df):

@@ -488,7 +488,7 @@ def group_quantiles_exact(
         if isinstance(t, pd.DataFrame):
             t = pa.Table.from_pandas(t, preserve_index=False)
         df = (
-            t.to_pandas()
+            t.to_pandas()  # per-batch
             .groupby(value_col, sort=True)["cnt"]
             .sum()
         )

@@ -170,11 +170,11 @@ def asof_join(
     if rsize is not None and 0 < rsize <= broadcast_threshold_bytes:
         import ray as _ray
 
-        rf_b = _prep_right(right.to_pandas())
+        rf_b = _prep_right(right.to_pandas())  # bounded: broadcast small side
         ref = _ray.put(rf_b)
 
         def bcast(t: pa.Table) -> pa.Table:
-            lf = t.to_pandas().sort_values(on, kind="stable", ignore_index=True)
+            lf = t.to_pandas().sort_values(on, kind="stable", ignore_index=True)  # per-batch
             return _merge(lf, _ray.get(ref))
 
         return left.map_batches(bcast, batch_format="pyarrow")
@@ -204,10 +204,10 @@ def asof_join(
         lf = (
             t.filter(pc.equal(t["_side"], 0))
             .select(lcols)
-            .to_pandas()
+            .to_pandas()  # per-batch
             .sort_values(on, kind="stable", ignore_index=True)
         )
-        rf = _prep_right(t.filter(pc.equal(t["_side"], 1)).select(rcols).to_pandas())
+        rf = _prep_right(t.filter(pc.equal(t["_side"], 1)).select(rcols).to_pandas())  # per-batch
         return _merge(lf, rf)
 
     return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
@@ -269,7 +269,7 @@ def interval_join(
     if isize is not None and 0 < isize <= broadcast_threshold_bytes:
         import ray as _ray
 
-        itab = pa.Table.from_pandas(intervals.to_pandas(), preserve_index=False)
+        itab = pa.Table.from_pandas(intervals.to_pandas(), preserve_index=False)  # bounded: interval small side
         s_all = _to_us(itab[start_col])
         e_all = _to_us(itab[end_col])
         cs, ce = s_all // g, e_all // g

@@ -520,7 +520,7 @@ def tfidf_top_terms(source: str | ray.data.Dataset, k: int = 5) -> ray.data.Data
         docs.map_batches(df_partial, batch_format="pyarrow")
         .groupby("word")
         .sum("df")
-        .to_pandas()
+        .to_pandas()  # bounded: per-word doc frequencies
     )
     n_docs = docs.count()
     idf_vals = _duckdb_ln(n_docs / df_pd["sum(df)"].to_numpy().astype(np.float64))

@@ -229,7 +229,7 @@ def search_bm25(
         filter=pads.field("word").isin(words),
     )
     # document frequency per query term: bounded (<= len(words) rows)
-    df_rows = postings.groupby("word").count().take_all()
+    df_rows = postings.groupby("word").count().take_all()  # bounded: query terms
     df_map = {r["word"]: int(r["count()"]) for r in df_rows}
     if not df_map:
         return ray.data.from_arrow(empty)

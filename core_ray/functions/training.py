@@ -184,7 +184,7 @@ def _bucketed_topk(
         import pandas as pd
 
         if isinstance(g, pa.Table):
-            g = g.to_pandas()
+            g = g.to_pandas()  # per-batch
         out = g.groupby(key_col, sort=False)["cnt"].sum().reset_index()
         out = out.sort_values(["cnt", key_col],
                               ascending=[False, True]).head(k)
@@ -836,7 +836,7 @@ def lm_score(
         return batch.filter(pa.array(ids % ref_mod == 0))
 
     ref = ds.map_batches(ref_only, batch_format="pyarrow")
-    vocab_tbl = vocab_topk(ref.select_columns(["text"]), k=V).to_pandas()
+    vocab_tbl = vocab_topk(ref.select_columns(["text"]), k=V).to_pandas()  # bounded: top-V vocab
     vocab_idx = pd.Index(vocab_tbl["word"].to_numpy())
     vocab_ref = ray.put(vocab_idx)
 
@@ -1376,7 +1376,7 @@ def source_divergence(
 
     ds = _read_docs(source, ["source", "text"])
     V = int(vocab_size)
-    vocab_pd = vocab_topk(ds.select_columns(["text"]), k=V).to_pandas()
+    vocab_pd = vocab_topk(ds.select_columns(["text"]), k=V).to_pandas()  # bounded: top-V vocab
     vocab_idx = pd.Index(vocab_pd["word"].to_numpy())
     vocab_ref = ray.put(vocab_idx)
 
@@ -1879,7 +1879,7 @@ def token_windows_novel(
             int(r["hb"])
             for r in triples.map_batches(
                 probe_partial, batch_format="pyarrow"
-            ).take_all()
+            ).take_all()  # bounded: probe partials
         }
     )
     paths = []
@@ -2242,7 +2242,7 @@ def pmi_collocations(
 
     ds = _read_docs(source, ["text"])
     V = int(vocab_size)
-    vocab_pd = vocab_topk(ds.select_columns(["text"]), k=V).to_pandas()
+    vocab_pd = vocab_topk(ds.select_columns(["text"]), k=V).to_pandas()  # bounded: top-V vocab
     vocab_idx = pd.Index(vocab_pd["word"].to_numpy())
     vocab_ref = ray.put(vocab_idx)
 

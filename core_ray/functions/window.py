@@ -105,7 +105,7 @@ def keyed_window(
 
     def compute(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["_bucket"]).sort_by([(c, "ascending") for c in sort_cols])
-        df = t.to_pandas()
+        df = t.to_pandas()  # per-batch
         kcodes, _ = pd.factorize(df[key].to_numpy())
         g = df.groupby(kcodes, sort=False)
         ts64 = None

@@ -285,7 +285,7 @@ def _arrow_add_bucket(key_cols: list[str], num_buckets: int):
     def fn(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return t.append_column("_bucket", pa.array([], pa.int64()))
-        kdf = t.select(key_cols).to_pandas()
+        kdf = t.select(key_cols).to_pandas()  # per-batch
         h = pd.util.hash_pandas_object(kdf, index=False) % num_buckets
         return t.append_column(
             "_bucket", pa.array(h.to_numpy().astype(np.int64))
@@ -308,7 +308,7 @@ def bucketed_distinct(
 
     def per_bucket(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["_bucket"]).sort_by([(c, "ascending") for c in sort_cols])
-        dup = t.select(key_cols).to_pandas().duplicated(keep="first").to_numpy()
+        dup = t.select(key_cols).to_pandas().duplicated(keep="first").to_numpy()  # per-batch
         return t.filter(pa.array(~dup))
 
     return (

@@ -127,8 +127,43 @@ def to_json_rows(ds: ray.data.Dataset, ns_precision: bool = False) -> ray.data.D
 def paginate(
     ds: ray.data.Dataset, sort_cols: list[str], limit: int, offset: int = 0
 ) -> pd.DataFrame:
-    """ORDER BY + LIMIT/OFFSET (reference output stage). Pagination output is
-    small by construction, so the page materializes on the driver; only
-    ``offset + limit`` rows leave the cluster."""
-    head = ds.sort(sort_cols).limit(offset + limit).to_pandas()
-    return head.iloc[offset : offset + limit].reset_index(drop=True)
+    """ORDER BY + LIMIT/OFFSET (reference output stage), deep-offset safe.
+
+    The sorted output's blocks stream back as ref bundles IN ORDER with row
+    counts in their metadata, so the page is located with a driver-side
+    prefix scan over COUNTS ONLY and exactly the overlapping blocks are
+    fetched and sliced — the driver never materializes the ``offset`` rows
+    before the page (the old ``sort().limit(offset+limit).to_pandas()``
+    shipped all of them for every deep page)."""
+    import pyarrow as pa
+
+    from ray.data.block import BlockAccessor
+
+    need_lo, need_hi = offset, offset + limit
+    pieces: list[pd.DataFrame] = []
+    pos = 0
+    it = ds.sort(sort_cols).iter_internal_ref_bundles()
+    for bundle in it:
+        for block_ref, meta in bundle.blocks:
+            n = meta.num_rows
+            if n is None:  # metadata gap: count requires the block
+                n = BlockAccessor.for_block(ray.get(block_ref)).num_rows()
+            lo, hi = pos, pos + n
+            if hi > need_lo and lo < need_hi and n:
+                acc = BlockAccessor.for_block(ray.get(block_ref))
+                a = max(need_lo - lo, 0)
+                b = min(need_hi - lo, n)
+                sliced = BlockAccessor.for_block(acc.slice(a, b, copy=False))
+                pieces.append(sliced.to_pandas())  # bounded: page slice
+            pos = hi
+            if pos >= need_hi:
+                break
+        if pos >= need_hi:
+            break
+    if not pieces:
+        schema = ds.schema()
+        empty = pa.schema(
+            list(zip(schema.names, schema.types))
+        ).empty_table()
+        return empty.to_pandas()  # bounded: typed empty page
+    return pd.concat(pieces, ignore_index=True)

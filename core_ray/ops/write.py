@@ -58,7 +58,7 @@ def write_partitioned_resumable(
         os.replace(tmp, path)
         return pd.DataFrame({"partition": [key], "rows": [len(g)], "skipped": [False]})
 
-    stats = grouped_map(ds, [partition_col], write_partition).to_pandas()
+    stats = grouped_map(ds, [partition_col], write_partition).to_pandas()  # bounded: one row per partition
     for _, r in stats.iterrows():
         if not r["skipped"]:
             done[str(r["partition"])] = int(r["rows"])

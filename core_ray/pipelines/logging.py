@@ -69,7 +69,7 @@ class DatasetLogHandler(logging.Handler):
         )
 
     def get_logs_as_df(self) -> pd.DataFrame:
-        return self._table().to_pandas()
+        return self._table().to_pandas()  # bounded: in-memory log buffer
 
     def to_dataset(self) -> ray.data.Dataset:
         return ray.data.from_arrow(self._table())

@@ -208,7 +208,7 @@ def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
             lambda g: bucket_topk(g.drop(columns=["_bucket"])),
             batch_format="pandas",
         )
-        .to_pandas()
+        .to_pandas()  # bounded: 64 buckets x top-k
         .sort_values(["revenue", "custkey"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
@@ -462,7 +462,7 @@ def late_shipment_rate(sf_dir: str, late_days: int = 60) -> ray.data.Dataset:
         ordd = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         late = (ship > ordd + late_us).astype(np.int64)
         g = (
-            pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pandas(),
+            pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pandas(),  # per-batch
                           "late": late})
             .groupby("o_orderpriority", sort=True)
             .agg(n_late=("late", "sum"), n_total=("late", "size"))
@@ -941,7 +941,7 @@ def revenue_rollup(sf_dir: str, grouping: str = "rollup") -> ray.data.Dataset:
     )
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
+    ).to_pandas()  # bounded: nation dimension
     grid = grid.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
 
     from ..functions.dedup import _duckdb_hash_con as _con
@@ -1058,7 +1058,7 @@ def returned_item_topk(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_acctbal"],
         filters=pads.field("c_custkey").isin(top["c_custkey"].tolist()),
-    ).to_pandas().set_index("c_custkey")
+    ).to_pandas().set_index("c_custkey")  # bounded: top-k keys only
     top["c_name"] = names["c_name"].reindex(top["c_custkey"]).to_numpy()
     top["c_acctbal"] = names["c_acctbal"].reindex(top["c_custkey"]).to_numpy()
     return ray.data.from_pandas(
@@ -1480,7 +1480,7 @@ def rfm_segments(
 
     def per_bucket(t: pa.Table) -> pa.Table:
         g = (
-            t.drop_columns(["_bucket"]).to_pandas()
+            t.drop_columns(["_bucket"]).to_pandas()  # per-batch
             .groupby("u", sort=False, as_index=False)
             .agg(last_ts=("last_ts", "max"), freq=("freq", "sum"),
                  mon=("mon", "sum"))
@@ -1511,7 +1511,7 @@ def rfm_segments(
     def thresholds(col) -> np.ndarray:
         merged = (
             users.map_batches(hist(col), batch_format="pyarrow")
-            .groupby("v").sum("c").to_pandas().sort_values("v")
+            .groupby("v").sum("c").to_pandas().sort_values("v")  # bounded: value histogram
         )
         vals = merged["v"].to_numpy()
         cum = merged["sum(c)"].to_numpy().cumsum()

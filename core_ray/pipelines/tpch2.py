@@ -623,7 +623,7 @@ def small_quantity_revenue(
                          "n_lines": pa.array([int(small.sum())], pa.int64())})
 
     partials = _read(sf_dir, "lineitem", li_cols
-                     ).map_batches(sum_small, batch_format="pyarrow").to_pandas()
+                     ).map_batches(sum_small, batch_format="pyarrow").to_pandas()  # bounded: one partial row per block
     out = pa.table({
         "total_eprice_e4": pa.array([int(partials["total_eprice_e4"].sum())],
                                     pa.int64()),

@@ -93,7 +93,7 @@ def load_metadata(p: dict) -> dict[str, dict]:
     tcol = p.get("metadata_tagname_column") or "TagName"
     ucol = p.get("metadata_uom_column") or "UoM"
     path = src if src.endswith(".parquet") else f"{src}/metadata.parquet"
-    df = pq.read_table(path).to_pandas()
+    df = pq.read_table(path).to_pandas()  # bounded: metadata dimension
     out: dict[str, dict] = {}
     for _, r in df.iterrows():
         d = {"UoM": r.get(ucol)}

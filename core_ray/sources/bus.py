@@ -517,7 +517,7 @@ class BusLogDestination(DestinationComponent):
             ds.map_batches(route, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(write_partition, batch_format="pandas")
-            .to_pandas()
+            .to_pandas()  # bounded: one row per partition
         )
         return {
             int(r["partition"]): (int(r["first"]), int(r["last"]))

@@ -265,7 +265,7 @@ class DeltaSharingSource(SourceComponent):
         as :class:`PolarsSource` (Arrow hand-off, lazy)."""
         import polars as pl
 
-        return pl.from_pandas(self.read_batch().to_pandas()).lazy()
+        return pl.from_pandas(self.read_batch().to_pandas()).lazy()  # bounded: shared-table read API
 
 
 def load_as_ray(table_url: str, transport=None, **kwargs) -> ray.data.Dataset:

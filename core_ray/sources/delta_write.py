@@ -88,7 +88,7 @@ def _write_block_files(table_path: str, partition_cols: list[str]):
     def fn(t: pa.Table) -> pa.Table:
         adds = []
         if partition_cols:
-            kdf = t.select(partition_cols).to_pandas()
+            kdf = t.select(partition_cols).to_pandas()  # per-batch (commit's partition keys)
             groups = [
                 (
                     dict(zip(partition_cols, k if isinstance(k, tuple) else (k,))),
@@ -210,7 +210,7 @@ def write_delta(
             _write_block_files(table_path, partition_cols),
             batch_format="pyarrow",
         )
-        .to_pandas()
+        .to_pandas()  # bounded: one manifest row per file
     )
 
     now_ms = int(time.time() * 1000)

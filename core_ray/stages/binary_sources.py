@@ -37,7 +37,7 @@ def _parse_one_file(content: bytes) -> pd.DataFrame:
         table = pq.read_table(pa.py_buffer(content))
     except Exception:
         return pd.DataFrame(columns=PCDM_FILE_COLS)
-    df = table.to_pandas()
+    df = table.to_pandas()  # per-batch (one binary file)
     if "ValueType" not in df.columns:
         vt = str(table.schema.field("Value").type)
         if vt in ("int16", "int32"):

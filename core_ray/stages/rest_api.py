@@ -95,7 +95,7 @@ def rest_api_write(
         fn_constructor_args=(url, batch_size, per_actor, transport),
         batch_format="pandas",
         concurrency=parallelism,
-    ).to_pandas()
+    ).to_pandas()  # bounded: per-request status codes
     ok = (results["response_code"] >= 200) & (results["response_code"] < 300)
     return {
         "requests": int(len(results)),

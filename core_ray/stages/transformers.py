@@ -165,7 +165,7 @@ def pcdm_to_json(ds: ray.data.Dataset, wrap_key: str = "payload") -> ray.data.Da
     floats keep stdlib repr including the ``NaN``/``Infinity`` literals."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+        df = batch.to_pandas()  # per-batch
         pieces = []
         for k in sorted(df.columns):
             s = df[k]

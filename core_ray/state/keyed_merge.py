@@ -101,7 +101,7 @@ class KeyedMergeDestination:
         frames = []
         for name in sorted(os.listdir(self.root)):
             if name.endswith(".parquet"):
-                frames.append(pq.read_table(os.path.join(self.root, name)).to_pandas())
+                frames.append(pq.read_table(os.path.join(self.root, name)).to_pandas())  # bounded: merged-state read-back API
         return pd.concat(frames, ignore_index=True) if frames else None
 
     def merge(
@@ -134,7 +134,7 @@ class KeyedMergeDestination:
             if len(t) == 0:
                 t = t.append_column("_kbucket", pa.array([], pa.int64()))
                 return t.append_column("_marker", pa.array([], pa.bool_()))
-            kdf = t.select(key_cols).to_pandas()
+            kdf = t.select(key_cols).to_pandas()  # per-batch
             h = (pd.util.hash_pandas_object(kdf, index=False) % num_buckets).to_numpy()
             t = t.append_column("_kbucket", pa.array(h.astype("int64")))
             return t.append_column("_marker", pa.array(np.zeros(len(t), dtype=bool)))
@@ -165,7 +165,7 @@ class KeyedMergeDestination:
                 )
             path = os.path.join(root, f"bucket={b:04d}.parquet")
             target = (
-                pq.read_table(path).to_pandas()
+                pq.read_table(path).to_pandas()  # bounded: one bucket's target file
                 if os.path.exists(path)
                 else src.iloc[0:0]
             )
@@ -270,7 +270,7 @@ class KeyedMergeDestination:
                 os.remove(path)
             return pd.DataFrame([{**counters, "bucket": b}])
 
-        stats = grouped_map(tagged, ["_kbucket"], merge_bucket).to_pandas()
+        stats = grouped_map(tagged, ["_kbucket"], merge_bucket).to_pandas()  # bounded: one row per bucket
         return {
             k: int(stats[k].sum()) if len(stats) else 0
             for k in ("updated", "deleted", "inserted", "bs_updated", "bs_deleted")

@@ -134,7 +134,7 @@ class PCDMMergeSink:
             if dedup:
                 g = g.drop_duplicates(["TagName", "EventTime", "ChangeType"], keep="last")
             path = os.path.join(root, vtype, f"dt={date}", "data.parquet")
-            existing = pq.read_table(path).to_pandas() if os.path.exists(path) else None
+            existing = pq.read_table(path).to_pandas() if os.path.exists(path) else None  # bounded: one (type, date) partition file
             key = ["TagName", "EventTime"]
             if not merge_flag:
                 # merge=False is the reference's APPEND path
@@ -173,7 +173,7 @@ class PCDMMergeSink:
             )
 
         stats = grouped_map(ds, ["ValueType", "EventDate"], merge_partition, num_buckets=32)
-        stats_df = stats.to_pandas()
+        stats_df = stats.to_pandas()  # bounded: one row per partition
 
         self._update_latest(ds)
         return {
@@ -219,12 +219,12 @@ class PCDMMergeSink:
                 }
             )
 
-        cand = grouped_map(ds, ["TagName"], candidates).to_pandas()
+        cand = grouped_map(ds, ["TagName"], candidates).to_pandas()  # bounded: one candidate per tag
         if len(cand) == 0:
             return
         path = self.latest_path()
         if os.path.exists(path):
-            existing = pq.read_table(path).to_pandas()
+            existing = pq.read_table(path).to_pandas()  # bounded: latest registers
             both = pd.concat([existing, cand], ignore_index=True)
         else:
             both = cand
@@ -255,7 +255,7 @@ class PCDMMergeSink:
         os.replace(tmp, path)
 
     def read_latest(self) -> pd.DataFrame:
-        return pq.read_table(self.latest_path()).to_pandas()
+        return pq.read_table(self.latest_path()).to_pandas()  # bounded: latest registers read-back
 
     def read_events(self, vtype: str) -> pd.DataFrame:
         base = os.path.join(self.root, vtype)
@@ -265,7 +265,7 @@ class PCDMMergeSink:
         for d in sorted(os.listdir(base)):
             p = os.path.join(base, d, "data.parquet")
             if os.path.exists(p):
-                parts.append(pq.read_table(p).to_pandas())
+                parts.append(pq.read_table(p).to_pandas())  # bounded: partition read-back API
         return (
             pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(columns=EVENT_COLS)
         )

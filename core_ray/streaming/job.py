@@ -84,6 +84,13 @@ class StreamConfig:
     # epoch's rows (Spark structured streaming's update output mode) to an
     # `updates` stream in the agg partition.  Tumbling/sliding only.
     output_mode: str = "append"
+    # Actor placement on a multi-node cluster: "SPREAD" asks Ray to spread
+    # the partition actors across nodes (each actor's barrier work then
+    # scales with the node count and no single node hosts every state
+    # store); None (default) leaves Ray's default packing — right for the
+    # single-node sandbox where a placement constraint only adds scheduler
+    # latency.  Partition COUNT stays fixed either way (routing contract).
+    placement: str | None = None
     # False = aggregation-only job: the token payload is read and aggregated
     # but not re-materialized at the sink (the data-reduction path).  In this
     # sandbox every NEW byte through the object store page-faults at a fixed
@@ -432,8 +439,11 @@ def conservative_watermark(partition_maxes: list[int], lateness_us: int) -> int:
 def spawn_actors(cfg: StreamConfig) -> list:
     """Spawn the fixed partition-actor pool for ``cfg`` (reusable across
     runs via ``StreamingJob(cfg, actors=...)`` + actor-side ``reset``)."""
+    opts: dict = {"num_cpus": 0}
+    if cfg.placement:
+        opts["scheduling_strategy"] = cfg.placement
     return [
-        StreamPartitionActor.options(num_cpus=0).remote(
+        StreamPartitionActor.options(**opts).remote(
             p,
             cfg.out_dir,
             cfg.window_s * 1_000_000,

@@ -343,7 +343,7 @@ class JoinPartitionActor:
         C-speed ``pd.merge_asof``; output shaped/typed exactly like a band
         join row (nullable right columns for unmatched lefts)."""
         lf = (
-            fin.to_pandas()
+            fin.to_pandas()  # bounded: watermark-horizon state
             .sort_values(self.ts, kind="mergesort")
             .reset_index(drop=True)
         )
@@ -356,7 +356,7 @@ class JoinPartitionActor:
                 rtypes[c] = self._schema["r"].field(c).type
         if st_r is not None and len(st_r):
             rf = (
-                st_r.to_pandas()
+                st_r.to_pandas()  # bounded: watermark-horizon state
                 # full deterministic order: among duplicate (key, ts) right
                 # rows merge_asof takes the LAST in frame order, so the
                 # payload columns break the tie reproducibly

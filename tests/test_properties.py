@@ -215,3 +215,30 @@ def test_poly_window_hashes_match_bigint_reference(rows, w, stride):
             exp.append((ri, sum(r[s + k] * pow(P, w - 1 - k, M)
                                 for k in range(w)) % M))
     assert list(zip(row_idx.tolist(), [int(x) for x in h])) == exp
+
+
+def test_driver_materialization_sites_are_annotated():
+    """Grep-gate: every ``take_all()`` / ``.to_pandas()`` in ``core_ray/``
+    must carry a ``# bounded:`` (driver-side, provably small) or
+    ``# per-batch`` (inside a map_batches/map_groups fn, not a driver
+    collect) annotation on the line or an adjacent line.  New index layouts
+    and operators keep the no-unbounded-driver-materialization invariant
+    auditable instead of re-discovering it each review."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "core_ray"
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if "take_all()" not in line and ".to_pandas()" not in line:
+                continue
+            if "``" in line or line.lstrip().startswith("#"):
+                continue  # doc markup / commentary, not a call site
+            window = lines[max(i - 1, 0): i + 2]
+            if not any("bounded:" in w or "per-batch" in w for w in window):
+                offenders.append(f"{path.relative_to(root.parent)}:{i + 1}")
+    assert not offenders, (
+        "unannotated driver-materialization sites (add '# bounded: <why>' "
+        f"or '# per-batch'): {offenders}"
+    )

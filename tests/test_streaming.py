@@ -732,3 +732,41 @@ def test_update_mode_refuses_session_windows(stream_dirs):
                        output_mode="update")
     with pytest.raises(Exception, match="update output mode"):
         StreamingJob(cfg).run(resume=False)
+
+
+def test_spawn_actors_placement_spread(monkeypatch, tmp_path):
+    """StreamConfig.placement wires a Ray scheduling strategy onto the
+    partition-actor pool (multi-node: SPREAD the state stores across nodes);
+    default stays None so the single-node path adds no scheduler hint."""
+    from core_ray.streaming import job as jobmod
+
+    captured = []
+    real = jobmod.StreamPartitionActor
+
+    class FakeActorClass:
+        @staticmethod
+        def options(**kw):
+            captured.append(kw)
+            return real.options(num_cpus=0)
+
+    monkeypatch.setattr(jobmod, "StreamPartitionActor", FakeActorClass)
+    cfg = jobmod.StreamConfig(
+        input_dir=str(tmp_path), out_dir=str(tmp_path / "out"),
+        num_partitions=3, placement="SPREAD",
+    )
+    actors = jobmod.spawn_actors(cfg)
+    try:
+        assert len(captured) == 3
+        assert all(kw.get("scheduling_strategy") == "SPREAD" for kw in captured)
+        captured.clear()
+        cfg2 = jobmod.StreamConfig(
+            input_dir=str(tmp_path), out_dir=str(tmp_path / "out2"),
+            num_partitions=2,
+        )
+        actors += jobmod.spawn_actors(cfg2)
+        assert all("scheduling_strategy" not in kw for kw in captured)
+    finally:
+        import ray
+
+        for a in actors:
+            ray.kill(a)
