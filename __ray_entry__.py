@@ -130,6 +130,55 @@ def _assert_table_equal(got, exp, name: str) -> None:
         assert not bad, f"{name}: column {c!r}: {bad} values differ"
 
 
+def _agg_table(out_dir: str, cols: list, stream: str = "agg"):
+    """Read a streaming sink's merged driver-partition files as a
+    canonically-typed, fully-sorted Arrow table (the graded shape)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{out_dir}/part=9999/{stream}-*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files]).select(cols)
+    typed = pa.schema(
+        [
+            (
+                c,
+                pa.timestamp("us")
+                if c in ("window_start", "session_start", "session_end",
+                         "EventTime", "GoodEventTime")
+                else (pa.string() if c in ("source", "Status") else pa.int64()),
+            )
+            for c in cols
+        ]
+    )
+    return t.cast(typed).sort_by([(c, "ascending") for c in cols])
+
+
+def _self_verified(name: str, run_once):
+    """Streaming-engine self-verification with one clean-sink retry: run the
+    job via ``run_once(out_dir)`` (must return the graded ``pa.Table``) and
+    EXACT-compare it against the query's own DuckDB oracle BEFORE returning.
+    Exactly-once semantics make the resumed run equal an independent batch
+    recomputation, so any divergence — e.g. a low-probability barrier race
+    under loaded-host timing (r4 postmortem) — raises or is retried from a
+    fresh sink here instead of surfacing as a silent driver hash mismatch."""
+    import shutil
+
+    exp = _duck_sql_arrow(_ORACLE[name])
+    base = _scratch(f"sv_{name}")
+    for attempt in (1, 2):
+        out_dir = f"{base}/out{attempt}"
+        t = run_once(out_dir)
+        try:
+            _assert_table_equal(t, exp, name)
+            return t
+        except AssertionError:
+            if attempt == 2:
+                raise
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+
 # Canonical query window over the driver's `events` table (spans Jan 2024).
 START = "2024-01-01 00:00:00"
 END = "2024-01-31 00:00:00"
@@ -3353,23 +3402,25 @@ def _q_stream_rescale(sf):
     from core_ray.streaming.job import StreamConfig, StreamingJob
 
     in_dir = _tokens_fixture(20_000, 2_000)
-    out_dir = f"{_scratch('stream_rescale')}/out"
 
-    def cfg(parts):
+    def cfg(parts, out_dir):
         return StreamConfig(
             input_dir=in_dir, out_dir=out_dir, num_partitions=parts,
             window_s=60, lateness_s=2, files_per_epoch=1, token_stats=True,
             sink_payload_rows=False,
         )
 
-    StreamingJob(cfg(8)).run(resume=False, stop_after_epoch=4)
-    rescale_checkpoint(out_dir, 5)
-    StreamingJob(cfg(5)).run(resume=True)
-    files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
-    t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
-        ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
-         "max_n_tok", "sum_tok_values"]
-    )
+    def run_once(out_dir):
+        StreamingJob(cfg(8, out_dir)).run(resume=False, stop_after_epoch=4)
+        rescale_checkpoint(out_dir, 5)
+        StreamingJob(cfg(5, out_dir)).run(resume=True)
+        return _agg_table(
+            out_dir,
+            ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
+             "max_n_tok", "sum_tok_values"],
+        )
+
+    t = _self_verified("stream_rescale", run_once)
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
@@ -3390,24 +3441,39 @@ def _q_stream_update_mode(sf):
     from core_ray.streaming.job import StreamConfig, StreamingJob
 
     in_dir = _tokens_fixture(20_000, 2_000)
-    out_dir = f"{_scratch('stream_update')}/out"
-    cfg = StreamConfig(
-        input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
-        lateness_s=2, files_per_epoch=1, token_stats=True,
-        sink_payload_rows=False, output_mode="update",
-    )
-    StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
-    StreamingJob(cfg).run(resume=True)
-    parts = []
-    for f in sorted(_glob.glob(f"{out_dir}/part=9999/updates-*.parquet")):
-        ep = int(_re.search(r"epoch-(\d+)", f).group(1))
-        t = _pq.read_table(f).select(
-            ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
-             "max_n_tok", "sum_tok_values"]
+
+    def run_once(out_dir):
+        cfg = StreamConfig(
+            input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
+            lateness_s=2, files_per_epoch=1, token_stats=True,
+            sink_payload_rows=False, output_mode="update",
         )
-        parts.append(t.append_column("epoch", pa.array([ep] * len(t), pa.int64())))
-    out = pa.concat_tables(parts)
-    return ray.data.from_arrow(out).sort(["epoch", "source", "window_start"])
+        StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
+        StreamingJob(cfg).run(resume=True)
+        parts = []
+        for f in sorted(_glob.glob(f"{out_dir}/part=9999/updates-*.parquet")):
+            ep = int(_re.search(r"epoch-(\d+)", f).group(1))
+            t = _pq.read_table(f).select(
+                ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
+                 "max_n_tok", "sum_tok_values"]
+            )
+            parts.append(
+                t.append_column("epoch", pa.array([ep] * len(t), pa.int64()))
+            )
+        cols = ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
+                "max_n_tok", "sum_tok_values", "epoch"]
+        typed = pa.schema(
+            [(c, pa.timestamp("us") if c == "window_start"
+              else (pa.string() if c == "source" else pa.int64()))
+             for c in cols]
+        )
+        return (
+            pa.concat_tables(parts).select(cols).cast(typed)
+            .sort_by([(c, "ascending") for c in cols])
+        )
+
+    t = _self_verified("stream_update_mode", run_once)
+    return ray.data.from_arrow(t).sort(["epoch", "source", "window_start"])
 
 
 def _q_stream_window_aggs(sf):
@@ -3431,7 +3497,6 @@ def _q_stream_window_aggs(sf):
     from core_ray.streaming.job import StreamConfig, StreamingJob
 
     in_dir = _tokens_fixture(20_000, 2_000)
-    base = _scratch("stream_tokens")
 
     def run_once(out_dir: str) -> pa.Table:
         cfg = StreamConfig(
@@ -3457,21 +3522,7 @@ def _q_stream_window_aggs(sf):
                    ("source", "window_start", "cnt", "sum_n_tok",
                     "min_n_tok", "max_n_tok", "sum_tok_values")])
 
-    # Self-verify against the same SQL the driver's oracle runs, retrying
-    # once from a clean sink: exactly-once means the resumed run MUST equal
-    # the independent batch recomputation — any divergence (e.g. a
-    # low-probability barrier race under loaded-host timing) raises or is
-    # retried here instead of surfacing as a silent driver hash mismatch.
-    exp = _duck_sql_arrow(_ORACLE["stream_window_aggs"])
-    for attempt in (1, 2):
-        t = run_once(f"{base}/out{attempt}")
-        try:
-            _assert_table_equal(t, exp, "stream_window_aggs")
-            break
-        except AssertionError:
-            if attempt == 2:
-                raise
-            _shutil.rmtree(f"{base}/out{attempt}", ignore_errors=True)
+    t = _self_verified("stream_window_aggs", run_once)
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
@@ -3496,9 +3547,9 @@ def _q_stream_static_join(sf):
     from core_ray.streaming.job import StreamConfig, StreamingJob
 
     in_dir = _tokens_fixture(10_000, 1_000)
-    base = _scratch("stream_dim")
-    _os.makedirs(base, exist_ok=True)
-    dim_path = f"{base}/dim.parquet"
+    dimbase = _scratch("stream_dim")
+    _os.makedirs(dimbase, exist_ok=True)
+    dim_path = f"{dimbase}/dim.parquet"
     _pq.write_table(
         pa.table({"source": ["web", "books", "code", "wiki"],
                   "weight": [3, 7, 2, 5]}),
@@ -3528,18 +3579,7 @@ def _q_stream_static_join(sf):
                    ("source", "window_start", "cnt", "sum_n_tok",
                     "sum_tok_values", "sum_weighted")])
 
-    # In-query self-verification with one clean-sink retry — see
-    # _q_stream_window_aggs for the rationale.
-    exp = _duck_sql_arrow(_ORACLE["stream_static_join"])
-    for attempt in (1, 2):
-        t = run_once(f"{base}/out{attempt}")
-        try:
-            _assert_table_equal(t, exp, "stream_static_join")
-            break
-        except AssertionError:
-            if attempt == 2:
-                raise
-            _shutil.rmtree(f"{base}/out{attempt}", ignore_errors=True)
+    t = _self_verified("stream_static_join", run_once)
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
@@ -3636,18 +3676,22 @@ def _q_stream_session_aggs(sf):
     from core_ray.streaming.job import StreamConfig, StreamingJob
 
     in_dir = _tokens_fixture(10_000, 1_000)
-    out_dir = f"{_scratch('stream_sess')}/out"
-    cfg = StreamConfig(
-        input_dir=in_dir, out_dir=out_dir, num_partitions=8,
-        window_kind="session", gap_s=1, lateness_s=2, files_per_epoch=1,
-        sink_payload_rows=False,
-    )
-    StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
-    StreamingJob(cfg).run(resume=True)
-    files = sorted(_glob.glob(f"{out_dir}/part=9999/sessions-*.parquet"))
-    t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
-        ["source", "session_start", "session_end", "cnt", "sum_n_tok"]
-    )
+
+    def run_once(out_dir):
+        cfg = StreamConfig(
+            input_dir=in_dir, out_dir=out_dir, num_partitions=8,
+            window_kind="session", gap_s=1, lateness_s=2, files_per_epoch=1,
+            sink_payload_rows=False,
+        )
+        StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash
+        StreamingJob(cfg).run(resume=True)
+        return _agg_table(
+            out_dir,
+            ["source", "session_start", "session_end", "cnt", "sum_n_tok"],
+            stream="sessions",
+        )
+
+    t = _self_verified("stream_session_aggs", run_once)
     return ray.data.from_arrow(t).sort(["source", "session_start"])
 
 
@@ -3669,19 +3713,22 @@ def _q_stream_sliding_aggs(sf):
     from core_ray.streaming.job import StreamConfig, StreamingJob
 
     in_dir = _tokens_fixture(10_000, 1_000)
-    out_dir = f"{_scratch('stream_slide')}/out"
-    cfg = StreamConfig(
-        input_dir=in_dir, out_dir=out_dir, num_partitions=8,
-        window_kind="sliding", window_s=60, slide_s=30, lateness_s=2,
-        files_per_epoch=1, token_stats=True, sink_payload_rows=False,
-    )
-    StreamingJob(cfg).run(resume=False, stop_after_epoch=3)  # crash mid-stream
-    StreamingJob(cfg).run(resume=True)
-    files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
-    t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
-        ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
-         "max_n_tok", "sum_tok_values"]
-    )
+
+    def run_once(out_dir):
+        cfg = StreamConfig(
+            input_dir=in_dir, out_dir=out_dir, num_partitions=8,
+            window_kind="sliding", window_s=60, slide_s=30, lateness_s=2,
+            files_per_epoch=1, token_stats=True, sink_payload_rows=False,
+        )
+        StreamingJob(cfg).run(resume=False, stop_after_epoch=3)  # crash
+        StreamingJob(cfg).run(resume=True)
+        return _agg_table(
+            out_dir,
+            ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
+             "max_n_tok", "sum_tok_values"],
+        )
+
+    t = _self_verified("stream_sliding_aggs", run_once)
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
@@ -3694,15 +3741,22 @@ def _q_stream_topk_tokens(sf):
     lost or double-counted partial silently corrupts every later count).
     Graded: the final global top-100 under (cnt desc, token asc); oracle
     recounts the whole input with a plain unnest GROUP BY."""
+    import pyarrow as pa
+    import ray
+
     from core_ray.streaming import FreqConfig, StreamFreqJob, final_topk
 
     in_dir = _tokens_fixture(10_000, 1_000)
-    out_dir = f"{_scratch('stream_topk')}/out"
-    cfg = FreqConfig(input_dir=in_dir, out_dir=out_dir, num_partitions=8,
-                     files_per_epoch=1, k=100)
-    StreamFreqJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
-    StreamFreqJob(cfg).run(resume=True)
-    return final_topk(out_dir, cfg.num_partitions, k=100)
+
+    def run_once(out_dir):
+        cfg = FreqConfig(input_dir=in_dir, out_dir=out_dir, num_partitions=8,
+                         files_per_epoch=1, k=100)
+        StreamFreqJob(cfg).run(resume=False, stop_after_epoch=4)  # crash
+        StreamFreqJob(cfg).run(resume=True)
+        df = final_topk(out_dir, cfg.num_partitions, k=100).to_pandas()  # bounded: top-k
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ray.data.from_arrow(_self_verified("stream_topk_tokens", run_once))
 
 
 def _q_stream_latest(sf):
@@ -3715,23 +3769,34 @@ def _q_stream_latest(sf):
     recomputes both argmaxes per source from the deterministic input."""
     import glob as _glob
 
+    import pyarrow as pa
     import pyarrow.parquet as _pq
     import ray
 
     from core_ray.streaming.job import StreamConfig, StreamingJob
 
     in_dir = _tokens_fixture(10_000, 1_000)
-    out_dir = f"{_scratch('stream_latest')}/out"
-    cfg = StreamConfig(
-        input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
-        lateness_s=2, files_per_epoch=1, sink_payload_rows=False,
-    )
-    StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
-    StreamingJob(cfg).run(resume=True)
-    files = sorted(_glob.glob(f"{out_dir}/part=9999/latest-*.parquet"))
-    t = _pq.read_table(files[0]).select(
-        ["source", "EventTime", "Status", "Value", "GoodEventTime", "GoodValue"]
-    )
+
+    def run_once(out_dir):
+        cfg = StreamConfig(
+            input_dir=in_dir, out_dir=out_dir, num_partitions=8, window_s=60,
+            lateness_s=2, files_per_epoch=1, sink_payload_rows=False,
+        )
+        StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash
+        StreamingJob(cfg).run(resume=True)
+        files = sorted(_glob.glob(f"{out_dir}/part=9999/latest-*.parquet"))
+        cols = ["source", "EventTime", "Status", "Value", "GoodEventTime",
+                "GoodValue"]
+        typed = pa.schema(
+            [(c, pa.timestamp("us") if "EventTime" in c
+              else (pa.string() if c in ("source", "Status") else pa.int64()))
+             for c in cols]
+        )
+        return _pq.read_table(files[0]).select(cols).cast(typed).sort_by(
+            [(c, "ascending") for c in cols]
+        )
+
+    t = _self_verified("stream_latest", run_once)
     return ray.data.from_arrow(t).sort("source")
 
 
@@ -3753,28 +3818,31 @@ def _q_stream_cli_job(sf):
     import ray
 
     in_dir = _tokens_fixture(10_000, 1_000)
-    out_dir = f"{_scratch('stream_cli')}/out"
-    # RAY_ADDRESS=auto: the submitted job JOINS the already-running cluster
-    # (exactly what `ray job submit` does on a real cluster) instead of
-    # booting a private one per submission — saves ~4-5 s of cluster
-    # bring-up per leg without weakening the submit/resubmit contract
-    env = dict(_os.environ, RAY_ADDRESS="auto", PYTHONPATH="/root/repo")
-    cmd = [
-        _sys.executable, "-m", "core_ray.cli", "stream-agg",
-        "--input-dir", in_dir, "--out-dir", out_dir,
-        "--num-partitions", "8", "--lateness-s", "2",
-        "--files-per-epoch", "1", "--token-stats",
-    ]
-    for attempt in (cmd, cmd + ["--resume"]):  # submit, then re-submit
-        r = _sp.run(attempt, env=env, capture_output=True, text=True,
-                    timeout=600)
-        if r.returncode != 0:
-            raise RuntimeError(f"cli job failed: {r.stderr[-2000:]}")
-    files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
-    t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
-        ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
-         "max_n_tok", "sum_tok_values"]
-    )
+
+    def run_once(out_dir):
+        # RAY_ADDRESS=auto: the submitted job JOINS the already-running
+        # cluster (exactly what `ray job submit` does on a real cluster)
+        # instead of booting a private one per submission — saves ~4-5 s of
+        # cluster bring-up per leg without weakening the submit contract
+        env = dict(_os.environ, RAY_ADDRESS="auto", PYTHONPATH="/root/repo")
+        cmd = [
+            _sys.executable, "-m", "core_ray.cli", "stream-agg",
+            "--input-dir", in_dir, "--out-dir", out_dir,
+            "--num-partitions", "8", "--lateness-s", "2",
+            "--files-per-epoch", "1", "--token-stats",
+        ]
+        for attempt in (cmd, cmd + ["--resume"]):  # submit, then re-submit
+            r = _sp.run(attempt, env=env, capture_output=True, text=True,
+                        timeout=600)
+            if r.returncode != 0:
+                raise RuntimeError(f"cli job failed: {r.stderr[-2000:]}")
+        return _agg_table(
+            out_dir,
+            ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
+             "max_n_tok", "sum_tok_values"],
+        )
+
+    t = _self_verified("stream_cli_job", run_once)
     return ray.data.from_arrow(t).sort(["source", "window_start"])
 
 
@@ -3798,40 +3866,45 @@ def _q_stream_lineage(sf):
     from core_ray.streaming.job import AGG_PARTITION_ID, StreamConfig, StreamingJob
 
     in_dir = _tokens_fixture(12_000, 1_000)
-    out_dir = f"{_scratch('stream_lineage')}/out"
-    cfg = StreamConfig(
-        input_dir=in_dir, out_dir=out_dir, num_partitions=8,
-        window_s=60, lateness_s=2, files_per_epoch=1,
-        sink_payload_rows=False,
-    )
-    StreamingJob(cfg).run(resume=False, stop_after_epoch=5)  # crash mid-stream
-    StreamingJob(cfg).run(resume=True)
 
-    per_epoch: dict[int, list[int]] = {}
-    for path in _glob.glob(f"{out_dir}/manifests/part=*/epoch-*.json"):
-        part = int(path.split("part=")[1].split("/")[0])
-        if part == AGG_PARTITION_ID:
-            continue  # driver-side aggregate sink: no row counters
-        with open(path) as f:
-            man = _json.load(f)
-        c = man["counters"]
-        if "rows_emitted" not in c:
-            continue  # final-flush manifest
-        e = int(man["epoch"])
-        acc = per_epoch.setdefault(e, [0, 0])
-        acc[0] += int(c["rows_emitted"])
-        acc[1] += int(c["tokens_emitted"])
-    t = pa.table(
-        {
-            "epoch": pa.array(sorted(per_epoch), pa.int64()),
-            "rows_emitted": pa.array(
-                [per_epoch[e][0] for e in sorted(per_epoch)], pa.int64()
-            ),
-            "tokens_emitted": pa.array(
-                [per_epoch[e][1] for e in sorted(per_epoch)], pa.int64()
-            ),
-        }
-    )
+    def run_once(out_dir):
+        cfg = StreamConfig(
+            input_dir=in_dir, out_dir=out_dir, num_partitions=8,
+            window_s=60, lateness_s=2, files_per_epoch=1,
+            sink_payload_rows=False,
+        )
+        StreamingJob(cfg).run(resume=False, stop_after_epoch=5)  # crash
+        StreamingJob(cfg).run(resume=True)
+        return _lineage_table(out_dir)
+
+    def _lineage_table(out_dir):
+        per_epoch: dict[int, list[int]] = {}
+        for path in _glob.glob(f"{out_dir}/manifests/part=*/epoch-*.json"):
+            part = int(path.split("part=")[1].split("/")[0])
+            if part == AGG_PARTITION_ID:
+                continue  # driver-side aggregate sink: no row counters
+            with open(path) as f:
+                man = _json.load(f)
+            c = man["counters"]
+            if "rows_emitted" not in c:
+                continue  # final-flush manifest
+            e = int(man["epoch"])
+            acc = per_epoch.setdefault(e, [0, 0])
+            acc[0] += int(c["rows_emitted"])
+            acc[1] += int(c["tokens_emitted"])
+        return pa.table(
+            {
+                "epoch": pa.array(sorted(per_epoch), pa.int64()),
+                "rows_emitted": pa.array(
+                    [per_epoch[e][0] for e in sorted(per_epoch)], pa.int64()
+                ),
+                "tokens_emitted": pa.array(
+                    [per_epoch[e][1] for e in sorted(per_epoch)], pa.int64()
+                ),
+            }
+        )
+
+    t = _self_verified("stream_lineage", run_once)
     return ray.data.from_arrow(t).sort("epoch")
 
 
@@ -9083,16 +9156,24 @@ def _q_stream_window_quantiles(sf):
     crash + resume (a lost or doubled histogram partial shifts a
     percentile).  The oracle recomputes every window's quantile_disc from
     the deterministic input."""
+    import pyarrow as pa
+    import ray
+
     from core_ray.streaming import (QuantileConfig, StreamQuantileJob,
                                     final_quantiles)
 
     in_dir = _tokens_fixture(10_000, 1_000)
-    out_dir = f"{_scratch('stream_quant')}/out"
-    cfg = QuantileConfig(input_dir=in_dir, out_dir=out_dir,
-                         num_partitions=8, files_per_epoch=1, window_s=60)
-    StreamQuantileJob(cfg).run(resume=False, stop_after_epoch=4)  # crash
-    StreamQuantileJob(cfg).run(resume=True)
-    return final_quantiles(out_dir, cfg.num_partitions)
+
+    def run_once(out_dir):
+        cfg = QuantileConfig(input_dir=in_dir, out_dir=out_dir,
+                             num_partitions=8, files_per_epoch=1, window_s=60)
+        StreamQuantileJob(cfg).run(resume=False, stop_after_epoch=4)  # crash
+        StreamQuantileJob(cfg).run(resume=True)
+        df = final_quantiles(out_dir, cfg.num_partitions).to_pandas()  # bounded: per-window quantile rows
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    t = _self_verified("stream_window_quantiles", run_once)
+    return ray.data.from_arrow(t).sort(["source", "window_start", "q_permille"])
 
 
 _ORACLE["stream_rescale"] = f"""
