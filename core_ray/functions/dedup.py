@@ -900,6 +900,13 @@ def dedup_exact(source: str | ray.data.Dataset) -> ray.data.Dataset:
 # --- near-dup keep sets (connected components over pair output) -------------
 
 
+# Auto-switch bound for dedup_near / dedup_semantic's default arm: pair
+# lists at or below this fit comfortably on the driver (2 int64 cols,
+# ~160 MB at the bound) and the union-find shortcut is several times
+# faster; above it connected components run fully distributed.
+COMPONENTS_DRIVER_MAX_PAIRS = 10_000_000
+
+
 def component_drop_ids(pairs: ray.data.Dataset, a: str = "doc_a", b: str = "doc_b") -> np.ndarray:
     """Union-find over a near-duplicate pair Dataset: returns the sorted ids
     to DROP so that exactly the minimum id of every connected component
@@ -1040,25 +1047,32 @@ def dedup_near(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     concurrency: int | None = None,
-    distributed_components: bool = True,
+    distributed_components: bool | None = None,
 ) -> ray.data.Dataset:
     """Corpus-level near-duplicate dedup: the end-to-end "give me the cleaned
     corpus" operator.  ``jaccard_pairs`` (exact n-gram Jaccard, recall 1)
     feeds connected components; the minimum doc_id of every duplicate
     component survives.  Returns the kept ``doc_id`` rows.
 
-    Default path (the one a 100 TB corpus must take):
-    :func:`component_labels_distributed` + a left ``hash_join`` keep-filter —
-    nothing ever reaches the driver, so a dirty corpus whose duplicate-pair
-    list is itself at data scale still streams.
-    ``distributed_components=False`` switches to the small-corpus shortcut:
-    driver union-find over the pair list, drop set broadcast once via the
-    object store, anti-filtered per batch with a vectorized ``is_in`` —
-    fewer shuffles, but the pair list must fit on the driver."""
+    ``distributed_components=None`` (default) AUTO-SWITCHES on the actual
+    duplicate-pair count — one cheap aggregate over the already-materialized
+    pair list: above :data:`COMPONENTS_DRIVER_MAX_PAIRS` it takes
+    :func:`component_labels_distributed` + a left ``hash_join`` keep-filter
+    (nothing reaches the driver — the path a 100 TB dirty corpus takes with
+    no opt-in flag), below it the driver union-find shortcut (drop set
+    broadcast once, vectorized ``is_in`` anti-filter — bounded by the
+    threshold and several times faster at small scale).  Pass True/False to
+    force an arm."""
     pairs = jaccard_pairs(
         source, threshold=threshold, max_doc_freq=max_doc_freq, concurrency=concurrency
     )
     ids = _read_docs(source, ["doc_id"])
+    if distributed_components is None:
+        # the distributed arm re-reads the pair list every label round and
+        # the driver arm pulls it once — either way materializing the two
+        # int64 columns here costs nothing extra
+        pairs = pairs.materialize()
+        distributed_components = pairs.count() > COMPONENTS_DRIVER_MAX_PAIRS
     if distributed_components:
         from .join import hash_join
 

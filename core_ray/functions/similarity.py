@@ -416,7 +416,7 @@ def dedup_semantic(
     n_planes: int = 32,
     bands: int = 4,
     seed: int = 23,
-    distributed_components: bool = True,
+    distributed_components: bool | None = None,
 ) -> ray.data.Dataset:
     """Semantic (embedding-space) dedup of the corpus: near-duplicate pairs
     from ``cosine_dup_pairs`` (hyperplane-LSH blocked, exact cosine verified)
@@ -424,16 +424,21 @@ def dedup_semantic(
     survives.  This is the SemDeDup-shaped "keep one representative per
     semantic cluster" operator; returns the kept ``vec_id`` rows.
 
-    Default path: distributed min-label components + a left ``hash_join``
-    keep-filter (nothing reaches the driver — the 100 TB shape).
-    ``distributed_components=False`` is the small-corpus shortcut: driver
-    union-find + broadcast drop set, anti-filtered per batch.
+    ``distributed_components=None`` (default) auto-switches on the actual
+    pair count, exactly like :func:`core_ray.functions.dedup.dedup_near`:
+    distributed min-label components + hash-join keep-filter above
+    ``COMPONENTS_DRIVER_MAX_PAIRS`` (nothing reaches the driver), the
+    union-find shortcut below it.  Pass True/False to force an arm.
     """
-    from .dedup import component_drop_ids, component_labels_distributed
+    from .dedup import (COMPONENTS_DRIVER_MAX_PAIRS, component_drop_ids,
+                        component_labels_distributed)
 
     pairs = cosine_dup_pairs(
         source, threshold=threshold, n_planes=n_planes, bands=bands, seed=seed
     )
+    if distributed_components is None:
+        pairs = pairs.materialize()
+        distributed_components = pairs.count() > COMPONENTS_DRIVER_MAX_PAIRS
     if isinstance(source, str):
         path = source if source.endswith(".parquet") else f"{source}/embeddings.parquet"
         ids = ray.data.read_parquet(path, columns=["vec_id"])

@@ -1014,3 +1014,17 @@ def test_dedup_intradoc_overlapping_repeats():
     out = dedup_intradoc(ray.data.from_arrow(t)).to_pandas()
     assert out.loc[0, "text_clean"] == "x y"
     assert int(out.loc[0, "n_kept"]) == 2
+
+
+def test_dedup_near_auto_switch_threshold(monkeypatch):
+    """distributed_components=None auto-switches on the pair count: with the
+    bound forced to 0 every duplicate pair routes through the distributed
+    min-label arm, and the keep set is unchanged."""
+    from core_ray.functions import dedup, dedup_near
+
+    long_a = " ".join(f"w{i}" for i in range(30))
+    long_b = " ".join(f"w{i}" for i in range(29)) + " zz"
+    rows = [(10, long_a), (11, long_b), (12, "all different words entirely here")]
+    monkeypatch.setattr(dedup, "COMPONENTS_DRIVER_MAX_PAIRS", 0)
+    kept = sorted(dedup_near(_docs_ds(rows)).to_pandas()["doc_id"])
+    assert kept == [10, 12]
