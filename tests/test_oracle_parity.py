@@ -93,3 +93,49 @@ def test_entry_smoke():
     res = _to_pandas(entrymod.entry())
     assert len(res) >= 0
     assert len(res.columns) > 0
+
+
+def test_fixture_atomic_publish_and_reuse(monkeypatch):
+    """_fixture publishes by atomic rename: a second call reuses the
+    completed dir without rebuilding, and a builder that loses the race
+    (target appears mid-build) discards its staging copy."""
+    import os
+    import shutil
+    import uuid
+
+    name = f"selftest_{uuid.uuid4().hex[:8]}"
+    target = f"/tmp/graft5_{name}"
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        with open(f"{d}/data.txt", "w") as f:
+            f.write("payload")
+
+    try:
+        d1 = entrymod._fixture(name, build)
+        assert d1 == target and os.path.exists(f"{d1}/.complete")
+        assert open(f"{d1}/data.txt").read() == "payload"
+        d2 = entrymod._fixture(name, build)
+        assert d2 == target and len(calls) == 1  # reused, not rebuilt
+
+        # losing the race: a concurrent winner publishes the target while
+        # our build is staging -> rename fails, staging dir is discarded
+        shutil.rmtree(target)
+
+        def build_with_race(d):
+            build(d)
+            os.makedirs(target)
+            with open(f"{target}/.complete", "w") as f:
+                f.write("ok")
+            with open(f"{target}/data.txt", "w") as f:
+                f.write("winner")
+
+        d3 = entrymod._fixture(name, build_with_race)
+        assert d3 == target
+        assert open(f"{d3}/data.txt").read() == "winner"
+        leftovers = [p for p in os.listdir("/tmp")
+                     if p.startswith(f"graft5_{name}.build-")]
+        assert leftovers == []
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
