@@ -4040,7 +4040,9 @@ def _q_delta_write_roundtrip(sf):
     base = _scratch("delta_write")
     tbl = f"{base}/orders_delta"
     cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"]
-    ds = ray.data.read_parquet(f"{sf}/orders.parquet", columns=cols)
+    # three commits consume the same input: materialize once (object store,
+    # 4 pruned columns) instead of re-reading the parquet per commit
+    ds = ray.data.read_parquet(f"{sf}/orders.parquet", columns=cols).materialize()
 
     def half(par):
         def fn(t):
