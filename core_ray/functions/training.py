@@ -2960,10 +2960,22 @@ def vocab_coverage(
         return pa.table({"t": pa.array(u.astype(np.int64)),
                          "c": pa.array(c.astype(np.int64))})
 
-    merged = (
-        ds.map_batches(tok_counts, batch_format="pyarrow")
-        .groupby("t").sum("c").to_pandas()  # bounded: <= vocab ids
-    )
+    # Large partial batches: one (token, cnt) partial per 64k rows instead
+    # of per 1k-row block, so partial volume is ~vocab x (rows/65536).
+    partials = ds.map_batches(tok_counts, batch_format="pyarrow",
+                              batch_size=65_536)
+    # Small corpora skip the distributed aggregate entirely — the ray
+    # groupby's shuffle machinery costs seconds of fixed overhead that
+    # dwarfs a driver pandas merge of the bounded partials; large corpora
+    # (partial volume beyond the driver) take the distributed path.
+    if ds.count() <= 2_000_000:  # metadata-only for parquet inputs
+        pdf = partials.to_pandas()  # bounded: <= vocab x (rows/65536) rows
+        merged = pdf.groupby("t", as_index=False, sort=False)["c"].sum()
+        merged = merged.rename(columns={"c": "sum(c)"})
+    else:
+        merged = (
+            partials.groupby("t").sum("c").to_pandas()  # bounded: <= vocab ids
+        )
     merged = merged.sort_values(["sum(c)", "t"], ascending=[False, True],
                                 kind="mergesort").head(k)
     top = np.sort(merged["t"].to_numpy(dtype=np.int64))
@@ -3005,14 +3017,16 @@ def vocab_coverage(
             }
         )
 
-    return (
-        ds.map_batches(cover, batch_format="pyarrow")
-        .groupby("source")
-        .sum(["total", "covered"])
-        .map_batches(
-            lambda b: b.rename_columns(["source", "total", "covered"]),
-            batch_format="pyarrow",
-        )
-        .map_batches(finish, batch_format="pyarrow")
-        .sort("source")
+    # The coverage merge is ALWAYS a driver merge: per-batch `cover` already
+    # pre-groups to one row per (batch, source), so the partial volume is
+    # #batches x #distinct-sources — trivially bounded at any corpus size
+    # (sources are low-cardinality by construction) and a distributed
+    # groupby's fixed shuffle cost buys nothing.
+    pdf = (
+        ds.map_batches(cover, batch_format="pyarrow", batch_size=65_536)
+        .to_pandas()  # bounded: #batches x #sources tiny partial rows
+        .groupby("source", as_index=False, sort=True)
+        .sum()
     )
+    out = finish(pa.Table.from_pandas(pdf, preserve_index=False))
+    return ray.data.from_arrow(out).sort("source")
