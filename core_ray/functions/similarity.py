@@ -1191,19 +1191,48 @@ def mmr_select(
     pass.  At real scale you run MMR on a pre-filtered candidate pool (the
     output of a kNN stage), not the raw corpus; the kernel is the same.
     """
-    import pandas as pd
-
     ds = _read_emb(source)
-    qrow = [
-        r
-        for b in ray.get(ds.to_arrow_refs())
-        for r in b.filter(
-            pc.equal(b["vec_id"], query_vec_id)
-        ).to_pylist()
-    ]
-    if not qrow:
+    # The candidate pool's blocks stay PINNED in the object store and each
+    # greedy step runs one raw task per block — a Dataset execution per step
+    # would pay ~0.5s of fixed driver overhead x k steps for identical work
+    # (the streaming engine's raw-task-consume rationale applied here).
+    block_refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def find_q(block: pa.Table):
+        m = block.filter(pc.equal(block["vec_id"], query_vec_id))
+        return (
+            np.asarray(m["embedding"][0].as_py(), dtype=np.float64)
+            if len(m)
+            else None
+        )
+
+    qs = [v for v in ray.get([find_q.remote(b) for b in block_refs])
+          if v is not None]
+    if not qs:
         raise ValueError(f"query vec_id {query_vec_id} not found")
-    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    q = qs[0]
+
+    @ray.remote
+    def step_partial(block: pa.Table, s_ids, s_mat):
+        """Block-local argmax of the MMR objective; returns
+        (vec_id, score, embedding) or None."""
+        if len(block) == 0:
+            return None
+        ids = block["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _batch_matrix(block)
+        keep = (ids != query_vec_id) & ~np.isin(ids, s_ids)
+        if not keep.any():
+            return None
+        ids, mat = ids[keep], mat[keep]
+        score = round4(_cosine(mat, q))
+        if s_mat is not None:
+            msim = np.max(
+                np.stack([round4(_cosine(mat, s)) for s in s_mat]), axis=0
+            )
+            score = score - lam * msim
+        best = np.lexsort((ids, -score))[0]
+        return (int(ids[best]), float(score[best]), mat[best])
 
     selected: list[tuple[int, float, np.ndarray]] = []  # (id, score, vec)
     for _ in range(int(k)):
@@ -1211,58 +1240,17 @@ def mmr_select(
         sel_mat = (
             np.stack([v for _, _, v in selected]) if selected else None
         )
-        sel_ref = ray.put((sel_ids, sel_mat))
-
-        def partial(batch: pa.Table) -> pa.Table:
-            empty = pa.table(
-                {
-                    "vec_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                    "e": pa.array([], pa.list_(pa.float64())),
-                }
+        parts = [
+            p
+            for p in ray.get(
+                [step_partial.remote(b, sel_ids, sel_mat) for b in block_refs]
             )
-            if len(batch) == 0:
-                return empty
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            mat = _batch_matrix(batch)
-            s_ids, s_mat = ray.get(sel_ref)
-            keep = (ids != query_vec_id) & ~np.isin(ids, s_ids)
-            if not keep.any():
-                return empty
-            ids, mat = ids[keep], mat[keep]
-            score = round4(_cosine(mat, q))
-            if s_mat is not None:
-                msim = np.max(
-                    np.stack([round4(_cosine(mat, s)) for s in s_mat]), axis=0
-                )
-                score = score - lam * msim
-            best = np.lexsort((ids, -score))[0]
-            return pa.table(
-                {
-                    "vec_id": pa.array([ids[best]], pa.int64()),
-                    "score": pa.array([float(score[best])], pa.float64()),
-                    "e": pa.array([mat[best].tolist()], pa.list_(pa.float64())),
-                }
-            )
-
-        tops = pa.concat_tables(
-            [
-                t
-                for t in ray.get(
-                    ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-                )
-                if "score" in t.schema.names
-            ]
-        )
-        df = tops.to_pandas().sort_values(  # bounded: global top-k
-            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
-        )
-        if not len(df):
+            if p is not None
+        ]
+        if not parts:
             break
-        win = df.iloc[0]
-        selected.append(
-            (int(win["vec_id"]), float(win["score"]), np.asarray(win["e"]))
-        )
+        # driver merge of #blocks partial rows: max score, ties to min id
+        selected.append(min(parts, key=lambda p: (-p[1], p[0])))
 
     return pa.table(
         {
