@@ -148,6 +148,22 @@ def merge_values(
     return out[keep], off - removed_before
 
 
+def merge_table(
+    t: pa.Table, first: int, second: int, new_id: int, tokens_col: str
+) -> pa.Table:
+    """One merge applied to one Arrow table (shared by the Dataset pass and
+    the raw-task training path)."""
+    col = t[tokens_col]
+    vt = col.type.value_type  # preserve the input's value dtype
+    vals, off = _flat(col)
+    nv, no = merge_values(vals, off, first, second, new_id)
+    arr = pa.ListArray.from_arrays(
+        pa.array(no, pa.int32()), pa.array(nv, pa.int64()).cast(vt)
+    )
+    i = t.schema.get_field_index(tokens_col)
+    return t.set_column(i, pa.field(tokens_col, arr.type), arr)
+
+
 def apply_merge(
     ds: ray.data.Dataset,
     first: int,
@@ -157,19 +173,10 @@ def apply_merge(
 ) -> ray.data.Dataset:
     """One map_batches pass replacing every greedy (first, second) occurrence
     with ``new_id`` inside each row's token array."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        col = t[tokens_col]
-        vt = col.type.value_type  # preserve the input's value dtype
-        vals, off = _flat(col)
-        nv, no = merge_values(vals, off, first, second, new_id)
-        arr = pa.ListArray.from_arrays(
-            pa.array(no, pa.int32()), pa.array(nv, pa.int64()).cast(vt)
-        )
-        i = t.schema.get_field_index(tokens_col)
-        return t.set_column(i, pa.field(tokens_col, arr.type), arr)
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: merge_table(t, first, second, new_id, tokens_col),
+        batch_format="pyarrow",
+    )
 
 
 def bpe_train(
@@ -193,16 +200,62 @@ def bpe_train(
     working set is re-materialized per round so round r+1 doesn't
     re-execute rounds 0..r.
     """
+    import ray
+
     rows: list[tuple[int, int, int, int]] = []
-    cur = ds
-    for r in range(n_merges):
-        top = pair_counts(cur, tokens_col, k=1).take(1)
-        if not top:
-            break
-        f, s, c = int(top[0]["first"]), int(top[0]["second"]), int(top[0]["cnt"])
-        nid = first_new_id + r
-        rows.append((r, f, s, nid, c))
-        cur = apply_merge(cur, f, s, nid, tokens_col).materialize()
+    # Raw-task rounds over pinned blocks: a Dataset execution per round
+    # (count pass + merge materialize) pays seconds of fixed driver
+    # overhead x n_merges for identical work.  Blocks stay in the object
+    # store; each round is one task wave counting pairs (partials merged
+    # on the driver — bounded by distinct adjacent pairs, vocabulary-sized)
+    # and one task wave applying the merge.  Falls back to the streaming
+    # Dataset path when the corpus is big enough that per-round execution
+    # overhead stops mattering (and driver pair merges could grow).
+    use_blocks = ds.count() <= 2_000_000  # metadata-only for parquet inputs
+    if use_blocks:
+        block_refs = list(ds.materialize().to_arrow_refs())
+
+        @ray.remote
+        def count_block(block: pa.Table):
+            t = batch_pair_counts(block[tokens_col])
+            return (
+                t["pair"].to_numpy(zero_copy_only=False),
+                t["cnt"].to_numpy(zero_copy_only=False),
+            )
+
+        @ray.remote
+        def merge_block(block: pa.Table, f: int, s: int, nid: int):
+            return merge_table(block, f, s, nid, tokens_col)
+
+        for r in range(n_merges):
+            parts = ray.get([count_block.remote(b) for b in block_refs])
+            pairs = np.concatenate([p for p, _ in parts])
+            cnts = np.concatenate([c for _, c in parts])
+            if not len(pairs):
+                break
+            u, inv = np.unique(pairs, return_inverse=True)
+            tot = np.zeros(len(u), dtype=np.int64)
+            np.add.at(tot, inv, cnts)
+            # argmax cnt, ties to the smallest packed pair == smallest
+            # (first, second) lexicographically — same rule as pair_counts
+            best = np.lexsort((u, -tot))[0]
+            f = int(u[best] >> np.int64(32))
+            s = int(u[best] & np.int64(0xFFFFFFFF))
+            c = int(tot[best])
+            nid = first_new_id + r
+            rows.append((r, f, s, nid, c))
+            block_refs = [merge_block.remote(b, f, s, nid) for b in block_refs]
+        cur = ray.data.from_arrow_refs(block_refs)
+    else:
+        cur = ds
+        for r in range(n_merges):
+            top = pair_counts(cur, tokens_col, k=1).take(1)
+            if not top:
+                break
+            f, s, c = int(top[0]["first"]), int(top[0]["second"]), int(top[0]["cnt"])
+            nid = first_new_id + r
+            rows.append((r, f, s, nid, c))
+            cur = apply_merge(cur, f, s, nid, tokens_col).materialize()
     table = pa.table(
         {
             "rank": pa.array([r[0] for r in rows], pa.int64()),
