@@ -211,9 +211,10 @@ def bpe_train(
     # and one task wave applying the merge.  Falls back to the streaming
     # Dataset path when the corpus is big enough that per-round execution
     # overhead stops mattering (and driver pair merges could grow).
-    use_blocks = ds.count() <= 2_000_000  # metadata-only for parquet inputs
+    mat = ds.materialize()  # the round loop re-reads the corpus either way
+    use_blocks = mat.count() <= 2_000_000  # free on materialized data
     if use_blocks:
-        block_refs = list(ds.materialize().to_arrow_refs())
+        block_refs = list(mat.to_arrow_refs())
 
         @ray.remote
         def count_block(block: pa.Table):
@@ -247,7 +248,7 @@ def bpe_train(
             block_refs = [merge_block.remote(b, f, s, nid) for b in block_refs]
         cur = ray.data.from_arrow_refs(block_refs)
     else:
-        cur = ds
+        cur = mat
         for r in range(n_merges):
             top = pair_counts(cur, tokens_col, k=1).take(1)
             if not top:
