@@ -68,16 +68,21 @@ def _fixture(name: str, build) -> str:
     stage = f"{d}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
-    build(stage)
-    with open(os.path.join(stage, ".complete"), "w") as f:
-        f.write("ok")
-        f.flush()
-        os.fsync(f.fileno())
     try:
-        os.rename(stage, d)
-    except OSError:
-        # a concurrent builder won the rename; its content is identical
+        build(stage)
+        with open(os.path.join(stage, ".complete"), "w") as f:
+            f.write("ok")
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.rename(stage, d)
+        except OSError:
+            # a concurrent builder won the rename; its content is identical
+            shutil.rmtree(stage, ignore_errors=True)
+    except BaseException:
+        # failed build: never leave a staging dir behind (no GC covers it)
         shutil.rmtree(stage, ignore_errors=True)
+        raise
     return d
 
 
@@ -125,8 +130,10 @@ def _assert_table_equal(got, exp, name: str) -> None:
     got = got.sort_by(keys).combine_chunks()
     exp = exp.sort_by(keys).combine_chunks()
     for c in got.column_names:
-        eq = pc.equal(got[c], exp[c])
-        bad = pc.sum(pc.if_else(pc.fill_null(eq, False), 0, 1)).as_py()
+        eq = pc.fill_null(pc.equal(got[c], exp[c]), False)
+        both_null = pc.and_(pc.is_null(got[c]), pc.is_null(exp[c]))
+        ok = pc.or_(eq, both_null)
+        bad = pc.sum(pc.if_else(ok, 0, 1)).as_py()
         assert not bad, f"{name}: column {c!r}: {bad} values differ"
 
 
@@ -2074,11 +2081,8 @@ def _q_doc_minhash_novel(sf):
 
     from core_ray.functions import build_minhash_index, minhash_novel
 
-    import os as _os2
-
-    tag = _os2.path.basename(_os2.path.normpath(sf))
     idx = _fixture(
-        f"minhash_index_v1_{tag}",
+        f"minhash_index_v1_{_src_tag(f'{sf}/documents.parquet')}",
         lambda d: build_minhash_index(sf, f"{d}/idx", ref_mod=5),
     ) + "/idx"
     return minhash_novel(sf, idx, threshold=0.5)
@@ -2094,11 +2098,9 @@ def _text_index_fixture(sf: str) -> str:
     """ONE persisted inverted index per sf dir, shared by the AND / BM25 /
     phrase search queries (they grade probes of the same layout — building
     three identical indexes per drive graded nothing extra)."""
-    import os as _os2
-
     from core_ray.functions import build_text_index
 
-    tag = _os2.path.basename(_os2.path.normpath(sf))
+    tag = _src_tag(f"{sf}/documents.parquet")
     return _fixture(
         f"text_index_v1_{tag}",
         lambda d: build_text_index(sf, f"{d}/idx", num_buckets=16),
@@ -3507,11 +3509,8 @@ def _q_stream_window_aggs(sf):
     (tumbling assign per FIXTURES F1 event times, per-(source, window)
     count/sum/min/max of n_tok plus the sum of token VALUES — the
     token-content reduction, so the payload itself is verified too)."""
-    import glob as _glob
-    import shutil as _shutil
-
     import pyarrow as pa
-    import pyarrow.parquet as _pq
+
     import ray
 
     from core_ray.streaming.job import StreamConfig, StreamingJob
@@ -3526,21 +3525,11 @@ def _q_stream_window_aggs(sf):
         )
         StreamingJob(cfg).run(resume=False, stop_after_epoch=4)  # crash mid-stream
         StreamingJob(cfg).run(resume=True)
-        files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
-        t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
+        return _agg_table(
+            out_dir,
             ["source", "window_start", "cnt", "sum_n_tok", "min_n_tok",
-             "max_n_tok", "sum_tok_values"]
+             "max_n_tok", "sum_tok_values"],
         )
-        return t.cast(
-            pa.schema(
-                [("source", pa.string()), ("window_start", pa.timestamp("us")),
-                 ("cnt", pa.int64()), ("sum_n_tok", pa.int64()),
-                 ("min_n_tok", pa.int64()), ("max_n_tok", pa.int64()),
-                 ("sum_tok_values", pa.int64())]
-            )
-        ).sort_by([(c, "ascending") for c in
-                   ("source", "window_start", "cnt", "sum_n_tok",
-                    "min_n_tok", "max_n_tok", "sum_tok_values")])
 
     t = _self_verified("stream_window_aggs", run_once)
     return ray.data.from_arrow(t).sort(["source", "window_start"])
@@ -3557,9 +3546,6 @@ def _q_stream_static_join(sf):
     resume (the join is stateless, so exactly-once must be unaffected);
     the oracle recomputes the join + tumbling windows in SQL with the
     dimension inlined as VALUES."""
-    import glob as _glob
-    import shutil as _shutil
-
     import pyarrow as pa
     import pyarrow.parquet as _pq
     import ray
@@ -3584,20 +3570,11 @@ def _q_stream_static_join(sf):
         )
         StreamingJob(cfg).run(resume=False, stop_after_epoch=3)  # crash mid-stream
         StreamingJob(cfg).run(resume=True)
-        files = sorted(_glob.glob(f"{out_dir}/part=9999/agg-*.parquet"))
-        t = pa.concat_tables([_pq.read_table(f) for f in files]).select(
+        return _agg_table(
+            out_dir,
             ["source", "window_start", "cnt", "sum_n_tok", "sum_tok_values",
-             "sum_weighted"]
+             "sum_weighted"],
         )
-        return t.cast(
-            pa.schema(
-                [("source", pa.string()), ("window_start", pa.timestamp("us")),
-                 ("cnt", pa.int64()), ("sum_n_tok", pa.int64()),
-                 ("sum_tok_values", pa.int64()), ("sum_weighted", pa.int64())]
-            )
-        ).sort_by([(c, "ascending") for c in
-                   ("source", "window_start", "cnt", "sum_n_tok",
-                    "sum_tok_values", "sum_weighted")])
 
     t = _self_verified("stream_static_join", run_once)
     return ray.data.from_arrow(t).sort(["source", "window_start"])
@@ -3992,15 +3969,26 @@ def _q_emb_novel_full(sf):
     return emb_novel_full(sf, idx, threshold=0.45)
 
 
+def _src_tag(path: str) -> str:
+    """Content fingerprint for an sf-derived fixture name: basename plus
+    size+mtime of the source parquet, so a regenerated testdata dir (new
+    round, changed synth) or a different dir with the same basename can
+    never alias a stale persisted index (the _fixture contract: content is
+    a pure function of the name)."""
+    import os as _os2
+
+    st = _os2.stat(path)
+    d = _os2.path.basename(_os2.path.dirname(_os2.path.abspath(path)))
+    return f"{d}-{st.st_size}-{st.st_mtime_ns // 1000}"
+
+
 def _ivf_fixture(sf: str, name: str, **kw) -> str:
     """Shared persisted IVF index for ``sf``'s embeddings table — the
     "build once, probe many" layout these queries grade; keyed by the sf
     dir name so each scale gets its own index."""
-    import os as _os2
-
     from core_ray.functions.similarity import build_ref_ivf_index
 
-    tag = _os2.path.basename(_os2.path.normpath(sf))
+    tag = _src_tag(f"{sf}/embeddings.parquet")
 
     def build(d: str) -> None:
         build_ref_ivf_index(sf, f"{d}/idx", **kw)

@@ -59,12 +59,15 @@ def interval_filtering(ds: ray.data.Dataset, interval_us: int) -> ray.data.Datas
         if n == 0:
             return _finalize(g)
         keep = np.zeros(n, dtype=bool)
+        if interval_us <= 0:  # degenerate keep-all: the jump scan would
+            keep[:] = True    # never advance past equal timestamps
+            return _finalize(g)
         # #emitted is bounded by span/interval + 1.  When that bound is far
         # below n (a hot tag being heavily downsampled — the op's primary
         # use), jump emit-to-emit with one searchsorted per EMIT (O(k log n))
         # instead of a Python compare per ROW; otherwise the linear scan's
         # ~100ns/row is already optimal for a near-keep-all pass.
-        bound = (int(ts[-1]) - int(ts[0])) // max(interval_us, 1) + 1
+        bound = (int(ts[-1]) - int(ts[0])) // interval_us + 1
         if bound * 16 < n:
             i = 0
             while i < n:

@@ -230,6 +230,8 @@ def bpe_train(
 
         for r in range(n_merges):
             parts = ray.get([count_block.remote(b) for b in block_refs])
+            if not parts:
+                break
             pairs = np.concatenate([p for p, _ in parts])
             cnts = np.concatenate([c for _, c in parts])
             if not len(pairs):

@@ -2968,7 +2968,11 @@ def vocab_coverage(
     # groupby's shuffle machinery costs seconds of fixed overhead that
     # dwarfs a driver pandas merge of the bounded partials; large corpora
     # (partial volume beyond the driver) take the distributed path.
-    if ds.count() <= 2_000_000:  # metadata-only for parquet inputs
+    if not isinstance(source, str):
+        # Dataset inputs: materialize once so the gate's count and the two
+        # passes don't each re-execute the upstream pipeline
+        ds = ds.materialize()
+    if ds.count() <= 2_000_000:  # metadata-only for parquet/materialized
         pdf = partials.to_pandas()  # bounded: <= vocab x (rows/65536) rows
         merged = pdf.groupby("t", as_index=False, sort=False)["c"].sum()
         merged = merged.rename(columns={"c": "sum(c)"})

@@ -315,3 +315,13 @@ def test_gaussian_smoothing_mode_guard():
 
     with pytest.raises(ValueError, match="temporal.*spatial"):
         gaussian_smoothing(_ds([("A", T0, "Good", 1.0)]), mode="sideways")
+
+
+def test_interval_filtering_degenerate_interval_keeps_all():
+    """interval_us <= 0 is the keep-all degenerate case; the jump scan must
+    not engage (with equal timestamps it would never advance)."""
+    from core_ray.dq import interval_filtering
+
+    rows = [("A", T0, "Good", float(i)) for i in range(20)]  # 20 equal ts
+    out = interval_filtering(_ds(rows), interval_us=0).to_pandas()
+    assert len(out) == 20
