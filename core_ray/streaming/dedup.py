@@ -173,13 +173,15 @@ class DedupPartitionActor:
             "state_rows": 0 if self.state is None else len(self.state),
             "state_bytes": 0 if self.state is None else self.state.nbytes,
         }
-        self.sink.commit_epoch(epoch, {"survivors": out}, counters)
+        # snapshot BEFORE the manifest commit point (see freq.py) — a lost
+        # dedup snapshot would silently re-admit duplicates on resume
         st = self.state if self.state is not None else pa.table(
             {"key": pa.array([], pa.binary()), "doc_idx": pa.array([], pa.int64())}
         )
         self.sink.write_snapshot(
             epoch, "dedup", st.replace_schema_metadata({"dupes": str(self._dupes)})
         )
+        self.sink.commit_epoch(epoch, {"survivors": out}, counters)
         # keep epoch-1 AND epoch (state_actor.py convention): resume loads
         # min(committed) across partitions, which can lag this one by one
         self.sink.gc_snapshots(epoch - 1)
@@ -245,28 +247,13 @@ class StreamDedupJob:
     _SHAPE_FIELDS = ("num_partitions", "files_per_epoch", "route_seed")
 
     def _guard_job_shape(self, resume: bool) -> None:
-        """Same refuse-on-changed-shape contract as StreamingJob: resuming
-        with different routing would misroute keys against snapshotted state
-        and silently re-admit duplicates."""
-        shape = {f: getattr(self.cfg, f) for f in self._SHAPE_FIELDS}
-        path = os.path.join(self.cfg.out_dir, "manifests", "job.json")
-        if resume and os.path.exists(path):
-            with open(path) as f:
-                prev = json.load(f)
-            diff = {k: (prev.get(k), shape[k]) for k in shape if prev.get(k) != shape[k]}
-            if diff:
-                raise ValueError(
-                    "resume: dedup job shape changed since the checkpointed "
-                    f"run (field: (was, now)): {diff}"
-                )
-            return
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(shape, f, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        from .sink import guard_job_shape
+
+        guard_job_shape(
+            self.cfg.out_dir,
+            {f: getattr(self.cfg, f) for f in self._SHAPE_FIELDS},
+            resume,
+        )
 
     def run(self, resume: bool = True, stop_after_epoch: int | None = None) -> dict:
         cfg = self.cfg
@@ -317,18 +304,9 @@ class StreamDedupJob:
 
 def read_survivors(out_dir: str):
     """The committed survivor set as a Ray Dataset (manifested files only)."""
-    import glob
+    from .sink import manifest_data_files
 
-    files = []
-    for mdir in sorted(glob.glob(os.path.join(out_dir, "manifests", "part=*"))):
-        part_dir = os.path.join(out_dir, os.path.basename(mdir))
-        for mf in sorted(os.listdir(mdir)):
-            if not mf.startswith("epoch-"):
-                continue
-            with open(os.path.join(mdir, mf)) as f:
-                man = json.load(f)
-            for entry in man["files"].values():
-                files.append(os.path.join(part_dir, entry["file"]))
+    files = manifest_data_files(out_dir)
     import ray.data
 
     if not files:

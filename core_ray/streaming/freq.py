@@ -132,13 +132,17 @@ class FreqPartitionActor:
             "state_nonzero": nz,
             "state_bytes": self.counts.nbytes,
         }
-        self.sink.commit_epoch(epoch, {"topk": out}, counters)
+        # snapshot BEFORE the manifest: the manifest is the commit point
+        # resume keys on, so the state it implies must already be durable
+        # (a crash between them would otherwise brick every later resume
+        # with a missing-snapshot error)
         nzi = np.flatnonzero(self.counts)
         snap = pa.table(
             {"token": pa.array(nzi, pa.int64()),
              "cnt": pa.array(self.counts[nzi], pa.int64())}
         ).replace_schema_metadata({"tokens_in": str(self.tokens_in)})
         self.sink.write_snapshot(epoch, "freq", snap)
+        self.sink.commit_epoch(epoch, {"topk": out}, counters)
         # keep epoch-1 AND epoch (state_actor.py convention): resume loads
         # min(committed) across partitions, which can lag this one by one
         self.sink.gc_snapshots(epoch - 1)
@@ -204,28 +208,13 @@ class StreamFreqJob:
     _SHAPE_FIELDS = ("num_partitions", "files_per_epoch", "k")
 
     def _guard_job_shape(self, resume: bool) -> None:
-        """Same refuse-on-changed-shape contract as StreamingJob: resuming
-        with a different partition count would misroute token residues
-        against snapshotted registers and silently split counts."""
-        shape = {f: getattr(self.cfg, f) for f in self._SHAPE_FIELDS}
-        path = os.path.join(self.cfg.out_dir, "manifests", "job.json")
-        if resume and os.path.exists(path):
-            with open(path) as f:
-                prev = json.load(f)
-            diff = {k: (prev.get(k), shape[k]) for k in shape if prev.get(k) != shape[k]}
-            if diff:
-                raise ValueError(
-                    "resume: freq job shape changed since the checkpointed "
-                    f"run (field: (was, now)): {diff}"
-                )
-            return
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(shape, f, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        from .sink import guard_job_shape
+
+        guard_job_shape(
+            self.cfg.out_dir,
+            {f: getattr(self.cfg, f) for f in self._SHAPE_FIELDS},
+            resume,
+        )
 
     def run(self, resume: bool = True, stop_after_epoch: int | None = None) -> dict:
         cfg = self.cfg

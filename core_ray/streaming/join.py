@@ -208,8 +208,8 @@ class JoinPartitionActor:
                     t.nbytes for t in self.state.values() if t is not None
                 ),
             }
+            self._write_snapshot(epoch)  # durable BEFORE the commit point
             self.sink.commit_epoch(epoch, {"joined": out}, counters)
-            self._write_snapshot(epoch)
             self.sink.gc_snapshots(epoch - 1)
             return counters
 
@@ -280,8 +280,10 @@ class JoinPartitionActor:
                 t.nbytes for t in self.state.values() if t is not None
             ),
         }
-        self.sink.commit_epoch(epoch, {"joined": out}, counters)
+        # snapshot BEFORE the manifest: the manifest is the commit point
+        # resume keys on, so the state it implies must be durable first
         self._write_snapshot(epoch)
+        self.sink.commit_epoch(epoch, {"joined": out}, counters)
         # keep epoch-1 AND epoch (state_actor.py convention): a mid-barrier
         # crash leaves partitions at different committed epochs, and resume
         # loads min(committed) — which is epoch-1 for the partitions that
@@ -603,6 +605,15 @@ class StreamJoinJob:
             "right_payload": cfg.right_payload,
             "how": cfg.how,
         }
+        from .sink import guard_job_shape
+
+        guard_job_shape(
+            cfg.out_dir,
+            {**cfg_dict, "num_partitions": cfg.num_partitions,
+             "route_seed": cfg.route_seed, "lateness_s": cfg.lateness_s,
+             "files_per_epoch": cfg.files_per_epoch},
+            resume,
+        )
         actors = [
             JoinPartitionActor.remote(p, cfg.out_dir, cfg_dict)
             for p in range(cfg.num_partitions)
@@ -615,7 +626,16 @@ class StreamJoinJob:
             ]
             start = min(committed) + 1
             if start > 0:
-                ray.get([a.load_snapshot.remote(start - 1) for a in actors])
+                oks = ray.get([a.load_snapshot.remote(start - 1) for a in actors])
+                if not all(oks):
+                    # every partition committed start-1, so its snapshot MUST
+                    # exist; resuming with empty state would silently drop
+                    # buffered unmatched rows (wrong joins, not an error)
+                    missing = [p for p, ok in enumerate(oks) if not ok]
+                    raise RuntimeError(
+                        f"resume: join snapshot for epoch {start - 1} "
+                        f"missing on partition(s) {missing}"
+                    )
 
         lcols = [cfg.key_col, cfg.ts_col] + cfg.left_payload
         rcols = [cfg.key_col, cfg.ts_col] + cfg.right_payload
@@ -624,6 +644,25 @@ class StreamJoinJob:
             stop_after_epoch, self.n_epochs - 1
         )
         totals = {"rows": 0, "late": 0}
+        try:
+            return self._run_epochs(
+                actors, start, last, lcols, rcols, lateness_us, totals,
+                stop_after_epoch,
+            )
+        finally:
+            # never leak the actor pool (and its buffered state tables)
+            # when the epoch loop raises mid-stream
+            for a in actors:
+                try:
+                    ray.kill(a)
+                except Exception:
+                    pass
+
+    def _run_epochs(
+        self, actors, start, last, lcols, rcols, lateness_us, totals,
+        stop_after_epoch,
+    ) -> dict:
+        cfg = self.cfg
         for e in range(start, last + 1):
             refs = []
             for side, groups, cols in (("l", self.lf, lcols), ("r", self.rf, rcols)):
@@ -668,26 +707,15 @@ class StreamJoinJob:
             )
             for c in results:
                 totals["rows"] += c["rows_emitted"]
-        for a in actors:
-            ray.kill(a)
         return {"epochs": self.n_epochs, "totals": totals}
 
 
 def read_joined(out_dir: str):
-    """The committed join output as a Ray Dataset (manifested files only)."""
-    import glob
-    import json
+    """The committed join output as a Ray Dataset (manifested files only;
+    torn/leftover manifest temps from a crashed commit are ignored)."""
+    from .sink import manifest_data_files
 
-    files = []
-    for mdir in sorted(glob.glob(os.path.join(out_dir, "manifests", "part=*"))):
-        part_dir = os.path.join(
-            out_dir, os.path.basename(mdir)
-        )
-        for mf in sorted(os.listdir(mdir)):
-            with open(os.path.join(mdir, mf)) as f:
-                man = json.load(f)
-            for entry in man["files"].values():
-                files.append(os.path.join(part_dir, entry["file"]))
+    files = manifest_data_files(out_dir)
     import ray.data
 
     if not files:

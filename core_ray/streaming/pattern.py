@@ -214,8 +214,9 @@ class PatternPartitionActor:
             "state_rows": 0 if self.state is None else len(self.state),
             "state_bytes": 0 if self.state is None else self.state.nbytes,
         }
-        self.sink.commit_epoch(epoch, {"matches": out}, counters)
+        # snapshot BEFORE the manifest commit point (see join.py)
         self._write_snapshot(epoch)
+        self.sink.commit_epoch(epoch, {"matches": out}, counters)
         # keep epoch-1 AND epoch — mid-barrier crash resume loads
         # min(committed), see join.py / state_actor.py:500
         self.sink.gc_snapshots(epoch - 1)
@@ -311,6 +312,17 @@ class StreamPatternJob:
             "pattern": cfg.pattern,
             "within_us": cfg.within_us,
         }
+        from .sink import guard_job_shape
+
+        guard_job_shape(
+            cfg.out_dir,
+            {**{k: v for k, v in cfg_dict.items() if k != "pattern"},
+             "pattern": list(cfg.pattern),
+             "num_partitions": cfg.num_partitions,
+             "route_seed": cfg.route_seed, "lateness_s": cfg.lateness_s,
+             "files_per_epoch": cfg.files_per_epoch},
+            resume,
+        )
         actors = [
             PatternPartitionActor.remote(p, cfg.out_dir, cfg_dict)
             for p in range(cfg.num_partitions)
@@ -323,7 +335,13 @@ class StreamPatternJob:
             ]
             start = min(committed) + 1
             if start > 0:
-                ray.get([a.load_snapshot.remote(start - 1) for a in actors])
+                oks = ray.get([a.load_snapshot.remote(start - 1) for a in actors])
+                if not all(oks):
+                    missing = [pi for pi, ok in enumerate(oks) if not ok]
+                    raise RuntimeError(
+                        f"resume: cep snapshot for epoch {start - 1} "
+                        f"missing on partition(s) {missing}"
+                    )
 
         cols = [cfg.key_col, cfg.ts_col, cfg.type_col, cfg.tiebreak_col]
         lateness_us = cfg.lateness_s * 1_000_000
@@ -332,24 +350,29 @@ class StreamPatternJob:
             stop_after_epoch, self.n_epochs
         )
         totals = {"rows": 0, "late": 0}
-        for e in range(start, last + 1):
-            if e < self.n_epochs:
-                ray.get(
-                    _route_task.remote(
-                        self.groups[e], cols, cfg.key_col, cfg.route_seed,
-                        actors, e, e,
+        try:
+            for e in range(start, last + 1):
+                if e < self.n_epochs:
+                    ray.get(
+                        _route_task.remote(
+                            self.groups[e], cols, cfg.key_col, cfg.route_seed,
+                            actors, e, e,
+                        )
                     )
-                )
-                maxes = ray.get([a.epoch_max_ts.remote(e) for a in actors])
-                wm = conservative_watermark(maxes, lateness_us)
-            else:
-                wm = _EXHAUSTED
-            results = ray.get([a.end_epoch.remote(e, wm) for a in actors])
-            totals["rows"] += sum(c["rows_emitted"] for c in results)
-            totals["late"] = sum(c["late_rows"] for c in results)
-        for a in actors:
-            ray.kill(a)
-        return {"epochs": self.n_epochs + 1, "totals": totals}
+                    maxes = ray.get([a.epoch_max_ts.remote(e) for a in actors])
+                    wm = conservative_watermark(maxes, lateness_us)
+                else:
+                    wm = _EXHAUSTED
+                results = ray.get([a.end_epoch.remote(e, wm) for a in actors])
+                totals["rows"] += sum(c["rows_emitted"] for c in results)
+                totals["late"] = sum(c["late_rows"] for c in results)
+            return {"epochs": self.n_epochs + 1, "totals": totals}
+        finally:
+            for a in actors:
+                try:
+                    ray.kill(a)
+                except Exception:
+                    pass
 
 
 def read_matches(out_dir: str):
@@ -359,14 +382,9 @@ def read_matches(out_dir: str):
 
     import ray.data
 
-    files = []
-    for mdir in sorted(glob.glob(os.path.join(out_dir, "manifests", "part=*"))):
-        part_dir = os.path.join(out_dir, os.path.basename(mdir))
-        for mf in sorted(os.listdir(mdir)):
-            with open(os.path.join(mdir, mf)) as f:
-                man = json.load(f)
-            for entry in man["files"].values():
-                files.append(os.path.join(part_dir, entry["file"]))
+    from .sink import manifest_data_files
+
+    files = manifest_data_files(out_dir)
     if not files:
         return ray.data.from_items([])
     # partitioning=None: the part=N sink layout must not leak a hive column

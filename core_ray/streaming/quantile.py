@@ -201,7 +201,7 @@ class QuantilePartitionActor:
             "open_windows": len(self.hists),
             "state_bytes": sum(h.nbytes for h in self.hists.values()),
         }
-        self.sink.commit_epoch(epoch, {"quantiles": out}, counters)
+        # snapshot BEFORE the manifest commit point (see freq.py)
         # snapshot: nonzero histogram entries of every register
         srcs, wins, toks, cnts = [], [], [], []
         for (src, wstart) in sorted(self.hists):
@@ -225,6 +225,7 @@ class QuantilePartitionActor:
             schema=_SNAP_SCHEMA,
         ).replace_schema_metadata({"tokens_in": str(self.tokens_in)})
         self.sink.write_snapshot(epoch, "qhist", snap)
+        self.sink.commit_epoch(epoch, {"quantiles": out}, counters)
         self.sink.gc_snapshots(epoch - 1)
         return counters
 
@@ -275,37 +276,51 @@ def _consume_quantile(
                           use_threads=False)
         if len(t) == 0:
             continue
-        idx = np.array(
-            [int(d[4:]) for d in t["doc_id"].to_pylist()], dtype=np.int64)
+        import pyarrow.compute as pc
+
+        # vectorized doc_idx (no per-row Python; same kernel as job.py)
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
         ev = event_time_us(idx)
         wstart = (ev // window_us) * window_us
-        src = t["source"].to_pylist()
+        # dictionary-encode source: group on the ACTUAL category (a crc
+        # collision between two sources would silently merge their
+        # histograms), Python work bounded by #distinct sources
+        enc = pc.dictionary_encode(t["source"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cats = enc.dictionary.to_pylist()
         toks = t["tokens"].combine_chunks()
         # absolute offsets into the full child array (robust to slices)
         flat = toks.values.to_numpy(zero_copy_only=False)
         offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        # group rows by (source, window): sort once, then slice runs
-        skey = np.array([zlib.crc32(s.encode()) for s in src], dtype=np.int64)
-        order = np.lexsort((wstart, skey))
+        # group rows by (source, window): sort once; one flat token gather
+        # in group order, then per-GROUP bincounts (loop count = #distinct
+        # (source, window) pairs, not rows)
+        order = np.lexsort((wstart, codes))
+        scode, sw = codes[order], wstart[order]
+        row_len = (offs[1:] - offs[:-1])[order]
+        cum = np.concatenate(([0], np.cumsum(row_len)))
+        pos_within = np.arange(cum[-1], dtype=np.int64) - np.repeat(
+            cum[:-1], row_len
+        )
+        vals_sorted = flat[np.repeat(offs[:-1][order], row_len) + pos_within]
+        change = np.flatnonzero(
+            (scode[1:] != scode[:-1]) | (sw[1:] != sw[:-1])
+        ) + 1
+        row_bounds = np.concatenate(([0], change, [len(order)]))
         parts_rows: dict[int, list] = {}
-        lo = 0
-        while lo < len(order):
-            hi = lo
-            s0, w0 = skey[order[lo]], wstart[order[lo]]
-            while hi < len(order) and skey[order[hi]] == s0 \
-                    and wstart[order[hi]] == w0:
-                hi += 1
-            rows = order[lo:hi]
-            # histogram of this group's token payload (vectorized gather)
-            pieces = [flat[offs[r]: offs[r + 1]] for r in rows]
-            vals = np.concatenate(pieces) if pieces else np.array([], np.int32)
-            if len(vals):
-                bc = np.bincount(vals)
-                tok_nz = np.flatnonzero(bc)
-                p = _route(src[rows[0]], int(w0), window_us, n_parts)
-                parts_rows.setdefault(p, []).append(
-                    (src[rows[0]], int(w0), tok_nz, bc[tok_nz]))
-            lo = hi
+        for gi in range(len(row_bounds) - 1):
+            rlo, rhi = int(row_bounds[gi]), int(row_bounds[gi + 1])
+            vals = vals_sorted[cum[rlo]: cum[rhi]]
+            if not len(vals):
+                continue
+            bc = np.bincount(vals)
+            tok_nz = np.flatnonzero(bc)
+            s_name, w0 = cats[int(scode[rlo])], int(sw[rlo])
+            p = _route(s_name, w0, window_us, n_parts)
+            parts_rows.setdefault(p, []).append(
+                (s_name, w0, tok_nz, bc[tok_nz]))
         refs = []
         for p, groups in parts_rows.items():
             srcs, wins, tks, cts = [], [], [], []
@@ -338,30 +353,13 @@ class StreamQuantileJob:
                      "qs_permille")
 
     def _guard_job_shape(self, resume: bool) -> None:
-        """Refuse-on-changed-shape (StreamingJob contract): resuming with a
-        different partition count or window would misroute (source, window)
-        keys against snapshotted registers."""
-        shape = {f: list(v) if isinstance(v := getattr(self.cfg, f), tuple)
-                 else v for f in self._SHAPE_FIELDS}
-        path = os.path.join(self.cfg.out_dir, "manifests", "job.json")
-        if resume and os.path.exists(path):
-            with open(path) as f:
-                prev = json.load(f)
-            diff = {k: (prev.get(k), shape[k]) for k in shape
-                    if prev.get(k) != shape[k]}
-            if diff:
-                raise ValueError(
-                    "resume: quantile job shape changed since the "
-                    f"checkpointed run (field: (was, now)): {diff}"
-                )
-            return
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(shape, f, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        from .sink import guard_job_shape
+
+        guard_job_shape(
+            self.cfg.out_dir,
+            {f: getattr(self.cfg, f) for f in self._SHAPE_FIELDS},
+            resume,
+        )
 
     def run(self, resume: bool = True, stop_after_epoch: int | None = None) -> dict:
         cfg = self.cfg

@@ -188,6 +188,24 @@ def rescale_checkpoint(out_dir: str, new_partitions: int) -> dict:
     return {"old": old_p, "new": q, "epoch": k, "moved_rows": moved}
 
 
+def _update_job_shape_partitions(out_dir: str, q: int) -> None:
+    """A completed rescale IS the sanctioned partition-count change: update
+    the persisted job shape (if the engine wrote one) so the resume guard
+    accepts the new width."""
+    job_path = os.path.join(out_dir, "manifests", "job.json")
+    if not os.path.exists(job_path):
+        return
+    with open(job_path) as f:
+        shape = json.load(f)
+    shape["num_partitions"] = q
+    tmp = job_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(shape, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, job_path)
+
+
 def rescale_join_checkpoint(
     out_dir: str,
     old_partitions: int,
@@ -313,6 +331,7 @@ def rescale_join_checkpoint(
         if sink.last_committed_epoch() < k:
             sink.commit_epoch(k, {}, {"rescaled_from": old_p,
                                       "rescaled_to": q})
+    _update_job_shape_partitions(out_dir, q)
     os.unlink(journal_path)
     for pth in backup_paths.values():
         if os.path.exists(pth):
@@ -349,7 +368,22 @@ def rescale_keyed_checkpoint(
     if os.path.exists(journal_path):
         with open(journal_path) as f:
             journal = json.load(f)
+        if int(journal["new_q"]) != q:
+            # same contract as the other rescalers: finish the journaled plan
+            raise ValueError(
+                f"interrupted {snapshot_name} rescale targets "
+                f"{int(journal['new_q'])} partitions; re-run with that "
+                f"count to finish it (got {q})"
+            )
         old_p, k = int(journal["old_p"]), int(journal["epoch"])
+        if journal.get("has_backup", True) and not os.path.exists(backup_path):
+            # the journal promises state but the backup is gone (torn
+            # cleanup): proceeding would overwrite every partition snapshot
+            # with an EMPTY table — silent state wipe, so fail loudly
+            raise RuntimeError(
+                f"rescale journal {journal_path} references a missing "
+                f"backup {backup_path}; cannot safely resume"
+            )
         allt = pq.read_table(backup_path) if os.path.exists(backup_path) else None
         meta = journal["meta"]
     else:
@@ -385,7 +419,8 @@ def rescale_keyed_checkpoint(
             os.replace(backup_path + ".tmp", backup_path)
         jtmp = journal_path + ".tmp"
         with open(jtmp, "w") as f:
-            json.dump({"old_p": old_p, "new_q": q, "epoch": k, "meta": meta}, f)
+            json.dump({"old_p": old_p, "new_q": q, "epoch": k, "meta": meta,
+                       "has_backup": allt is not None}, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(jtmp, journal_path)
@@ -412,7 +447,11 @@ def rescale_keyed_checkpoint(
         if sink.last_committed_epoch() < k:
             sink.commit_epoch(k, {}, {"rescaled_from": old_p,
                                       "rescaled_to": q})
+    _update_job_shape_partitions(out_dir, q)
+    # journal FIRST: a crash between the unlinks must leave an orphaned
+    # backup (harmless), never a journal whose backup is gone (a re-run
+    # would then wipe every partition snapshot with an empty table)
+    os.unlink(journal_path)
     if os.path.exists(backup_path):
         os.unlink(backup_path)
-    os.unlink(journal_path)
     return {"old": old_p, "new": q, "epoch": k, "moved_rows": moved}

@@ -112,3 +112,62 @@ class EpochSink:
                 ep = int(name[:-8].rsplit("-", 1)[1])
                 if ep < keep_epoch:
                     os.remove(os.path.join(self.data_dir, name))
+
+
+def atomic_write_json(path: str, obj: dict) -> None:
+    """tmp + fsync + atomic rename (the manifest commit discipline for any
+    small JSON the checkpoint protocol persists)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, sort_keys=True, default=int)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def guard_job_shape(out_dir: str, shape: dict, resume: bool) -> None:
+    """Persist the job shape on a fresh run; REFUSE a resume whose config
+    disagrees — resuming with e.g. a different partition count or routing
+    seed would misroute keys against the snapshotted state and break
+    exactly-once silently, which is far worse than failing loudly.  Shared
+    by every streaming engine."""
+    path = os.path.join(out_dir, "manifests", "job.json")
+    # normalize through JSON first: a tuple-valued config field must compare
+    # equal to its list round-trip from the persisted file
+    shape = json.loads(json.dumps(shape, sort_keys=True, default=int))
+    if resume and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        diff = {k: (prev.get(k), shape[k]) for k in shape
+                if prev.get(k) != shape[k]}
+        if diff:
+            raise ValueError(
+                "resume: job shape changed since the checkpointed run "
+                f"(field: (was, now)): {diff} — start a fresh out_dir "
+                "or restore the original config"
+            )
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    atomic_write_json(path, shape)
+
+
+def manifest_data_files(out_dir: str, stream: str | None = None) -> list[str]:
+    """Every COMMITTED data file across partitions, resolved through the
+    epoch manifests only.  Tolerates torn or leftover ``*.json.tmp``
+    manifests from a crashed commit (a listdir-based reader would either
+    double-count a replayed epoch's files or crash on truncated JSON).
+    ``stream`` filters to one named output stream."""
+    import glob
+
+    files = []
+    for mdir in sorted(glob.glob(os.path.join(out_dir, "manifests", "part=*"))):
+        part_dir = os.path.join(out_dir, os.path.basename(mdir))
+        for mf in sorted(os.listdir(mdir)):
+            if not (mf.startswith("epoch-") and mf.endswith(".json")):
+                continue
+            with open(os.path.join(mdir, mf)) as f:
+                man = json.load(f)
+            for name, entry in man.get("files", {}).items():
+                if stream is None or name == stream:
+                    files.append(os.path.join(part_dir, entry["file"]))
+    return files

@@ -444,3 +444,39 @@ def test_full_outer_join_crash_resume_byte_identical(tmp_path):
     StreamJoinJob(cfg_b).run(resume=False, stop_after_epoch=2)
     StreamJoinJob(cfg_b).run(resume=True)
     assert _sink_hash(out_a) == _sink_hash(out_b)
+
+
+def test_join_resume_refuses_changed_shape_and_tmp_manifests(tmp_path):
+    """(a) Resuming a join with a different num_partitions is refused by the
+    persisted shape guard (misrouted keys would silently duplicate or drop
+    matches); (b) a leftover manifest temp from a crashed commit is ignored
+    by read_joined instead of double-counting the epoch's files."""
+    from core_ray.streaming.join import JoinConfig, StreamJoinJob, read_joined
+
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    out = str(tmp_path / "out")
+    _mk_streams(tmp_path)
+    cfg = dict(left_dir=ld, right_dir=rd, out_dir=out, key_col="key",
+               band_lo_us=BAND[0], band_hi_us=BAND[1], num_partitions=4,
+               files_per_epoch=1, left_payload=["l_id"],
+               right_payload=["r_id"])
+    StreamJoinJob(JoinConfig(**cfg)).run(resume=False, stop_after_epoch=1)
+    with pytest.raises(ValueError, match="job shape changed"):
+        StreamJoinJob(JoinConfig(**{**cfg, "num_partitions": 8})).run(
+            resume=True
+        )
+    StreamJoinJob(JoinConfig(**cfg)).run(resume=True)
+    n = read_joined(out).count()
+    # plant a torn manifest temp next to a committed one: reader must skip it
+    mdir = os.path.join(out, "manifests", "part=0000")
+    committed = sorted(
+        f for f in os.listdir(mdir)
+        if f.startswith("epoch-") and f.endswith(".json")
+    )[0]
+    import shutil
+
+    shutil.copy(os.path.join(mdir, committed),
+                os.path.join(mdir, committed + ".tmp"))
+    with open(os.path.join(mdir, "epoch-999999.json.tmp"), "w") as f:
+        f.write("{ torn")  # truncated JSON must not crash the reader
+    assert read_joined(out).count() == n
